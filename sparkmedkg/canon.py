@@ -1,0 +1,101 @@
+"""Canonicalization: skew-aware dedup/counting + connected-components merge
+over alias clusters (north_rule).
+
+Hot CUIs (common drugs: the fixture's aspirin/ibuprofen/paracetamol appear in
+~60% of docs) skew any groupBy/dropDuplicates on the mention/CUI key. Two
+defenses, both plain DataFrame code:
+
+- ``salted_counts``: explicit two-phase aggregation — partial count on
+  (salt, key), final on (key). Spark's partial aggregation already does
+  map-side combine for ``count``; the explicit salt matters for
+  high-cardinality-payload aggs (collect_set/distinct) where map-side combine
+  can't fully collapse the hot key.
+- AQE skew-join splitting is enabled in session.py as the backstop.
+
+Connected components: small-star/large-star-style iterated min-propagation
+over the alias-sharing CUI graph (two CUIs connect when they share a surface
+form). Deterministic: component id = min CUI string. Driver loop with
+localCheckpoint per iteration to truncate lineage; O(log n) iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_counts(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase count-by-key with an explicit salt column (A5 hardening)."""
+    salt = (F.crc32(F.col(key).cast("string")) % n_salts).alias("_salt")
+    partial = df.groupBy(F.col(key), salt).agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+def salted_distinct(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame:
+    """Two-phase dropDuplicates: first within (salt, keys), then on keys."""
+    with_salt = df.withColumn(
+        "_salt", F.crc32(F.concat_ws("\x00", *[F.col(k) for k in keys])) % n_salts
+    )
+    phase1 = with_salt.dropDuplicates([*keys, "_salt"]).drop("_salt")
+    return phase1.dropDuplicates(keys)
+
+
+def alias_cluster_edges(aliases: DataFrame) -> DataFrame:
+    """Edges (src, dst) between CUIs sharing a surface form (src < dst)."""
+    a = aliases.select("alias", F.col("CUI").alias("src"))
+    b = aliases.select("alias", F.col("CUI").alias("dst"))
+    return (
+        a.join(b, "alias")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation to fixpoint.
+
+    vertices: one column ``id``; edges: ``src``, ``dst`` (undirected).
+    Returns (id, component) with component = min id reachable.
+    """
+    both = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    cc = vertices.select(F.col("id"), F.col("id").alias("component"))
+    for _ in range(max_iter):
+        # candidate component per node = min over neighbors' components
+        msgs = (
+            both.join(cc, both["src"] == cc["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_cc = (
+            cc.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_cc = new_cc.localCheckpoint(eager=True)  # truncate lineage per iter
+        changed = (
+            new_cc.alias("n")
+            .join(cc.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        cc = new_cc
+        if changed == 0:
+            break
+    return cc
+
+
+def cui_canonical_map(aliases: DataFrame) -> DataFrame:
+    """(CUI, canonical_cui): connected components over alias clusters."""
+    vertices = aliases.select(F.col("CUI").alias("id")).distinct()
+    cc = connected_components(vertices, alias_cluster_edges(aliases))
+    return cc.select(F.col("id").alias("CUI"), F.col("component").alias("canonical_cui"))

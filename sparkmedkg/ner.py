@@ -1,0 +1,199 @@
+"""Mention detection: dictionary-trie NER over web-page text.
+
+Re-expresses the reference's scispaCy NER stage (entityrecognition.py:43-85)
+as a vectorized ``mapInPandas`` stage:
+
+- the alias index is a Spark broadcast; the token trie built from it is an
+  **executor singleton** (built once per Python worker per broadcast, the
+  analogue of loading the spaCy model once per process, manager.py:22-25);
+- Schwartz-Hearst abbreviation detection resolves short forms to long forms
+  before linking (entityrecognition.py:25-26 semantics);
+- matches are per-document deduplicated and lower-cased
+  (entityrecognition.py:54-64, 73-74).
+
+Two match modes:
+- ``longest`` (default, NER-like): greedy leftmost-longest non-overlapping —
+  'seizure disorder' suppresses the inner 'seizure'.
+- ``all``: every alias occurrence at word boundaries (SQL-oracle-equivalent
+  to a LIKE-join; used by the DuckDB correctness gate).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_ABBR_RE = re.compile(r"\(([A-Za-z][A-Za-z0-9]{1,9})\)")
+
+MENTION_SCHEMA = "url string, mention string, resolved string, node_label string"
+
+# executor-singleton trie cache, keyed by id of the broadcast payload
+_TRIE_CACHE: dict[int, dict] = {}
+
+
+def tokenize(text_lower: str) -> list[tuple[str, int, int]]:
+    """Lower-case word tokens with char offsets."""
+    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text_lower)]
+
+
+def build_trie(alias_index: list[tuple[str, str]]) -> dict:
+    """Token-level trie: {token: {...}, LEAF: (alias, label)}."""
+    root: dict = {}
+    for alias, label in alias_index:
+        node = root
+        for tok in alias.split():
+            node = node.setdefault(tok, {})
+        node["\0"] = (alias, label)
+    return root
+
+
+def _get_trie(bc) -> dict:
+    key = id(bc)
+    trie = _TRIE_CACHE.get(key)
+    if trie is None:
+        trie = build_trie(bc.value)
+        _TRIE_CACHE[key] = trie
+    return trie
+
+
+def schwartz_hearst(text: str) -> dict[str, str]:
+    """Simplified Schwartz-Hearst (2003): map short form -> long form.
+
+    For each ``... long form (SF) ...`` pattern, scan the preceding tokens
+    right-to-left aligning the short form's characters; the long form starts
+    at the token containing the first character of the short form, which must
+    sit at a token start.
+    """
+    out: dict[str, str] = {}
+    lower = text.lower()
+    for m in _ABBR_RE.finditer(text):
+        sf = m.group(1)
+        if sf.lower() == sf and " " in sf:
+            continue
+        window = lower[: m.start()].rstrip()
+        # candidate: at most min(|sf|+5, 2|sf|) trailing tokens
+        toks = window.split()
+        max_words = min(len(sf) + 5, len(sf) * 2)
+        cand = " ".join(toks[-max_words:]) if toks else ""
+        lf = _best_long_form(cand, sf.lower())
+        if lf:
+            out[sf.lower()] = lf
+    return out
+
+
+def _best_long_form(cand: str, sf: str) -> str | None:
+    li = len(cand) - 1
+    si = len(sf) - 1
+    while si >= 0:
+        c = sf[si]
+        if not c.isalnum():
+            si -= 1
+            continue
+        while li >= 0 and (
+            cand[li] != c
+            or (si == 0 and li > 0 and cand[li - 1].isalnum())
+        ):
+            li -= 1
+        if li < 0:
+            return None
+        li -= 1
+        si -= 1
+    start = li + 1
+    return cand[start:].strip() or None
+
+
+def find_mentions(
+    text: str,
+    trie: dict,
+    mode: str = "longest",
+) -> list[tuple[str, str, str]]:
+    """Return per-doc-deduped (mention, resolved, label) tuples."""
+    lower = text.lower()
+    abbr_map = schwartz_hearst(text)
+    toks = tokenize(lower)
+    found: set[tuple[str, str, str]] = set()
+    i = 0
+    n = len(toks)
+    while i < n:
+        node = trie
+        j = i
+        matches = []  # (end_index_exclusive, alias, label)
+        while j < n and toks[j][0] in node:
+            node = node[toks[j][0]]
+            j += 1
+            if "\0" in node:
+                alias, label = node["\0"]
+                matches.append((j, alias, label))
+        if matches:
+            if mode == "longest":
+                end, alias, label = matches[-1]
+                found.add((alias, abbr_map.get(alias, alias), label))
+                i = end
+            else:  # all occurrences, overlapping allowed
+                for _, alias, label in matches:
+                    found.add((alias, abbr_map.get(alias, alias), label))
+                i += 1
+        else:
+            i += 1
+    return sorted(found)
+
+
+def detect_mentions(
+    docs: DataFrame,
+    alias_bc,
+    mode: str = "longest",
+    id_col: str = "url",
+    text_col: str = "text",
+    lang_filter: str | None = "en",
+) -> DataFrame:
+    """docs -> mentions(url, mention, resolved, node_label) via mapInPandas."""
+    if lang_filter is not None and "lang" in docs.columns:
+        docs = docs.where(F.col("lang") == lang_filter)
+    src = docs.select(F.col(id_col).alias("url"), F.col(text_col).alias("text"))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie = _get_trie(alias_bc)
+        for pdf in batches:
+            urls, mentions, resolveds, labels = [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                for mention, resolved, label in find_mentions(text, trie, mode):
+                    urls.append(url)
+                    mentions.append(mention)
+                    resolveds.append(resolved)
+                    labels.append(label)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "mention": pd.Series(mentions, dtype="object"),
+                    "resolved": pd.Series(resolveds, dtype="object"),
+                    "node_label": pd.Series(labels, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(fn, MENTION_SCHEMA)
+
+
+def broadcast_alias_index(
+    spark: SparkSession, aliases: DataFrame, concepts: DataFrame
+):
+    """Collect the (small) alias table + semtype label and broadcast it.
+
+    Label per alias = semtype of its CUI (ambiguous aliases in the fixture
+    ontology always agree on semtype, matching the reference where the label
+    comes from the NER model, not the linker).
+    """
+    rows = (
+        aliases.join(concepts.select("CUI", "semtype"), "CUI")
+        .select("alias", "semtype")
+        .distinct()
+        .collect()
+    )
+    index = sorted({(r["alias"], r["semtype"]) for r in rows})
+    return spark.sparkContext.broadcast(index)

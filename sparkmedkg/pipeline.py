@@ -1,0 +1,156 @@
+"""End-to-end KG construction: docs -> node tables -> nodes/edges.
+
+The Spark lifecycle analogue of POST /buildGraph (SURVEY.md §3.1): one lazy
+logical plan from Iceberg/parquet scan through NER, linking, selection and
+enrichment to the partitioned node/edge tables; Catalyst/AQE picks the
+physical plan (broadcast joins for every lookup, AQE skew splits for the hot
+CUIs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import canon, enrich, link, ner, select
+from sparkmedkg.ontology import TOPICS
+
+
+def topic_expr(url_col: str = "url"):
+    """SearchTerm analogue: topic derived from the doc index in the url
+    (round-robin over TOPICS, FIXTURES.md §1)."""
+    idx = F.element_at(F.split(F.col(url_col), "/"), -1).cast("int") % len(TOPICS)
+    return F.element_at(F.array(*[F.lit(t) for t in TOPICS]), idx + 1)
+
+
+def build_graph(
+    spark: SparkSession,
+    docs: DataFrame,
+    lkp: dict[str, DataFrame],
+    snomed: bool = True,
+    clinical_features: bool = True,
+    go: bool = True,
+    top_n: int = 15,
+    cui_n: int = 4,
+) -> dict[str, DataFrame]:
+    """Runs every stage; returns the named intermediate + output DataFrames.
+
+    All outputs are lazy; callers trigger actions (write/collect/count).
+    """
+    alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
+
+    papers = docs.where(F.col("lang") == "en").select(
+        "url", "warc_ts", "text", "lang", topic_expr().alias("topic")
+    )
+    mentions = ner.detect_mentions(docs, alias_bc)
+    links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"])
+    ents = select.top_entities(mentions, n=top_n)
+    cuis = (
+        select.top_cuis_per_entity(links, ents, cui_n=cui_n)
+        .select("CUI")
+        .distinct()
+    )
+
+    out: dict[str, DataFrame] = {
+        "papers": papers,
+        "mentions": mentions,
+        "links": links,
+        "top_entities": ents,
+        "selected_cuis": cuis,
+    }
+    genes = enrich.genes_table(cuis, lkp["medgen"])
+    out["genes"] = genes
+    if snomed:
+        out["snomed"] = enrich.snomed_table(cuis, lkp["medgen"])
+    if clinical_features:
+        out["clinical_features"] = enrich.clinical_features_table(cuis, lkp["medgen"])
+    proteins = enrich.proteins_table(genes, lkp["uniprot"])
+    out["proteins"] = proteins
+    if go:
+        matched = lkp["uniprot"].join(
+            proteins.select("Entry").distinct(), "Entry", "left_semi"
+        )
+        out["go"] = enrich.go_table(matched)
+    out["cui_canonical"] = canon.cui_canonical_map(lkp["aliases"])
+    return out
+
+
+def triples(tables: dict[str, DataFrame]) -> DataFrame:
+    """The full CONTAINS edge set (SURVEY.md §1.3) as one DataFrame:
+    (src_label, src_id, pred, dst_label, dst_id)."""
+    from sparkmedkg.materialize import edges_from
+
+    t = tables
+    mention_labels = (
+        t["mentions"]
+        .select(F.col("mention").alias("_m"), F.col("node_label").alias("src_lbl"))
+        .distinct()
+    )
+    link_edges_src = (
+        t["links"]
+        .select(F.col("source").alias("src"), F.col("CUI").alias("dst"))
+        .join(mention_labels, F.col("src") == F.col("_m"))
+        .select("src_lbl", "src", "dst")
+    )
+
+    parts = [
+        edges_from(t["papers"], "SearchTerm", "topic", "Paper", "url"),
+        edges_from(t["mentions"], "Paper", "url", F.col("node_label"), "mention"),
+        edges_from(link_edges_src, F.col("src_lbl"), "src", "UMLS", "dst"),
+        edges_from(t["genes"], "UMLS", "source", "Gene", "gene"),
+    ]
+    if "snomed" in t:
+        parts.append(edges_from(t["snomed"], "UMLS", "source", "SnomedConcept", "SAUI"))
+    if "clinical_features" in t:
+        parts.append(
+            edges_from(t["clinical_features"], "UMLS", "source", "ClinicalFeature", "CUI")
+        )
+    parts.append(edges_from(t["proteins"], "Gene", "source", "Protein", "Entry"))
+    if "go" in t:
+        parts.append(edges_from(t["go"], "Protein", "source", "GO", "GoID"))
+
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result
+
+
+def all_nodes(tables: dict[str, DataFrame]) -> DataFrame:
+    """Canonical nodes table across all 8 levels (dedup per label+id)."""
+    from sparkmedkg.materialize import nodes_from
+
+    t = tables
+    parts = [
+        nodes_from(
+            t["papers"].select(F.lit("SearchTerm").alias("l"), F.col("topic")),
+            "l", "topic", [],
+        ),
+        nodes_from(
+            t["papers"].select(F.lit("Paper").alias("l"), "url", "lang"),
+            "l", "url", ["lang"],
+        ),
+        nodes_from(t["mentions"], "node_label", "mention", []),
+        nodes_from(
+            t["links"].join(t["cui_canonical"], "CUI", "left"),
+            "node_label", "CUI", ["name", "Definition", "canonical_cui"],
+        ),
+        nodes_from(t["genes"], "node_label", "gene", []),
+        nodes_from(
+            t["proteins"], "node_label", "Entry",
+            ["name", "ProteinNames", "GeneNames", "Organism", "Function", "uniProtUrl"],
+        ),
+    ]
+    if "snomed" in t:
+        parts.append(
+            nodes_from(t["snomed"], "node_label", "SAUI", ["snomed_text", "SCUI", "SAB"])
+        )
+    if "clinical_features" in t:
+        parts.append(
+            nodes_from(t["clinical_features"], "node_label", "CUI", ["type", "name", "definition"])
+        )
+    if "go" in t:
+        parts.append(nodes_from(t["go"], "node_label", "GoID", ["name", "GoType"]))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result.dropDuplicates(["node_label", "node_id"])

@@ -1,0 +1,61 @@
+"""Graph analytics: searchTerms + n-hop intersection (A7/A8)."""
+
+import pytest
+
+from sparkmedkg import pipeline, queries
+from sparkmedkg.ontology import TOPICS
+
+
+@pytest.fixture(scope="module")
+def graph(tables):
+    return pipeline.all_nodes(tables).cache(), pipeline.triples(tables).cache()
+
+
+def test_search_terms(graph):
+    nodes, _ = graph
+    terms = {r.search_term for r in queries.search_terms(nodes).collect()}
+    assert terms == set(TOPICS)
+
+
+def test_intersection_gene_level(graph, gold):
+    _, edges = graph
+    result = queries.intersection(edges, TOPICS, "Gene")
+    vals = {(r.e1, r.e2): r.n_common for r in result.collect()}
+    # reflexive: |reach ∩ reach| == |reach|
+    for t in TOPICS:
+        assert vals[(t, t)] > 0
+    # symmetric
+    for a in TOPICS:
+        for b in TOPICS:
+            assert vals[(a, b)] == vals[(b, a)]
+
+
+def test_intersection_matches_bruteforce(graph, gold, tables):
+    """Cross-check 2-hop DISEASE reach against a python recomputation."""
+    _, edges = graph
+    e = [
+        (r.src_label, r.src_id, r.dst_label, r.dst_id)
+        for r in edges.collect()
+    ]
+    # python: term -> papers -> disease mentions
+    papers = {}
+    for sl, s, dl, d in e:
+        if sl == "SearchTerm":
+            papers.setdefault(s, set()).add(d)
+    reach = {t: set() for t in TOPICS}
+    for sl, s, dl, d in e:
+        if sl == "Paper" and dl == "DISEASE":
+            for t, ps in papers.items():
+                if s in ps:
+                    reach[t].add(d)
+    result = queries.intersection(edges, TOPICS, "DISEASE")
+    vals = {(r.e1, r.e2): r.n_common for r in result.collect()}
+    for a in TOPICS:
+        for b in TOPICS:
+            assert vals[(a, b)] == len(reach[a] & reach[b])
+
+
+def test_intersection_unknown_level(graph):
+    _, edges = graph
+    with pytest.raises(ValueError, match="unknown knowledge graph label"):
+        queries.intersection(edges, TOPICS, "Nope")
