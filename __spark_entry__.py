@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query on sf0.001;
+``queries()`` exposes every oracle-gated operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity search / text analysis /
+multimodal plumbing); ``oracle_sql()`` returns the DuckDB-equivalent SQL for
+each (generated from the same inline lexicon/ontology constants the Spark
+queries use, so both engines see identical inputs).
+
+Non-SQL-expressible entries (mapInPandas feature extraction) intentionally
+have no oracle — the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
@@ -13,26 +17,103 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sparkmedkg import (
+    dedup,
+    kgoracle,
+    multimodal,
+    relops,
+    simsearch,
+    textstats,
+    webkg,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full corpus-level triple extraction (SearchTerm->Paper->
+    mention->CUI CONTAINS edges) over the sf0.001 web corpus."""
+    return webkg.q_triples(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction over the web corpus (SURVEY.md §2.2-2.4) ---
+        "kg_mentions": webkg.q_mentions,
+        "kg_mentions_topk": webkg.q_mentions_topk,
+        "kg_links": webkg.q_links,
+        "kg_selected_cuis": webkg.q_selected_cuis,
+        "kg_triples": webkg.q_triples,
+        "kg_search_terms": webkg.q_search_terms,
+        "kg_intersection": webkg.q_intersection,
+        # --- enrichment + canonicalization (E1-E4, J4, CC) ---
+        "kg_genes": kgoracle.q_genes,
+        "kg_snomed": kgoracle.q_snomed,
+        "kg_clinical_features": kgoracle.q_clinical_features,
+        "kg_proteins": kgoracle.q_proteins,
+        "kg_go": kgoracle.q_go,
+        "kg_canonical_cc": kgoracle.q_canonical_cc,
+        # --- dedup family ---
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard": dedup.jaccard_pairs,
+        "dedup_minhash_sig": dedup.minhash_signatures,
+        "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
+        "dedup_simhash": dedup.simhash,
+        "dedup_embedding": dedup.embedding_near_dups,
+        # --- similarity search ---
+        "ann_cosine_topk": simsearch.cosine_topk,
+        "ann_lsh_topk": simsearch.lsh_topk,
+        # --- text analysis ---
+        "text_lang_id": textstats.lang_id,
+        "text_quality": textstats.quality,
+        "text_token_counts": textstats.token_counts,
+        "text_fingerprint": textstats.fingerprint,
+        # --- multimodal plumbing ---
+        "mm_binary_meta": multimodal.binary_meta,
+        "mm_fake_features": multimodal.fake_features,  # mapInPandas; rows-only
+        # --- relational operator showcase (events + TPC-H) ---
+        "events_sessionize": relops.events_sessionize,
+        "events_running_sum": relops.events_running_sum,
+        "events_topk_per_user": relops.events_topk_per_user,
+        "tpch_pricing_summary": relops.tpch_pricing_summary,
+        "tpch_revenue_by_region": relops.tpch_revenue_by_region,
+        "tpch_semi_anti": relops.tpch_semi_anti,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_mentions": webkg.sql_mentions(),
+        "kg_mentions_topk": webkg.sql_mentions_topk(),
+        "kg_links": webkg.sql_links(),
+        "kg_selected_cuis": webkg.sql_selected_cuis(),
+        "kg_triples": webkg.sql_triples(),
+        "kg_search_terms": webkg.sql_search_terms(),
+        "kg_intersection": webkg.sql_intersection(),
+        "kg_genes": kgoracle.sql_genes(),
+        "kg_snomed": kgoracle.sql_snomed(),
+        "kg_clinical_features": kgoracle.sql_clinical_features(),
+        "kg_proteins": kgoracle.sql_proteins(),
+        "kg_go": kgoracle.sql_go(),
+        "kg_canonical_cc": kgoracle.sql_canonical_cc(),
+        "dedup_exact": dedup.sql_exact_dedup(),
+        "dedup_jaccard": dedup.sql_jaccard_pairs(),
+        "dedup_minhash_sig": dedup.sql_minhash_signatures(),
+        "dedup_lsh_pairs": dedup.sql_lsh_candidate_pairs(),
+        "dedup_simhash": dedup.sql_simhash(),
+        "dedup_embedding": dedup.sql_embedding_near_dups(),
+        "ann_cosine_topk": simsearch.sql_cosine_topk(),
+        "ann_lsh_topk": simsearch.sql_lsh_topk(),
+        "text_lang_id": textstats.sql_lang_id(),
+        "text_quality": textstats.sql_quality(),
+        "text_token_counts": textstats.sql_token_counts(),
+        "text_fingerprint": textstats.sql_fingerprint(),
+        "mm_binary_meta": multimodal.sql_binary_meta(),
+        # mm_fake_features: intentionally no oracle (mapInPandas stage)
+        "events_sessionize": relops.sql_events_sessionize(),
+        "events_running_sum": relops.sql_events_running_sum(),
+        "events_topk_per_user": relops.sql_events_topk_per_user(),
+        "tpch_pricing_summary": relops.sql_tpch_pricing_summary(),
+        "tpch_revenue_by_region": relops.sql_tpch_revenue_by_region(),
+        "tpch_semi_anti": relops.sql_tpch_semi_anti(),
+    }

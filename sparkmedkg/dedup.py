@@ -1,0 +1,364 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a ``documents(doc_id, text, ...)`` corpus, each a
+pure DataFrame plan (no Python in the hot path) plus a DuckDB-oracle SQL
+builder. All hashing is md5-hex-string based so the Spark plan and the
+DuckDB oracle compute bit-identical values (portable across engines; at
+cluster scale swap md5 for xxhash64 — the plan shape is unchanged).
+
+Scale notes (100 TB / 10^12 docs):
+- exact:    one shuffle on the 16-byte digest; map-side partial agg first.
+- minhash:  shingle explode -> groupBy(doc) with K min() partial aggs (map-
+  side combined), band explode -> self-join on band key. The band join is
+  the only O(candidates) shuffle; AQE skew-split handles hot buckets.
+- simhash:  token explode -> 64 conditional sums per doc, all map-side
+  combinable; no join at all.
+- jaccard:  candidate pairs from a shingle equi-join (blocking), then an
+  exact |A∩B|/|A∪B| verify — never an all-pairs cross join.
+- embedding: all-pairs only as the small-scale oracle baseline; the scale
+  path is the LSH-bucketed variant in simsearch.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_MINHASH = 16          # minhash permutations
+BAND_ROWS = 4           # rows per LSH band -> 4 bands
+SHINGLE_K = 3           # words per shingle
+JACCARD_TAU = 0.5
+
+
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on the full text digest.
+# ---------------------------------------------------------------------------
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(text_key, keep_id, n_copies): canonical doc per distinct text."""
+    return (
+        _read_docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("text_key"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def sql_exact_dedup() -> str:
+    return """
+SELECT md5(text) AS text_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word shingles (shared by jaccard + minhash).
+# ---------------------------------------------------------------------------
+
+def _shingles_col(text_col: str = "text", k: int = SHINGLE_K):
+    """Distinct k-word shingles of a space-tokenized text column, JVM-side:
+    transform over a sliding window of the token array."""
+    toks = F.split(F.col(text_col), " +")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def _sql_shingles(expr: str = "text", k: int = SHINGLE_K) -> str:
+    toks = f"regexp_split_to_array({expr}, ' +')"
+    return (
+        f"list_distinct([array_to_string(list_slice({toks}, i, i + {k - 1}), ' ') "
+        f"for i in generate_series(1, greatest(len({toks}) - {k - 1}, 1))])"
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return _read_docs(spark, sf_dir).select(
+        "doc_id", F.explode(_shingles_col()).alias("shingle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup: shingle-join blocking + exact verify.
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with shingle-Jaccard >= tau, a < b."""
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def sql_jaccard_pairs(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT a, b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE, 6)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding.
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, n_hash: int = N_MINHASH
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): minhash signature; permutation i is the md5
+    of 'i|shingle', min taken lexicographically on the hex string (portable
+    across engines, unlike engine-native integer hashes)."""
+    sh = doc_shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(n_hash)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hash: int = N_MINHASH,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs: same band digest in any band."""
+    sig = minhash_signatures(spark, sf_dir, n_hash)
+    n_bands = n_hash // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{bi * band_rows + r}") for r in range(band_rows)],
+                    )
+                ).alias("bkey"),
+            )
+            for bi in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bkey").alias("bkey")
+    )
+    x = exploded.select(F.col("doc_id").alias("a"), "band", "bkey")
+    y = exploded.select(F.col("doc_id").alias("b"), "band", "bkey")
+    return (
+        x.join(y, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _sql_signature_cte(n_hash: int = N_MINHASH) -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(n_hash)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def sql_minhash_signatures(n_hash: int = N_MINHASH) -> str:
+    return f"WITH {_sql_signature_cte(n_hash).lstrip()} SELECT * FROM sig"
+
+
+def sql_lsh_candidate_pairs(
+    n_hash: int = N_MINHASH, band_rows: int = BAND_ROWS
+) -> str:
+    n_bands = n_hash // band_rows
+    band_selects = []
+    for bi in range(n_bands):
+        cols = " || '|' || ".join(
+            f"mh{bi * band_rows + r}" for r in range(band_rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bi} AS band, md5({cols}) AS bkey FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_sql_signature_cte(n_hash).lstrip()},
+bands AS ({bands})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+WHERE x.doc_id < y.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 64-bit bit-majority over token md5s — pure aggregation, no join.
+# ---------------------------------------------------------------------------
+
+def _nibble_val(col):
+    """hex char -> 0..15 via ascii arithmetic (portable)."""
+    a = F.ascii(col)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash): 16-hex-char signature. Per distinct token, md5 hex;
+    per output nibble position p and bit b, sum +1/-1 of token bit; majority
+    (sum > 0 -> 1). Everything is a conditional SUM — map-side combinable."""
+    toks = (
+        _read_docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " +"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("h", F.md5("tok"))
+    )
+    aggs = []
+    for p in range(16):
+        v = _nibble_val(F.substring("h", p + 1, 1))
+        for b in range(4):
+            bit = F.floor(v / (2 ** b)) % 2
+            aggs.append(
+                F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{p}_{b}")
+            )
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    nibbles = []
+    for p in range(16):
+        val = None
+        for b in range(4):
+            term = F.when(F.col(f"s{p}_{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        nibbles.append(
+            F.element_at(
+                F.array(*[F.lit(c) for c in "0123456789abcdef"]), val.cast("int") + 1
+            )
+        )
+    return sums.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def sql_simhash() -> str:
+    sum_exprs = []
+    for p in range(16):
+        v = (
+            f"(CASE WHEN ascii(substring(h, {p + 1}, 1)) >= 97 "
+            f"THEN ascii(substring(h, {p + 1}, 1)) - 87 "
+            f"ELSE ascii(substring(h, {p + 1}, 1)) - 48 END)"
+        )
+        for b in range(4):
+            sum_exprs.append(
+                f"SUM(CASE WHEN (({v} // {2 ** b}) % 2) = 1 THEN 1 ELSE -1 END)"
+                f" AS s{p}_{b}"
+            )
+    sums = ",\n         ".join(sum_exprs)
+    nibbles = []
+    for p in range(16):
+        val = " + ".join(
+            f"(CASE WHEN s{p}_{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(4)
+        )
+        nibbles.append(f"substring('0123456789abcdef', ({val}) + 1, 1)")
+    concat = " || ".join(nibbles)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+),
+sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {concat} AS simhash FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (all-pairs baseline; LSH path in simsearch.py).
+# ---------------------------------------------------------------------------
+
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, tau: float = 0.45
+) -> DataFrame:
+    """(a, b, cos) for vector pairs with cosine >= tau, a < b.
+    Dot/norm fold left-to-right in index order so the oracle matches
+    bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (norm("va") * norm("vb")))
+        .where(F.col("cos") >= tau)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sql_embedding_near_dups(tau: float = 0.45) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip(x.v, y.v), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE), (acc, e) -> acc + e)"
+    )
+    norm = (
+        "sqrt(list_reduce(list_transform({0}.v, e -> e::DOUBLE * e::DOUBLE), "
+        "(acc, e) -> acc + e))"
+    )
+    cos = f"({dot}) / ({norm.format('x')} * {norm.format('y')})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b, round({cos}, 6) AS cos
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE {cos} >= {tau}
+"""

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed metadata
+extracted by Arrow-batched ``mapInPandas`` stages. The container has no
+image/audio codecs, so the *decode* step is stubbed (NotImplementedError or
+a deterministic fake) — the Spark-side plumbing (schema, batching, UDF
+signature, partition behavior) is real and tested.
+
+``binary_meta`` is fully JVM-side and DuckDB-oracle-gated; ``fake_features``
+exercises the mapInPandas path with a deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, fake_width int, fake_height int, checksum bigint"
+)
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column (here: the utf-8 text bytes standing
+    in for an image payload)."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+
+
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_bytes, magic_hex): typed metadata off the binary column —
+    byte length + leading-bytes magic, all JVM-side."""
+    docs = with_payload(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return docs.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 4), "utf-8"))).alias(
+            "magic_hex"
+        ),
+    )
+
+
+def sql_binary_meta() -> str:
+    return """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       upper(hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents
+"""
+
+
+def decode_image(payload: bytes):
+    """Real decoder entry point — image/audio libs are not available in this
+    container; deploy environments plug a codec in here."""
+    raise NotImplementedError(
+        "image/audio decode requires codec libraries not present in this "
+        "container; use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: fake (width, height) derived from
+    the payload bytes so tests are stable."""
+    n = len(payload)
+    return (n % 640) + 1, ((n * 7) % 480) + 1
+
+
+def fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over the binary column: Arrow batches
+    in, one feature row per payload out. Decode is the deterministic fake."""
+    docs = with_payload(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "payload"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h = fake_decode(data)
+                rows.append(
+                    (int(doc_id), len(data), w, h, sum(data) % 1_000_003)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "fake_width", "fake_height", "checksum"],
+            )
+
+    return docs.mapInPandas(fn, FEATURE_SCHEMA)

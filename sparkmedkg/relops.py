@@ -1,0 +1,254 @@
+"""Relational operator showcase over the events + TPC-H-ish tables.
+
+These gate the generic operator inventory (SURVEY.md §2.4-2.5) on the
+driver's testdata with exact DuckDB oracles:
+
+- windowed sessionization + running aggregates over ``events`` (the
+  batch-side equivalents of the Structured Streaming stateful operators)
+- ranked per-group top-k (A2 pattern on a generic table)
+- multi-way broadcast-dim joins, semi/anti joins (J2/J5 patterns)
+- high-cardinality aggregation with DECIMAL-stable sums (order-independent
+  across engines, unlike raw double sums)
+
+Scale notes: aggregation sums are cast to DECIMAL so partial/final
+aggregation order cannot change results; dim joins are broadcast; the
+sessionize window partitions by user_id (the natural shuffle key — skew
+bounded by per-user event counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_SEC = 1800
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionize / running sum / per-user top-k.
+# ---------------------------------------------------------------------------
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): one row per session
+    with event count and bounds. lag + conditional cumsum windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # epoch seconds of the (timezone-naive) event timestamp; differences are
+    # timezone-invariant, matching DuckDB's epoch()
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_idx",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def sql_events_sessionize() -> str:
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total of ``value``; DECIMAL accumulation so the
+    result is independent of evaluation strategy in either engine."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,6)")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum("v").over(w).cast("double").alias("running_value"),
+    )
+
+
+def sql_events_running_sum() -> str:
+    return """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+def events_topk_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """A2 pattern: top-k events per user by value (deterministic tiebreak)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def sql_events_topk_per_user(k: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+) WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H patterns.
+# ---------------------------------------------------------------------------
+
+def tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped DECIMAL-stable sums + derived averages."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,6)")
+    price = F.col("l_extendedprice").cast("decimal(18,6)")
+    disc_price = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6)
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def sql_tpch_pricing_summary() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join with broadcast dims: revenue per region name."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+def sql_tpch_revenue_by_region() -> str:
+    return """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def tpch_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join counts per market segment: customers with vs
+    without orders (J2 / referential-integrity patterns)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = (
+        cust.join(orders, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+    without = (
+        cust.join(orders, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def sql_tpch_semi_anti() -> str:
+    return """
+WITH w AS (
+  SELECT c_mktsegment, COUNT(*) AS n_with_orders
+  FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+  GROUP BY c_mktsegment
+),
+wo AS (
+  SELECT c_mktsegment, COUNT(*) AS n_without_orders
+  FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  GROUP BY c_mktsegment
+)
+SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+       COALESCE(n_with_orders, 0) AS n_with_orders,
+       COALESCE(n_without_orders, 0) AS n_without_orders
+FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+ORDER BY c_mktsegment
+"""

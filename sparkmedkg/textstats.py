@@ -1,0 +1,144 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (marker-token heuristic), quality scoring, token counting and
+rolling-hash document fingerprinting over ``documents(doc_id, text, ...)``.
+Everything is built-in pyspark.sql.functions — JVM-side, whole-stage-codegen
+— with a DuckDB oracle per operator. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EN_MARKERS = ["the", "a", "of", "and", "is", "to"]
+STOPWORDS = EN_MARKERS
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks():
+    return F.split(F.lower(F.col("text")), " +")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_markers, lang_pred): n-gram/marker-token heuristic.
+    The corpus text is synthetic, so the heuristic is exercised on marker
+    density, not real language signal — the operator shape is what scales."""
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_markers = F.size(F.filter(_toks(), lambda t: F.array_contains(markers, t)))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_markers.alias("n_markers"),
+        F.when(n_markers > 0, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def sql_lang_id() -> str:
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    n = (
+        "len(list_filter(regexp_split_to_array(lower(text), ' +'), "
+        f"t -> list_contains([{markers}], t)))"
+    )
+    return f"""
+SELECT doc_id, {n} AS n_markers,
+       CASE WHEN {n} > 0 THEN 'en' ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, stop_ratio, quality_score):
+    length / type-token / stopword-density quality signals."""
+    toks = _toks()
+    stop = F.array(*[F.lit(m) for m in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ttr = F.round(n_types.cast("double") / n_tokens.cast("double"), 6)
+    stop_ratio = F.round(n_stop.cast("double") / n_tokens.cast("double"), 6)
+    score = F.round(
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * ttr, 6
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_types.alias("n_types"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def sql_quality() -> str:
+    stop = ", ".join(f"'{m}'" for m in STOPWORDS)
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         len(list_distinct({toks})) AS n_types,
+         len(list_filter({toks}, x -> list_contains([{stop}], x))) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_types,
+       round(n_types::DOUBLE / n_tokens::DOUBLE, 6) AS ttr,
+       round(n_stop::DOUBLE / n_tokens::DOUBLE, 6) AS stop_ratio,
+       round(least(n_tokens::DOUBLE / 100.0, 1.0)
+             * round(n_types::DOUBLE / n_tokens::DOUBLE, 6), 6) AS quality_score
+FROM t
+"""
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws_tokens, re_tokens, n_chars_calc): whitespace split count
+    vs regex token count (the BPE-ish pre-tokenizer analogue)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split("text", " +")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0))).alias(
+            "re_tokens"
+        ),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def sql_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, ' +')) AS ws_tokens,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS re_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): rolling polynomial hash of the full text —
+    fp = fold(chars, acc -> (acc * 31 + ascii(c)) % 1e9+7). A pure
+    JVM-side fold via ``aggregate`` over a char-index sequence."""
+    text = F.col("text")
+    fp = F.aggregate(
+        F.sequence(F.lit(1), F.length(text)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * FP_BASE + F.ascii(text.substr(i, F.lit(1)))) % FP_MOD,
+    )
+    return _docs(spark, sf_dir).select("doc_id", fp.alias("fp"))
+
+
+def sql_fingerprint() -> str:
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+                      generate_series(1, length(text))::BIGINT[]),
+         (acc, i) -> (acc * {FP_BASE} + ascii(substring(text, i::INT, 1)))
+                     % {FP_MOD}
+       ) AS fp
+FROM documents
+"""

@@ -1,0 +1,430 @@
+"""KG construction over the driver's generic web-documents corpus.
+
+The driver's testdata ``documents`` table (doc_id, text, lang, source,
+n_chars) is the stand-in web corpus for the DuckDB correctness gate.  Since
+its vocabulary is generic (not medical), this module carries a deterministic
+*web-domain lexicon* with exactly the same shape as the medical ontology
+(``sparkmedkg.ontology``): concepts with canonical names/definitions and a
+lower-cased alias index, including ambiguous aliases (one surface form ->
+two concept ids) so disambiguation + connected components are exercised.
+
+Every function here mirrors a reference operator (file:line cites into
+/root/reference) and is paired with an ANSI-SQL oracle builder so the DuckDB
+gate can verify the Spark result value-for-value:
+
+- mention detection  = the real ``ner.detect_mentions`` mapInPandas trie in
+  ``all`` mode; oracle = word-boundary LIKE join (entityrecognition.py:43-74)
+- linking            = the real ``link.link_mentions`` trigram-cosine scorer;
+  oracle = DuckDB list-comprehension trigrams (entityrecognition.py:87-116)
+- selection          = top-15 entities x top-4 CUIs (medgen.py:136-163)
+- triples            = the 3 corpus-level CONTAINS edge sets (SURVEY.md §1.3)
+- intersection       = pairwise reach overlap (neo4jconnector.py:267-316)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import link, ner, select
+
+# (concept_id, canonical_name, definition, semtype). Semtypes OPERATOR /
+# DATASTRUCT play the DISEASE / CHEMICAL roles of the medical ontology.
+WEB_CONCEPTS: list[tuple[str, str, str, str]] = [
+    ("W0001", "hash join", "Equi join via build and probe hash table.", "OPERATOR"),
+    ("W0002", "sort merge join", "Join of two sorted inputs.", "OPERATOR"),
+    ("W0003", "table scan", "Sequential read of a table.", "OPERATOR"),
+    ("W0004", "filter", "Row predicate evaluation.", "OPERATOR"),
+    ("W0005", "aggregation", "Grouped reduction of rows.", "OPERATOR"),
+    ("W0006", "window function", "Per-row computation over a frame.", "OPERATOR"),
+    ("W0007", "sort", "Total ordering of rows.", "OPERATOR"),
+    ("W0008", "query", "A declarative request for data.", "OPERATOR"),
+    ("W0010", "table", "A named relation of rows.", "DATASTRUCT"),
+    ("W0011", "row", "A single tuple of a relation.", "DATASTRUCT"),
+    ("W0012", "column", "A named attribute vector.", "DATASTRUCT"),
+    ("W0013", "hash", "A fixed-size digest of a value.", "DATASTRUCT"),
+    ("W0014", "stream", "An unbounded ordered sequence.", "DATASTRUCT"),
+    ("W0015", "batch", "A bounded group of rows.", "DATASTRUCT"),
+    ("W0016", "partition", "A horizontal slice of data.", "DATASTRUCT"),
+    ("W0017", "key", "The identifying attribute of a row.", "DATASTRUCT"),
+    ("W0018", "duplicate", "A repeated logical row.", "DATASTRUCT"),
+]
+
+# (alias, concept_id). Lower-case surface forms from the corpus vocabulary.
+# 'join' and 'order' are AMBIGUOUS (two concepts each) -> exercise
+# disambiguation scoring + alias-cluster connected components.
+WEB_ALIASES: list[tuple[str, str]] = [
+    ("hash join", "W0001"),
+    ("join", "W0001"),
+    ("join", "W0002"),          # ambiguous
+    ("merge", "W0002"),
+    ("sort merge", "W0002"),
+    ("table scan", "W0003"),
+    ("scan", "W0003"),
+    ("filter", "W0004"),
+    ("agg", "W0005"),
+    ("group", "W0005"),
+    ("aggregation", "W0005"),
+    ("window", "W0006"),
+    ("window function", "W0006"),
+    ("sort", "W0007"),
+    ("order", "W0007"),
+    ("order", "W0008"),         # ambiguous
+    ("query", "W0008"),
+    ("table", "W0010"),
+    ("row", "W0011"),
+    ("line", "W0011"),
+    ("column", "W0012"),
+    ("vector", "W0012"),
+    ("hash", "W0013"),
+    ("stream", "W0014"),
+    ("batch", "W0015"),
+    ("part", "W0016"),
+    ("partition", "W0016"),
+    ("key", "W0017"),
+    ("dup", "W0018"),
+    ("duplicate", "W0018"),
+]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side lookup DataFrames (same shapes as fixtures.lookups()).
+# ---------------------------------------------------------------------------
+
+def concepts_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        WEB_CONCEPTS, "CUI string, canonical_name string, definition string, semtype string"
+    )
+
+
+def aliases_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(WEB_ALIASES, "alias string, CUI string")
+
+
+def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as the docs contract: (url=doc_id, text, lang)."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark queries (each returns a DataFrame matching its oracle builder below).
+# ---------------------------------------------------------------------------
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real mapInPandas trie NER (mode='all') over the web corpus."""
+    alias_bc = ner.broadcast_alias_index(
+        spark, aliases_df(spark), concepts_df(spark)
+    )
+    m = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all")
+    return m.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "mention",
+        F.col("node_label").alias("label"),
+    )
+
+
+def q_mentions_topk(spark: SparkSession, sf_dir: str, n: int = 15) -> DataFrame:
+    """A1 (medgen.py:154): top-n OPERATOR mentions by document frequency."""
+    m = q_mentions(spark, sf_dir).where(F.col("label") == "OPERATOR")
+    return (
+        m.groupBy(F.col("mention").alias("text"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("text"))
+        .limit(n)
+    )
+
+
+def _links_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
+    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all")
+    return link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+
+
+def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4/A2 (entityrecognition.py:87-116): trigram-cosine linking, top-5."""
+    return _links_raw(spark, sf_dir).select(
+        "source",
+        "CUI",
+        F.round("kb_score", 6).alias("kb_score"),
+        "name",
+        "Definition",
+    )
+
+
+def q_selected_cuis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+A3 (medgen.py:136-163): top-15 entities x top-4 CUIs > 0.85."""
+    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
+    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all").where(
+        F.col("node_label") == "OPERATOR"
+    )
+    links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+    ents = select.top_entities(mentions, n=15, label="OPERATOR")
+    return (
+        select.top_cuis_per_entity(links, ents, cui_n=4)
+        .select("CUI")
+        .distinct()
+    )
+
+
+def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the 3 corpus-level CONTAINS edge sets as one table
+    (SearchTerm->Paper, Paper->mention, mention->CUI; SURVEY.md §1.3)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("lang") == "en"
+    )
+    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
+    d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+    mentions = ner.detect_mentions(d, alias_bc, mode="all")
+    links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+
+    e1 = docs.select(
+        F.lit("SearchTerm").alias("src_label"),
+        F.col("source").alias("src_id"),
+        F.lit("CONTAINS").alias("pred"),
+        F.lit("Paper").alias("dst_label"),
+        F.col("doc_id").cast("string").alias("dst_id"),
+    ).distinct()
+    e2 = mentions.select(
+        F.lit("Paper").alias("src_label"),
+        F.col("url").alias("src_id"),
+        F.lit("CONTAINS").alias("pred"),
+        F.col("node_label").alias("dst_label"),
+        F.col("mention").alias("dst_id"),
+    ).distinct()
+    mention_labels = mentions.select(
+        F.col("mention").alias("_m"), F.col("node_label").alias("_l")
+    ).distinct()
+    e3 = (
+        links.join(mention_labels, links["source"] == F.col("_m"))
+        .select(
+            F.col("_l").alias("src_label"),
+            F.col("source").alias("src_id"),
+            F.lit("CONTAINS").alias("pred"),
+            F.lit("UMLS").alias("dst_label"),
+            F.col("CUI").alias("dst_id"),
+        )
+        .distinct()
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def q_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (neo4jconnector.py:258-265): the SearchTerm listing."""
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select(F.col("source").alias("search_term"))
+        .distinct()
+    )
+
+
+def q_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (neo4jconnector.py:267-316): pairwise |reach(t1) ∩ reach(t2)| at
+    the UMLS level (3 hops: term -> doc -> mention -> CUI), via a self-join
+    on the reached node rather than collect_set x array_intersect — the
+    equivalent join formulation is oracle-friendly and shuffles less."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("lang") == "en"
+    )
+    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
+    d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+    mentions = ner.detect_mentions(d, alias_bc, mode="all")
+    links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+    reach = (
+        docs.select(F.col("doc_id").cast("string").alias("url"), "source")
+        .join(mentions.select("url", "mention"), "url")
+        .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
+        .select(F.col("source").alias("term"), F.col("CUI").alias("node"))
+        .distinct()
+    )
+    a = reach.select(F.col("term").alias("e1"), "node")
+    b = reach.select(F.col("term").alias("e2"), "node")
+    return (
+        a.join(b, "node")
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .orderBy("e1", "e2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (DuckDB; lexicon inlined as VALUES).
+# ---------------------------------------------------------------------------
+
+def _values(rows: list[tuple], cols: str) -> str:
+    def lit(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({cols})"
+
+
+def sql_aliases_cte() -> str:
+    distinct_pairs = sorted(set(WEB_ALIASES))
+    labeled = []
+    sem = {c[0]: c[3] for c in WEB_CONCEPTS}
+    for alias, cui in distinct_pairs:
+        labeled.append((alias, cui, sem[cui]))
+    return (
+        "aliases AS (SELECT * FROM "
+        + _values(labeled, "alias, cui, label")
+        + "),\nconcepts AS (SELECT * FROM "
+        + _values(WEB_CONCEPTS, "cui, canonical_name, definition, semtype")
+        + ")"
+    )
+
+
+# Word-boundary alias occurrence in a doc (mode='all' trie semantics: the
+# corpus has no punctuation, so space padding == token boundaries).
+_MENTION_FROM = (
+    "read_docs d JOIN (SELECT DISTINCT alias, label FROM aliases) a "
+    "ON ' ' || lower(d.text) || ' ' LIKE '% ' || a.alias || ' %'"
+)
+
+
+def sql_mentions() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en')
+SELECT DISTINCT d.doc_id AS doc_id, a.alias AS mention, a.label AS label
+FROM {_MENTION_FROM}
+"""
+
+
+def sql_mentions_topk(n: int = 15) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {_MENTION_FROM}
+)
+SELECT mention AS text, COUNT(*) AS n_docs
+FROM mentions WHERE label = 'OPERATOR'
+GROUP BY mention
+ORDER BY n_docs DESC, text ASC
+LIMIT {n}
+"""
+
+
+# DuckDB equivalent of schemas.trigrams: distinct char-3-grams incl. the
+# short tail grams, lower-cased.
+def _sql_trigrams(expr: str) -> str:
+    return (
+        f"list_distinct([substring(lower({expr}), i, 3) "
+        f"for i in generate_series(1, greatest(length({expr}) - 2, 1))])"
+    )
+
+
+_SQL_LINKS_CTE = """
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {mention_from}
+),
+cands AS (
+  SELECT DISTINCT m.mention, a.cui
+  FROM (SELECT DISTINCT mention FROM mentions{label_filter}) m
+  JOIN aliases a ON m.mention = a.alias
+),
+scored AS (
+  SELECT c.mention, c.cui, k.canonical_name, k.definition,
+         CASE WHEN sqrt(len(ga)::DOUBLE * len(gb)::DOUBLE) > 0
+              THEN len(list_intersect(ga, gb))::DOUBLE
+                   / sqrt(len(ga)::DOUBLE * len(gb)::DOUBLE)
+              ELSE 0.0 END AS kb_score
+  FROM (SELECT *, {ga} AS ga FROM cands) c
+  JOIN (SELECT *, {gb} AS gb FROM concepts) k USING (cui)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY mention
+                               ORDER BY kb_score DESC, cui ASC) AS rk
+  FROM scored WHERE kb_score >= 0.7
+),
+links AS (SELECT * FROM ranked WHERE rk <= 5)
+"""
+
+
+def _links_cte(label_filter: str = "") -> str:
+    return _SQL_LINKS_CTE.format(
+        mention_from=_MENTION_FROM,
+        label_filter=label_filter,
+        ga=_sql_trigrams("mention"),
+        gb=_sql_trigrams("canonical_name"),
+    )
+
+
+def sql_links() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()}
+SELECT mention AS source, cui AS CUI, round(kb_score, 6) AS kb_score,
+       canonical_name AS name, coalesce(definition, '') AS "Definition"
+FROM links
+"""
+
+
+def sql_selected_cuis() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte(" WHERE label = 'OPERATOR'").lstrip()},
+top_ents AS (
+  SELECT mention AS text, COUNT(*) AS n_docs
+  FROM mentions WHERE label = 'OPERATOR'
+  GROUP BY mention
+  ORDER BY n_docs DESC, text ASC
+  LIMIT 15
+),
+per_ent AS (
+  SELECT l.*, row_number() OVER (PARTITION BY l.mention
+                                 ORDER BY l.kb_score DESC, l.cui ASC) AS rk2
+  FROM links l JOIN top_ents e ON l.mention = e.text
+  WHERE l.kb_score > 0.85
+)
+SELECT DISTINCT cui AS CUI FROM per_ent WHERE rk2 <= 4
+"""
+
+
+def sql_triples() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()}
+SELECT 'SearchTerm' AS src_label, source AS src_id, 'CONTAINS' AS pred,
+       'Paper' AS dst_label, doc_id::VARCHAR AS dst_id
+FROM read_docs
+UNION
+SELECT 'Paper', doc_id::VARCHAR, 'CONTAINS', label, mention FROM mentions
+UNION
+SELECT DISTINCT m.label, l.mention, 'CONTAINS', 'UMLS', l.cui
+FROM links l JOIN (SELECT DISTINCT mention, label FROM mentions) m
+  ON l.mention = m.mention
+"""
+
+
+def sql_search_terms() -> str:
+    return (
+        "SELECT DISTINCT source AS search_term FROM documents WHERE lang = 'en'"
+    )
+
+
+def sql_intersection() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+reach AS (
+  SELECT DISTINCT d.source AS term, l.cui AS node
+  FROM read_docs d
+  JOIN mentions m ON m.doc_id = d.doc_id
+  JOIN links l ON l.mention = m.mention
+)
+SELECT a.term AS e1, b.term AS e2, COUNT(*) AS n_common
+FROM reach a JOIN reach b ON a.node = b.node
+GROUP BY a.term, b.term
+ORDER BY e1, e2
+"""
