@@ -39,11 +39,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- KG construction over the web corpus (SURVEY.md §2.2-2.4) ---
+        "kg_extract_text": webkg.q_extract_text,
         "kg_mentions": webkg.q_mentions,
         "kg_mentions_topk": webkg.q_mentions_topk,
         "kg_links": webkg.q_links,
         "kg_selected_cuis": webkg.q_selected_cuis,
         "kg_triples": webkg.q_triples,
+        "kg_salted_mention_counts": webkg.q_salted_mention_counts,
         "kg_search_terms": webkg.q_search_terms,
         "kg_intersection": webkg.q_intersection,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
@@ -83,11 +85,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kg_extract_text": webkg.sql_extract_text(),
         "kg_mentions": webkg.sql_mentions(),
         "kg_mentions_topk": webkg.sql_mentions_topk(),
         "kg_links": webkg.sql_links(),
         "kg_selected_cuis": webkg.sql_selected_cuis(),
         "kg_triples": webkg.sql_triples(),
+        "kg_salted_mention_counts": webkg.sql_salted_mention_counts(),
         "kg_search_terms": webkg.sql_search_terms(),
         "kg_intersection": webkg.sql_intersection(),
         "kg_genes": kgoracle.sql_genes(),

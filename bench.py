@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1, "docs_per_sec": ...}
+
+Covers the flagship KG-construction chain (mention detection -> linking ->
+triples) on both the driver corpus and a synthesized medical corpus, plus
+the scale-critical training-data operators (MinHash LSH, SimHash, ANN,
+fingerprinting) and the relational showcase.
+
+Scaling-efficiency evidence (north_rule: >=0.8 from N to 4N) is produced by
+tools/bench_scaling.py, which re-runs the e2e job at two local[N] levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
+from sparkmedkg import webkg  # noqa: E402
+from sparkmedkg.session import get_spark  # noqa: E402
+
+N_MED_DOCS = 20_000
+
+
+def kg_e2e_medical(spark, sf_dir):
+    """Full medical KG pipeline (NER -> link -> select -> enrich -> triples)
+    on a deterministic synthesized corpus (FIXTURES.md §1)."""
+    docs = fixtures.docs_df(spark, N_MED_DOCS)
+    tables = pipeline.build_graph(spark, docs, fixtures.lookups(spark))
+    return pipeline.triples(tables)
+
+
+BENCH_QUERIES = {
+    "kg_triples_corpus": webkg.q_triples,
+    "kg_links_corpus": webkg.q_links,
+    "kg_e2e_medical_20k": kg_e2e_medical,
+    "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
+    "dedup_simhash": dedup.simhash,
+    "dedup_jaccard": dedup.jaccard_pairs,
+    "ann_cosine_topk": simsearch.cosine_topk,
+    "ann_lsh_topk": simsearch.lsh_topk,
+    "text_fingerprint": textstats.fingerprint,
+    "text_quality": textstats.quality,
+    "events_sessionize": relops.events_sessionize,
+    "tpch_pricing_summary": relops.tpch_pricing_summary,
+    "tpch_revenue_by_region": relops.tpch_revenue_by_region,
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("sparkmedkg-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    n_docs_med = 0
+    for name, fn in BENCH_QUERIES.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # drop per-query persists between runs
+        if name == "kg_e2e_medical_20k":
+            n_docs_med = N_MED_DOCS
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = (
+        round(n_docs_med / timings["kg_e2e_medical_20k"], 1)
+        if timings.get("kg_e2e_medical_20k")
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "docs_per_sec_e2e": docs_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

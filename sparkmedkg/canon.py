@@ -53,16 +53,25 @@ def alias_cluster_edges(aliases: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20,
+    n_partitions: int | None = 1,
 ) -> DataFrame:
     """Min-label propagation to fixpoint.
 
     vertices: one column ``id``; edges: ``src``, ``dst`` (undirected).
     Returns (id, component) with component = min id reachable.
+
+    ``n_partitions`` sizes the iteration's shuffles to the alias graph, which
+    is orders of magnitude smaller than the corpus — running ~8 iterations x
+    3 stages at corpus-sized parallelism is pure scheduler overhead. Pass
+    None to inherit spark.sql.shuffle.partitions (huge alias graphs).
     """
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    if n_partitions is not None:
+        both = both.repartition(n_partitions, "src")
+        vertices = vertices.repartition(n_partitions, "id")
     cc = vertices.select(F.col("id"), F.col("id").alias("component"))
     for _ in range(max_iter):
         # candidate component per node = min over neighbors' components

@@ -89,36 +89,74 @@ HTML_PREFIX = b"<html><body><p>"
 HTML_SUFFIX = b"</p></body></html>"
 
 
-def gen_doc_rows(n_docs: int, seed: int = SEED) -> list[tuple]:
-    """Deterministic doc rows: (url, warc_ts, html, text, lang)."""
+def gen_doc_row(
+    i: int, seed: int = SEED, min_sent: int = 2, max_sent: int = 6
+) -> tuple:
+    """Deterministic row i: (url, warc_ts, html, text, lang). Pure function
+    of (i, seed, sentence bounds) so local and distributed generation agree.
+
+    ``min_sent``/``max_sent`` size the page: the defaults give abstract-sized
+    docs (~300 B); scaling benchmarks pass e.g. 30..80 for web-page-sized
+    docs (3-8 KB, closer to Common-Crawl extracted text)."""
     t0 = datetime(2022, 1, 1)
-    rows = []
-    for i in range(n_docs):
-        rng = random.Random(seed * 1_000_003 + i)
-        topic = onto.TOPICS[i % 3]
-        lang = "en" if rng.random() < 0.9 else rng.choice(["de", "fr"])
-        if lang == "en":
-            n_sent = rng.randint(2, 6)
-            pool = _TOPIC_SENTENCES[topic]
-            sents = [pool[rng.randrange(len(pool))] for _ in range(n_sent)]
-            if rng.random() < 0.6:  # hot-chemical skew
-                sents.append(_HOT_SENTENCES[rng.randrange(len(_HOT_SENTENCES))])
-            if rng.random() < 0.4:
-                sents.append(_GENERIC_SENTENCES[rng.randrange(len(_GENERIC_SENTENCES))])
-        else:
-            sents = [
-                _NON_EN_SENTENCES[rng.randrange(len(_NON_EN_SENTENCES))]
-                for _ in range(rng.randint(1, 3))
-            ]
-        text = " ".join(sents)
-        html = HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX
-        url = f"https://site{i % 97}.example/med/{i}"
-        rows.append((url, t0 + timedelta(seconds=i * 137), bytearray(html), text, lang))
-    return rows
+    rng = random.Random(seed * 1_000_003 + i)
+    topic = onto.TOPICS[i % 3]
+    lang = "en" if rng.random() < 0.9 else rng.choice(["de", "fr"])
+    if lang == "en":
+        n_sent = rng.randint(min_sent, max_sent)
+        pool = _TOPIC_SENTENCES[topic]
+        sents = [pool[rng.randrange(len(pool))] for _ in range(n_sent)]
+        if rng.random() < 0.6:  # hot-chemical skew
+            sents.append(_HOT_SENTENCES[rng.randrange(len(_HOT_SENTENCES))])
+        if rng.random() < 0.4:
+            sents.append(_GENERIC_SENTENCES[rng.randrange(len(_GENERIC_SENTENCES))])
+    else:
+        sents = [
+            _NON_EN_SENTENCES[rng.randrange(len(_NON_EN_SENTENCES))]
+            for _ in range(rng.randint(1, 3))
+        ]
+    text = " ".join(sents)
+    html = HTML_PREFIX + text.encode("utf-8") + HTML_SUFFIX
+    url = f"https://site{i % 97}.example/med/{i}"
+    return (url, t0 + timedelta(seconds=i * 137), bytearray(html), text, lang)
+
+
+def gen_doc_rows(
+    n_docs: int, seed: int = SEED, min_sent: int = 2, max_sent: int = 6
+) -> list[tuple]:
+    """Deterministic doc rows: (url, warc_ts, html, text, lang)."""
+    return [gen_doc_row(i, seed, min_sent, max_sent) for i in range(n_docs)]
 
 
 def docs_df(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataFrame:
     return spark.createDataFrame(gen_doc_rows(n_docs, seed), schemas.DOCS_SCHEMA)
+
+
+def docs_df_dist(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = SEED,
+    min_sent: int = 2,
+    max_sent: int = 6,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Distributed corpus generation: spark.range + mapInPandas, one
+    deterministic row per id — same rows as ``docs_df`` but generated on
+    executors (driver-side generation does not scale past ~10^5 docs)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [gen_doc_row(int(i), seed, min_sent, max_sent)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n_docs, numPartitions=n_partitions)
+        .mapInPandas(gen, schemas.DOCS_SCHEMA)
+    )
 
 
 def topic_of_url(url: str) -> str:

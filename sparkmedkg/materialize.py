@@ -50,18 +50,21 @@ def edges_from(
     dst_label,
     dst_col: str,
     pred: str = "CONTAINS",
+    dedup: bool = True,
 ) -> DataFrame:
     """One CONTAINS edge per row (§1.3 triple contract). ``src_label`` /
-    ``dst_label`` may be a literal string or a Column."""
+    ``dst_label`` may be a literal string or a Column. Pass ``dedup=False``
+    when the caller dedups a union of several edge sets in one shuffle."""
     sl = F.lit(src_label) if isinstance(src_label, str) else src_label
     dl = F.lit(dst_label) if isinstance(dst_label, str) else dst_label
-    return df.select(
+    out = df.select(
         sl.alias("src_label"),
         F.col(src_col).cast("string").alias("src_id"),
         F.lit(pred).alias("pred"),
         dl.alias("dst_label"),
         F.col(dst_col).cast("string").alias("dst_id"),
-    ).dropDuplicates()
+    )
+    return out.dropDuplicates() if dedup else out
 
 
 def integrity_filter(edges: DataFrame, nodes: DataFrame) -> DataFrame:

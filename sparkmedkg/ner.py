@@ -180,6 +180,15 @@ def detect_mentions(
     return src.mapInPandas(fn, MENTION_SCHEMA)
 
 
+def broadcast_alias_index_local(
+    spark: SparkSession, pairs: list[tuple[str, str]]
+):
+    """Broadcast a locally-known (alias, label) index without a Spark job —
+    for lexicons that are driver-side constants. For lookup tables read from
+    parquet/Iceberg use ``broadcast_alias_index``."""
+    return spark.sparkContext.broadcast(sorted(set(pairs)))
+
+
 def broadcast_alias_index(
     spark: SparkSession, aliases: DataFrame, concepts: DataFrame
 ):

@@ -42,8 +42,10 @@ def build_graph(
     papers = docs.where(F.col("lang") == "en").select(
         "url", "warc_ts", "text", "lang", topic_expr().alias("topic")
     )
-    mentions = ner.detect_mentions(docs, alias_bc)
-    links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"])
+    # NER (mapInPandas) and linking fan out into every downstream table;
+    # persist both so the Python stage and the link shuffle run once
+    mentions = ner.detect_mentions(docs, alias_bc).persist()
+    links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"]).persist()
     ents = select.top_entities(mentions, n=top_n)
     cuis = (
         select.top_cuis_per_entity(links, ents, cui_n=cui_n)
@@ -93,21 +95,34 @@ def triples(tables: dict[str, DataFrame]) -> DataFrame:
         .select("src_lbl", "src", "dst")
     )
 
+    # No dedup anywhere: every edge set is unique by construction — the NER
+    # stage dedups mentions per doc (entityrecognition.py:54-64 semantics),
+    # links are deduped on (CUI, source), papers are unique by url, and the
+    # enrichment joins fan out distinct keys over unique lookup rows. The
+    # label columns keep the sets disjoint from each other. Skipping the
+    # distinct removes the single largest shuffle of the job (the full edge
+    # union); GraphStore.merge_edges still enforces MERGE semantics at write.
     parts = [
-        edges_from(t["papers"], "SearchTerm", "topic", "Paper", "url"),
-        edges_from(t["mentions"], "Paper", "url", F.col("node_label"), "mention"),
-        edges_from(link_edges_src, F.col("src_lbl"), "src", "UMLS", "dst"),
-        edges_from(t["genes"], "UMLS", "source", "Gene", "gene"),
+        edges_from(t["papers"], "SearchTerm", "topic", "Paper", "url", dedup=False),
+        edges_from(t["mentions"], "Paper", "url", F.col("node_label"), "mention",
+                   dedup=False),
+        edges_from(link_edges_src, F.col("src_lbl"), "src", "UMLS", "dst",
+                   dedup=False),
+        edges_from(t["genes"], "UMLS", "source", "Gene", "gene", dedup=False),
     ]
     if "snomed" in t:
-        parts.append(edges_from(t["snomed"], "UMLS", "source", "SnomedConcept", "SAUI"))
+        parts.append(edges_from(t["snomed"], "UMLS", "source", "SnomedConcept",
+                                "SAUI", dedup=False))
     if "clinical_features" in t:
         parts.append(
-            edges_from(t["clinical_features"], "UMLS", "source", "ClinicalFeature", "CUI")
+            edges_from(t["clinical_features"], "UMLS", "source",
+                       "ClinicalFeature", "CUI", dedup=False)
         )
-    parts.append(edges_from(t["proteins"], "Gene", "source", "Protein", "Entry"))
+    parts.append(edges_from(t["proteins"], "Gene", "source", "Protein", "Entry",
+                            dedup=False))
     if "go" in t:
-        parts.append(edges_from(t["go"], "Protein", "source", "GO", "GoID"))
+        parts.append(edges_from(t["go"], "Protein", "source", "GO", "GoID",
+                                dedup=False))
 
     result = parts[0]
     for p in parts[1:]:

@@ -91,6 +91,17 @@ WEB_ALIASES: list[tuple[str, str]] = [
 # Spark-side lookup DataFrames (same shapes as fixtures.lookups()).
 # ---------------------------------------------------------------------------
 
+def alias_label_pairs() -> list[tuple[str, str]]:
+    sem = {c[0]: c[3] for c in WEB_CONCEPTS}
+    return sorted({(a, sem[c]) for a, c in WEB_ALIASES})
+
+
+def alias_bc(spark: SparkSession):
+    """Broadcast (alias, label) index straight from the driver-side
+    lexicon constants — no Spark job needed to build it."""
+    return ner.broadcast_alias_index_local(spark, alias_label_pairs())
+
+
 def concepts_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         WEB_CONCEPTS, "CUI string, canonical_name string, definition string, semtype string"
@@ -113,12 +124,34 @@ def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark queries (each returns a DataFrame matching its oracle builder below).
 # ---------------------------------------------------------------------------
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 invariant (parser.py:79-87 / input_hint): wrap each text into an
+    html binary payload, run the real pandas-UDF extractor, and return the
+    extracted text — the oracle asserts it is byte-identical to the source
+    text for every doc."""
+    from sparkmedkg import extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    return extract.with_extracted_text(docs, out_col="text_out").select(
+        "doc_id", "text_out"
+    )
+
+
+def sql_extract_text() -> str:
+    return "SELECT doc_id, text AS text_out FROM documents"
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real mapInPandas trie NER (mode='all') over the web corpus."""
-    alias_bc = ner.broadcast_alias_index(
-        spark, aliases_df(spark), concepts_df(spark)
-    )
-    m = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all")
+    m = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc(spark), mode="all")
     return m.select(
         F.col("url").cast("bigint").alias("doc_id"),
         "mention",
@@ -138,8 +171,7 @@ def q_mentions_topk(spark: SparkSession, sf_dir: str, n: int = 15) -> DataFrame:
 
 
 def _links_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
-    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all")
+    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc(spark), mode="all")
     return link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
 
 
@@ -156,10 +188,9 @@ def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_selected_cuis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2+A3 (medgen.py:136-163): top-15 entities x top-4 CUIs > 0.85."""
-    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
-    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc, mode="all").where(
-        F.col("node_label") == "OPERATOR"
-    )
+    mentions = ner.detect_mentions(
+        docs_df(spark, sf_dir), alias_bc(spark), mode="all"
+    ).where(F.col("node_label") == "OPERATOR")
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
     ents = select.top_entities(mentions, n=15, label="OPERATOR")
     return (
@@ -175,9 +206,10 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.col("lang") == "en"
     )
-    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
     d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
-    mentions = ner.detect_mentions(d, alias_bc, mode="all")
+    # the mapInPandas NER stage feeds three edge sets below — persist so the
+    # Python stage runs once, not once per branch
+    mentions = ner.detect_mentions(d, alias_bc(spark), mode="all").persist()
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
 
     e1 = docs.select(
@@ -211,6 +243,19 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2).unionByName(e3)
 
 
+def q_salted_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 hardening (north_rule skew handling): explicit two-phase salted
+    count by mention key. Semantically identical to a plain groupBy-count —
+    the oracle proves it — but the partial (salt, key) phase bounds the
+    per-task load of hot keys at scale."""
+    from sparkmedkg.canon import salted_counts
+
+    m = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc(spark), mode="all")
+    return salted_counts(m, "mention").select(
+        F.col("mention"), F.col("count").alias("n_rows")
+    )
+
+
 def q_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (neo4jconnector.py:258-265): the SearchTerm listing."""
     return (
@@ -229,9 +274,8 @@ def q_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
         F.col("lang") == "en"
     )
-    alias_bc = ner.broadcast_alias_index(spark, aliases_df(spark), concepts_df(spark))
     d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
-    mentions = ner.detect_mentions(d, alias_bc, mode="all")
+    mentions = ner.detect_mentions(d, alias_bc(spark), mode="all").persist()
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
     reach = (
         docs.select(F.col("doc_id").cast("string").alias("url"), "source")
@@ -403,6 +447,18 @@ UNION
 SELECT DISTINCT m.label, l.mention, 'CONTAINS', 'UMLS', l.cui
 FROM links l JOIN (SELECT DISTINCT mention, label FROM mentions) m
   ON l.mention = m.mention
+"""
+
+
+def sql_salted_mention_counts() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {_MENTION_FROM}
+)
+SELECT mention, COUNT(*) AS n_rows FROM mentions GROUP BY mention
 """
 
 
