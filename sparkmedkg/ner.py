@@ -32,8 +32,12 @@ _ABBR_RE = re.compile(r"\(([A-Za-z][A-Za-z0-9]{1,9})\)")
 
 MENTION_SCHEMA = "url string, mention string, resolved string, node_label string"
 
-# executor-singleton trie cache, keyed by id of the broadcast payload
-_TRIE_CACHE: dict[int, dict] = {}
+# executor-singleton trie cache, keyed by the broadcast *content* (a tuple of
+# (alias, label) pairs). id(bc) is NOT a safe key: CPython reuses object ids
+# after GC, so two different broadcasts in one process can collide and serve a
+# stale trie. Hashing the payload is O(n) per batch vs an O(n) trie build, so
+# the singleton still pays off while staying collision-free.
+_TRIE_CACHE: dict[tuple, dict] = {}
 
 
 def tokenize(text_lower: str) -> list[tuple[str, int, int]]:
@@ -53,7 +57,7 @@ def build_trie(alias_index: list[tuple[str, str]]) -> dict:
 
 
 def _get_trie(bc) -> dict:
-    key = id(bc)
+    key = tuple(bc.value)
     trie = _TRIE_CACHE.get(key)
     if trie is None:
         trie = build_trie(bc.value)
