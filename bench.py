@@ -33,8 +33,10 @@ N_MED_DOCS = 20_000
 
 def kg_e2e_medical(spark, sf_dir):
     """Full medical KG pipeline (NER -> link -> select -> enrich -> triples)
-    on a deterministic synthesized corpus (FIXTURES.md §1)."""
-    docs = fixtures.docs_df(spark, N_MED_DOCS)
+    on a deterministic synthesized corpus (FIXTURES.md §1). Generated
+    distributed (same rows as fixtures.docs_df) so the driver-side
+    createDataFrame serialization does not pollute the engine timing."""
+    docs = fixtures.docs_df_dist(spark, N_MED_DOCS)
     tables = pipeline.build_graph(spark, docs, fixtures.lookups(spark))
     return pipeline.triples(tables)
 

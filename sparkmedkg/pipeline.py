@@ -32,12 +32,17 @@ def build_graph(
     go: bool = True,
     top_n: int = 15,
     cui_n: int = 4,
+    alias_bc=None,
 ) -> dict[str, DataFrame]:
     """Runs every stage; returns the named intermediate + output DataFrames.
 
     All outputs are lazy; callers trigger actions (write/collect/count).
+    ``alias_bc`` lets long-lived drivers reuse one broadcast alias index
+    across runs (the analogue of loading the NER model once per process,
+    manager.py:22-25) instead of re-collecting the alias table each call.
     """
-    alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
+    if alias_bc is None:
+        alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
 
     papers = docs.where(F.col("lang") == "en").select(
         "url", "warc_ts", "text", "lang", topic_expr().alias("topic")

@@ -9,6 +9,9 @@ match BASELINE.md's suggested local[2]/local[8]). Each level runs in a
 fresh JVM via a subprocess; the levels are INTERLEAVED (2,8,2,8) and the
 per-level minimum wall is reported, so slow drifts in host load hit both
 levels symmetrically instead of whichever level happened to run last.
+Each worker pins itself (sched_setaffinity) to exactly N CPUs so a level
+cannot freeload on spare host cores for JVM GC/shuffle/Arrow threads —
+making each level a true N-core machine.
 The corpus is web-page-sized (30-80 sentences, ~3 KB extracted text per
 doc — Common-Crawl-like), generated distributed via fixtures.docs_df_dist.
 
@@ -45,7 +48,7 @@ def ensure_corpus(n_docs: int) -> str:
     return docs_path
 
 
-def run_level(cores: int, docs_path: str, reps: int = 1) -> dict:
+def run_level(cores: int, docs_path: str, reps: int = 2) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
          str(cores), docs_path, str(reps)],
@@ -85,9 +88,11 @@ def main() -> None:
             "(docs -> NER -> linking -> selection -> enrichment -> triples)\n"
             "on the identical synthesized corpus "
             f"({n_docs:,} docs, fixtures.docs_df seed=42), fresh JVM per "
-            "level; timed region excludes\nsession startup (steady-state "
-            "throughput). The north_rule's two-cluster-size criterion is\n"
-            "evidenced as two parallelism levels, a true 4x core ratio.\n\n"
+            "level, each level CPU-pinned\n(sched_setaffinity) to exactly N "
+            "cores so neither level freeloads on spare host capacity;\ntimed "
+            "region excludes session startup (steady-state throughput). The "
+            "north_rule's\ntwo-cluster-size criterion is evidenced as two "
+            "parallelism levels, a true 4x core ratio.\n\n"
             "| parallelism | wall (s) | docs/sec |\n|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {results[c]['wall_sec']} | "
