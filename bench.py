@@ -28,7 +28,7 @@ from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  
 from sparkmedkg import webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
-N_MED_DOCS = 20_000
+N_MED_DOCS = 100_000
 
 
 def kg_e2e_medical(spark, sf_dir):
@@ -44,7 +44,7 @@ def kg_e2e_medical(spark, sf_dir):
 BENCH_QUERIES = {
     "kg_triples_corpus": webkg.q_triples,
     "kg_links_corpus": webkg.q_links,
-    "kg_e2e_medical_20k": kg_e2e_medical,
+    "kg_e2e_medical_100k": kg_e2e_medical,
     "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
     "dedup_simhash": dedup.simhash,
     "dedup_jaccard": dedup.jaccard_pairs,
@@ -78,14 +78,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # drop per-query persists between runs
-        if name == "kg_e2e_medical_20k":
+        if name == "kg_e2e_medical_100k":
             n_docs_med = N_MED_DOCS
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     docs_per_sec = (
-        round(n_docs_med / timings["kg_e2e_medical_20k"], 1)
-        if timings.get("kg_e2e_medical_20k")
+        round(n_docs_med / timings["kg_e2e_medical_100k"], 1)
+        if timings.get("kg_e2e_medical_100k")
         else None
     )
     print(

@@ -40,9 +40,11 @@ MENTION_SCHEMA = "url string, mention string, resolved string, node_label string
 _TRIE_CACHE: dict[tuple, dict] = {}
 
 
-def tokenize(text_lower: str) -> list[tuple[str, int, int]]:
-    """Lower-case word tokens with char offsets."""
-    return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text_lower)]
+def tokenize(text_lower: str) -> list[str]:
+    """Lower-case word tokens. No offsets: the trie match and per-doc dedup
+    only need token text, and findall is ~3x finditer+tuple building — the
+    single hottest line of the whole job (it runs once per document)."""
+    return _TOKEN_RE.findall(text_lower)
 
 
 def build_trie(alias_index: list[tuple[str, str]]) -> dict:
@@ -127,8 +129,8 @@ def find_mentions(
         node = trie
         j = i
         matches = []  # (end_index_exclusive, alias, label)
-        while j < n and toks[j][0] in node:
-            node = node[toks[j][0]]
+        while j < n and toks[j] in node:
+            node = node[toks[j]]
             j += 1
             if "\0" in node:
                 alias, label = node["\0"]
