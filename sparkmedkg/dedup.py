@@ -8,9 +8,11 @@ cluster scale swap md5 for xxhash64 — the plan shape is unchanged).
 
 Scale notes (100 TB / 10^12 docs):
 - exact:    one shuffle on the 16-byte digest; map-side partial agg first.
-- minhash:  shingle explode -> groupBy(doc) with K min() partial aggs (map-
-  side combined), band explode -> self-join on band key. The band join is
-  the only O(candidates) shuffle; AQE skew-split handles hot buckets.
+- minhash:  shingle explode -> one md5 per shingle -> K universal-hash
+  permutations (cheap 64-bit arithmetic) -> groupBy(doc) with K min()
+  partial aggs (map-side combined), band explode -> self-join on band key.
+  The band join is the only O(candidates) shuffle; AQE skew-split handles
+  hot buckets.
 - simhash:  token explode -> 64 conditional sums per doc, all map-side
   combinable; no join at all.
 - jaccard:  candidate pairs from a shingle equi-join (blocking), then an
@@ -143,16 +145,34 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
 # MinHash + LSH banding.
 # ---------------------------------------------------------------------------
 
+# Universal-hash minhash permutations: h_i(x) = (a_i * base(x) + b_i) mod P
+# with P = 2^31 - 1 (Mersenne) and base(x) = first 60 bits of md5(x). One md5
+# per shingle instead of n_hash md5s — the md5 was ~90% of signature cost —
+# and every product fits signed 64-bit ((P-1)^2 < 2^62). The same arithmetic
+# is expressible verbatim in DuckDB, so the oracle stays bit-identical.
+MH_P = 2_147_483_647
+
+
+def _mh_params(n_hash: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) with a_i != 0 mod P."""
+    return [
+        ((2 * i + 1) * 2_654_435_761 % MH_P or 1, (i * 40_503 + 7_919) % MH_P)
+        for i in range(n_hash)
+    ]
+
+
 def minhash_signatures(
     spark: SparkSession, sf_dir: str, n_hash: int = N_MINHASH
 ) -> DataFrame:
-    """(doc_id, mh0..mh{n-1}): minhash signature; permutation i is the md5
-    of 'i|shingle', min taken lexicographically on the hex string (portable
-    across engines, unlike engine-native integer hashes)."""
+    """(doc_id, mh0..mh{n-1}): integer minhash signature over word shingles."""
     sh = doc_shingles(spark, sf_dir)
+    base = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint") % MH_P
+    )
+    sh = sh.select("doc_id", base.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(n_hash)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(n_hash))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -195,11 +215,14 @@ def lsh_candidate_pairs(
 
 def _sql_signature_cte(n_hash: int = N_MINHASH) -> str:
     mins = ",\n         ".join(
-        f"MIN(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(n_hash)
+        f"MIN(({a} * h + {b}) % {MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_mh_params(n_hash))
     )
     return f"""
 sh AS (
-  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+  SELECT doc_id,
+         CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MH_P} AS h
+  FROM (SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents)
 ),
 sig AS (
   SELECT doc_id,
@@ -219,7 +242,7 @@ def sql_lsh_candidate_pairs(
     band_selects = []
     for bi in range(n_bands):
         cols = " || '|' || ".join(
-            f"mh{bi * band_rows + r}" for r in range(band_rows)
+            f"mh{bi * band_rows + r}::VARCHAR" for r in range(band_rows)
         )
         band_selects.append(
             f"SELECT doc_id, {bi} AS band, md5({cols}) AS bkey FROM sig"

@@ -64,12 +64,15 @@ def test_jaccard_pairs_match_python(spark, doc_texts):
 def test_minhash_signature_matches_python(spark, doc_texts):
     sig_rows = dedup.minhash_signatures(spark, SF, n_hash=4).collect()
     some = sorted(sig_rows, key=lambda r: r["doc_id"])[:5]
+    params = dedup._mh_params(4)
     for r in some:
         shingles = py_shingles(doc_texts[r["doc_id"]])
-        for i in range(4):
-            exp = min(
-                hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingles
-            )
+        bases = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dedup.MH_P
+            for s in shingles
+        ]
+        for i, (a, b) in enumerate(params):
+            exp = min((a * h + b) % dedup.MH_P for h in bases)
             assert r[f"mh{i}"] == exp
 
 
