@@ -95,14 +95,19 @@ class LinksStore:
 
 def doc_stage(
     spark: SparkSession, docs: DataFrame, lkp: dict[str, DataFrame]
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Per-document stages only: returns (doc_nodes, doc_edges, links)."""
+) -> tuple[DataFrame, DataFrame, DataFrame, list[DataFrame]]:
+    """Per-document stages only: returns (doc_nodes, doc_edges, links,
+    cached) where ``cached`` are the persisted intermediates to unpersist
+    after the group's writes. The nodes/edges/links outputs all fan out
+    from the mentions mapInPandas stage, and a group performs THREE actions
+    (merge_nodes, merge_edges, links merge) — without the persist the
+    Python NER stage would re-run once per action."""
     alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
     papers = docs.where(F.col("lang") == "en").select(
         "url", "lang", pipeline.topic_expr().alias("topic")
     )
-    mentions = ner.detect_mentions(docs, alias_bc)
-    links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"])
+    mentions = ner.detect_mentions(docs, alias_bc).persist()
+    links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"]).persist()
 
     mention_labels = (
         mentions.select(F.col("mention").alias("_m"), F.col("node_label").alias("src_lbl"))
@@ -124,7 +129,7 @@ def doc_stage(
         .unionByName(nodes_from(mentions, "node_label", "mention", []))
         .unionByName(nodes_from(links, "node_label", "CUI", ["name", "Definition"]))
     )
-    return nodes, edges, links
+    return nodes, edges, links, [mentions, links]
 
 
 def run_resumable(
@@ -153,13 +158,15 @@ def run_resumable(
             raise RuntimeError("simulated crash for resume test")
         t0 = time.time()
         part = bucketed.where(F.col(BUCKET_COL).isin(group)).drop(BUCKET_COL)
-        nodes, edges, links = doc_stage(spark, part, lkp)
+        nodes, edges, links, cached = doc_stage(spark, part, lkp)
         edges = edges.persist()
         store.merge_nodes(nodes)
         n_new = store.merge_edges(edges)
         links_store.merge(links)
         n_rows = edges.count()
         edges.unpersist()
+        for df in cached:
+            df.unpersist()
         total += n_rows
         wall = time.time() - t0
         for b in group:
