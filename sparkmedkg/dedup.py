@@ -98,7 +98,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with shingle-Jaccard >= tau, a < b."""
     sh = doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |shingles(doc)| straight off the scan (size of the distinct-shingle
+    # array) — no explode + groupBy pass just to count what the scan already
+    # materializes per row
+    sizes = _read_docs(spark, sf_dir).select(
+        "doc_id", F.size(_shingles_col()).alias("n_sh")
+    )
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
     common = (
