@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
+        "dedup_jaccard_prefix": dedup.jaccard_pairs_prefix,
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
         "dedup_simhash": dedup.simhash,
@@ -102,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonical_cc": kgoracle.sql_canonical_cc(),
         "dedup_exact": dedup.sql_exact_dedup(),
         "dedup_jaccard": dedup.sql_jaccard_pairs(),
+        "dedup_jaccard_prefix": dedup.sql_jaccard_pairs_prefix(),
         "dedup_minhash_sig": dedup.sql_minhash_signatures(),
         "dedup_lsh_pairs": dedup.sql_lsh_candidate_pairs(),
         "dedup_simhash": dedup.sql_simhash(),

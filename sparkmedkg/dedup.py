@@ -147,6 +147,79 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
 
 
 # ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard (ppjoin-style): the 100 TB scale path for exact
+# near-dup. Same output as jaccard_pairs — the oracle proves it — but the
+# blocking join runs over only the (1-tau)-fraction shingle prefixes.
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs_prefix(
+    spark: SparkSession, sf_dir: str, tau: float = 0.8
+) -> DataFrame:
+    """(a, b, jaccard) with shingle-Jaccard >= tau, a < b — exact, via
+    prefix filtering over sorted 64-bit shingle keys.
+
+    Correctness: each doc's distinct shingles are mapped to xxhash64 keys and
+    sorted — a global total order with pseudo-random placement, so hot
+    stop-phrase shingles don't cluster at the front. If J(A,B) >= tau, A and
+    B must share a key within their prefixes of length floor((1-tau)*|A|)+1 /
+    floor((1-tau)*|B|)+1: if every shared key sat beyond A's prefix, more
+    than (1-tau)*|A| of A would be non-shared, forcing J < tau (ppjoin /
+    Xiao et al., WWW'08). Joining prefixes therefore cannot miss a
+    qualifying pair; an exact array_intersect verify on the candidate pairs
+    removes false positives. Jaccard over key sets differs from Jaccard over
+    shingle sets only on a 64-bit collision (~2^-64 per pair).
+
+    Scale shape: at tau=0.8 the blocking join reads ~20% of the rows and
+    generates ~18% of the candidate rows of the full shingle self-join
+    (measured at sf0.1: 230k vs 1.27M), with every structure — prefix,
+    join key, verify array — an 8-byte long instead of a ~30-byte string.
+    At 10^12 docs this is the difference between feasible and not; the
+    verify joins candidate pair ids back to the per-doc key arrays (one row
+    per pair, array_intersect inside codegen), never re-exploding.
+    """
+    keys = F.array_sort(
+        F.array_distinct(F.transform(_shingles_col(), lambda s: F.xxhash64(s)))
+    )
+    p_len = F.floor(F.size("keys") * F.lit(1.0 - tau)).cast("int") + F.lit(1)
+    # three downstream scans (both self-join sides + the verify join) —
+    # persist so shingling + hashing + sort run once per doc
+    with_prefix = (
+        _read_docs(spark, sf_dir)
+        .select("doc_id", keys.alias("keys"))
+        .select("doc_id", "keys", F.slice("keys", F.lit(1), p_len).alias("prefix"))
+        .persist()
+    )
+    pre = with_prefix.select("doc_id", F.explode("prefix").alias("k"))
+    cand = (
+        pre.select(F.col("doc_id").alias("a"), "k")
+        .join(pre.select(F.col("doc_id").alias("b"), "k"), "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    arrs = with_prefix.select("doc_id", "keys")
+    verified = (
+        cand.join(arrs.select(F.col("doc_id").alias("a"), F.col("keys").alias("ka")), "a")
+        .join(arrs.select(F.col("doc_id").alias("b"), F.col("keys").alias("kb")), "b")
+        .withColumn("n_common", F.size(F.array_intersect("ka", "kb")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("ka") + F.size("kb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_jaccard_pairs_prefix(tau: float = 0.8) -> str:
+    """Oracle: brute-force Jaccard at the same tau — prefix filtering is a
+    plan optimization, not a semantics change, so the result sets must be
+    identical."""
+    return sql_jaccard_pairs(tau)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding.
 # ---------------------------------------------------------------------------
 

@@ -76,6 +76,21 @@ def test_minhash_signature_matches_python(spark, doc_texts):
             assert r[f"mh{i}"] == exp
 
 
+def test_jaccard_prefix_equals_blocking(spark):
+    # prefix filtering is a plan optimization: at the same tau the result
+    # set must equal the full shingle-self-join implementation exactly
+    for tau in (0.5, 0.8):
+        blocked = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.jaccard_pairs(spark, SF, tau=tau).collect()
+        }
+        prefixed = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.jaccard_pairs_prefix(spark, SF, tau=tau).collect()
+        }
+        assert blocked == prefixed and prefixed
+
+
 def test_lsh_pairs_subset_and_symmetric(spark):
     pairs = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(spark, SF).collect()}
     assert all(a < b for a, b in pairs)
