@@ -88,6 +88,57 @@ def windowed_mention_counts(
     )
 
 
+FIRST_SEEN_SCHEMA = "url string, warc_ts timestamp"
+_FIRST_SEEN_STATE_SCHEMA = "seen boolean"
+
+
+def stream_first_seen_urls(docs_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cross-micro-batch
+    first-seen URL dedup of a crawl stream.
+
+    A re-crawled url must not re-enter the corpus: per url key, a one-bit
+    state records whether it was ever emitted; only the first occurrence
+    (min warc_ts within its first batch, deterministic) passes through.
+    State survives restarts via the stream checkpoint, so dedup is exact
+    across availableNow re-runs — the streaming analogue of the batch
+    pipeline's idempotent MERGE appends (materialize.GraphStore).
+
+    Scale note: state is one boolean per distinct url, hash-partitioned by
+    the grouping key across executors. At 10^12 urls, bound it with a
+    processing-time timeout (GroupStateTimeout.ProcessingTimeTimeout + a
+    re-crawl-horizon TTL) — kept NoTimeout here because the tests' corpus
+    is bounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            return
+        first = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.loc[pdf["warc_ts"].idxmin()]
+                if first is None or row["warc_ts"] < first["warc_ts"]:
+                    first = row
+        state.update((True,))
+        if first is not None:
+            yield pd.DataFrame(
+                {"url": [first["url"]], "warc_ts": [first["warc_ts"]]}
+            )
+
+    return (
+        docs_stream.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            fn,
+            FIRST_SEEN_SCHEMA,
+            _FIRST_SEEN_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

@@ -50,6 +50,31 @@ def test_incremental_ingest_matches_batch(tmp_path_factory, spark, alias_bc):
     assert a == b
 
 
+def test_stateful_first_seen_url_dedup(tmp_path_factory, spark):
+    base = str(tmp_path_factory.mktemp("streamst"))
+    in_dir, out_dir, ckpt = (
+        os.path.join(base, d) for d in ("in", "out", "ckpt")
+    )
+    rows = fixtures.gen_doc_rows(40)
+
+    # slice 1: docs 0..29
+    _write_slice(spark, rows[:30], in_dir)
+    s1 = streaming.stream_first_seen_urls(streaming.stream_docs(spark, in_dir))
+    streaming.run_available_now(s1, out_dir, ckpt)
+    got1 = {r["url"] for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {r[0] for r in rows[:30]}
+
+    # slice 2: re-crawl of 20..29 (duplicate urls) + new docs 30..39 — the
+    # stateful dedup must emit ONLY the 10 new urls across micro-batches
+    _write_slice(spark, rows[20:], in_dir)
+    s2 = streaming.stream_first_seen_urls(streaming.stream_docs(spark, in_dir))
+    streaming.run_available_now(s2, out_dir, ckpt)
+    out = spark.read.parquet(out_dir).collect()
+    urls = [r["url"] for r in out]
+    assert len(urls) == len(set(urls)) == 40
+    assert set(urls) == {r[0] for r in rows}
+
+
 def test_windowed_counts_match_batch(tmp_path_factory, spark, alias_bc):
     base = str(tmp_path_factory.mktemp("streamw"))
     in_dir = os.path.join(base, "in")
