@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_lsh_topk": simsearch.lsh_topk,
+        "ann_ivf_topk": simsearch.ivf_topk,
         # --- text analysis ---
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": dedup.sql_embedding_near_dups(),
         "ann_cosine_topk": simsearch.sql_cosine_topk(),
         "ann_lsh_topk": simsearch.sql_lsh_topk(),
+        "ann_ivf_topk": simsearch.sql_ivf_topk(),
         "text_lang_id": textstats.sql_lang_id(),
         "text_quality": textstats.sql_quality(),
         "text_token_counts": textstats.sql_token_counts(),

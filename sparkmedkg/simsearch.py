@@ -96,6 +96,67 @@ def lsh_topk(
     )
 
 
+N_CELLS = 8
+N_PROBE = 2
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + probe-limited exact rerank.
+
+    Centroids are the embeddings of vec_ids 1..n_cells — a deterministic
+    data sample standing in for k-means centroids (the assignment/probe plan
+    is identical; training the quantizer is offline either way). Every
+    vector is assigned to its max-cosine centroid (broadcast K centroids,
+    ranked-window argmax); the query probes its n_probe nearest cells and
+    reranks exactly inside them only. At 10^12 rows ``cid`` is the partition
+    key, so a probe touches n_probe/n_cells of the corpus instead of all of
+    it — the IVF counterpart of lsh_topk's sign-bit buckets.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+
+    sim = _dot("v", "cv") / (_norm("v") * _norm("cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("sim", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    qsim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("qsim", qsim)
+        .orderBy(F.desc("qsim"), F.asc("cid"))
+        .limit(n_probe)
+        .select("cid")
+    )
+
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB).
 # ---------------------------------------------------------------------------
@@ -126,6 +187,49 @@ LIMIT {k}
 
 def _sql_plane(plane: list[float]) -> str:
     return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+
+def sql_ivf_topk(
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> str:
+    sim_ec = (
+        f"({_SQL_DOT.format(a='e.v', b='c.cv')}) / "
+        f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    )
+    sim_qc = (
+        f"({_SQL_DOT.format(a='q.qv', b='c.cv')}) / "
+        f"({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='c.cv')})"
+    )
+    cos = (
+        f"({_SQL_DOT.format(a='a.v', b='q.qv')}) / "
+        f"({_SQL_NORM.format(a='a.v')} * {_SQL_NORM.format(a='q.qv')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {n_cells}),
+sims AS (
+  SELECT e.vec_id, e.v, c.cid, {sim_ec} AS sim,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sim_ec} DESC, c.cid ASC) AS rk
+  FROM e, c
+),
+assigned AS (SELECT vec_id, v, cid FROM sims WHERE rk = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_id}),
+qprobe AS (
+  SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (ORDER BY {sim_qc} DESC, c.cid ASC) AS rk
+    FROM c, q
+  ) WHERE rk <= {n_probe}
+)
+SELECT a.vec_id, round({cos}, 6) AS cos
+FROM assigned a JOIN qprobe USING (cid), q
+WHERE a.vec_id <> {query_id}
+ORDER BY {cos} DESC, a.vec_id ASC
+LIMIT {k}
+"""
 
 
 def sql_lsh_topk(query_id: int = 0, k: int = 10) -> str:

@@ -163,6 +163,31 @@ def test_lsh_topk_is_bucket_subset_of_brute_force(spark, emb_rows):
     assert all(bucket(emb_rows[v]) == qb for v in got)
 
 
+def test_ivf_topk_probed_cells_only(spark, emb_rows):
+    got = [r["vec_id"] for r in simsearch.ivf_topk(spark, SF).collect()]
+    assert got and 0 not in got
+    cents = {cid: emb_rows[cid] for cid in range(1, simsearch.N_CELLS + 1)}
+
+    def assign(v):
+        return min(
+            cents, key=lambda cid: (-_cos(v, cents[cid]), cid)
+        )
+
+    probe = sorted(
+        cents, key=lambda cid: (-_cos(emb_rows[0], cents[cid]), cid)
+    )[: simsearch.N_PROBE]
+    # every result must live in one of the query's probed cells, ranked by
+    # true cosine within them
+    assert all(assign(emb_rows[v]) in probe for v in got)
+    in_probe = [
+        (vid, _cos(v, emb_rows[0]))
+        for vid, v in emb_rows.items()
+        if vid != 0 and assign(v) in probe
+    ]
+    expected = [v for v, _ in sorted(in_probe, key=lambda t: (-t[1], t[0]))[:10]]
+    assert got == expected
+
+
 def test_quality_and_tokens_match_python(spark, doc_texts):
     q = {r["doc_id"]: r for r in textstats.quality(spark, SF).collect()}
     tk = {r["doc_id"]: r for r in textstats.token_counts(spark, SF).collect()}
