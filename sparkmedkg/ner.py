@@ -120,7 +120,9 @@ def find_mentions(
 ) -> list[tuple[str, str, str]]:
     """Return per-doc-deduped (mention, resolved, label) tuples."""
     lower = text.lower()
-    abbr_map = schwartz_hearst(text)
+    # Schwartz-Hearst only fires on "(SF)" patterns — skip the regex scan
+    # and dict build entirely for the (majority of) texts with no paren
+    abbr_map = schwartz_hearst(text) if "(" in text else {}
     toks = tokenize(lower)
     found: set[tuple[str, str, str]] = set()
     i = 0
