@@ -208,7 +208,9 @@ def finalize(
     snomed = enrich.snomed_table(cuis, lkp["medgen"])
     cfs = enrich.clinical_features_table(cuis, lkp["medgen"])
     proteins = enrich.proteins_table(genes, lkp["uniprot"])
-    matched = lkp["uniprot"].join(proteins.select("Entry").distinct(), "Entry", "left_semi")
+    matched = lkp["uniprot"].join(
+        F.broadcast(proteins.select("Entry").distinct()), "Entry", "left_semi"
+    )
     go = enrich.go_table(matched)
 
     new_nodes = (

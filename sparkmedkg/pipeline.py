@@ -74,8 +74,12 @@ def build_graph(
     proteins = enrich.proteins_table(genes, lkp["uniprot"])
     out["proteins"] = proteins
     if go:
+        # broadcast the distinct Entry set explicitly: it is bounded by the
+        # uniprot lookup size, but as a derived aggregate it has no size
+        # stats, so the planner would otherwise fall back to a sort-merge
+        # semi-join (full shuffle of the lookup table)
         matched = lkp["uniprot"].join(
-            proteins.select("Entry").distinct(), "Entry", "left_semi"
+            F.broadcast(proteins.select("Entry").distinct()), "Entry", "left_semi"
         )
         out["go"] = enrich.go_table(matched)
     out["cui_canonical"] = canon.cui_canonical_map(lkp["aliases"])
