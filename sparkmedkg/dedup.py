@@ -1,10 +1,11 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five dedup families over a ``documents(doc_id, text, ...)`` corpus, each a
-pure DataFrame plan (no Python in the hot path) plus a DuckDB-oracle SQL
-builder. All hashing is md5-hex-string based so the Spark plan and the
-DuckDB oracle compute bit-identical values (portable across engines; at
-cluster scale swap md5 for xxhash64 — the plan shape is unchanged).
+Six dedup entry points over a ``documents(doc_id, text, ...)`` corpus, each
+a pure DataFrame plan (no Python in the hot path) plus a DuckDB-oracle SQL
+builder. Hashing that crosses the engine boundary (exact keys, the minhash
+base, simhash) is md5-based so Spark and the DuckDB oracle compute
+bit-identical values; hashing that stays Spark-internal (the prefix-filter
+ordering keys) uses the faster JVM-intrinsic xxhash64.
 
 Scale notes (100 TB / 10^12 docs):
 - exact:    one shuffle on the 16-byte digest; map-side partial agg first.

@@ -63,7 +63,10 @@ def main() -> None:
     docs_path = ensure_corpus(n_docs)
 
     results: dict[int, dict] = {}
-    for c in (*LEVELS, *LEVELS):  # interleave levels; keep per-level min
+    # interleave levels 3x (best of 3 invocations x 2 in-process reps per
+    # level): the shared hypervisor shows +/-15% transient slowdowns, and
+    # the per-level minimum treats both levels symmetrically
+    for c in (*LEVELS, *LEVELS, *LEVELS):
         r = run_level(c, docs_path)
         if c not in results or r["wall_sec"] < results[c]["wall_sec"]:
             results[c] = r
