@@ -79,12 +79,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     n_docs_med = 0
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, fn in BENCH_QUERIES.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()  # drop per-query persists between runs
+        best, n = None, 0
+        for _ in range(reps):  # best-of-N: shared-hypervisor noise is +/-15%
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            spark.catalog.clearCache()  # drop per-query persists between runs
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         if name == "kg_e2e_medical_100k":
             n_docs_med = N_MED_DOCS
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
