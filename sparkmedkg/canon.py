@@ -52,9 +52,42 @@ def alias_cluster_edges(aliases: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Union-find on the driver for small graphs; component = min id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    ids = [r["id"] for r in vertices.collect()]
+    for v in ids:
+        parent[v] = v
+    for r in edges.select("src", "dst").collect():
+        # matching the join loop: edges whose endpoints are not both known
+        # vertices have no effect
+        if r["src"] not in parent or r["dst"] not in parent:
+            continue
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            # union by min: the root IS the min id, so component lookup
+            # is just find()
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    rows = [(v, find(v)) for v in sorted(ids)]
+    return vertices.sparkSession.createDataFrame(
+        rows, "id string, component string"
+    )
+
+
 def connected_components(
     vertices: DataFrame, edges: DataFrame, max_iter: int = 20,
     n_partitions: int | None = 1,
+    driver_threshold: int = 65536,
 ) -> DataFrame:
     """Min-label propagation to fixpoint.
 
@@ -65,7 +98,21 @@ def connected_components(
     is orders of magnitude smaller than the corpus — running ~8 iterations x
     3 stages at corpus-sized parallelism is pure scheduler overhead. Pass
     None to inherit spark.sql.shuffle.partitions (huge alias graphs).
+
+    Adaptive small-graph fast path: when the graph fits comfortably on the
+    driver (|V|+|E| <= ``driver_threshold``), a driver-side union-find
+    replaces the iterative join loop — identical output, one job instead of
+    ~8 iterations x 2 actions. This mirrors production practice: alias-
+    cluster graphs are KB-to-MB scale even when the corpus is 100 TB; the
+    distributed loop remains the path for genuinely huge graphs (set
+    ``driver_threshold=0`` to force it).
     """
+    if driver_threshold:
+        size = vertices.limit(driver_threshold + 1).count() + edges.limit(
+            driver_threshold + 1
+        ).count()
+        if size <= driver_threshold:
+            return _driver_components(vertices, edges)
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -59,3 +59,31 @@ def test_intersection_unknown_level(graph):
     _, edges = graph
     with pytest.raises(ValueError, match="unknown knowledge graph label"):
         queries.intersection(edges, TOPICS, "Nope")
+
+
+def test_connected_components_driver_equals_distributed(spark):
+    import random
+
+    from sparkmedkg import canon, fixtures
+
+    # fixture alias graph
+    aliases = fixtures.aliases_df(spark)
+    v = aliases.select(aliases["CUI"].alias("id")).distinct()
+    e = canon.alias_cluster_edges(aliases)
+    fast = {(r["id"], r["component"])
+            for r in canon.connected_components(v, e).collect()}
+    slow = {(r["id"], r["component"])
+            for r in canon.connected_components(v, e, driver_threshold=0).collect()}
+    assert fast == slow and fast
+
+    # random graph, fixed seed
+    rng = random.Random(13)
+    ids = [f"C{i:04d}" for i in range(60)]
+    edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(45)]
+    vdf = spark.createDataFrame([(i,) for i in ids], "id string")
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r["id"], r["component"])
+            for r in canon.connected_components(vdf, edf).collect()}
+    slow = {(r["id"], r["component"])
+            for r in canon.connected_components(vdf, edf, driver_threshold=0).collect()}
+    assert fast == slow
