@@ -74,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": textstats.fingerprint,
         # --- multimodal plumbing ---
         "mm_binary_meta": multimodal.binary_meta,
-        "mm_fake_features": multimodal.fake_features,  # mapInPandas; rows-only
+        "mm_fake_features": multimodal.fake_features,  # mapInPandas + SQL oracle
         # --- relational operator showcase (events + TPC-H) ---
         "events_sessionize": relops.events_sessionize,
         "events_running_sum": relops.events_running_sum,
@@ -117,7 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": textstats.sql_token_counts(),
         "text_fingerprint": textstats.sql_fingerprint(),
         "mm_binary_meta": multimodal.sql_binary_meta(),
-        # mm_fake_features: intentionally no oracle (mapInPandas stage)
+        "mm_fake_features": multimodal.sql_fake_features(),
         "events_sessionize": relops.sql_events_sessionize(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),

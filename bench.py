@@ -33,7 +33,7 @@ N_MED_DOCS = 100_000
 
 _MED_CORPUS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".scratch", "bench",
-    f"med_docs_{100_000}.parquet",
+    f"med_docs_{N_MED_DOCS}.parquet",
 )
 
 

@@ -16,15 +16,24 @@ Scale notes (100 TB / 10^12 docs):
   hot buckets.
 - simhash:  token explode -> 64 conditional sums per doc, all map-side
   combinable; no join at all.
-- jaccard:  candidate pairs from a shingle equi-join (blocking), then an
-  exact |A∩B|/|A∪B| verify — never an all-pairs cross join.
-- embedding: all-pairs only as the small-scale oracle baseline; the scale
-  path is the LSH-bucketed variant in simsearch.py.
+- jaccard:  the public entry routes through the prefix-filtered (ppjoin)
+  path — result-identical to the naive shingle-blocking join (the oracle
+  proves it) but immune to hot stop-phrase shingles: a shingle shared by
+  10^6 docs would make 10^12 candidates in the plain blocking join, while
+  the (1-tau)-prefix bound caps the joined rows regardless of shingle
+  document frequency. The plain blocking join is kept as
+  ``jaccard_pairs_blocking`` for tests/reference.
+- embedding: the public entry is an exact centroid-cell-blocked join
+  (triangle-inequality pruning on the unit sphere); the all-pairs cross
+  join survives only as ``embedding_near_dups_allpairs``, the oracle
+  baseline.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_MINHASH = 16          # minhash permutations
@@ -97,7 +106,24 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jaccard_pairs(
     spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
 ) -> DataFrame:
-    """(a, b, jaccard) for pairs with shingle-Jaccard >= tau, a < b."""
+    """(a, b, jaccard) for pairs with shingle-Jaccard >= tau, a < b.
+
+    Routed through the prefix-filtered path: identical output (both are
+    exact; the DuckDB oracle is the brute-force formulation), but the
+    blocking join is bounded by the (1-tau)-prefix instead of exploding on
+    high-document-frequency shingles — the naive shingle self-join has no
+    frequency cap, so one stop-phrase shingle shared by 10^6 docs would
+    produce 10^12 candidate rows at corpus scale.
+    """
+    return jaccard_pairs_prefix(spark, sf_dir, tau=tau)
+
+
+def jaccard_pairs_blocking(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """The naive shingle-equi-join blocking formulation (kept as the
+    didactic reference / second independent implementation for tests;
+    NOT the scale path — see ``jaccard_pairs``)."""
     sh = doc_shingles(spark, sf_dir)
     # |shingles(doc)| straight off the scan (size of the distinct-shingle
     # array) — no explode + groupBy pass just to count what the scan already
@@ -149,9 +175,24 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
 
 # ---------------------------------------------------------------------------
 # Prefix-filtered Jaccard (ppjoin-style): the 100 TB scale path for exact
-# near-dup. Same output as jaccard_pairs — the oracle proves it — but the
-# blocking join runs over only the (1-tau)-fraction shingle prefixes.
+# near-dup. Same output as the blocking join — the oracle proves it — but
+# the join runs over only the (1-tau)-fraction shingle prefixes.
 # ---------------------------------------------------------------------------
+
+# DataFrames persisted by the last jaccard_pairs_prefix call; released on
+# the next call (or explicitly) so repeated invocations in one session
+# don't accumulate cached blocks.
+_CACHED: list[DataFrame] = []
+
+
+def _release_cache() -> None:
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
+def release_cache() -> None:
+    """Free blocks persisted by the most recent prefix-join invocation."""
+    _release_cache()
 
 def jaccard_pairs_prefix(
     spark: SparkSession, sf_dir: str, tau: float = 0.8
@@ -181,15 +222,29 @@ def jaccard_pairs_prefix(
     keys = F.array_sort(
         F.array_distinct(F.transform(_shingles_col(), lambda s: F.xxhash64(s)))
     )
-    p_len = F.floor(F.size("keys") * F.lit(1.0 - tau)).cast("int") + F.lit(1)
+    # floor(n * (1-tau)) + 1, robust to binary representation error: with
+    # tau=0.8, (1.0-tau) evaluates to 0.19999999999999996, so n divisible by
+    # 5 would floor one too low and shorten the prefix below the ppjoin
+    # bound — a qualifying pair whose only non-shared key sorts first would
+    # be silently dropped. The +1e-9 nudge restores exact-integer products
+    # (n*(1-tau) is at most ~1e6 here, far below 1e9, so the nudge can never
+    # push a genuinely non-integer product over the next integer).
+    p_len = (
+        F.floor(F.size("keys") * F.lit(1.0 - tau) + F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
     # three downstream scans (both self-join sides + the verify join) —
-    # persist so shingling + hashing + sort run once per doc
+    # persist so shingling + hashing + sort run once per doc. The persist is
+    # registered module-side and released on the next call / release_cache()
+    # so long-lived sessions don't leak cached blocks.
+    _release_cache()
     with_prefix = (
         _read_docs(spark, sf_dir)
         .select("doc_id", keys.alias("keys"))
         .select("doc_id", "keys", F.slice("keys", F.lit(1), p_len).alias("prefix"))
         .persist()
     )
+    _CACHED.append(with_prefix)
     pre = with_prefix.select("doc_id", F.explode("prefix").alias("k"))
     cand = (
         pre.select(F.col("doc_id").alias("a"), "k")
@@ -417,32 +472,130 @@ SELECT doc_id, {concat} AS simhash FROM sums
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup (all-pairs baseline; LSH path in simsearch.py).
+# Embedding-cosine near-dup.
+#
+# Public path: exact centroid-cell blocking. cos(x,y) >= tau on the unit
+# sphere  <=>  ||x^ - y^|| <= D = sqrt(2 - 2*tau). Assign each vector to its
+# max-cosine centroid (pure projection over broadcast centroid literals — no
+# shuffle), compute each cell's radius r_c = max member distance to the
+# centroid, and join only cell pairs (i, j) with
+# ||c_i - c_j|| <= D + r_i + r_j (triangle inequality => no qualifying pair
+# can straddle an incompatible cell pair). An exact cosine verify removes
+# false positives, so the result is identical to the all-pairs baseline —
+# the DuckDB oracle proves it. On clustered corpora the compatible-pair
+# list prunes most of the O(cells^2) blocks; worst case (uniformly random
+# vectors) degrades to all blocks compatible but still avoids a Cartesian
+# plan node — candidates flow through hash joins on the cell key, which AQE
+# can split on skew.
 # ---------------------------------------------------------------------------
 
+def _vdot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _vnorm(c) -> Column:
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, tau: float = 0.45, n_cells: int = 8
+) -> DataFrame:
+    """(a, b, cos) for vector pairs with cosine >= tau, a < b — exact, via
+    centroid-cell blocking (see module comment above). Result-identical to
+    the all-pairs formulation; verify arithmetic folds left-to-right so the
+    oracle matches bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # Coarse quantizer: embeddings of vec_ids 1..n_cells, normalized
+    # driver-side (k-means training would be offline either way; the
+    # blocking/verify plan is identical).
+    cent_rows = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = []
+    for r in cent_rows:
+        nrm = math.sqrt(sum(x * x for x in r["v"]))
+        cents.append((r["vec_id"], [x / nrm for x in r["v"]]))
+
+    # Cell assignment: expression-level argmax of cos(v, c_k) over broadcast
+    # centroid literals — a projection, zero shuffle. Tie-break: lowest cid
+    # (max of (sim, -cid) structs).
+    def _clit(c: list[float]) -> Column:
+        return F.array(*[F.lit(float(x)) for x in c])
+
+    sim_structs = F.array(
+        *[
+            F.struct(
+                (_vdot("v", _clit(c)) / _vnorm("v")).alias("sim"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, c in cents
+        ]
+    )
+    best = F.array_max(sim_structs)
+    assigned = emb.select(
+        "vec_id", "v", (-best["negcid"]).alias("cell"), best["sim"].alias("csim")
+    )
+    # three consumers below (radii agg + both join sides): cache the
+    # assignment so the argmax projection runs once per vector
+    _release_cache()
+    assigned = assigned.persist()
+    _CACHED.append(assigned)
+
+    # Per-cell radius on the unit sphere: ||v^ - c^|| = sqrt(2 - 2*cos).
+    radii = {
+        r["cell"]: math.sqrt(max(0.0, 2.0 - 2.0 * r["min_sim"]))
+        for r in assigned.groupBy("cell").agg(F.min("csim").alias("min_sim")).collect()
+    }
+    d_max = math.sqrt(max(0.0, 2.0 - 2.0 * tau))
+    compat = []
+    for ci, vi in cents:
+        for cj, vj in cents:
+            if ci not in radii or cj not in radii:
+                continue
+            dc = math.sqrt(max(0.0, 2.0 - 2.0 * sum(a * b for a, b in zip(vi, vj))))
+            if dc <= d_max + radii[ci] + radii[cj] + 1e-9:
+                compat.append((ci, cj))
+    compat_df = F.broadcast(
+        spark.createDataFrame(compat or [(0, 0)], "ca int, cb int")
+    )
+
+    a = assigned.select(
+        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("cell").alias("ca")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("cell").alias("cb")
+    )
+    cos = _vdot("va", "vb") / (_vnorm("va") * _vnorm("vb"))
+    return (
+        a.join(compat_df, "ca")
+        .join(b, "cb")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= tau)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dups_allpairs(
     spark: SparkSession, sf_dir: str, tau: float = 0.45
 ) -> DataFrame:
-    """(a, b, cos) for vector pairs with cosine >= tau, a < b.
-    Dot/norm fold left-to-right in index order so the oracle matches
-    bit-for-bit."""
+    """All-pairs baseline (tests / small-scale oracle only — O(n^2) rows;
+    the public ``embedding_near_dups`` is the scale path)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         a.crossJoin(b)
         .where(F.col("a") < F.col("b"))
-        .withColumn("cos", dot / (norm("va") * norm("vb")))
+        .withColumn("cos", _vdot("va", "vb") / (_vnorm("va") * _vnorm("vb")))
         .where(F.col("cos") >= tau)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )

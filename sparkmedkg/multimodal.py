@@ -89,3 +89,19 @@ def fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def sql_fake_features() -> str:
+    """DuckDB oracle for ``fake_features``: the fake decode is pure
+    arithmetic on the payload's byte length and byte sum, both expressible
+    over the utf-8 encoding of ``text``. The testdata corpus is ASCII, so
+    per-character code points equal the utf-8 bytes the Spark side sums."""
+    return """
+SELECT doc_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::INT AS fake_width,
+       ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS fake_height,
+       (list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        % 1000003)::BIGINT AS checksum
+FROM documents
+"""

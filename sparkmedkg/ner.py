@@ -32,12 +32,13 @@ _ABBR_RE = re.compile(r"\(([A-Za-z][A-Za-z0-9]{1,9})\)")
 
 MENTION_SCHEMA = "url string, mention string, resolved string, node_label string"
 
-# executor-singleton trie cache, keyed by the broadcast *content* (a tuple of
-# (alias, label) pairs). id(bc) is NOT a safe key: CPython reuses object ids
-# after GC, so two different broadcasts in one process can collide and serve a
-# stale trie. Hashing the payload is O(n) per batch vs an O(n) trie build, so
-# the singleton still pays off while staying collision-free.
-_TRIE_CACHE: dict[tuple, dict] = {}
+# executor-singleton trie cache. The broadcast payload is a (token, pairs)
+# tuple where the token is minted once at broadcast time (uuid — unique per
+# broadcast, never reused, unlike CPython's id(bc)), so the per-batch lookup
+# is O(1) instead of re-hashing the full alias payload. Bounded: oldest
+# entries are evicted, so at most a handful of tries live per worker.
+_TRIE_CACHE: dict[str, dict] = {}
+_TRIE_CACHE_MAX = 4
 
 
 def tokenize(text_lower: str) -> list[str]:
@@ -58,11 +59,21 @@ def build_trie(alias_index: list[tuple[str, str]]) -> dict:
     return root
 
 
+def _unwrap(bc) -> tuple[str, list[tuple[str, str]]]:
+    v = bc.value
+    if isinstance(v, tuple) and len(v) == 2 and isinstance(v[0], str):
+        return v
+    # legacy raw-list broadcast (tests): fall back to a content key
+    return repr(v), v
+
+
 def _get_trie(bc) -> dict:
-    key = tuple(bc.value)
+    key, pairs = _unwrap(bc)
     trie = _TRIE_CACHE.get(key)
     if trie is None:
-        trie = build_trie(bc.value)
+        while len(_TRIE_CACHE) >= _TRIE_CACHE_MAX:
+            _TRIE_CACHE.pop(next(iter(_TRIE_CACHE)))
+        trie = build_trie(pairs)
         _TRIE_CACHE[key] = trie
     return trie
 
@@ -194,7 +205,11 @@ def broadcast_alias_index_local(
     """Broadcast a locally-known (alias, label) index without a Spark job —
     for lexicons that are driver-side constants. For lookup tables read from
     parquet/Iceberg use ``broadcast_alias_index``."""
-    return spark.sparkContext.broadcast(sorted(set(pairs)))
+    import uuid
+
+    return spark.sparkContext.broadcast(
+        (uuid.uuid4().hex, sorted(set(pairs)))
+    )
 
 
 def broadcast_alias_index(
@@ -206,6 +221,8 @@ def broadcast_alias_index(
     ontology always agree on semtype, matching the reference where the label
     comes from the NER model, not the linker).
     """
+    import uuid
+
     rows = (
         aliases.join(concepts.select("CUI", "semtype"), "CUI")
         .select("alias", "semtype")
@@ -213,4 +230,4 @@ def broadcast_alias_index(
         .collect()
     )
     index = sorted({(r["alias"], r["semtype"]) for r in rows})
-    return spark.sparkContext.broadcast(index)
+    return spark.sparkContext.broadcast((uuid.uuid4().hex, index))

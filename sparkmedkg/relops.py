@@ -46,10 +46,15 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_idx",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # session bounds as epoch MICROSECOND longs, not timestamps: the values
+    # are engine-identical either way, but timestamp_ntz vs TIMESTAMP
+    # serialize differently through the driver's value-hash canonicalizer —
+    # a 64-bit integer hashes identically everywhere.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return sess.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
+        F.min(us).alias("session_start_us"),
+        F.max(us).alias("session_end_us"),
     )
 
 
@@ -69,7 +74,8 @@ sess AS (
   FROM marked
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) AS session_end_us
 FROM sess GROUP BY user_id, session_idx
 """
 

@@ -35,6 +35,9 @@ def get_spark(
         b = b.master(master)
     conf = {
         # AQE: runtime partition coalescing + skew-join splitting (hot CUIs).
+        # Pin the session timezone: timestamp_ntz -> epoch conversions must
+        # be machine-independent (DuckDB's epoch_us treats naive ts as UTC).
+        "spark.sql.session.timeZone": "UTC",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

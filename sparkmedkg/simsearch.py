@@ -113,28 +113,40 @@ def ivf_topk(
     Centroids are the embeddings of vec_ids 1..n_cells — a deterministic
     data sample standing in for k-means centroids (the assignment/probe plan
     is identical; training the quantizer is offline either way). Every
-    vector is assigned to its max-cosine centroid (broadcast K centroids,
-    ranked-window argmax); the query probes its n_probe nearest cells and
-    reranks exactly inside them only. At 10^12 rows ``cid`` is the partition
-    key, so a probe touches n_probe/n_cells of the corpus instead of all of
-    it — the IVF counterpart of lsh_topk's sign-bit buckets.
+    vector is assigned to its max-cosine centroid via an EXPRESSION-LEVEL
+    argmax over the K centroid literals (array_max of (sim, -cid) structs) —
+    a pure projection inside whole-stage codegen, zero shuffle; the query
+    probes its n_probe nearest cells and reranks exactly inside them only.
+    At 10^12 rows ``cid`` is the partition key, so a probe touches
+    n_probe/n_cells of the corpus instead of all of it — the IVF counterpart
+    of lsh_topk's sign-bit buckets.
     """
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
-    cents = emb.where(
-        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells)
-    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-
-    sim = _dot("v", "cv") / (_norm("v") * _norm("cv"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("sim", sim)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("vec_id", "v", "cid")
+    # K quantizer rows to the driver (K is tiny and fixed; a trained
+    # quantizer would arrive as literals the same way)
+    cent_rows = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
+        .orderBy("vec_id")
+        .collect()
     )
+    cents_local = [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows]
+    cents = spark.createDataFrame(
+        cents_local, "cid bigint, cv array<double>"
+    )
+
+    # argmax_k cos(v, c_k), tie-break lowest cid: max of (sim, -cid) structs.
+    sim_structs = F.array(
+        *[
+            F.struct(
+                (_dot("v", _plane_lit(cv)) / (_norm("v") * _norm(_plane_lit(cv))))
+                .alias("sim"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents_local
+        ]
+    )
+    best = F.array_max(sim_structs)
+    assigned = emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
 
     q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     qsim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))

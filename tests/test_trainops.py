@@ -82,13 +82,33 @@ def test_jaccard_prefix_equals_blocking(spark):
     for tau in (0.5, 0.8):
         blocked = {
             (r["a"], r["b"], r["jaccard"])
-            for r in dedup.jaccard_pairs(spark, SF, tau=tau).collect()
+            for r in dedup.jaccard_pairs_blocking(spark, SF, tau=tau).collect()
         }
         prefixed = {
             (r["a"], r["b"], r["jaccard"])
             for r in dedup.jaccard_pairs_prefix(spark, SF, tau=tau).collect()
         }
         assert blocked == prefixed and prefixed
+
+
+def test_jaccard_prefix_length_float_robust(spark, tmp_path):
+    # Regression: floor(n * (1-tau)) with tau=0.8 evaluates (1-tau) as
+    # 0.1999... so any doc whose shingle count is divisible by 5 got a
+    # one-too-short prefix. Adversarial pair: A has 5 shingles whose single
+    # non-shared shingle ('echo foxtrot zz3') xxhash64-sorts FIRST, B holds
+    # exactly the 4 shared shingles -> J = 4/5 = 0.8. With the buggy prefix
+    # (length 1 = only the non-shared key) the pair is silently dropped.
+    a = "alpha bravo charlie delta echo foxtrot zz3"
+    b = "alpha bravo charlie delta echo foxtrot"
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup.jaccard_pairs_prefix(spark, sf, tau=0.8).collect()
+    }
+    assert got == {(1, 2, 0.8)}
 
 
 def test_lsh_pairs_subset_and_symmetric(spark):
