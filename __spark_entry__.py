@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkmedkg import (
     dedup,
+    graphgate,
     kgoracle,
+    medgenxml,
     multimodal,
+    pubmed,
     relops,
     simsearch,
     textstats,
@@ -55,6 +58,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_proteins": kgoracle.q_proteins,
         "kg_go": kgoracle.q_go,
         "kg_canonical_cc": kgoracle.q_canonical_cc,
+        # --- nested-struct parsing + XML parsing (S2/S5, P1-P5) ---
+        "kg_pubmed_paper": pubmed.q_pubmed_paper,
+        "kg_medgen_xml": medgenxml.q_medgen_xml,
+        # --- materialization semantics (S8/S9/J5/J2/A6) ---
+        "kg_node_merge": graphgate.q_node_merge,
+        "kg_store_merge": graphgate.q_store_merge,
+        "kg_edge_integrity": graphgate.q_edge_integrity,
+        "kg_selected_cuis_semijoin": graphgate.q_selected_cuis_semijoin,
         # --- dedup family ---
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard": dedup.jaccard_pairs,
@@ -102,6 +113,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_proteins": kgoracle.sql_proteins(),
         "kg_go": kgoracle.sql_go(),
         "kg_canonical_cc": kgoracle.sql_canonical_cc(),
+        "kg_pubmed_paper": pubmed.sql_pubmed_paper(),
+        "kg_medgen_xml": medgenxml.sql_medgen_xml(),
+        "kg_node_merge": graphgate.sql_node_merge(),
+        "kg_store_merge": graphgate.sql_store_merge(),
+        "kg_edge_integrity": graphgate.sql_edge_integrity(),
+        "kg_selected_cuis_semijoin": graphgate.sql_selected_cuis_semijoin(),
         "dedup_exact": dedup.sql_exact_dedup(),
         "dedup_jaccard": dedup.sql_jaccard_pairs(),
         "dedup_jaccard_prefix": dedup.sql_jaccard_pairs_prefix(),

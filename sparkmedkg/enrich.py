@@ -52,7 +52,22 @@ def clinical_features_table(cuis: DataFrame, medgen: DataFrame) -> DataFrame:
     )
 
 
-def proteins_table(genes: DataFrame, uniprot: DataFrame) -> DataFrame:
+def _containment_join(g: DataFrame, up) -> DataFrame:
+    """Case-insensitive space-bounded substring theta-join of gene against
+    the GeneNames synonym list (uniprotpipe.py:70-73)."""
+    return g.join(
+        up,
+        F.contains(
+            F.concat(F.lit(" "), F.lower(up["GeneNames"]), F.lit(" ")),
+            F.concat(F.lit(" "), F.lower(g["gene"]), F.lit(" ")),
+        ),
+        "inner",
+    )
+
+
+def proteins_table(
+    genes: DataFrame, uniprot: DataFrame, strict_reference: bool = False
+) -> DataFrame:
     """J4 (uniprotpipe.py:65-99): gene -> protein rows.
 
     Exact path: gene == GenePrimary. Fallback for unmatched genes: the
@@ -61,24 +76,27 @@ def proteins_table(genes: DataFrame, uniprot: DataFrame) -> DataFrame:
     join; the gene side is small by construction (<= 15 entities x 4 CUIs x
     genes-per-CUI, medgen.py:136).
 
-    Unlike the reference (which flips *all* genes to the containment path
-    when any gene misses), we union exact matches with containment matches
-    for only the unmatched genes — same emitted rows on the fixture data,
-    deterministic on any data.
+    Default mode unions exact matches with containment matches for only the
+    unmatched genes — same emitted rows on the fixture data, deterministic
+    on any data. ``strict_reference=True`` reproduces the reference quirk
+    verbatim: when ANY requested gene misses the primary-gene set, ALL
+    genes are resolved through the containment path (uniprotpipe.py:70-75),
+    which can fan a primary-matched gene out to extra synonym rows.
     """
     g = genes.select("gene").distinct()
     up = F.broadcast(uniprot)
-    exact = g.join(up, g["gene"] == up["GenePrimary"], "inner")
-    unmatched = g.join(up, g["gene"] == up["GenePrimary"], "left_anti")
-    theta = unmatched.join(
-        up,
-        F.contains(
-            F.concat(F.lit(" "), F.lower(up["GeneNames"]), F.lit(" ")),
-            F.concat(F.lit(" "), F.lower(unmatched["gene"]), F.lit(" ")),
-        ),
-        "inner",
-    )
-    both = exact.unionByName(theta)
+    if strict_reference:
+        all_primary_matched = g.join(
+            up, g["gene"] == up["GenePrimary"], "left_anti"
+        ).isEmpty()
+        if all_primary_matched:
+            both = g.join(up, g["gene"] == up["GenePrimary"], "inner")
+        else:
+            both = _containment_join(g, up)
+    else:
+        exact = g.join(up, g["gene"] == up["GenePrimary"], "inner")
+        unmatched = g.join(up, g["gene"] == up["GenePrimary"], "left_anti")
+        both = exact.unionByName(_containment_join(unmatched, up))
     return both.select(
         F.col("gene").alias("source"),
         "Entry",

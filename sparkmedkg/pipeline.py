@@ -33,6 +33,7 @@ def build_graph(
     top_n: int = 15,
     cui_n: int = 4,
     alias_bc=None,
+    gate_empty_genes: bool = False,
 ) -> dict[str, DataFrame]:
     """Runs every stage; returns the named intermediate + output DataFrames.
 
@@ -40,6 +41,13 @@ def build_graph(
     ``alias_bc`` lets long-lived drivers reuse one broadcast alias index
     across runs (the analogue of loading the NER model once per process,
     manager.py:22-25) instead of re-collecting the alias table each call.
+
+    ``gate_empty_genes=True`` reproduces the reference's conditional stage
+    execution (manager.py:123-124: the UniProt pipe is skipped entirely
+    when the gene list is empty): it costs one eager emptiness probe of the
+    genes plan, so the proteins/GO stages never schedule jobs on empty
+    input. Default False keeps the whole graph lazy (empty genes then just
+    yield empty downstream tables).
     """
     if alias_bc is None:
         alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
@@ -71,6 +79,9 @@ def build_graph(
         out["snomed"] = enrich.snomed_table(cuis, lkp["medgen"])
     if clinical_features:
         out["clinical_features"] = enrich.clinical_features_table(cuis, lkp["medgen"])
+    if gate_empty_genes and genes.isEmpty():
+        out["cui_canonical"] = canon.cui_canonical_map(lkp["aliases"])
+        return out
     proteins = enrich.proteins_table(genes, lkp["uniprot"])
     out["proteins"] = proteins
     if go:

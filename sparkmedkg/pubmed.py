@@ -155,6 +155,99 @@ def keywords(paper: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracle-gated query: synthesize nested paper structs from the documents
+# table (PMID missing on doc_id%3 -> exercises the P1 ArticleIdList fallback;
+# title/mesh/keywords missing on %5/%7/%11 -> exercise the '' / [] defaults),
+# run the REAL P1-P5 extractors over the struct tree, and flatten. The
+# DuckDB oracle computes the expected fields straight from the flat columns.
+# ---------------------------------------------------------------------------
+
+def nested_papers_from_documents(spark, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F  # local alias for clarity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source", "lang"
+    )
+    d = F.col("doc_id")
+    pmid = F.when(d % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("PM"), d)
+    )
+    article_ids = F.array(
+        F.struct(F.lit("doi").alias("IdType"), F.concat(F.lit("D"), d).alias("Id")),
+        F.struct(
+            F.lit("pubmed").alias("IdType"), F.concat(F.lit("PMF"), d).alias("Id")
+        ),
+    )
+    title = F.when(d % 5 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("study of "), F.col("source"))
+    )
+    mesh = F.when(
+        d % 7 == 0,
+        F.lit(None).cast("array<struct<DescriptorName:string>>"),
+    ).otherwise(
+        F.array(
+            F.struct(F.col("source").alias("DescriptorName")),
+            F.struct(F.lit("web corpus").alias("DescriptorName")),
+        )
+    )
+    kws = F.when(
+        d % 11 == 0, F.lit(None).cast("array<array<string>>")
+    ).otherwise(F.array(F.array(F.col("source")), F.array(F.col("lang"))))
+    paper = F.struct(
+        F.struct(
+            pmid.alias("PMID"),
+            F.struct(
+                title.alias("ArticleTitle"),
+                F.struct(F.split("text", " ").alias("AbstractText")).alias(
+                    "Abstract"
+                ),
+            ).alias("Article"),
+            mesh.alias("MeshHeadingList"),
+            kws.alias("KeywordList"),
+        ).alias("MedlineCitation"),
+        F.struct(article_ids.alias("ArticleIdList")).alias("PubmedData"),
+    )
+    return docs.select("doc_id", paper.alias("paper"))
+
+
+def q_pubmed_paper(spark, sf_dir: str) -> DataFrame:
+    """P1+P2+P3+P4+P5 over the synthesized nested structs — abstract is the
+    byte-identical-text invariant (split/ajoin round-trip of ``text``)."""
+    papers = nested_papers_from_documents(spark, sf_dir)
+    p = F.col("paper")
+    return papers.select(
+        "doc_id",
+        pubmed_id(p).alias("pubmedID"),
+        F.coalesce(p["MedlineCitation"]["Article"]["ArticleTitle"], F.lit("")).alias(
+            "title"
+        ),
+        abstract_text(p).alias("abstract"),
+        F.array_join(mesh_terms(p), "|").alias("mesh"),
+        F.array_join(keywords(p), "|").alias("kws"),
+    )
+
+
+def sql_pubmed_paper() -> str:
+    tc = (
+        "array_to_string(list_transform(string_split({0}, ' '), "
+        "w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' ')"
+    )
+    return f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'pubmed~PMF' || doc_id
+            ELSE 'pubmed~PM' || doc_id END AS pubmedID,
+       CASE WHEN doc_id % 5 = 0 THEN ''
+            ELSE 'study of ' || source END AS title,
+       text AS abstract,
+       CASE WHEN doc_id % 7 = 0 THEN ''
+            ELSE {tc.format('source')} || '|' || 'Web Corpus' END AS mesh,
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            ELSE {tc.format('source')} || '|' || {tc.format('lang')} END AS kws
+FROM documents
+"""
+
+
 def pubmed_paper_table(
     papers: DataFrame,
     search_term: str,

@@ -68,9 +68,33 @@ def n_hop_reach(edges: DataFrame, n: int, target_label: str) -> DataFrame:
     )
 
 
-def intersection(edges: DataFrame, terms: list[str], level: str) -> DataFrame:
+def intersection(
+    edges: DataFrame,
+    terms: list[str],
+    level: str,
+    validate_terms: bool = True,
+) -> DataFrame:
     """Pairwise |reach(t1) ∩ reach(t2)| at ``level`` for the given terms
-    (the /intersection endpoint). Returns (e1, e2, n_common)."""
+    (the /intersection endpoint). Returns (e1, e2, n_common).
+
+    Like the reference endpoint (neo4jconnector.py:285-293), requested
+    terms are validated against the SearchTerms actually in the graph and
+    unknown terms fail with the reference's message (its 'fail' tuple
+    becomes a ValueError here)."""
+    if validate_terms:
+        in_db = {
+            r["t"]
+            for r in edges.where(F.col("src_label") == "SearchTerm")
+            .select(F.col("src_id").alias("t"))
+            .distinct()
+            .collect()
+        }
+        missing = [t for t in terms if t not in in_db]
+        if missing:
+            raise ValueError(
+                "Passed search term '{term}', which is not in Knowledge "
+                "Graph.".format(term=missing)
+            )
     if level not in GRAPH_LEVEL_HOPS:
         raise ValueError(f"Passed unknown knowledge graph label: {level}. Abort.")
     reach = n_hop_reach(edges, GRAPH_LEVEL_HOPS[level], level).where(

@@ -92,51 +92,93 @@ FIRST_SEEN_SCHEMA = "url string, warc_ts timestamp"
 _FIRST_SEEN_STATE_SCHEMA = "seen boolean"
 
 
-def stream_first_seen_urls(docs_stream: DataFrame) -> DataFrame:
+def stream_first_seen_urls(
+    docs_stream: DataFrame,
+    ttl: str | None = None,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): cross-micro-batch
     first-seen URL dedup of a crawl stream.
 
-    A re-crawled url must not re-enter the corpus: per url key, a one-bit
-    state records whether it was ever emitted; only the first occurrence
-    (min warc_ts within its first batch, deterministic) passes through.
-    State survives restarts via the stream checkpoint, so dedup is exact
-    across availableNow re-runs — the streaming analogue of the batch
-    pipeline's idempotent MERGE appends (materialize.GraphStore).
+    A re-crawled url must not re-enter the corpus: per url key, the state
+    records the last-seen event time; only the first occurrence (min
+    warc_ts within its first batch, deterministic) passes through. State
+    survives restarts via the stream checkpoint, so dedup is exact across
+    availableNow re-runs — the streaming analogue of the batch pipeline's
+    idempotent MERGE appends (materialize.GraphStore).
 
-    Scale note: state is one boolean per distinct url, hash-partitioned by
-    the grouping key across executors. At 10^12 urls, bound it with a
-    processing-time timeout (GroupStateTimeout.ProcessingTimeTimeout + a
-    re-crawl-horizon TTL) — kept NoTimeout here because the tests' corpus
-    is bounded.
+    Scale note: state is one timestamp per distinct url, hash-partitioned
+    by the grouping key across executors. At 10^12 urls unbounded state is
+    a non-starter, so ``ttl`` (the re-crawl horizon, e.g. ``'30 days'``)
+    arms an EVENT-TIME timeout per key: once the stream's watermark passes
+    a url's last sighting + ttl, its state is dropped and a later re-crawl
+    re-enters the corpus — bounded state, at the cost of re-admitting urls
+    older than the horizon (exactly the trade a crawl pipeline wants).
+    Event time (crawl time), not wall-clock, drives expiry, so the horizon
+    is deterministic and replayable; a processing-time timeout would also
+    keep availableNow runs alive polling for wall-clock expiries. ``None``
+    keeps exact unbounded dedup for bounded corpora.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_ms = _parse_duration_ms(ttl) if ttl is not None else None
+    src = docs_stream.select("url", "warc_ts")
+    timeout_conf = GroupStateTimeout.NoTimeout
+    if ttl_ms is not None:
+        src = src.withWatermark("warc_ts", watermark_delay)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if state.exists:
+        if ttl_ms is not None and state.hasTimedOut:
+            # watermark passed last sighting + ttl: drop the key's state
+            state.remove()
             return
         first = None
+        latest = None
         for pdf in pdfs:
             if len(pdf):
                 row = pdf.loc[pdf["warc_ts"].idxmin()]
                 if first is None or row["warc_ts"] < first["warc_ts"]:
                     first = row
+                mx = pdf["warc_ts"].max()
+                if latest is None or mx > latest:
+                    latest = mx
+        emit = not state.exists
+        last_ms = int(pd.Timestamp(latest).value // 1_000_000) if latest is not None else 0
         state.update((True,))
-        if first is not None:
+        if ttl_ms is not None and latest is not None:
+            # slide the horizon to the latest sighting; a timeout timestamp
+            # must stay ahead of the watermark (late re-crawls would
+            # otherwise set one in the past and fail the batch)
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if emit and first is not None:
             yield pd.DataFrame(
                 {"url": [first["url"]], "warc_ts": [first["warc_ts"]]}
             )
 
-    return (
-        docs_stream.select("url", "warc_ts")
-        .groupBy("url")
-        .applyInPandasWithState(
-            fn,
-            FIRST_SEEN_SCHEMA,
-            _FIRST_SEEN_STATE_SCHEMA,
-            "append",
-            GroupStateTimeout.NoTimeout,
-        )
+    return src.groupBy("url").applyInPandasWithState(
+        fn,
+        FIRST_SEEN_SCHEMA,
+        _FIRST_SEEN_STATE_SCHEMA,
+        "append",
+        timeout_conf,
     )
+
+
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _parse_duration_ms(s: str) -> int:
+    n, unit = s.strip().split()
+    return int(n) * _DURATION_UNITS_MS[unit.rstrip("s")]
 
 
 def run_available_now(

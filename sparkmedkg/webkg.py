@@ -124,6 +124,28 @@ def docs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark queries (each returns a DataFrame matching its oracle builder below).
 # ---------------------------------------------------------------------------
 
+# DataFrames persisted by the last q_triples / q_intersection call; released
+# on the next call (or explicitly via release_cache) so repeated invocations
+# in a long-lived session don't accumulate cached NER blocks.
+_CACHED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _release_cache()
+    _CACHED.append(df.persist())
+    return df
+
+
+def _release_cache() -> None:
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
+def release_cache() -> None:
+    """Free blocks persisted by the most recent corpus-query invocation."""
+    _release_cache()
+
+
 def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 invariant (parser.py:79-87 / input_hint): wrap each text into an
     html binary payload, run the real pandas-UDF extractor, and return the
@@ -208,8 +230,9 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
     # the mapInPandas NER stage feeds three edge sets below — persist so the
-    # Python stage runs once, not once per branch
-    mentions = ner.detect_mentions(d, alias_bc(spark), mode="all").persist()
+    # Python stage runs once, not once per branch (tracked: released on the
+    # next corpus-query call)
+    mentions = _track(ner.detect_mentions(d, alias_bc(spark), mode="all"))
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
 
     e1 = docs.select(
@@ -275,7 +298,7 @@ def q_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en"
     )
     d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
-    mentions = ner.detect_mentions(d, alias_bc(spark), mode="all").persist()
+    mentions = _track(ner.detect_mentions(d, alias_bc(spark), mode="all"))
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
     reach = (
         docs.select(F.col("doc_id").cast("string").alias("url"), "source")

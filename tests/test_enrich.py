@@ -60,3 +60,50 @@ def test_go_malformed_segment_skipped(tables):
         if r.source == "P07202" and r.GoType == "molecular function"
     }
     assert rows == {("heme binding", "GO:0020037")}
+
+
+def test_strict_reference_flips_all_genes_to_containment(spark):
+    """uniprotpipe.py:70-75: when ANY requested gene misses the primary
+    set, the reference resolves ALL genes via GeneNames containment —
+    fanning a primary-matched gene out to synonym rows. Default mode keeps
+    exact matches exact."""
+    from sparkmedkg import enrich, schemas
+
+    cols = [f.name for f in schemas.UNIPROT_SCHEMA.fields]
+
+    def row(entry, primary, names):
+        base = {c: "" for c in cols}
+        base.update(
+            Entry=entry, GenePrimary=primary, GeneNames=names,
+            ProteinNames=f"{entry} protein", Organism="Human",
+        )
+        return tuple(base[c] for c in cols)
+
+    up = spark.createDataFrame(
+        [row("P1", "AAA", "AAA BBB"), row("P2", "CCC", "CCC AAA")],
+        schemas.UNIPROT_SCHEMA,
+    )
+    genes = spark.createDataFrame([("AAA",), ("ZZZ",)], "gene string")
+
+    default = {
+        (r["source"], r["Entry"])
+        for r in enrich.proteins_table(genes, up).collect()
+    }
+    strict = {
+        (r["source"], r["Entry"])
+        for r in enrich.proteins_table(
+            genes, up, strict_reference=True
+        ).collect()
+    }
+    assert default == {("AAA", "P1")}
+    assert strict == {("AAA", "P1"), ("AAA", "P2")}
+
+    # all genes primary-matched: strict falls back to the exact rename path
+    only_matched = spark.createDataFrame([("AAA",)], "gene string")
+    strict2 = {
+        (r["source"], r["Entry"])
+        for r in enrich.proteins_table(
+            only_matched, up, strict_reference=True
+        ).collect()
+    }
+    assert strict2 == {("AAA", "P1")}

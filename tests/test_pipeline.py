@@ -91,3 +91,25 @@ def test_check_pipeline_hierarchy():
         match=r"Pipe 'ner' is set in request but required predecessor pipe 'pubmed' is missing.",
     ):
         config.check_pipeline(["ner", "medGen"])
+
+
+def test_empty_gene_set_gates_uniprot_stages(spark, docs, lkp):
+    """manager.py:123-124: the UniProt pipe must be skipped entirely when
+    the gene list is empty."""
+    from pyspark.sql import functions as F
+
+    from sparkmedkg import pipeline
+
+    no_gene_lkp = dict(lkp)
+    no_gene_lkp["medgen"] = lkp["medgen"].withColumn(
+        "genes", F.array().cast("array<string>")
+    )
+    gated = pipeline.build_graph(
+        spark, docs, no_gene_lkp, gate_empty_genes=True
+    )
+    assert "proteins" not in gated and "go" not in gated
+    assert gated["genes"].count() == 0
+
+    ungated = pipeline.build_graph(spark, docs, no_gene_lkp)
+    assert "proteins" in ungated and "go" in ungated
+    assert ungated["proteins"].count() == 0

@@ -87,3 +87,19 @@ def test_connected_components_driver_equals_distributed(spark):
     slow = {(r["id"], r["component"])
             for r in canon.connected_components(vdf, edf, driver_threshold=0).collect()}
     assert fast == slow
+
+
+def test_intersection_unknown_term_fails_with_reference_message(graph):
+    _, edges = graph
+    with pytest.raises(ValueError) as ei:
+        queries.intersection(edges, ["epilepsy", "notaterm"], "Gene")
+    # neo4jconnector.py:285-291 message shape (list of missing terms)
+    assert str(ei.value) == (
+        "Passed search term '['notaterm']', which is not in Knowledge Graph."
+    )
+
+
+def test_intersection_unknown_level_fails(graph):
+    _, edges = graph
+    with pytest.raises(ValueError, match="Abort"):
+        queries.intersection(edges, ["epilepsy"], "NotALevel")

@@ -117,3 +117,52 @@ def test_windowed_counts_match_batch(tmp_path_factory, spark, alias_bc):
         (r["w"]["start"], r["mention"], r["node_label"]): r["n"] for r in batch
     }
     assert got == expected
+
+
+def test_first_seen_ttl_expires_state(tmp_path_factory, spark):
+    """With a re-crawl-horizon TTL (event-time timeout), a url re-crawled
+    AFTER the horizon re-enters the corpus (state dropped once the
+    watermark passes last sighting + ttl); within the horizon it is still
+    deduped. Event-time driven — fully deterministic, no sleeps."""
+    from datetime import datetime, timedelta
+
+    base = str(tmp_path_factory.mktemp("streamttl"))
+    in_dir, out_dir, ckpt = (
+        os.path.join(base, d) for d in ("in", "out", "ckpt")
+    )
+    t0 = datetime(2024, 1, 1)
+
+    def rows_at(urls, ts):
+        return [(u, ts, None, f"text {u}", "en") for u in urls]
+
+    def run():
+        s = streaming.stream_first_seen_urls(
+            streaming.stream_docs(spark, in_dir), ttl="1 hour"
+        )
+        streaming.run_available_now(s, out_dir, ckpt)
+        return [r["url"] for r in spark.read.parquet(out_dir).collect()]
+
+    # crawl 1: u0..u3 at t0
+    _write_slice(spark, rows_at(["u0", "u1", "u2", "u3"], t0), in_dir)
+    assert sorted(run()) == ["u0", "u1", "u2", "u3"]
+
+    # crawl 2: u0 re-crawled INSIDE the horizon (t0+30m, deduped) + new
+    # urls at t0+2h — the watermark then passes t0+1h, expiring u1..u3
+    # (u0's horizon slid to t0+90m, also expired by t0+2h)
+    _write_slice(
+        spark,
+        rows_at(["u0"], t0 + timedelta(minutes=30))
+        + rows_at(["u4", "u5"], t0 + timedelta(hours=2)),
+        in_dir,
+    )
+    urls = run()
+    assert sorted(urls) == ["u0", "u1", "u2", "u3", "u4", "u5"]
+
+    # crawl 3: u0..u3 re-crawled AFTER expiry -> re-admitted
+    _write_slice(
+        spark, rows_at(["u0", "u1", "u2", "u3"], t0 + timedelta(hours=3)), in_dir
+    )
+    urls = run()
+    assert len(urls) == 10
+    for u in ("u0", "u1", "u2", "u3"):
+        assert urls.count(u) == 2  # first sighting + post-expiry re-crawl
