@@ -245,11 +245,23 @@ def jaccard_pairs_prefix(
         .persist()
     )
     _CACHED.append(with_prefix)
-    pre = with_prefix.select("doc_id", F.explode("prefix").alias("k"))
+    pre = with_prefix.select(
+        "doc_id", F.size("keys").alias("n"), F.explode("prefix").alias("k")
+    )
+    # ppjoin length filter: J(A,B) >= tau forces tau <= |B|/|A| <= 1/tau,
+    # so size-incompatible candidates are dropped inside the blocking join
+    # itself (codegen predicate on two ints) before the distinct/verify.
     cand = (
-        pre.select(F.col("doc_id").alias("a"), "k")
-        .join(pre.select(F.col("doc_id").alias("b"), "k"), "k")
-        .where(F.col("a") < F.col("b"))
+        pre.select(F.col("doc_id").alias("a"), F.col("n").alias("na"), "k")
+        .join(
+            pre.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"), "k"),
+            "k",
+        )
+        .where(
+            (F.col("a") < F.col("b"))
+            & (F.col("nb").cast("double") >= F.col("na") * F.lit(tau) - F.lit(1e-9))
+            & (F.col("na").cast("double") >= F.col("nb") * F.lit(tau) - F.lit(1e-9))
+        )
         .select("a", "b")
         .distinct()
     )
