@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salted_mention_counts": webkg.q_salted_mention_counts,
         "kg_search_terms": webkg.q_search_terms,
         "kg_intersection": webkg.q_intersection,
+        "kg_cooccurrence": webkg.q_cooccurrence,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal plumbing ---
         "mm_binary_meta": multimodal.binary_meta,
         "mm_fake_features": multimodal.fake_features,  # mapInPandas + SQL oracle
+        "mm_fake_resize": multimodal.fake_resize,
+        "mm_frame_sample": multimodal.frame_sample,
         # --- relational operator showcase (events + TPC-H) ---
         "events_sessionize": relops.events_sessionize,
         "events_running_sum": relops.events_running_sum,
@@ -107,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_salted_mention_counts": webkg.sql_salted_mention_counts(),
         "kg_search_terms": webkg.sql_search_terms(),
         "kg_intersection": webkg.sql_intersection(),
+        "kg_cooccurrence": webkg.sql_cooccurrence(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),
@@ -135,6 +139,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": textstats.sql_fingerprint(),
         "mm_binary_meta": multimodal.sql_binary_meta(),
         "mm_fake_features": multimodal.sql_fake_features(),
+        "mm_fake_resize": multimodal.sql_fake_resize(),
+        "mm_frame_sample": multimodal.sql_frame_sample(),
         "events_sessionize": relops.sql_events_sessionize(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),

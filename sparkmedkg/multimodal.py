@@ -91,6 +91,88 @@ def fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, new_width int, new_height int"
+FRAME_SCHEMA = "doc_id bigint, n_frames int, stride int, sampled_idx string"
+RESIZE_BOX = 224      # target bounding box (edge)
+FAKE_FPS_MOD = 240    # fake frame count = n_bytes % FAKE_FPS_MOD + 1
+FRAME_BUDGET = 8      # sample ~8 frames per clip
+
+
+def fake_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (mapInPandas): decode (deterministic fake) ->
+    fit into a RESIZE_BOX square preserving aspect ratio. Pure integer
+    arithmetic ((d*BOX) // max(w,h)) so the oracle is exact."""
+    docs = with_payload(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "payload"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h = fake_decode(bytes(payload))
+                m = max(w, h)
+                rows.append(
+                    (int(doc_id), w, h,
+                     max(1, w * RESIZE_BOX // m), max(1, h * RESIZE_BOX // m))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "new_width", "new_height"],
+            )
+
+    return docs.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def sql_fake_resize() -> str:
+    w = "(octet_length(encode(text)) % 640 + 1)"
+    h = "((octet_length(encode(text)) * 7) % 480 + 1)"
+    m = f"greatest({w}, {h})"
+    return f"""
+SELECT doc_id,
+       {w}::INT AS width,
+       {h}::INT AS height,
+       greatest(1, {w} * {RESIZE_BOX} // {m})::INT AS new_width,
+       greatest(1, {h} * {RESIZE_BOX} // {m})::INT AS new_height
+FROM documents
+"""
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (mapInPandas): fake frame count from
+    the payload, uniform-stride sample of ~FRAME_BUDGET frame indexes."""
+    docs = with_payload(spark.read.parquet(f"{sf_dir}/documents.parquet")).select(
+        "doc_id", "payload"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(bytes(payload)) % FAKE_FPS_MOD + 1
+                stride = max(1, n_frames // FRAME_BUDGET)
+                idxs = "|".join(str(i) for i in range(0, n_frames, stride))
+                rows.append((int(doc_id), n_frames, stride, idxs))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "stride", "sampled_idx"]
+            )
+
+    return docs.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def sql_frame_sample() -> str:
+    nf = f"(octet_length(encode(text)) % {FAKE_FPS_MOD} + 1)"
+    st = f"greatest(1, {nf} // {FRAME_BUDGET})"
+    return f"""
+SELECT doc_id,
+       {nf}::INT AS n_frames,
+       {st}::INT AS stride,
+       array_to_string(list_transform(range(0, {nf}, {st}), x -> x::VARCHAR),
+                       '|') AS sampled_idx
+FROM documents
+"""
+
+
 def sql_fake_features() -> str:
     """DuckDB oracle for ``fake_features``: the fake decode is pure
     arithmetic on the payload's byte length and byte sum, both expressible

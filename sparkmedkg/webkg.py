@@ -266,6 +266,49 @@ def q_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2).unionByName(e3)
 
 
+def q_cooccurrence(
+    spark: SparkSession, sf_dir: str, min_docs: int = 2
+) -> DataFrame:
+    """Relation extraction into canonical (subj_cui, pred, obj_cui) rows
+    (north_star triple contract): doc-level CUI co-occurrence with support
+    counts. Two linked CUIs co-occurring in >= min_docs documents emit one
+    COOCCURS_WITH triple, subj < obj canonical order.
+
+    Scale shape: the per-doc pair fan-out is bounded by the per-doc
+    distinct-CUI count (lexicon-bounded, typically <= tens), so the
+    self-join on the doc key never approaches |corpus|^2; the pair count is
+    a map-side-combinable agg, and hot pairs (two ubiquitous concepts) are
+    one grouped row each, not a skewed join key.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("lang") == "en"
+    )
+    d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+    mentions = _track(ner.detect_mentions(d, alias_bc(spark), mode="all"))
+    links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+    doc_cui = (
+        mentions.select("url", "mention")
+        .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
+        .select("url", "CUI")
+        .distinct()
+    )
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("subj_cui"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("obj_cui"))
+    return (
+        a.join(b, "u")
+        .where(F.col("subj_cui") < F.col("obj_cui"))
+        .groupBy("subj_cui", "obj_cui")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "subj_cui",
+            F.lit("COOCCURS_WITH").alias("pred"),
+            "obj_cui",
+            "n_docs",
+        )
+    )
+
+
 def q_salted_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 hardening (north_rule skew handling): explicit two-phase salted
     count by mention key. Semantically identical to a plain groupBy-count —
@@ -470,6 +513,23 @@ UNION
 SELECT DISTINCT m.label, l.mention, 'CONTAINS', 'UMLS', l.cui
 FROM links l JOIN (SELECT DISTINCT mention, label FROM mentions) m
   ON l.mention = m.mention
+"""
+
+
+def sql_cooccurrence(min_docs: int = 2) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+)
+SELECT a.cui AS subj_cui, 'COOCCURS_WITH' AS pred, b.cui AS obj_cui,
+       COUNT(*) AS n_docs
+FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+GROUP BY a.cui, b.cui
+HAVING COUNT(*) >= {min_docs}
 """
 
 

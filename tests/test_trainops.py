@@ -243,3 +243,18 @@ def test_fake_features_deterministic_and_complete(spark, doc_texts):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_fake_resize_fits_box_preserving_aspect(spark):
+    for r in multimodal.fake_resize(spark, SF).collect():
+        assert 1 <= max(r["new_width"], r["new_height"]) <= multimodal.RESIZE_BOX
+        assert (r["width"] >= r["height"]) == (r["new_width"] >= r["new_height"])
+
+
+def test_frame_sample_uniform_stride(spark):
+    for r in multimodal.frame_sample(spark, SF).collect():
+        idxs = [int(x) for x in r["sampled_idx"].split("|")]
+        assert idxs[0] == 0
+        assert all(i < r["n_frames"] for i in idxs)
+        assert idxs == list(range(0, r["n_frames"], r["stride"]))
+        assert 1 <= len(idxs) <= 15  # ceil(n/(n//8)) <= 15 for n >= 8

@@ -48,9 +48,34 @@ def ensure_corpus(n_docs: int) -> str:
     return docs_path
 
 
+def _pyfiles_zip() -> str:
+    """Package sparkmedkg once per invocation — the worker is launched
+    through the real deployment interface (spark-submit --py-files), the
+    north_rule's launch contract."""
+    import zipfile
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    zpath = os.path.join(SCRATCH, "sparkmedkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "sparkmedkg")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
 def run_level(cores: int, docs_path: str, reps: int = 2) -> dict:
+    # taskset pins the WHOLE process tree (driver JVM + forked Python
+    # workers) to exactly `cores` CPUs — a setaffinity inside the Python
+    # child would miss the already-running JVM under spark-submit.
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+        ["taskset", "-c", f"0-{cores - 1}",
+         "spark-submit", "--master", f"local[{cores}]",
+         "--driver-memory", "12g",
+         "--py-files", _pyfiles_zip(),
+         os.path.join(REPO, "tools", "scaling_worker.py"),
          str(cores), docs_path, str(reps)],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
@@ -90,9 +115,12 @@ def main() -> None:
             "Host: 32-vCPU VM (shared hypervisor), 125 GiB RAM; identical job "
             "(docs -> NER -> linking -> selection -> enrichment -> triples)\n"
             "on the identical synthesized corpus "
-            f"({n_docs:,} docs, fixtures.docs_df seed=42), fresh JVM per "
-            "level, each level CPU-pinned\n(sched_setaffinity) to exactly N "
-            "cores so neither level freeloads on spare host capacity;\ntimed "
+            f"({n_docs:,} docs, fixtures.docs_df seed=42), launched through "
+            "the real deployment\ninterface (`spark-submit --master local[N] "
+            "--py-files sparkmedkg.zip`, fresh JVM per level),\neach level "
+            "CPU-pinned (taskset over the whole driver+worker tree) to "
+            "exactly N cores so\nneither level freeloads on spare host "
+            "capacity; timed "
             "region excludes session startup (steady-state throughput). The "
             "north_rule's\ntwo-cluster-size criterion is evidenced as two "
             "parallelism levels, a true 4x core ratio.\n\n"
