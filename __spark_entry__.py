@@ -24,6 +24,7 @@ from sparkmedkg import (
     medgenxml,
     multimodal,
     pubmed,
+    relations,
     relops,
     simsearch,
     textstats,
@@ -52,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_search_terms": webkg.q_search_terms,
         "kg_intersection": webkg.q_intersection,
         "kg_cooccurrence": webkg.q_cooccurrence,
+        "kg_relations": relations.q_relations,
+        "kg_pagerank": relations.q_pagerank,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -111,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_search_terms": webkg.sql_search_terms(),
         "kg_intersection": webkg.sql_intersection(),
         "kg_cooccurrence": webkg.sql_cooccurrence(),
+        "kg_relations": relations.sql_relations(),
+        "kg_pagerank": relations.sql_pagerank(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

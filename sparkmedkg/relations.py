@@ -1,0 +1,343 @@
+"""Typed relation extraction + entity salience over the web-corpus KG.
+
+north_star contract: "relation/triple extraction into canonical
+(subj_cui, pred, obj_cui) rows".  Two operators beyond doc-level
+co-occurrence (webkg.q_cooccurrence):
+
+- **q_relations** — positional typed relation extraction.  Mention
+  occurrences are found in token space (posexplode + broadcast alias join:
+  the inverted-index formulation of the reference's span matching,
+  /root/reference/pymedgraph/dataextraction/entityrecognition.py:43-74),
+  then paired with a BOUNDED token-gap **equi-join** (subject-end + gap ==
+  object-start), never a per-doc quadratic self-join.  The predicate is
+  typed from the (subject semtype, object semtype) pair — the UMLS
+  semantic-type predicate-typing analog of disease/drug -> TREATS.
+
+- **q_pagerank** — fixed-iteration PageRank over the co-occurrence edge
+  set: entity salience for canonicalization/ranking.  The DuckDB oracle is
+  the same iteration unrolled as chained CTEs (same pattern as the
+  recursive-CTE oracle for connected components in canon.py).
+
+Scale notes (100 TB / 10^12 docs):
+- occurrence extraction is explode + broadcast-hash-join fused into ONE
+  whole-stage-codegen stage — no shuffle, no exchange carries the token
+  array; the only shuffles in q_relations are the bounded-fanout pair
+  equi-join on (doc_id, position) and the final partial-aggregated groupBy.
+- the pair join's fan-out per occurrence is exactly max_gap+1 rows
+  (the exploded gap sequence), so candidate volume is O(tokens * gap),
+  linear in corpus size — a hot mention pair becomes one grouped row, not
+  a skewed join key.
+- PageRank joins ranks (|V| rows) to edges (|E| rows) on src each
+  iteration; edges+degree are persisted once and reused, each iteration's
+  ranks are persisted eagerly and the previous unpersisted so lineage stays
+  O(1) deep (at real scale swap persist for localCheckpoint every few
+  iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import link
+from sparkmedkg.webkg import (
+    _links_cte,
+    aliases_df,
+    alias_label_pairs,
+    concepts_df,
+    sql_aliases_cte,
+)
+
+MAX_GAP = 2          # max intervening tokens between subject and object
+PR_ITERS = 3         # fixed PageRank iterations (unrolled in the oracle)
+PR_DAMPING = 0.85
+PR_MIN_DOCS = 2      # co-occurrence support threshold for the edge set
+
+# (subject semtype, object semtype) -> predicate. Mirrors UMLS
+# semantic-type pair relation typing (e.g. Disease x Drug -> TREATS).
+PRED_BY_PAIR = {
+    ("OPERATOR", "DATASTRUCT"): "OPERATES_ON",
+    ("DATASTRUCT", "OPERATOR"): "INPUT_TO",
+    ("OPERATOR", "OPERATOR"): "COMPOSES_WITH",
+    ("DATASTRUCT", "DATASTRUCT"): "RELATED_TO",
+}
+
+
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+
+
+def _alias_tokens_df(spark: SparkSession) -> DataFrame:
+    """(alias, label, toks, n_toks, first_tok) — the broadcastable lexicon."""
+    rows = alias_label_pairs()
+    return (
+        spark.createDataFrame(rows, "alias string, label string")
+        .withColumn("toks", F.split("alias", " "))
+        .withColumn("n_toks", F.size("toks"))
+        .withColumn("first_tok", F.col("toks")[0])
+    )
+
+
+def mention_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, start_idx, end_idx, mention, label) — every word-boundary
+    alias occurrence with its 0-based token span.  Semantically the same
+    match set as ner.detect_mentions(mode='all') but position-bearing
+    (test_relations asserts the distinct (doc, mention) sets are equal)."""
+    words = _read_docs(spark, sf_dir).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    # posexplode keeps ws in scope for the slice check; explode + broadcast
+    # join + filter fuse into one codegen stage, so the array never enters
+    # an exchange.
+    tok = words.select(
+        "doc_id", "ws", F.posexplode("ws").alias("idx", "w")
+    )
+    lex = F.broadcast(_alias_tokens_df(spark))
+    return (
+        tok.join(lex, tok["w"] == lex["first_tok"])
+        .where(F.slice("ws", F.col("idx") + 1, F.col("n_toks")) == F.col("toks"))
+        .select(
+            "doc_id",
+            F.col("idx").alias("start_idx"),
+            (F.col("idx") + F.col("n_toks") - 1).alias("end_idx"),
+            F.col("alias").alias("mention"),
+            "label",
+        )
+    )
+
+
+def _best_links(spark: SparkSession, occ: DataFrame) -> DataFrame:
+    """mention -> its single best CUI (top-1 trigram-cosine link)."""
+    m = occ.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "mention",
+        F.col("mention").alias("resolved"),
+        F.col("label").alias("node_label"),
+    ).distinct()
+    links = link.link_mentions(m, aliases_df(spark), concepts_df(spark), top_k=1)
+    return links.select(F.col("source").alias("mention"), "CUI")
+
+
+def q_relations(
+    spark: SparkSession, sf_dir: str, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """Canonical typed triples (subj_cui, pred, obj_cui) with support
+    counts: subject occurrence followed by object occurrence within
+    ``max_gap`` intervening tokens, predicate from the semtype pair,
+    entities resolved to their best-linked CUI."""
+    occ = mention_occurrences(spark, sf_dir)
+
+    # subject side fans out to its max_gap+1 admissible object start
+    # positions -> a pure equi-join on (doc_id, position), bounded fan-out.
+    subj = occ.select(
+        "doc_id",
+        F.col("mention").alias("m1"),
+        F.col("label").alias("l1"),
+        F.explode(
+            F.sequence(F.col("end_idx") + 1, F.col("end_idx") + 1 + max_gap)
+        ).alias("tgt"),
+    )
+    obj = occ.select(
+        F.col("doc_id").alias("o_doc"),
+        F.col("start_idx").alias("b_start"),
+        F.col("mention").alias("m2"),
+        F.col("label").alias("l2"),
+    )
+    pairs = subj.join(
+        obj,
+        (subj["doc_id"] == obj["o_doc"]) & (subj["tgt"] == obj["b_start"]),
+    )
+
+    pred = F.lit(None).cast("string")
+    for (l1, l2), p in PRED_BY_PAIR.items():
+        pred = F.when(
+            (F.col("l1") == l1) & (F.col("l2") == l2), F.lit(p)
+        ).otherwise(pred)
+
+    bl = _best_links(spark, occ)
+    s = bl.select(F.col("mention").alias("m1"), F.col("CUI").alias("subj_cui"))
+    o = bl.select(F.col("mention").alias("m2"), F.col("CUI").alias("obj_cui"))
+    return (
+        pairs.withColumn("pred", pred)
+        .join(F.broadcast(s), "m1")
+        .join(F.broadcast(o), "m2")
+        .where(F.col("subj_cui") != F.col("obj_cui"))
+        .groupBy("subj_cui", "pred", "obj_cui")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )
+
+
+def sql_relations(max_gap: int = MAX_GAP) -> str:
+    cases = "\n         ".join(
+        f"WHEN a.label = '{l1}' AND b.label = '{l2}' THEN '{p}'"
+        for (l1, l2), p in PRED_BY_PAIR.items()
+    )
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best_links AS (SELECT mention, cui FROM links WHERE rk = 1),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM read_docs),
+alias_toks AS (
+  SELECT alias, label, string_split(alias, ' ') AS ts,
+         len(string_split(alias, ' ')) AS n
+  FROM (SELECT DISTINCT alias, label FROM aliases)
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks
+),
+occ AS (
+  SELECT p.doc_id, p.i - 1 AS start_idx, p.i - 2 + a.n AS end_idx,
+         a.alias AS mention, a.label
+  FROM pos p
+  JOIN alias_toks a
+    ON p.ws[p.i] = a.ts[1] AND list_slice(p.ws, p.i, p.i + a.n - 1) = a.ts
+)
+SELECT s.cui AS subj_cui,
+       CASE {cases} END AS pred,
+       o.cui AS obj_cui,
+       COUNT(DISTINCT a.doc_id) AS n_docs,
+       COUNT(*) AS n_occ
+FROM occ a
+JOIN occ b ON a.doc_id = b.doc_id
+          AND b.start_idx - a.end_idx BETWEEN 1 AND {max_gap + 1}
+JOIN best_links s ON a.mention = s.mention
+JOIN best_links o ON b.mention = o.mention
+WHERE s.cui <> o.cui
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed-iteration) over the co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+def _cooccur_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int
+) -> DataFrame:
+    """Symmetric (src, dst) edge list from doc-level CUI co-occurrence with
+    support >= min_docs (same pair definition as webkg.q_cooccurrence)."""
+    from sparkmedkg import ner
+    from sparkmedkg.webkg import alias_bc, docs_df
+
+    d = docs_df(spark, sf_dir).where(F.col("lang") == "en")
+    mentions = ner.detect_mentions(d, alias_bc(spark), mode="all")
+    links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+    doc_cui = (
+        mentions.select("url", "mention")
+        .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
+        .select("url", "CUI")
+        .distinct()
+    )
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
+    und = (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("x", "y")
+    )
+    return und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+
+
+def q_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, pagerank) after ``iters`` synchronous iterations, damping
+    ``damping``, uniform init 1/N.  The graph is symmetric, so there are no
+    dangling nodes and rank mass is conserved (test asserts sum == 1)."""
+    edges = _cooccur_edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # edges+degree reused every iteration: persist once.
+    ed = edges.join(deg, "src").persist()
+    nodes = ed.select(F.col("src").alias("CUI")).distinct().persist()
+    n = nodes.count()  # one scalar action, mirrors the oracle's subquery
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    prev = None
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["CUI"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["CUI"] == contrib["dst"], "left")
+            .select(
+                "CUI",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        ranks.count()  # materialize so lineage stays O(1) deep
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    out = ranks.select("CUI", F.round("pr", 6).alias("pagerank"))
+    ed.unpersist()
+    return out
+
+
+def sql_pagerank(
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT n.cui,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * COALESCE(c.s, 0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS cui, SUM(p.pr / dg.deg) AS s
+    FROM edges e JOIN r{k - 1} p ON e.src = p.cui
+                 JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON n.cui = c.cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+und AS (
+  SELECT a.cui AS x, b.cui AS y
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= {min_docs}
+),
+edges AS (SELECT x AS src, y AS dst FROM und
+          UNION ALL SELECT y, x FROM und),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS cui FROM edges),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT cui, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{unrolled}
+SELECT cui AS CUI, round(pr, 6) AS pagerank FROM r{iters}
+"""
