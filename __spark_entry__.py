@@ -28,6 +28,7 @@ from sparkmedkg import (
     relops,
     simsearch,
     textstats,
+    trainprep,
     webkg,
 )
 
@@ -55,6 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": webkg.q_cooccurrence,
         "kg_relations": relations.q_relations,
         "kg_pagerank": relations.q_pagerank,
+        "kg_triangles": trainprep.kg_triangles,
+        # --- training-corpus preparation (composed filters + sampling) ---
+        "corpus_training_ready": trainprep.training_ready,
+        "corpus_stratified_sample": trainprep.stratified_sample,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -116,6 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": webkg.sql_cooccurrence(),
         "kg_relations": relations.sql_relations(),
         "kg_pagerank": relations.sql_pagerank(),
+        "kg_triangles": trainprep.sql_kg_triangles(),
+        "corpus_training_ready": trainprep.sql_training_ready(),
+        "corpus_stratified_sample": trainprep.sql_stratified_sample(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

@@ -1,0 +1,236 @@
+"""Training-corpus preparation: composed filtering, stratified sampling,
+and graph-shape analytics — the end-to-end "documents -> training-ready
+corpus" stages a 100 TB LLM-data pipeline runs after the per-signal
+operators (textstats, dedup) have been verified individually.
+
+- **training_ready** — the C4-style composed filter: language gate +
+  quality-score floor + exact-dedup canonical-keep + near-dup drop (right
+  member of every verified Jaccard pair).  All four signals reuse the
+  already-oracle-gated operators, composed as one declarative plan so
+  Catalyst pushes the cheap gates below the expensive dedup anti-join.
+- **stratified_sample** — deterministic per-language hash sampling (data
+  mixing): keep a doc iff md5(doc_id) mod 10_000 < rate_bp(lang).  md5 is
+  computed identically by Spark and DuckDB, so the sample is reproducible
+  across engines and runs — no rand(), no seed drift between retries of a
+  failed partition (the property that matters on a 1000-executor job).
+- **kg_triangles** — per-entity triangle participation over the
+  co-occurrence graph, enumerated on DEGREE-ORIENTED edges (each
+  undirected edge points from the lower-(degree, id) endpoint to the
+  higher): the wedge fan-out is bounded by arboricity instead of max
+  degree, which is what keeps a hot hub node (a ubiquitous CUI) from
+  creating a quadratic wedge explosion at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import dedup, textstats
+
+QUALITY_MIN = 0.2
+SAMPLE_MOD = 10_000
+# per-language keep rates in basis points of SAMPLE_MOD (data mixing:
+# upweight en, downsample the rest).
+SAMPLE_RATES_BP = {"en": 9_000, "de": 5_000, "es": 5_000, "fr": 5_000, "zh": 2_500}
+SAMPLE_DEFAULT_BP = 1_000
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Composed training-ready filter.
+# ---------------------------------------------------------------------------
+
+def training_ready(
+    spark: SparkSession, sf_dir: str, quality_min: float = QUALITY_MIN
+) -> DataFrame:
+    """(doc_id, n_tokens, quality_score) of docs that survive ALL of:
+    lang == 'en', quality_score >= quality_min, not a non-canonical exact
+    copy, and not the dropped (higher-id) member of any near-dup pair."""
+    q = textstats.quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select("doc_id")
+        .join(q, "doc_id")
+        .where(F.col("quality_score") >= quality_min)
+    )
+    # exact dedup: keep only each text group's canonical (min) doc_id
+    keep_exact = dedup.exact_dedup(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    base = base.join(keep_exact, "doc_id", "left_semi")
+    # near-dup: drop the right (higher-id) member of every verified pair.
+    # jaccard_pairs is the prefix-filtered exact path — never all-pairs.
+    drops = dedup.jaccard_pairs(spark, sf_dir).select(
+        F.col("b").alias("doc_id")
+    )
+    return base.join(drops, "doc_id", "left_anti")
+
+
+def sql_training_ready(quality_min: float = QUALITY_MIN) -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         len({toks}) AS n_tokens,
+         round(least(len({toks})::DOUBLE / 100.0, 1.0)
+               * round(len(list_distinct({toks}))::DOUBLE
+                       / len({toks})::DOUBLE, 6), 6) AS quality_score
+  FROM documents
+),
+keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+near_drops AS (SELECT DISTINCT b AS doc_id FROM ({dedup.sql_jaccard_pairs()}) p)
+SELECT doc_id, n_tokens, quality_score
+FROM q
+WHERE lang = 'en' AND quality_score >= {quality_min}
+  AND doc_id IN (SELECT doc_id FROM keep_exact)
+  AND doc_id NOT IN (SELECT doc_id FROM near_drops)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (data mixing).
+# ---------------------------------------------------------------------------
+
+def _bucket_col():
+    # identical in DuckDB: CAST('0x' || substring(md5(doc_id::VARCHAR),1,15)
+    # AS BIGINT) % MOD — same idiom the minhash signatures use.
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % SAMPLE_MOD
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, bucket): the deterministic per-language sample.
+    One scan, no shuffle — the keep decision is a pure row-local
+    expression, so the sample of a 10^12-row table is a map-only job."""
+    rate = F.lit(SAMPLE_DEFAULT_BP)
+    for lang, bp in SAMPLE_RATES_BP.items():
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", _bucket_col().alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+def sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}"
+        for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    bucket = (
+        "CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) "
+        f"% {SAMPLE_MOD}"
+    )
+    return f"""
+SELECT doc_id, lang, {bucket} AS bucket
+FROM documents
+WHERE {bucket} < (CASE {cases} ELSE {SAMPLE_DEFAULT_BP} END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Degree-oriented triangle participation over the co-occurrence graph.
+# ---------------------------------------------------------------------------
+
+def kg_triangles(
+    spark: SparkSession, sf_dir: str, min_docs: int = 2
+) -> DataFrame:
+    """(CUI, n_triangles): how many co-occurrence triangles each entity
+    participates in.  Edges are oriented from the lower-(degree, id)
+    endpoint to the higher before wedge enumeration, so per-node fan-out
+    is bounded by arboricity — the classic skew-proof triangle plan."""
+    from sparkmedkg.relations import _cooccur_edges
+
+    sym = _cooccur_edges(spark, sf_dir, min_docs)  # symmetric (src, dst)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("src", "src_"), sym["src"] == F.col("src_"))
+        .drop("src_")
+        .withColumnRenamed("deg", "sdeg")
+        .join(deg.withColumnRenamed("src", "dst_"), sym["dst"] == F.col("dst_"))
+        .drop("dst_")
+        .withColumnRenamed("deg", "ddeg")
+    )
+    oriented = ranked.where(
+        (F.col("sdeg") < F.col("ddeg"))
+        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+    ).select("src", "dst")
+
+    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    e2 = oriented.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
+    # wedges at u: (v, w) both out-neighbors; close with oriented edge v->w
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).where(F.col("v") < F.col("w"))
+    closer = oriented.select(
+        F.col("src").alias("cv"), F.col("dst").alias("cw")
+    )
+    tri = wedges.join(
+        closer,
+        ((F.col("v") == F.col("cv")) & (F.col("w") == F.col("cw")))
+    ).select("u", "v", "w")
+    # a (v, w) wedge pair can close with the oriented edge in either
+    # direction; check both (w -> v covers ties broken by degree).
+    tri2 = wedges.join(
+        closer,
+        ((F.col("w") == F.col("cv")) & (F.col("v") == F.col("cw")))
+    ).select("u", "v", "w")
+    tris = tri.unionByName(tri2)
+    per_node = (
+        tris.select(F.col("u").alias("CUI"))
+        .unionByName(tris.select(F.col("v").alias("CUI")))
+        .unionByName(tris.select(F.col("w").alias("CUI")))
+    )
+    return per_node.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def sql_kg_triangles(min_docs: int = 2) -> str:
+    from sparkmedkg.relations import PR_MIN_DOCS  # noqa: F401  (doc link)
+    from sparkmedkg.webkg import _links_cte, sql_aliases_cte
+
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+und AS (
+  SELECT a.cui AS x, b.cui AS y
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= {min_docs}
+),
+sym AS (SELECT x AS src, y AS dst FROM und UNION ALL SELECT y, x FROM und),
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+oriented AS (
+  SELECT s.src, s.dst
+  FROM sym s JOIN deg d1 ON s.src = d1.src JOIN deg d2 ON s.dst = d2.src
+  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.src < s.dst)
+),
+wedges AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+tris AS (
+  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  JOIN oriented c ON wg.v = c.src AND wg.w = c.dst
+  UNION ALL
+  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  JOIN oriented c ON wg.w = c.src AND wg.v = c.dst
+)
+SELECT cui AS CUI, COUNT(*) AS n_triangles
+FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
+      UNION ALL SELECT w FROM tris)
+GROUP BY cui
+"""
