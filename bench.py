@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import webkg  # noqa: E402
+from sparkmedkg import relations, trainprep, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -59,6 +59,9 @@ BENCH_QUERIES = {
     "kg_triples_corpus": webkg.q_triples,
     "kg_links_corpus": webkg.q_links,
     "kg_e2e_medical_100k": kg_e2e_medical,
+    "kg_relations": relations.q_relations,
+    "kg_pagerank": relations.q_pagerank,
+    "corpus_training_ready": trainprep.training_ready,
     "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
     "dedup_simhash": dedup.simhash,
     # same near-dup task as queries()'s dedup_jaccard (tau=0.5), via the

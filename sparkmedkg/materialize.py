@@ -10,9 +10,13 @@ Replaces the reference's Neo4j ``UNWIND ... MERGE`` sink
 - 2000-row UNWIND batches (S10) -> per-partition writes; telemetry becomes
   explicit metrics rows (checkpoint.py).
 
-Writer seam: Iceberg when the runtime has it (``writeTo(...).append()`` /
-MERGE INTO), else partitioned parquet with the same layout — behind
-``GraphStore`` so the job code never branches.
+Writer seam: on an Iceberg-enabled cluster the same contract maps onto
+catalog tables — ``iceberg_available`` detects the runtime and
+``iceberg_merge_nodes_sql`` / ``iceberg_merge_edges_sql`` build the exact
+MERGE INTO statements the upsert becomes there (one atomic snapshot commit
+instead of anti-join + append).  This sandbox ships no Iceberg jars, so
+``GraphStore`` executes the partitioned-parquet layout with identical
+semantics; the SQL builders are unit-tested as strings.
 """
 
 from __future__ import annotations
@@ -84,11 +88,53 @@ def integrity_filter(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
-class GraphStore:
-    """Label-partitioned node/edge store with idempotent MERGE-style appends.
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime is on the session's classpath.
+    Callers that want catalog-table semantics check this and run the
+    ``iceberg_merge_*_sql`` statements; otherwise GraphStore's parquet
+    layout provides the same MERGE semantics."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
 
-    Uses Iceberg (``spark.sql.catalog...``) when available; otherwise a
-    partitioned-parquet layout with the same semantics. Partitioning by
+
+def iceberg_merge_nodes_sql(table: str, updates_view: str = "node_updates") -> str:
+    """The Iceberg MERGE INTO equivalent of ``GraphStore.merge_nodes``
+    (insert-if-absent on the (node_label, node_id) key; one atomic snapshot
+    commit replaces the anti-join + append)."""
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING (SELECT DISTINCT * FROM {updates_view}) s\n"
+        "ON t.node_label = s.node_label AND t.node_id = s.node_id\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def iceberg_merge_edges_sql(table: str, updates_view: str = "edge_updates") -> str:
+    """MERGE INTO equivalent of ``GraphStore.merge_edges`` (all five edge
+    key columns form the identity, matching the reference's
+    MERGE-by-all-attrs semantics, neo4jconnector.py:140-143)."""
+    on = " AND ".join(
+        f"t.{c} = s.{c}"
+        for c in ("src_label", "src_id", "pred", "dst_label", "dst_id")
+    )
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING (SELECT DISTINCT * FROM {updates_view}) s\n"
+        f"ON {on}\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+class GraphStore:
+    """Label-partitioned node/edge store with idempotent MERGE-style appends
+    over partitioned parquet (this sandbox has no Iceberg runtime — see
+    ``iceberg_available`` / ``iceberg_merge_*_sql`` for the catalog-table
+    mapping used on Iceberg-enabled clusters). Partitioning by
     ``node_label``/``dst_label`` gives partition pruning on label-filtered
     reads (the reference's per-label upload loops, neo4jconnector.py:68-94).
     """

@@ -129,7 +129,12 @@ def q_relations(
     counts: subject occurrence followed by object occurrence within
     ``max_gap`` intervening tokens, predicate from the semtype pair,
     entities resolved to their best-linked CUI."""
-    occ = mention_occurrences(spark, sf_dir)
+    from sparkmedkg import webkg
+
+    # occ feeds the subject fan-out, the object side, and best-link
+    # candidate generation — persist (tracked) so the token-scan join runs
+    # once across the three branches.
+    occ = webkg._track(mention_occurrences(spark, sf_dir))
 
     # subject side fans out to its max_gap+1 admissible object start
     # positions -> a pure equi-join on (doc_id, position), bounded fan-out.
@@ -224,13 +229,16 @@ def _cooccur_edges(
 ) -> DataFrame:
     """Symmetric (src, dst) edge list from doc-level CUI co-occurrence with
     support >= min_docs (same pair definition as webkg.q_cooccurrence)."""
-    from sparkmedkg import ner
+    from sparkmedkg import ner, webkg
     from sparkmedkg.webkg import alias_bc, docs_df
 
     d = docs_df(spark, sf_dir).where(F.col("lang") == "en")
     mentions = ner.detect_mentions(d, alias_bc(spark), mode="all")
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
-    doc_cui = (
+    # the Python NER stage feeds both sides of the pair self-join AND the
+    # degree/edge fan-out downstream — persist (tracked: released on the
+    # next corpus-query call) so it runs once, not once per branch.
+    doc_cui = webkg._track(
         mentions.select("url", "mention")
         .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
         .select("url", "CUI")
@@ -269,31 +277,34 @@ def q_pagerank(
     n = nodes.count()  # one scalar action, mirrors the oracle's subquery
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    prev = None
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ed.join(ranks, ed["src"] == ranks["CUI"])
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["CUI"] == contrib["dst"], "left")
-            .select(
-                "CUI",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .persist()
+        ranks = nodes.join(
+            contrib, nodes["CUI"] == contrib["dst"], "left"
+        ).select(
+            "CUI",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
         )
-        ranks.count()  # materialize so lineage stays O(1) deep
-        if prev is not None:
-            prev.unpersist()
-        prev = ranks
-    out = ranks.select("CUI", F.round("pr", 6).alias("pagerank"))
+        # few fixed iterations -> one terminal action runs the whole DAG
+        # (ed/nodes cached, reused each round). For deep iteration counts
+        # at real scale, truncate lineage every ~5 rounds instead:
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    # eager-materialize the (|V|-row) result so ed/nodes can be released
+    # before returning the lazy handle to the caller.
+    out = ranks.select("CUI", F.round("pr", 6).alias("pagerank")).localCheckpoint(
+        eager=True
+    )
     ed.unpersist()
+    nodes.unpersist()
     return out
 
 

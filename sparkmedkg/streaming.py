@@ -196,3 +196,53 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_kg_update(
+    spark: SparkSession,
+    input_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    lkp: dict[str, DataFrame],
+    alias_bc=None,
+) -> list[dict]:
+    """Incremental KG maintenance: an ``availableNow`` foreachBatch run of
+    the FULL batch pipeline (NER -> link -> select -> enrich -> triples +
+    nodes) per micro-batch of newly-landed crawl files, MERGEd into the
+    GraphStore.  The streaming analogue of the reference's per-request
+    incremental build loop (manager.py), with two idempotency layers:
+
+    - the stream checkpoint makes re-invocation process only new files;
+    - ``merge_nodes`` / ``merge_edges`` are idempotent on node/edge
+      identity, so foreachBatch's at-least-once replay after a crash
+      cannot duplicate graph rows — effective exactly-once output.
+
+    Returns per-batch telemetry (batch id, newly merged node/edge counts).
+    """
+    from sparkmedkg import pipeline
+    from sparkmedkg.materialize import GraphStore
+
+    store = GraphStore(spark, store_root)
+    if alias_bc is None:
+        alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
+    metrics: list[dict] = []
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        tables = pipeline.build_graph(spark, batch_df, lkp, alias_bc=alias_bc)
+        n_nodes = store.merge_nodes(pipeline.all_nodes(tables))
+        n_edges = store.merge_edges(pipeline.triples(tables))
+        tables["mentions"].unpersist()
+        tables["links"].unpersist()
+        metrics.append(
+            {"batch_id": batch_id, "new_nodes": n_nodes, "new_edges": n_edges}
+        )
+
+    q = (
+        stream_docs(spark, input_dir)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return metrics

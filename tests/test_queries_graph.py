@@ -103,3 +103,22 @@ def test_intersection_unknown_level_fails(graph):
     _, edges = graph
     with pytest.raises(ValueError, match="Abort"):
         queries.intersection(edges, ["epilepsy"], "NotALevel")
+
+
+def test_iceberg_seam_detection_and_merge_sql(spark):
+    """The sandbox ships no Iceberg jars -> detection must be honest, and
+    the MERGE INTO builders carry the exact upsert-key semantics of
+    GraphStore.merge_nodes / merge_edges."""
+    from sparkmedkg import materialize
+
+    assert materialize.iceberg_available(spark) is False
+
+    nsql = materialize.iceberg_merge_nodes_sql("kg.nodes")
+    assert nsql.startswith("MERGE INTO kg.nodes t")
+    assert "t.node_label = s.node_label AND t.node_id = s.node_id" in nsql
+    assert nsql.endswith("WHEN NOT MATCHED THEN INSERT *")
+
+    esql = materialize.iceberg_merge_edges_sql("kg.edges")
+    for c in ("src_label", "src_id", "pred", "dst_label", "dst_id"):
+        assert f"t.{c} = s.{c}" in esql
+    assert "WHEN MATCHED" not in esql  # insert-if-absent only, no updates

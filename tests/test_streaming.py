@@ -166,3 +166,58 @@ def test_first_seen_ttl_expires_state(tmp_path_factory, spark):
     assert len(urls) == 10
     for u in ("u0", "u1", "u2", "u3"):
         assert urls.count(u) == 2  # first sighting + post-expiry re-crawl
+
+
+def test_stream_kg_update_matches_batch_and_is_idempotent(
+    tmp_path_factory, spark, lkp, alias_bc
+):
+    """Two crawl drops merged incrementally == one-shot batch build; a
+    re-run with no new files merges nothing."""
+    from sparkmedkg import pipeline
+    from sparkmedkg.materialize import GraphStore
+
+    base = str(tmp_path_factory.mktemp("kgstream"))
+    in_dir, store_dir, ckpt = (
+        os.path.join(base, d) for d in ("in", "store", "ckpt")
+    )
+    rows = fixtures.gen_doc_rows(60)
+
+    _write_slice(spark, rows[:30], in_dir)
+    m1 = streaming.stream_kg_update(spark, in_dir, store_dir, ckpt, lkp, alias_bc)
+    assert m1 and sum(m["new_edges"] for m in m1) > 0
+
+    _write_slice(spark, rows[30:], in_dir)
+    m2 = streaming.stream_kg_update(spark, in_dir, store_dir, ckpt, lkp, alias_bc)
+    assert m2 and sum(m["new_edges"] for m in m2) > 0
+
+    store = GraphStore(spark, store_dir)
+    got_edges = {tuple(r) for r in store.read_edges().collect()}
+    got_nodes = {
+        (r["node_label"], r["node_id"]) for r in store.read_nodes().collect()
+    }
+
+    # selection (top-15 entities) is corpus-level per batch — the reference
+    # semantics is per-request selection (manager.py), so the incremental
+    # graph equals the MERGE of the per-slice batch builds, not a one-shot
+    # 60-doc build.
+    want_edges, want_nodes = set(), set()
+    for sl in (rows[:30], rows[30:]):
+        tables = pipeline.build_graph(
+            spark, spark.createDataFrame(sl, schemas.DOCS_SCHEMA), lkp,
+            alias_bc=alias_bc,
+        )
+        want_edges |= {
+            tuple(r) for r in pipeline.triples(tables).distinct().collect()
+        }
+        want_nodes |= {
+            (r["node_label"], r["node_id"])
+            for r in pipeline.all_nodes(tables).collect()
+        }
+        tables["mentions"].unpersist()
+        tables["links"].unpersist()
+    assert got_edges == want_edges
+    assert got_nodes == want_nodes
+
+    # no new files -> the checkpoint yields no batches (or empty merges)
+    m3 = streaming.stream_kg_update(spark, in_dir, store_dir, ckpt, lkp, alias_bc)
+    assert sum(m["new_nodes"] + m["new_edges"] for m in m3) == 0

@@ -31,7 +31,8 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    from sparkmedkg import dedup, relops, simsearch, textstats, webkg
+    from sparkmedkg import dedup, relations, relops, simsearch, textstats
+    from sparkmedkg import trainprep, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -89,6 +90,38 @@ def main() -> None:
         "events_sessionize": (
             lambda: relops.events_sessionize(spark, SF),
             ["Window", "HashAggregate"],
+        ),
+        "kg_cooccurrence": (
+            # same doc_cui lineage kg_pagerank iterates over (pagerank's own
+            # returned DF is an eager localCheckpoint scan, so the audit
+            # lives here): per-doc pair self-join + partial-agg support count
+            lambda: webkg.q_cooccurrence(spark, SF),
+            ["BroadcastHashJoin", "PushedFilters: [IsNotNull(lang), "
+             "EqualTo(lang,en)]", "!CartesianProduct"],
+        ),
+        "kg_relations": (
+            # posexplode + broadcast lexicon join fuse (Generate feeding a
+            # BroadcastHashJoin); the pair join is a (doc_id, position)
+            # equi-join — no Cartesian / nested-loop anywhere
+            lambda: relations.q_relations(spark, SF),
+            ["Generate", "BroadcastHashJoin", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "kg_triangles": (
+            # degree-oriented wedge enumeration: equi-joins only
+            lambda: trainprep.kg_triangles(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "corpus_training_ready": (
+            # lang filter pushed to the scan below the dedup anti-join
+            lambda: trainprep.training_ready(spark, SF),
+            ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]",
+             "!CartesianProduct"],
+        ),
+        "corpus_stratified_sample": (
+            # map-only: a 10^12-row sample must not shuffle
+            lambda: trainprep.stratified_sample(spark, SF),
+            ["!Exchange", "codegen id"],
         ),
     }
 
