@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sparkmedkg import (
     dedup,
+    graphalgo,
     graphgate,
     kgoracle,
     medgenxml,
@@ -57,6 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_relations": relations.q_relations,
         "kg_pagerank": relations.q_pagerank,
         "kg_triangles": trainprep.kg_triangles,
+        # --- graph analytics over the co-occurrence KG ---
+        "kg_degree_dist": graphalgo.q_degree_dist,
+        "kg_bfs_reach": graphalgo.q_bfs_reach,
+        "kg_label_propagation": graphalgo.q_label_propagation,
+        "kg_neighbor_jaccard": graphalgo.q_neighbor_jaccard,
         # --- training-corpus preparation (composed filters + sampling) ---
         "corpus_training_ready": trainprep.training_ready,
         "corpus_stratified_sample": trainprep.stratified_sample,
@@ -67,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_proteins": kgoracle.q_proteins,
         "kg_go": kgoracle.q_go,
         "kg_canonical_cc": kgoracle.q_canonical_cc,
+        "kg_canonical_cc_distributed": kgoracle.q_canonical_cc_distributed,
         # --- nested-struct parsing + XML parsing (S2/S5, P1-P5) ---
         "kg_pubmed_paper": pubmed.q_pubmed_paper,
         "kg_medgen_xml": medgenxml.q_medgen_xml,
@@ -87,11 +94,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_lsh_topk": simsearch.lsh_topk,
         "ann_ivf_topk": simsearch.ivf_topk,
+        "ann_batch_topk": simsearch.batch_topk,
+        "emb_int8_quant": simsearch.int8_quant,
         # --- text analysis ---
         "text_lang_id": textstats.lang_id,
         "text_quality": textstats.quality,
         "text_token_counts": textstats.token_counts,
         "text_fingerprint": textstats.fingerprint,
+        "text_repetition": textstats.repetition,
+        "text_normalize": textstats.normalize,
+        "corpus_domain_stats": trainprep.domain_stats,
         # --- multimodal plumbing ---
         "mm_binary_meta": multimodal.binary_meta,
         "mm_fake_features": multimodal.fake_features,  # mapInPandas + SQL oracle
@@ -99,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": multimodal.frame_sample,
         # --- relational operator showcase (events + TPC-H) ---
         "events_sessionize": relops.events_sessionize,
+        "events_asof_join": relops.events_asof_join,
+        "events_tumbling_counts": relops.events_tumbling_counts,
+        "events_json_props": relops.events_json_props,
         "events_running_sum": relops.events_running_sum,
         "events_topk_per_user": relops.events_topk_per_user,
         "tpch_pricing_summary": relops.tpch_pricing_summary,
@@ -122,6 +137,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_relations": relations.sql_relations(),
         "kg_pagerank": relations.sql_pagerank(),
         "kg_triangles": trainprep.sql_kg_triangles(),
+        "kg_degree_dist": graphalgo.sql_degree_dist(),
+        "kg_bfs_reach": graphalgo.sql_bfs_reach(),
+        "kg_label_propagation": graphalgo.sql_label_propagation(),
+        "kg_neighbor_jaccard": graphalgo.sql_neighbor_jaccard(),
         "corpus_training_ready": trainprep.sql_training_ready(),
         "corpus_stratified_sample": trainprep.sql_stratified_sample(),
         "kg_genes": kgoracle.sql_genes(),
@@ -130,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_proteins": kgoracle.sql_proteins(),
         "kg_go": kgoracle.sql_go(),
         "kg_canonical_cc": kgoracle.sql_canonical_cc(),
+        "kg_canonical_cc_distributed": kgoracle.sql_canonical_cc_distributed(),
         "kg_pubmed_paper": pubmed.sql_pubmed_paper(),
         "kg_medgen_xml": medgenxml.sql_medgen_xml(),
         "kg_node_merge": graphgate.sql_node_merge(),
@@ -146,15 +166,23 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": simsearch.sql_cosine_topk(),
         "ann_lsh_topk": simsearch.sql_lsh_topk(),
         "ann_ivf_topk": simsearch.sql_ivf_topk(),
+        "ann_batch_topk": simsearch.sql_batch_topk(),
+        "emb_int8_quant": simsearch.sql_int8_quant(),
         "text_lang_id": textstats.sql_lang_id(),
         "text_quality": textstats.sql_quality(),
         "text_token_counts": textstats.sql_token_counts(),
         "text_fingerprint": textstats.sql_fingerprint(),
+        "text_repetition": textstats.sql_repetition(),
+        "text_normalize": textstats.sql_normalize(),
+        "corpus_domain_stats": trainprep.sql_domain_stats(),
         "mm_binary_meta": multimodal.sql_binary_meta(),
         "mm_fake_features": multimodal.sql_fake_features(),
         "mm_fake_resize": multimodal.sql_fake_resize(),
         "mm_frame_sample": multimodal.sql_frame_sample(),
         "events_sessionize": relops.sql_events_sessionize(),
+        "events_asof_join": relops.sql_events_asof_join(),
+        "events_tumbling_counts": relops.sql_events_tumbling_counts(),
+        "events_json_props": relops.sql_events_json_props(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),
         "tpch_pricing_summary": relops.sql_tpch_pricing_summary(),

@@ -72,9 +72,13 @@ BENCH_QUERIES = {
     ),
     "ann_cosine_topk": simsearch.cosine_topk,
     "ann_lsh_topk": simsearch.lsh_topk,
+    "ann_batch_topk": simsearch.batch_topk,
+    "emb_int8_quant": simsearch.int8_quant,
     "text_fingerprint": textstats.fingerprint,
     "text_quality": textstats.quality,
+    "text_normalize": textstats.normalize,
     "events_sessionize": relops.events_sessionize,
+    "events_asof_join": relops.events_asof_join,
     "tpch_pricing_summary": relops.tpch_pricing_summary,
     "tpch_revenue_by_region": relops.tpch_revenue_by_region,
 }

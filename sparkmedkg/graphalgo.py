@@ -1,0 +1,265 @@
+"""Graph analytics over the co-occurrence KG: BFS reach, label-propagation
+communities, degree distribution, neighbor-set Jaccard (link prediction).
+
+These extend the graph-query surface past the reference's fixed
+`/intersection` endpoint (/root/reference/pymedgraph/graph/neo4jconnector.py:267-316
+— its only graph analytic) with the algorithms a production KG service
+runs next: reachability, community detection, degree profiling, and
+structural-similarity link prediction.  All four run over the SAME
+symmetric co-occurrence edge set as relations.q_pagerank (shared Spark
+builder ``relations._cooccur_edges`` and shared oracle CTE
+``relations.sql_cooccur_edges_cte``), so the whole graph-analytics family
+is provably computed on one graph.
+
+Scale notes (10^9-node graph on 1000 executors):
+- **BFS** is frontier-based: each iteration joins only the NEW frontier
+  (nodes first reached last round) against edges — work per round is
+  O(frontier out-degree), not O(|V|); visited-set membership is a
+  broadcast-able left_anti when frontiers are small and a shuffled
+  anti-join otherwise (Catalyst picks via AQE from actual sizes).
+- **LPA** is one shuffle per iteration: groupBy(dst, label) with map-side
+  partial counts, then the per-node argmax is an aggregate-then-window on
+  the already-shuffled (dst) key — no extra exchange (window partitions by
+  the groupBy prefix).  Deterministic: ties broken by smallest label, so
+  the result is reproducible across partitionings and retries.
+- **degree distribution** is two partial-agg passes (deg, then histogram) —
+  map-side combinable, no join.
+- **neighbor-Jaccard** enumerates wedges through shared neighbors — the
+  same bounded pattern as trainprep.kg_triangles; a hot hub u contributes
+  deg(u)^2 wedges, which AQE skew-split spreads; at web scale cap or
+  sample hubs above a degree threshold (log what was dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkmedkg import relations, webkg
+from sparkmedkg.relations import PR_MIN_DOCS, sql_cooccur_edges_cte
+
+BFS_MAX_HOPS = 3
+LPA_ITERS = 2
+NJ_TAU = 0.25
+
+
+def _edges(spark: SparkSession, sf_dir: str, min_docs: int) -> DataFrame:
+    """Symmetric (src, dst) co-occurrence edges, persisted (tracked in
+    webkg's cache registry — released on the next corpus-query call)."""
+    return webkg._track(relations._cooccur_edges(spark, sf_dir, min_docs))
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution (log2-bucketed histogram).
+# ---------------------------------------------------------------------------
+
+def q_degree_dist(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(bucket, n_nodes, min_deg, max_deg): nodes histogrammed by
+    floor(log2(degree)).  The degree profile that sizes every downstream
+    graph job (skew planning, hub caps)."""
+    deg = (
+        _edges(spark, sf_dir, min_docs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("deg")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").alias("min_deg"),
+        F.max("deg").alias("max_deg"),
+    )
+
+
+def sql_degree_dist(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+SELECT CAST(floor(log2(deg)) AS INT) AS bucket,
+       COUNT(*) AS n_nodes, MIN(deg) AS min_deg, MAX(deg) AS max_deg
+FROM deg GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS reach: min-hop distance from a deterministic seed.
+# ---------------------------------------------------------------------------
+
+def q_bfs_reach(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, dist) for every node within ``max_hops`` of the seed (the
+    minimum CUI — deterministic without configuration).  Frontier-based:
+    iteration k joins only the nodes first reached at k-1 against edges,
+    then anti-joins the visited set — the textbook distributed BFS whose
+    per-round cost tracks the frontier, not the graph."""
+    edges = _edges(spark, sf_dir, min_docs)
+    seed = edges.select(F.min("src").alias("CUI")).withColumn(
+        "dist", F.lit(0)
+    )
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["CUI"] == edges["src"])
+            .select(F.col("dst").alias("CUI"))
+            .distinct()
+            .join(visited.select("CUI"), "CUI", "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        # eager per round: the frontier feeds both next round's join and the
+        # visited union; lineage stays O(1) deep across hops.
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    return visited
+
+
+def sql_bfs_reach(
+    max_hops: int = BFS_MAX_HOPS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    # unrolled min-distance iteration: r_k = min-dist closure after k hops.
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT cui, MIN(dist) AS dist FROM (
+    SELECT cui, dist FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS cui, p.dist + 1 AS dist
+    FROM r{k - 1} p JOIN edges e ON e.src = p.cui
+  ) GROUP BY cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+r0 AS (SELECT (SELECT MIN(src) FROM edges) AS cui, 0 AS dist),
+{unrolled}
+SELECT cui AS CUI, dist FROM r{max_hops}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (synchronous, fixed iterations, deterministic ties).
+# ---------------------------------------------------------------------------
+
+def q_label_propagation(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = LPA_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, label): community label after ``iters`` synchronous rounds of
+    label propagation.  Init label = own CUI; each round every node adopts
+    its neighbors' most frequent label, ties broken by smallest label —
+    fully deterministic, so Spark and the unrolled-CTE oracle agree
+    bit-for-bit (asynchronous/randomized LPA variants are not
+    reproducible across partitionings and can't be oracle-gated)."""
+    edges = _edges(spark, sf_dir, min_docs)
+    labels = edges.select(F.col("src").alias("CUI")).distinct().withColumn(
+        "label", F.col("CUI")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        labels = (
+            edges.join(labels, edges["src"] == labels["CUI"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("CUI"), "label")
+        )
+    return labels
+
+
+def sql_label_propagation(
+    iters: int = LPA_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS (
+  SELECT dst AS cui, label FROM (
+    SELECT e.dst, p.label,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM edges e JOIN l{k - 1} p ON e.src = p.cui
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+l0 AS (SELECT DISTINCT src AS cui, src AS label FROM edges),
+{unrolled}
+SELECT cui AS CUI, label FROM l{iters}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-set Jaccard (structural similarity / link prediction).
+# ---------------------------------------------------------------------------
+
+def q_neighbor_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = NJ_TAU,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(a, b, jaccard) for node pairs whose neighbor sets overlap with
+    Jaccard >= tau, a < b — the classic link-prediction feature.  Wedge
+    enumeration through each shared neighbor (one equi-join on the
+    neighbor key), counts combined map-side, sizes from the degree table —
+    never a node-pair cross join."""
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    x = edges.select(F.col("dst").alias("u"), F.col("src").alias("a"))
+    y = edges.select(F.col("dst").alias("u"), F.col("src").alias("b"))
+    common = (
+        x.join(y, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("da")), "a"
+        )
+        .join(deg.select(F.col("src").alias("b"), F.col("deg").alias("db")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("da") + F.col("db") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= tau)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def sql_neighbor_jaccard(
+    tau: float = NJ_TAU, min_docs: int = PR_MIN_DOCS
+) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+common AS (
+  SELECT x.src AS a, y.src AS b, COUNT(*) AS n_common
+  FROM edges x JOIN edges y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY x.src, y.src
+)
+SELECT a, b,
+       round(n_common::DOUBLE / (da.deg + db.deg - n_common)::DOUBLE, 6)
+         AS jaccard
+FROM common
+JOIN deg da ON da.src = a
+JOIN deg db ON db.src = b
+WHERE n_common::DOUBLE / (da.deg + db.deg - n_common)::DOUBLE >= {tau}
+"""

@@ -210,3 +210,26 @@ reach(id, r) AS (
 SELECT id AS CUI, MIN(r) AS canonical_cui
 FROM reach GROUP BY id ORDER BY CUI
 """
+
+
+def q_canonical_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same alias-cluster canonicalization as ``q_canonical_cc``, but with
+    the driver fast path DISABLED (``driver_threshold=0``) so the oracle
+    gates the distributed min-label-propagation join loop itself — the
+    code path a genuinely huge alias graph takes (canon.py's small-graph
+    union-find shortcut never runs on one).  Output must equal the
+    recursive-CTE oracle AND q_canonical_cc bit-for-bit."""
+    aliases = fixtures.aliases_df(spark)
+    from pyspark.sql import functions as F
+
+    vertices = aliases.select(F.col("CUI").alias("id")).distinct()
+    cc = canon.connected_components(
+        vertices, canon.alias_cluster_edges(aliases), driver_threshold=0
+    )
+    return cc.select(
+        F.col("id").alias("CUI"), F.col("component").alias("canonical_cui")
+    ).orderBy("CUI")
+
+
+def sql_canonical_cc_distributed() -> str:
+    return sql_canonical_cc()

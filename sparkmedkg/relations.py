@@ -308,6 +308,28 @@ def q_pagerank(
     return out
 
 
+def sql_cooccur_edges_cte(min_docs: int = PR_MIN_DOCS) -> str:
+    """WITH-body prefix (aliases .. edges) building the symmetric
+    co-occurrence edge list — shared by every graph-analytics oracle
+    (pagerank here, plus graphalgo.py's BFS / label propagation / degree /
+    neighbor-Jaccard) so all of them provably run on the same graph."""
+    return f"""{sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+und AS (
+  SELECT a.cui AS x, b.cui AS y
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= {min_docs}
+),
+edges AS (SELECT x AS src, y AS dst FROM und
+          UNION ALL SELECT y, x FROM und)"""
+
+
 def sql_pagerank(
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
@@ -330,21 +352,7 @@ def sql_pagerank(
         )
     unrolled = ",\n".join(steps)
     return f"""
-WITH {sql_aliases_cte()},
-read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
-{_links_cte().lstrip()},
-doc_cui AS (
-  SELECT DISTINCT m.doc_id, l.cui
-  FROM mentions m JOIN links l ON l.mention = m.mention
-),
-und AS (
-  SELECT a.cui AS x, b.cui AS y
-  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
-  GROUP BY a.cui, b.cui
-  HAVING COUNT(*) >= {min_docs}
-),
-edges AS (SELECT x AS src, y AS dst FROM und
-          UNION ALL SELECT y, x FROM und),
+WITH {sql_cooccur_edges_cte(min_docs)},
 deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
 nodes AS (SELECT DISTINCT src AS cui FROM edges),
 nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),

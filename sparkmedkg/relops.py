@@ -258,3 +258,155 @@ SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
 FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click matched to the user's most recent prior view.
+# ---------------------------------------------------------------------------
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, click_id, click_ts_us, view_id, view_ts_us): every click
+    event joined to the same user's latest view event with view.ts <=
+    click.ts (NULL-matched when no prior view exists).
+
+    Spark has no ASOF JOIN operator; the idiomatic distributed formulation
+    is the union-merge: tag both event streams, sort each user's merged
+    timeline once, and carry the last-seen view forward with
+    ``last(ignorenulls=True)``.  ONE shuffle on user_id and one window
+    pass — a range-join formulation would plan as a broadcast-nested-loop
+    or an O(n_clicks * n_views) per-user expansion.  The side tag orders a
+    view before a click at the identical timestamp, giving inclusive
+    (<=) as-of semantics — exactly DuckDB's ASOF JOIN, which is the
+    oracle (a genuinely independent implementation).  Timestamps are
+    emitted as epoch-microsecond longs (hash-stable across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        us.alias("ts_us"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        us.alias("ts_us"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "view_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = views.unionByName(clicks).select(
+        "user_id",
+        "side",
+        F.col("click_id"),
+        F.col("ts_us"),
+        F.last("view_id", ignorenulls=True).over(w).alias("m_view_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True
+        ).over(w).alias("m_view_ts_us"),
+    )
+    return merged.where(F.col("side") == 1).select(
+        "user_id",
+        F.col("click_id"),
+        F.col("ts_us").alias("click_ts_us"),
+        F.col("m_view_id").alias("view_id"),
+        F.col("m_view_ts_us").alias("view_ts_us"),
+    )
+
+
+def sql_events_asof_join() -> str:
+    return """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us,
+       v.event_id AS view_id,
+       epoch_us(v.ts) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window aggregation (the batch twin of streaming.windowed_counts).
+# ---------------------------------------------------------------------------
+
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_start_us, event_type, n_events, sum_value): 1-hour tumbling
+    windows via the built-in ``F.window`` bucketing expression — row-local,
+    so the only shuffle is the groupBy itself (map-side combined).
+    DECIMAL-stable value sums; window start as epoch micros."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sql_events_tumbling_counts() -> str:
+    return """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON property extraction + aggregation.
+# ---------------------------------------------------------------------------
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, n_with_k, min_k, max_k, sum_k): extract the integer
+    ``k`` property from the JSON ``props`` column and aggregate per type.
+    ``get_json_object`` is a JVM-side expression (inside whole-stage
+    codegen) — the standard pattern for the semi-structured sidecar
+    columns every crawl schema carries; no Python, one shuffle."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def sql_events_json_props() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       SUM(k) AS sum_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""

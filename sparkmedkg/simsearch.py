@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 4
@@ -263,4 +263,157 @@ FROM e JOIN q ON e.bucket = q.qbucket
 WHERE e.vec_id <> {query_id}
 ORDER BY {cos} DESC, e.vec_id ASC
 LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Batch ANN: top-k for a SET of query vectors in one plan (two-stage top-k).
+# ---------------------------------------------------------------------------
+
+N_BATCH_QUERIES = 4
+TOPK_SALT = 8
+
+
+def batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = N_BATCH_QUERIES,
+    k: int = 10,
+    n_salt: int = TOPK_SALT,
+) -> DataFrame:
+    """(query_id, rank, vec_id, cos): exact cosine top-k neighbors for each
+    of the query vectors (vec_ids 1..n_queries) in ONE plan.
+
+    The single-query formulation (cosine_topk) is a global
+    TakeOrderedAndProject; per-query top-k needs a partitioned rank, and a
+    plain ``Window.partitionBy(query_id)`` would shuffle the ENTIRE scored
+    corpus into n_queries partitions — the classic few-hot-keys skew. This
+    runs the TWO-STAGE top-k instead: stage 1 ranks within
+    (query_id, salt) — n_queries x n_salt evenly-sized groups — keeping at
+    most k rows per group; stage 2 re-ranks the surviving
+    n_salt * k candidates per query. The second shuffle moves O(q * salt * k)
+    rows regardless of corpus size, so the plan survives 10^12 vectors.
+    Queries are a broadcast (q tiny); scoring is a map-side projection.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.where(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= n_queries)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("query_id", "vec_id", "cos")
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT))
+    ).orderBy(F.desc("cos"), F.asc("vec_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sql_batch_topk(n_queries: int = N_BATCH_QUERIES, k: int = 10) -> str:
+    cos = (
+        f"({_SQL_DOT.format(a='e.v', b='q.qv')}) / "
+        f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='q.qv')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id BETWEEN 1 AND {n_queries}),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos
+  FROM e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, round(cos, 6) AS cos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization: 4x memory compression for the vector index.
+# ---------------------------------------------------------------------------
+
+def int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, mn, mx, q_checksum, mse_e9): per-vector min-max scalar
+    quantization to 8-bit codes (q_i = floor((x_i - mn)/scale + 0.5),
+    scale = (mx - mn)/255) with the reconstruction MSE (nano-units).
+
+    Map-only — quantizing 10^12 vectors is a pure projection with no
+    shuffle, and the int8 codes are 4x smaller than float32 (the standard
+    first compression step before IVF/PQ indexing). ``q_checksum`` (sum of
+    the integer codes) pins the exact code values across engines, not just
+    the aggregate error; the explicit floor(x + 0.5) rounding is
+    reproduced verbatim in the oracle (engine round() half-away-from-zero
+    vs half-even differences can't creep in)."""
+    emb = _emb(spark, sf_dir)
+    mn, mx = F.array_min("v"), F.array_max("v")
+    out = emb.select("vec_id", "v", mn.alias("mn"), mx.alias("mx")).withColumn(
+        "scale", (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    )
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") == 0.0, F.lit(0.0)
+    ).otherwise(F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5)))
+    dq = lambda x: F.col("mn") + code(x) * F.col("scale")  # noqa: E731
+    # NB: rounding happens in a SECOND select — `round(mn).alias("mn")` in
+    # the same list would shadow the input column via lateral column alias
+    # resolution, silently feeding the ROUNDED mn into code()/dq().
+    return out.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.aggregate(
+            "v", F.lit(0.0), lambda acc, x: acc + code(x)
+        ).cast("long").alias("q_checksum"),
+        # mse in nano-units via floor: decimal round() at a half-way
+        # boundary differs between engines (HALF_UP on the exact binary
+        # expansion vs C rint); floor of the bit-identical double doesn't.
+        F.floor(
+            F.aggregate(
+                "v", F.lit(0.0), lambda acc, x: acc + (x - dq(x)) * (x - dq(x))
+            )
+            / F.size("v")
+            * F.lit(1e9)
+        ).cast("long").alias("mse_e9"),
+    ).select(
+        "vec_id",
+        F.round("mn", 6).alias("mn"),
+        F.round("mx", 6).alias("mx"),
+        "q_checksum",
+        "mse_e9",
+    )
+
+
+def sql_int8_quant() -> str:
+    code = "floor((x::DOUBLE - mn) / scale + 0.5)"
+    dq = f"(mn + {code} * scale)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v,
+         list_min(embedding)::DOUBLE AS mn,
+         list_max(embedding)::DOUBLE AS mx
+  FROM embeddings
+),
+s AS (SELECT *, (mx - mn) / 255.0 AS scale FROM e)
+SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+       CAST(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                                          ELSE {code} END)),
+            (acc, e) -> acc + e) AS BIGINT) AS q_checksum,
+       CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(v, x -> CASE WHEN scale = 0
+                 THEN (x::DOUBLE - mn) * (x::DOUBLE - mn)
+                 ELSE (x::DOUBLE - {dq}) * (x::DOUBLE - {dq}) END)),
+             (acc, e) -> acc + e) / len(v) * 1e9) AS BIGINT) AS mse_e9
+FROM s
 """

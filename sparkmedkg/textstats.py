@@ -142,3 +142,116 @@ SELECT doc_id,
        ) AS fp
 FROM documents
 """
+
+
+def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, top_bigram_frac, dup_5gram_frac): Gopher-style repetition
+    signals — the fraction of bigram occurrences taken by the single most
+    frequent bigram, and the fraction of 5-gram positions that repeat an
+    earlier 5-gram.  Templated/spun pages (boilerplate farms, scraper
+    mirrors) light up on exactly these two numbers.
+
+    Plan shape: the 5-gram signal is ROW-LOCAL (array sizes of the
+    non-distinct vs distinct shingle arrays — no shuffle at all); the
+    bigram mode needs a count-per-(doc, bigram), which is one explode +
+    map-side-combinable groupBy — the same shape as dedup's shingle pass,
+    linear in corpus size.  Docs with < 2 tokens have no bigrams and are
+    excluded (same rows in both engines)."""
+    toks = _toks()
+    n = F.size(toks)
+    five = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    dup5 = F.when(n < 5, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(five)).cast("double")
+        / F.size(five).cast("double")
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("toks"), F.round(dup5, 6).alias("dup_5gram_frac")
+    )
+    bigrams = d.select(
+        "doc_id",
+        "dup_5gram_frac",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "dup_5gram_frac", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id", "dup_5gram_frac").agg(
+        F.round(
+            F.max("c").cast("double") / F.sum("c").cast("double"), 6
+        ).alias("top_bigram_frac")
+    ).select("doc_id", "top_bigram_frac", "dup_5gram_frac")
+
+
+def sql_repetition() -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+five AS (
+  SELECT doc_id,
+         [array_to_string(list_slice(toks, i, i + 4), ' ')
+          for i in generate_series(1, greatest(len(toks) - 4, 1))] AS fv,
+         len(toks) AS n
+  FROM t
+),
+dup5 AS (
+  SELECT doc_id,
+         CASE WHEN n < 5 THEN 0.0
+              ELSE round(1.0 - len(list_distinct(fv))::DOUBLE
+                         / len(fv)::DOUBLE, 6) END AS dup_5gram_frac
+  FROM five
+),
+bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1]
+                         for i in generate_series(1, len(toks) - 1)]) AS bg
+  FROM t
+),
+counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+top AS (
+  SELECT doc_id,
+         round(MAX(c)::DOUBLE / SUM(c)::DOUBLE, 6) AS top_bigram_frac
+  FROM counts GROUP BY doc_id
+)
+SELECT top.doc_id, top_bigram_frac, dup_5gram_frac
+FROM top JOIN dup5 ON top.doc_id = dup5.doc_id
+"""
+
+
+def normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, norm_len, norm_md5): canonical text-normalization pass
+    (lowercase, strip non-alphanumerics to spaces, collapse runs, trim) —
+    the first stage of every exact-dedup / fingerprint pipeline.  The
+    normalized text itself stays distributed; only its length and digest
+    come back (at 100 TB you never ship normalized bodies to a driver).
+    NB: DuckDB's regexp_replace replaces the FIRST match unless given the
+    'g' flag — the oracle must pass it explicitly to match Spark."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def sql_normalize() -> str:
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+        " '  +', ' ', 'g'))"
+    )
+    return f"""
+SELECT doc_id, length({norm}) AS norm_len, md5({norm}) AS norm_md5
+FROM documents
+"""

@@ -234,3 +234,53 @@ FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
       UNION ALL SELECT w FROM tris)
 GROUP BY cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source (crawl-domain) corpus statistics.
+# ---------------------------------------------------------------------------
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_en, total_tokens, avg_quality): the per-domain
+    rollup crawl curation runs before per-document filtering — domains
+    whose aggregate quality collapses get dropped wholesale (cheaper than
+    scoring their documents one by one).  One broadcast-free shuffle on
+    ``source``; quality sums accumulate in DECIMAL so the average is
+    independent of partial-aggregation order."""
+    q = textstats.quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang").join(q, "doc_id")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,6)"))
+                / F.count(F.lit(1))
+            ).cast("double"),
+            6,
+        ).alias("avg_quality"),
+    )
+
+
+def sql_domain_stats() -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, lang,
+         len({toks}) AS n_tokens,
+         round(least(len({toks})::DOUBLE / 100.0, 1.0)
+               * round(len(list_distinct({toks}))::DOUBLE
+                       / len({toks})::DOUBLE, 6), 6) AS quality_score
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+       SUM(n_tokens) AS total_tokens,
+       round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) / COUNT(*)
+                  AS DOUBLE), 6) AS avg_quality
+FROM q GROUP BY source
+"""

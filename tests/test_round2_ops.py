@@ -1,0 +1,152 @@
+"""Round-2 operator batch: as-of join, tumbling windows, JSON props,
+batch ANN, int8 quantization, repetition/normalization, domain stats.
+
+Oracle-value parity is covered by the driver gate; these pin the semantics
+against independent brute-force recomputation in plain Python.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from sparkmedkg import relops, simsearch, textstats, trainprep
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_join_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    views = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "view":
+            views[r["user_id"]].append((r["ts"], r["event_id"]))
+    for v in views.values():
+        v.sort()
+    want = {}
+    for r in ev:
+        if r["event_type"] != "click":
+            continue
+        prior = [(ts, vid) for ts, vid in views[r["user_id"]] if ts <= r["ts"]]
+        want[r["event_id"]] = max(prior) if prior else None
+    got = relops.events_asof_join(spark, SF).collect()
+    assert {r["click_id"] for r in got} == set(want)
+    for r in got:
+        exp = want[r["click_id"]]
+        if exp is None:
+            assert r["view_id"] is None and r["view_ts_us"] is None
+        else:
+            assert r["view_id"] == exp[1]
+    # every click appears exactly once (left-join semantics)
+    assert len(got) == len(want)
+
+
+def test_tumbling_counts_total(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = relops.events_tumbling_counts(spark, SF)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # window starts are hour-aligned epoch micros
+    assert (
+        out.where(F.col("window_start_us") % (3600 * 1_000_000) != 0).count()
+        == 0
+    )
+
+
+def test_json_props_matches_bruteforce(spark):
+    import json
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    want = defaultdict(list)
+    for r in ev:
+        k = json.loads(r["props"]).get("k") if r["props"] else None
+        want[r["event_type"]].append(k)
+    for r in relops.events_json_props(spark, SF).collect():
+        ks = [k for k in want[r["event_type"]] if k is not None]
+        assert r["n"] == len(want[r["event_type"]])
+        assert r["n_with_k"] == len(ks)
+        assert r["min_k"] == min(ks) and r["max_k"] == max(ks)
+        assert r["sum_k"] == sum(ks)
+
+
+def test_batch_topk_equals_single_query_topk(spark):
+    rows = simsearch.batch_topk(spark, SF, n_queries=3, k=5).collect()
+    by_q = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q[r["query_id"]].append((r["vec_id"], r["cos"]))
+    assert set(by_q) == {1, 2, 3}
+    for qid, got in by_q.items():
+        single = [
+            (r["vec_id"], r["cos"])
+            for r in simsearch.cosine_topk(spark, SF, query_id=qid, k=5).collect()
+        ]
+        assert got == single
+
+
+def test_int8_quant_error_bound(spark):
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    for r in simsearch.int8_quant(spark, SF).collect():
+        v = emb[r["vec_id"]]
+        scale = (max(v) - min(v)) / 255.0
+        # round-to-nearest code -> per-dim error <= scale/2
+        assert r["mse_e9"] <= (scale / 2.0) ** 2 * 1e9 + 1
+        assert 0 <= r["q_checksum"] <= 255 * len(v)
+
+
+def test_repetition_matches_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50).collect()
+    got = {
+        r["doc_id"]: (r["top_bigram_frac"], r["dup_5gram_frac"])
+        for r in textstats.repetition(spark, SF).collect()
+    }
+    from collections import Counter
+
+    for d in docs:
+        toks = [t for t in d["text"].lower().split(" ") if t != ""]
+        if len(toks) < 2:
+            assert d["doc_id"] not in got
+            continue
+        bgs = Counter(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        top = round(max(bgs.values()) / sum(bgs.values()), 6)
+        fives = [" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)]
+        dup5 = (
+            0.0 if len(toks) < 5 else round(1.0 - len(set(fives)) / len(fives), 6)
+        )
+        assert got[d["doc_id"]] == (top, dup5)
+
+
+def test_normalize_hand_case(spark, tmp_path):
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "Hello,   WORLD!! x9 ", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = textstats.normalize(spark, d).collect()[0]
+    import hashlib
+
+    want = "hello world x9"
+    assert r["norm_len"] == len(want)
+    assert r["norm_md5"] == hashlib.md5(want.encode()).hexdigest()
+
+
+def test_domain_stats_consistent_with_quality(spark):
+    q = {
+        r["doc_id"]: (r["n_tokens"], r["quality_score"])
+        for r in textstats.quality(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_src = defaultdict(list)
+    for d in docs:
+        per_src[d["source"]].append((d["lang"], *q[d["doc_id"]]))
+    for r in trainprep.domain_stats(spark, SF).collect():
+        rows = per_src[r["source"]]
+        assert r["n_docs"] == len(rows)
+        assert r["n_en"] == sum(1 for lang, *_ in rows if lang == "en")
+        assert r["total_tokens"] == sum(nt for _, nt, _ in rows)
+        avg = sum(qs for *_, qs in rows) / len(rows)
+        assert abs(r["avg_quality"] - avg) < 1e-5

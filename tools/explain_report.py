@@ -31,7 +31,7 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    from sparkmedkg import dedup, relations, relops, simsearch, textstats
+    from sparkmedkg import dedup, graphalgo, relations, relops, simsearch, textstats
     from sparkmedkg import trainprep, webkg
     from sparkmedkg.session import get_spark
 
@@ -115,13 +115,47 @@ def main() -> None:
         "corpus_training_ready": (
             # lang filter pushed to the scan below the dedup anti-join
             lambda: trainprep.training_ready(spark, SF),
-            ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]",
+            # join adds IsNotNull(doc_id) to the scan's pushed set
+            ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)",
              "!CartesianProduct"],
         ),
         "corpus_stratified_sample": (
             # map-only: a 10^12-row sample must not shuffle
             lambda: trainprep.stratified_sample(spark, SF),
             ["!Exchange", "codegen id"],
+        ),
+        "events_asof_join": (
+            # union-merge formulation: ONE user_id shuffle + one window
+            # pass; a range-join would be a nested loop
+            lambda: relops.events_asof_join(spark, SF),
+            ["Window", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "ann_batch_topk": (
+            # two-stage top-k: both ranks are Windows over broadcast-scored
+            # rows; no corpus shuffle beyond the salted rank exchanges
+            lambda: simsearch.batch_topk(spark, SF),
+            ["Window", "BroadcastNestedLoopJoin", "!SortMergeJoin"],
+        ),
+        "emb_int8_quant": (
+            # quantization is a pure projection: no Exchange anywhere
+            lambda: simsearch.int8_quant(spark, SF),
+            ["!Exchange"],
+        ),
+        "text_normalize": (
+            # map-only normalize+digest: no Exchange
+            lambda: textstats.normalize(spark, SF),
+            ["!Exchange", "codegen id"],
+        ),
+        "kg_bfs_reach": (
+            # per-hop frontier join must stay a hash join on src
+            lambda: graphalgo.q_bfs_reach(spark, SF),
+            ["!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "kg_label_propagation": (
+            # argmax window rides the groupBy(dst) shuffle — no extra
+            # exchange between the aggregate and the rank
+            lambda: graphalgo.q_label_propagation(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
         ),
     }
 
