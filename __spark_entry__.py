@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": simsearch.lsh_topk,
         "ann_ivf_topk": simsearch.ivf_topk,
         "ann_batch_topk": simsearch.batch_topk,
+        "ann_quantized_topk": simsearch.quantized_topk,
         "emb_int8_quant": simsearch.int8_quant,
         # --- text analysis ---
         "text_lang_id": textstats.lang_id,
@@ -114,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": relops.events_asof_join,
         "events_tumbling_counts": relops.events_tumbling_counts,
         "events_json_props": relops.events_json_props,
+        "events_rollup": relops.events_rollup,
+        "events_pivot": relops.events_pivot,
         "events_running_sum": relops.events_running_sum,
         "events_topk_per_user": relops.events_topk_per_user,
         "tpch_pricing_summary": relops.tpch_pricing_summary,
@@ -167,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": simsearch.sql_lsh_topk(),
         "ann_ivf_topk": simsearch.sql_ivf_topk(),
         "ann_batch_topk": simsearch.sql_batch_topk(),
+        "ann_quantized_topk": simsearch.sql_quantized_topk(),
         "emb_int8_quant": simsearch.sql_int8_quant(),
         "text_lang_id": textstats.sql_lang_id(),
         "text_quality": textstats.sql_quality(),
@@ -183,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": relops.sql_events_asof_join(),
         "events_tumbling_counts": relops.sql_events_tumbling_counts(),
         "events_json_props": relops.sql_events_json_props(),
+        "events_rollup": relops.sql_events_rollup(),
+        "events_pivot": relops.sql_events_pivot(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),
         "tpch_pricing_summary": relops.sql_tpch_pricing_summary(),

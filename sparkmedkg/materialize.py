@@ -200,3 +200,55 @@ class GraphStore:
         import shutil
 
         shutil.rmtree(self.root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (co-located) layout: the shuffle-free join path.
+# ---------------------------------------------------------------------------
+
+def write_bucketed_graph(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    root: str,
+    buckets: int = 8,
+    prefix: str = "kg",
+) -> None:
+    """Materialize nodes/edges as EXTERNAL BUCKETED tables (hash-bucketed +
+    sorted on the join key: ``node_id`` / ``dst_id``), so every downstream
+    edge->node join — integrity checks, n-hop expansion, attribute
+    hydration — reads pre-hashed, pre-sorted buckets and needs NO shuffle
+    on either side.
+
+    This is the parquet-catalog analogue of Iceberg's ``bucket(N, col)``
+    partition transform: at 10^12 edges the expansion join is THE dominant
+    shuffle of every graph query, and bucketing moves that cost to write
+    time, once, instead of per query.  Both tables must use the same bucket
+    count (Spark only co-locates matching bucket specs)."""
+    (
+        nodes.write.bucketBy(buckets, "node_id")
+        .sortBy("node_id")
+        .option("path", os.path.join(root, "nodes_bucketed"))
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{prefix}_nodes_bucketed")
+    )
+    (
+        edges.write.bucketBy(buckets, "dst_id")
+        .sortBy("dst_id")
+        .option("path", os.path.join(root, "edges_bucketed"))
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(f"{prefix}_edges_bucketed")
+    )
+
+
+def bucketed_expand_join(spark: SparkSession, prefix: str = "kg") -> DataFrame:
+    """Edge -> destination-node attribute hydration over the bucketed
+    layout: joins bucket-to-bucket with no Exchange (asserted in
+    tests/test_queries_graph.py)."""
+    n = spark.table(f"{prefix}_nodes_bucketed")
+    e = spark.table(f"{prefix}_edges_bucketed")
+    return e.join(n, e["dst_id"] == n["node_id"]).select(
+        "src_label", "src_id", "pred", "dst_label", "dst_id", "node_label"
+    )

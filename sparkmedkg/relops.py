@@ -410,3 +410,74 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Rollup + pivot (multi-level aggregation surfaces).
+# ---------------------------------------------------------------------------
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, gid, n_events, sum_value): ROLLUP over
+    (event_type, day) — per-type-per-day, per-type, and grand-total rows in
+    ONE pass (Spark expands grouping sets inside a single shuffle instead
+    of unioning three aggregations).  ``gid`` is the standard grouping-bit
+    encoding (first column = most significant bit), identical in DuckDB's
+    GROUPING(); DECIMAL-stable sums."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("event_type", "day", "gid", "n_events", "sum_value")
+    )
+
+
+def sql_events_rollup() -> str:
+    return """
+SELECT event_type,
+       day,
+       GROUPING(event_type, day) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, value,
+             strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day
+      FROM events)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, click, view, purchase, signup, error): per-user event
+    counts pivoted to columns.  The value list is FIXED (PIVOT_TYPES) —
+    an unpinned pivot runs an extra distinct-collect job over 10^12 rows
+    and makes the output schema data-dependent; pinning keeps it one
+    shuffle with a static schema."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_TYPES)
+    )
+
+
+def sql_events_pivot() -> str:
+    cols = ",\n       ".join(
+        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id
+"""

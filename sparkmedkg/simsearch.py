@@ -417,3 +417,103 @@ SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
              (acc, e) -> acc + e) / len(v) * 1e9) AS BIGINT) AS mse_e9
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantized ANN: int8 candidate generation + exact rerank.
+# ---------------------------------------------------------------------------
+
+SHORTLIST_FACTOR = 4
+
+
+def quantized_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    shortlist_factor: int = SHORTLIST_FACTOR,
+) -> DataFrame:
+    """(vec_id, cos, approx_cos): exact top-k by cosine, found by scoring
+    the int8-DEQUANTIZED vectors first (the compressed index a 100 TB
+    vector store actually scans — 4x less I/O), shortlisting the top
+    k * shortlist_factor approximate hits, then reranking only the
+    shortlist with full-precision vectors.
+
+    The same (mn, scale, floor(x+0.5)) quantizer as ``int8_quant``; both
+    phases are deterministic expression arithmetic, so the DuckDB oracle
+    reproduces candidate set AND final ranking bit-for-bit.  Plan shape:
+    one corpus scan + TakeOrderedAndProject for the shortlist (no
+    shuffle), then the rerank touches shortlist rows only."""
+    emb = _emb(spark, sf_dir)
+    mn, mx = F.array_min("v"), F.array_max("v")
+    w = emb.select(
+        "vec_id", "v", mn.alias("mn"), ((mx - mn) / F.lit(255.0)).alias("scale")
+    )
+    dq = F.transform(
+        "v",
+        lambda x: F.when(F.col("scale") == 0.0, F.col("mn")).otherwise(
+            F.col("mn")
+            + F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5))
+            * F.col("scale")
+        ),
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    shortlist = (
+        w.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("dq", dq)
+        .withColumn(
+            "approx_cos", _dot("dq", "qv") / (_norm("dq") * _norm("qv"))
+        )
+        .orderBy(F.desc("approx_cos"), F.asc("vec_id"))
+        .limit(k * shortlist_factor)
+    )
+    return (
+        shortlist.withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+            F.round("approx_cos", 6).alias("approx_cos"),
+        )
+    )
+
+
+def sql_quantized_topk(
+    query_id: int = 0, k: int = 10, shortlist_factor: int = SHORTLIST_FACTOR
+) -> str:
+    dq_elem = (
+        "CASE WHEN scale = 0 THEN mn "
+        "ELSE mn + floor((x::DOUBLE - mn) / scale + 0.5) * scale END"
+    )
+    approx = (
+        f"({_SQL_DOT.format(a='w.dq', b='q.qv')}) / "
+        f"({_SQL_NORM.format(a='w.dq')} * {_SQL_NORM.format(a='q.qv')})"
+    )
+    exact = (
+        f"({_SQL_DOT.format(a='s.v', b='q.qv')}) / "
+        f"({_SQL_NORM.format(a='s.v')} * {_SQL_NORM.format(a='q.qv')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v,
+                  list_min(embedding)::DOUBLE AS mn,
+                  (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE)
+                    / 255.0 AS scale
+           FROM embeddings),
+w AS (SELECT vec_id, v,
+             list_transform(v, x -> {dq_elem}) AS dq
+      FROM e),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+shortlist AS (
+  SELECT w.vec_id, w.v, {approx} AS approx_cos
+  FROM w, q
+  WHERE w.vec_id <> {query_id}
+  ORDER BY approx_cos DESC, w.vec_id ASC
+  LIMIT {k * shortlist_factor}
+)
+SELECT s.vec_id, round({exact}, 6) AS cos, round(s.approx_cos, 6) AS approx_cos
+FROM shortlist s, q
+ORDER BY {exact} DESC, s.vec_id ASC
+LIMIT {k}
+"""

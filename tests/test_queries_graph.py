@@ -122,3 +122,34 @@ def test_iceberg_seam_detection_and_merge_sql(spark):
     for c in ("src_label", "src_id", "pred", "dst_label", "dst_id"):
         assert f"t.{c} = s.{c}" in esql
     assert "WHEN MATCHED" not in esql  # insert-if-absent only, no updates
+
+
+def test_bucketed_graph_join_no_exchange(graph, spark, tmp_path):
+    """The bucketed layout's edge->node hydration join must equal the plain
+    join AND carry no Exchange in the physical plan (both sides read
+    pre-hashed buckets)."""
+    from sparkmedkg import materialize
+
+    nodes, edges = graph
+    materialize.write_bucketed_graph(
+        spark, nodes, edges, str(tmp_path / "bg"), buckets=4, prefix="t_bkt"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the co-located sort-merge path is what runs
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = materialize.bucketed_expand_join(spark, prefix="t_bkt")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        got = {tuple(r) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    want = {
+        tuple(r)
+        for r in edges.join(
+            nodes, edges["dst_id"] == nodes["node_id"]
+        ).select(
+            "src_label", "src_id", "pred", "dst_label", "dst_id", "node_label"
+        ).collect()
+    }
+    assert got == want and got

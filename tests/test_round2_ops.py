@@ -150,3 +150,20 @@ def test_domain_stats_consistent_with_quality(spark):
         assert r["total_tokens"] == sum(nt for _, nt, _ in rows)
         avg = sum(qs for *_, qs in rows) / len(rows)
         assert abs(r["avg_quality"] - avg) < 1e-5
+
+
+def test_quantized_topk_shortlist_contains_exact_topk(spark):
+    """With a 4x shortlist on this corpus the quantized path recovers the
+    exact top-k, and approx_cos stays within the quantizer error bound of
+    the true cosine."""
+    exact = [
+        (r["vec_id"], r["cos"])
+        for r in simsearch.cosine_topk(spark, SF, k=10).collect()
+    ]
+    quant = [
+        (r["vec_id"], r["cos"])
+        for r in simsearch.quantized_topk(spark, SF, k=10).collect()
+    ]
+    assert quant == exact
+    for r in simsearch.quantized_topk(spark, SF, k=10).collect():
+        assert abs(r["cos"] - r["approx_cos"]) < 0.05

@@ -146,6 +146,12 @@ def main() -> None:
             lambda: textstats.normalize(spark, SF),
             ["!Exchange", "codegen id"],
         ),
+        "ann_quantized_topk": (
+            # shortlist phase: corpus scan + TakeOrdered on approx score;
+            # rerank touches only the shortlist — no shuffle joins
+            lambda: simsearch.quantized_topk(spark, SF),
+            ["TakeOrderedAndProject", "!SortMergeJoin", "!Exchange hashpartitioning"],
+        ),
         "kg_bfs_reach": (
             # per-hop frontier join must stay a hash join on src
             lambda: graphalgo.q_bfs_reach(spark, SF),
