@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
         "dedup_simhash": dedup.simhash,
         "dedup_embedding": dedup.embedding_near_dups,
+        "dedup_clusters": dedup.dedup_clusters,
+        "dedup_common_ngrams": dedup.common_ngrams,
         # --- similarity search ---
         "ann_cosine_topk": simsearch.cosine_topk,
         "ann_lsh_topk": simsearch.lsh_topk,
@@ -117,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": relops.events_json_props,
         "events_rollup": relops.events_rollup,
         "events_pivot": relops.events_pivot,
+        "events_percentiles": relops.events_percentiles,
+        "events_sliding_sum": relops.events_sliding_sum,
+        "events_latest_per_key": relops.events_latest_per_key,
         "events_running_sum": relops.events_running_sum,
         "events_topk_per_user": relops.events_topk_per_user,
         "tpch_pricing_summary": relops.tpch_pricing_summary,
@@ -166,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": dedup.sql_lsh_candidate_pairs(),
         "dedup_simhash": dedup.sql_simhash(),
         "dedup_embedding": dedup.sql_embedding_near_dups(),
+        "dedup_clusters": dedup.sql_dedup_clusters(),
+        "dedup_common_ngrams": dedup.sql_common_ngrams(),
         "ann_cosine_topk": simsearch.sql_cosine_topk(),
         "ann_lsh_topk": simsearch.sql_lsh_topk(),
         "ann_ivf_topk": simsearch.sql_ivf_topk(),
@@ -189,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": relops.sql_events_json_props(),
         "events_rollup": relops.sql_events_rollup(),
         "events_pivot": relops.sql_events_pivot(),
+        "events_percentiles": relops.sql_events_percentiles(),
+        "events_sliding_sum": relops.sql_events_sliding_sum(),
+        "events_latest_per_key": relops.sql_events_latest_per_key(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),
         "tpch_pricing_summary": relops.sql_tpch_pricing_summary(),

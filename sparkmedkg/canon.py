@@ -79,8 +79,15 @@ def _driver_components(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             lo, hi = (a, b) if a < b else (b, a)
             parent[hi] = lo
     rows = [(v, find(v)) for v in sorted(ids)]
+    # preserve the caller's id type (string CUIs, bigint doc_ids, ...)
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = vertices.schema["id"].dataType
     return vertices.sparkSession.createDataFrame(
-        rows, "id string, component string"
+        rows,
+        StructType(
+            [StructField("id", id_type), StructField("component", id_type)]
+        ),
     )
 
 

@@ -629,3 +629,114 @@ SELECT x.vec_id AS a, y.vec_id AS b, round({cos}, 6) AS cos
 FROM e x JOIN e y ON x.vec_id < y.vec_id
 WHERE {cos} >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup clustering: exact pairs -> connected components ->
+# canonical representative. This is the full training-corpus dedup unit
+# (what C4/Dolma-style pipelines run): everything downstream keeps rep_id
+# rows and drops the rest.
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, tau: float = JACCARD_TAU
+) -> DataFrame:
+    """(doc_id, rep_id, cluster_size) for every document that participates
+    in a near-dup cluster (shingle-Jaccard >= tau); ``rep_id`` = min doc_id
+    of the component (the canonical keeper), ``cluster_size`` its member
+    count.
+
+    Composition of two independently oracle-gated stages: the
+    prefix-filtered exact pair join (``jaccard_pairs_prefix`` — bounded
+    candidates, never all-pairs) and min-label connected components
+    (``canon.connected_components``).  Scale shape: the CC loop runs over
+    the PAIR graph only — orders of magnitude smaller than the corpus
+    (near-dup pairs are sparse by construction), so its iteration shuffles
+    are tiny; the corpus-sized work is exactly one prefix join.  The DuckDB
+    oracle recomputes pairs brute-force and closes them with a recursive
+    CTE, gating both stages end-to-end."""
+    from sparkmedkg import canon
+
+    pairs = jaccard_pairs_prefix(spark, sf_dir, tau=tau)
+    verts = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    cc = canon.connected_components(verts, edges)
+    out = cc.select(F.col("id").alias("doc_id"), F.col("component").alias("rep_id"))
+    sizes = out.groupBy("rep_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return out.join(sizes, "rep_id").select("doc_id", "rep_id", "cluster_size")
+
+
+def sql_dedup_clusters(tau: float = JACCARD_TAU) -> str:
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+pairs AS (
+  SELECT a, b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
+),
+verts AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY id),
+csz AS (SELECT rep_id, COUNT(*) AS cluster_size FROM comp GROUP BY rep_id)
+SELECT comp.doc_id, comp.rep_id, csz.cluster_size
+FROM comp JOIN csz USING (rep_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-grams (exact-substring dedup signal, Lee et
+# al. 2022): shingles shared verbatim by many documents mark boilerplate /
+# templated spans a training pipeline masks or drops.
+# ---------------------------------------------------------------------------
+
+def common_ngrams(
+    spark: SparkSession, sf_dir: str, min_df: int = 3, topn: int = 50
+) -> DataFrame:
+    """(shingle, doc_freq): k-word shingles appearing verbatim in >=
+    ``min_df`` distinct documents, top ``topn`` by frequency.
+
+    One map-side-combinable count shuffle over (shingle) — shingles are
+    already distinct per doc, so COUNT(*) IS the document frequency —
+    then TakeOrderedAndProject for the top slice; no joins, no second
+    pass."""
+    return (
+        doc_shingles(spark, sf_dir)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(topn)
+    )
+
+
+def sql_common_ngrams(min_df: int = 3, topn: int = 50) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+)
+SELECT shingle, COUNT(*) AS doc_freq
+FROM sh GROUP BY shingle
+HAVING COUNT(*) >= {min_df}
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT {topn}
+"""

@@ -481,3 +481,104 @@ SELECT user_id,
        {cols}
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles, sliding range windows, CDC compaction.
+# ---------------------------------------------------------------------------
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, p50, p90, p99): exact per-type value percentiles
+    (linear interpolation — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the (p*(n-1)) definition).  One partial-final
+    aggregation pass; exact percentile holds a per-group sorted buffer,
+    fine for bounded group counts — at unbounded cardinality switch to
+    ``approx_percentile`` (t-digest, mergeable)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+                for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+            ],
+        )
+        .select("event_type", "n", "p50", "p90", "p99")
+    )
+
+
+def sql_events_percentiles() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+SLIDE_SEC = 3600
+
+
+def events_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, w_cnt, w_sum): per-user sliding 1-hour RANGE
+    window (trailing, inclusive) — event count and DECIMAL-stable value
+    sum over every event in the preceding hour.  The range frame rides the
+    per-user time sort (one shuffle on user_id, skew bounded by per-user
+    event counts); DECIMAL accumulation keeps the sum order-independent so
+    Spark and DuckDB agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-SLIDE_SEC, 0)
+    )
+    dec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum(dec).over(w).cast("double").alias("w_sum"),
+    )
+
+
+def sql_events_sliding_sum() -> str:
+    return f"""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS w_cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS w_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN {SLIDE_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
+def events_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, event_id, value): the most recent event per
+    (user_id, event_type) — CDC/upsert log compaction: replaying a change
+    log into current state is exactly this ranked-window keep-latest.
+    Ties on ts break by highest event_id (the log sequence number).  One
+    shuffle on the compaction key; at 10^12 rows AQE handles hot keys and
+    the window never materializes more than a partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def sql_events_latest_per_key() -> str:
+    return """
+SELECT user_id, event_type, event_id, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""

@@ -167,3 +167,60 @@ def test_quantized_topk_shortlist_contains_exact_topk(spark):
     assert quant == exact
     for r in simsearch.quantized_topk(spark, SF, k=10).collect():
         assert abs(r["cos"] - r["approx_cos"]) < 0.05
+
+
+def test_latest_per_key_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    want = {}
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        cand = (r["ts"], r["event_id"])
+        if k not in want or cand > want[k][:2]:
+            want[k] = (r["ts"], r["event_id"], round(r["value"], 6))
+    got = relops.events_latest_per_key(spark, SF).collect()
+    assert len(got) == len(want)
+    for r in got:
+        ts, eid, val = want[(r["user_id"], r["event_type"])]
+        assert r["event_id"] == eid and abs(r["value"] - val) < 1e-9
+
+
+def test_sliding_sum_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    got = {r["event_id"]: r for r in relops.events_sliding_sum(spark, SF).collect()}
+    assert len(got) == len(ev)
+    for r in ev:
+        t0 = r["ts"].timestamp()
+        in_win = [
+            x
+            for x in by_user[r["user_id"]]
+            if t0 - relops.SLIDE_SEC <= x["ts"].timestamp() <= t0
+        ]
+        g = got[r["event_id"]]
+        assert g["w_cnt"] == len(in_win)
+        assert abs(g["w_sum"] - sum(x["value"] for x in in_win)) < 1e-4
+
+
+def test_dedup_clusters_structure(spark):
+    """Clusters cover exactly the docs appearing in exact near-dup pairs,
+    every rep is a member of its own cluster with the minimum doc_id, and
+    cluster sizes are consistent."""
+    from sparkmedkg import dedup
+
+    pairs = dedup.jaccard_pairs_prefix(spark, SF).collect()
+    in_pairs = {r["a"] for r in pairs} | {r["b"] for r in pairs}
+    rows = dedup.dedup_clusters(spark, SF).collect()
+    assert {r["doc_id"] for r in rows} == in_pairs
+    by_rep = defaultdict(set)
+    for r in rows:
+        by_rep[r["rep_id"]].add(r["doc_id"])
+    for r in rows:
+        assert r["cluster_size"] == len(by_rep[r["rep_id"]])
+        assert r["rep_id"] == min(by_rep[r["rep_id"]])
+        assert r["rep_id"] in by_rep[r["rep_id"]]
+    # every pair lands in one cluster
+    rep_of = {r["doc_id"]: r["rep_id"] for r in rows}
+    for p in pairs:
+        assert rep_of[p["a"]] == rep_of[p["b"]]

@@ -163,6 +163,22 @@ def main() -> None:
             lambda: graphalgo.q_label_propagation(spark, SF),
             ["Window", "HashAggregate", "!CartesianProduct"],
         ),
+        "dedup_common_ngrams": (
+            # doc-freq count must be partial+final (map-side combine) with
+            # a TakeOrdered top slice — no full sort, no joins
+            lambda: dedup.common_ngrams(spark, SF),
+            ["TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin"],
+        ),
+        "events_sliding_sum": (
+            # one shuffle on user_id; the range frame rides the time sort
+            lambda: relops.events_sliding_sum(spark, SF),
+            ["Window", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "events_latest_per_key": (
+            # ranked keep-latest: single window over the compaction key
+            lambda: relops.events_latest_per_key(spark, SF),
+            ["Window", "!SortMergeJoin"],
+        ),
     }
 
     lines = [
