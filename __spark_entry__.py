@@ -21,6 +21,7 @@ from sparkmedkg import (
     dedup,
     graphalgo,
     graphgate,
+    hierarchy,
     kgoracle,
     medgenxml,
     multimodal,
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_reach": graphalgo.q_bfs_reach,
         "kg_label_propagation": graphalgo.q_label_propagation,
         "kg_neighbor_jaccard": graphalgo.q_neighbor_jaccard,
+        "kg_ontology_closure": hierarchy.ontology_closure,
+        "kg_category_rollup": hierarchy.category_rollup,
         # --- training-corpus preparation (composed filters + sampling) ---
         "corpus_training_ready": trainprep.training_ready,
         "corpus_stratified_sample": trainprep.stratified_sample,
@@ -149,6 +152,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_reach": graphalgo.sql_bfs_reach(),
         "kg_label_propagation": graphalgo.sql_label_propagation(),
         "kg_neighbor_jaccard": graphalgo.sql_neighbor_jaccard(),
+        "kg_ontology_closure": hierarchy.sql_ontology_closure(),
+        "kg_category_rollup": hierarchy.sql_category_rollup(),
         "corpus_training_ready": trainprep.sql_training_ready(),
         "corpus_stratified_sample": trainprep.sql_stratified_sample(),
         "kg_genes": kgoracle.sql_genes(),

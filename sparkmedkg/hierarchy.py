@@ -1,0 +1,169 @@
+"""Ontology hierarchy operators: IS_A transitive closure + category rollup.
+
+Medical KGs lean on concept hierarchies (UMLS/SNOMED IS_A DAGs) for
+subsumption queries — "count every mention of ANY anticonvulsant" — which
+the reference app answers only concept-by-concept.  These operators give
+the engine the bulk form:
+
+- ``ontology_closure``: all (concept, ancestor, min_depth) pairs of the
+  IS_A DAG, by semi-naive iteration (each round extends only the newest
+  frontier of paths, never re-deriving old ones).  Real ontology
+  hierarchies are small relative to the corpus (UMLS MRHIER is ~GB against
+  a 100 TB corpus), so every per-round join broadcasts the edge set; the
+  loop depth is the DAG height (~15 for SNOMED), not |V|.
+- ``category_rollup``: corpus mention counts aggregated up the hierarchy —
+  one broadcast join of the (tiny) closure against the (huge) mention
+  stream, then a map-side-combinable count.  The corpus is touched once;
+  no shuffle keyed on anything wider than the ancestor id.
+
+The web-lexicon DAG below (shape mirror of the medical one, see
+webkg.WEB_CONCEPTS) includes a diamond — ``hash join -> join operator ->
+{physical operator, binary operator} -> relational concept`` — so the
+min-depth dedup across alternative paths is actually exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import webkg
+
+# (child, parent) IS_A edges over the web lexicon, plus category concepts
+# W0100+ that exist only in the hierarchy (not in the alias index).
+WEB_HIERARCHY: list[tuple[str, str]] = [
+    ("W0001", "W0100"),  # hash join        IS_A join operator
+    ("W0002", "W0100"),  # sort merge join  IS_A join operator
+    ("W0100", "W0101"),  # join operator    IS_A physical operator
+    ("W0100", "W0106"),  # join operator    IS_A binary operator   (diamond)
+    ("W0106", "W0102"),  # binary operator  IS_A relational concept
+    ("W0003", "W0101"),  # table scan       IS_A physical operator
+    ("W0004", "W0101"),
+    ("W0005", "W0101"),
+    ("W0006", "W0101"),
+    ("W0007", "W0101"),
+    ("W0101", "W0102"),  # physical operator IS_A relational concept
+    ("W0008", "W0102"),  # query            IS_A relational concept
+    ("W0010", "W0103"),  # table            IS_A data structure
+    ("W0011", "W0103"),
+    ("W0012", "W0103"),
+    ("W0013", "W0103"),
+    ("W0014", "W0103"),
+    ("W0015", "W0103"),
+    ("W0016", "W0103"),
+    ("W0017", "W0103"),
+    ("W0018", "W0103"),
+    ("W0103", "W0102"),  # data structure   IS_A relational concept
+]
+
+
+def _edges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(WEB_HIERARCHY, "cui string, ancestor string")
+
+
+def ontology_closure(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(cui, ancestor, min_depth): transitive closure of the IS_A DAG.
+
+    Semi-naive iteration: the frontier (paths discovered last round) joins
+    the broadcast edge set; fixpoint when a round adds nothing.  Distinct
+    per round keeps diamond fan-out from exploding path counts; the final
+    groupBy takes the shortest derivation.  ``sf_dir`` is unused (the
+    hierarchy is engine-constant data) but kept for the queries() calling
+    convention."""
+    edges = _edges_df(spark)
+    step = F.broadcast(
+        edges.select(
+            F.col("cui").alias("_from"), F.col("ancestor").alias("_to")
+        )
+    )
+    paths = edges.withColumn("d", F.lit(1))
+    frontier = paths
+    for _ in range(32):  # bound = DAG height; real ontologies ~15
+        nxt = (
+            frontier.join(step, frontier["ancestor"] == step["_from"])
+            .select("cui", F.col("_to").alias("ancestor"), (F.col("d") + 1).alias("d"))
+            .distinct()
+        )
+        if nxt.isEmpty():
+            break
+        paths = paths.unionByName(nxt)
+        frontier = nxt
+    return paths.groupBy("cui", "ancestor").agg(F.min("d").alias("min_depth"))
+
+
+def _sql_hier_cte() -> str:
+    vals = ", ".join(f"('{c}', '{p}')" for c, p in sorted(WEB_HIERARCHY))
+    return f"hier(cui, ancestor) AS (SELECT * FROM (VALUES {vals}))"
+
+
+def sql_ontology_closure() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+)
+SELECT cui, ancestor, MIN(d) AS min_depth
+FROM reach GROUP BY cui, ancestor
+"""
+
+
+def category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ancestor, n_docs, n_mentions): corpus mention volume per ontology
+    category, counting a mention toward EVERY ancestor on its IS_A chain
+    (subsumption semantics — a 'hash join' mention is also a 'join
+    operator', 'physical operator', ... mention).  Ambiguous aliases count
+    toward each of their concepts, mirroring the linker's candidate
+    semantics.
+
+    Plan: the corpus-sized mention stream is joined once against the
+    broadcast (alias -> concept -> ancestor) expansion, then a single
+    partial/final count-distinct aggregation on the ancestor id."""
+    mentions = webkg.q_mentions(spark, sf_dir)  # (doc_id, mention, label)
+    alias_cui = F.broadcast(
+        spark.createDataFrame(
+            sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"
+        )
+    )
+    closure = F.broadcast(ontology_closure(spark))
+    return (
+        mentions.join(alias_cui, mentions["mention"] == alias_cui["alias"])
+        .join(closure, "cui")
+        .groupBy("ancestor")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def sql_category_rollup() -> str:
+    alias_vals = ", ".join(
+        f"('{a}', '{c}')" for a, c in sorted(set(webkg.WEB_ALIASES))
+    )
+    return f"""
+WITH RECURSIVE {webkg.sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {webkg._MENTION_FROM}
+),
+alias_cui(alias, cui) AS (SELECT * FROM (VALUES {alias_vals})),
+{_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+closure AS (SELECT DISTINCT cui, ancestor FROM reach)
+SELECT c.ancestor,
+       COUNT(DISTINCT m.doc_id) AS n_docs,
+       COUNT(*) AS n_mentions
+FROM mentions m
+JOIN alias_cui ac ON ac.alias = m.mention
+JOIN closure c ON c.cui = ac.cui
+GROUP BY c.ancestor
+"""

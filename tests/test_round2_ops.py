@@ -224,3 +224,39 @@ def test_dedup_clusters_structure(spark):
     rep_of = {r["doc_id"]: r["rep_id"] for r in rows}
     for p in pairs:
         assert rep_of[p["a"]] == rep_of[p["b"]]
+
+
+def test_ontology_closure_matches_bruteforce(spark):
+    from sparkmedkg import hierarchy
+
+    # brute-force min-depth closure over the DAG
+    kids = defaultdict(list)
+    for c, p in hierarchy.WEB_HIERARCHY:
+        kids[c].append(p)
+    want = {}
+    for start in {c for c, _ in hierarchy.WEB_HIERARCHY}:
+        frontier, d = [start], 0
+        while frontier:
+            d += 1
+            frontier = [p for n in frontier for p in kids.get(n, [])]
+            for p in frontier:
+                want.setdefault((start, p), d)
+    got = {
+        (r["cui"], r["ancestor"]): r["min_depth"]
+        for r in hierarchy.ontology_closure(spark).collect()
+    }
+    assert got == want
+    # the diamond: hash join reaches relational concept at depth 3 via
+    # either path, and both intermediate parents at depth 2
+    assert got[("W0001", "W0102")] == 3
+    assert got[("W0001", "W0101")] == 2 and got[("W0001", "W0106")] == 2
+
+
+def test_category_rollup_subsumption(spark):
+    """Counts are monotone up the hierarchy: an ancestor's doc count is at
+    least any descendant category's (every subsumed mention propagates)."""
+    from sparkmedkg import hierarchy
+
+    rows = {r["ancestor"]: r for r in hierarchy.category_rollup(spark, SF).collect()}
+    assert rows["W0102"]["n_docs"] >= rows["W0101"]["n_docs"] >= rows["W0100"]["n_docs"]
+    assert rows["W0100"]["n_mentions"] > 0
