@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sparkmedkg import (
+    corpusops,
     dedup,
     graphalgo,
     graphgate,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-corpus preparation (composed filters + sampling) ---
         "corpus_training_ready": trainprep.training_ready,
         "corpus_stratified_sample": trainprep.stratified_sample,
+        "corpus_decontaminate": corpusops.decontaminate,
+        "corpus_pack_sequences": corpusops.pack_sequences,
+        "corpus_bm25_topk": corpusops.bm25_topk,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -156,6 +160,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_category_rollup": hierarchy.sql_category_rollup(),
         "corpus_training_ready": trainprep.sql_training_ready(),
         "corpus_stratified_sample": trainprep.sql_stratified_sample(),
+        "corpus_decontaminate": corpusops.sql_decontaminate(),
+        "corpus_pack_sequences": corpusops.sql_pack_sequences(),
+        "corpus_bm25_topk": corpusops.sql_bm25_topk(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

@@ -1,0 +1,296 @@
+"""Corpus-level training-data operators: eval-set decontamination,
+concat-and-chunk sequence packing, and BM25 keyword retrieval.
+
+These are the pipeline stages an LLM-training corpus needs *after* the
+per-document signals (textstats) and near-dup removal (dedup) are done:
+
+- **decontaminate** — n-gram overlap against a held-out eval set (the
+  GPT-3/Llama decontamination recipe): any training document sharing a
+  k-word shingle with an eval document is flagged with its overlap count.
+  The eval set is tiny relative to the corpus (benchmarks are KBs against
+  100 TB), so its distinct shingle set is BROADCAST and the corpus is
+  touched exactly once — a broadcast semi-join-shaped inner join followed
+  by one map-side-combinable count.  No shuffle keyed on anything wider
+  than doc_id.
+- **pack_sequences** — GPT-style concat-and-chunk packing: documents in
+  deterministic doc_id order form one virtual token stream, cut into
+  fixed ``block`` token sequences; each doc maps to its [first_seq,
+  last_seq] span.  The global running offset is computed with a TWO-PHASE
+  scan (per-range partial sums -> tiny cumulative offset table ->
+  broadcast back), never a single-partition global window: an unbounded
+  ``Window.orderBy`` pulls the whole corpus into one task at 100 TB,
+  while the bucket table here has one row per ~4k docs.
+- **bm25_topk** — Okapi BM25 scoring of a fixed query-term list.  Term
+  frequencies come from JVM-side array ops on the token array (one
+  map-only projection per term — no explode of the corpus into a
+  (doc, token) stream), corpus stats (N, avgdl, per-term df) are
+  scalar/3-row aggregates broadcast back, and the final top-k is a
+  TakeOrderedAndProject.  The corpus is scanned twice (stats + score) and
+  never shuffled on a token key.
+
+All three have DuckDB oracles; scores/offsets are emitted as
+round(x, 6) / exact longs so the driver hash is engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DECON_K = 5            # shingle width (words) for eval-overlap matching
+EVAL_MOD = 97          # doc_id % EVAL_MOD == 0 -> held-out eval doc
+PACK_BLOCK = 512       # tokens per packed training sequence
+PACK_BUCKET = 4096     # docs per partial-sum range in the two-phase scan
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["hash", "join", "window"]
+BM25_TOPK = 10
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(text_col: str = "text"):
+    return F.split(F.col(text_col), " +")
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination.
+# ---------------------------------------------------------------------------
+
+def _shingles_k(text_col: str, k: int):
+    toks = _toks(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def decontaminate(
+    spark: SparkSession, sf_dir: str, k: int = DECON_K
+) -> DataFrame:
+    """(doc_id, n_overlap): training docs sharing >=1 distinct k-word
+    shingle with the held-out eval split (doc_id % EVAL_MOD == 0), with
+    the count of distinct shared shingles.  These docs would be dropped
+    (or have the overlapping spans masked) before training.
+
+    Plan: eval shingles -> distinct -> broadcast; corpus shingles joined
+    against it (BroadcastHashJoin, corpus scanned once); count-distinct
+    rides the doc_id shuffle with partial aggregation."""
+    docs = _docs(spark, sf_dir)
+    sh = F.explode(_shingles_k("text", k)).alias("shingle")
+    eval_sh = (
+        docs.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(sh)
+        .distinct()
+    )
+    train_sh = docs.where(F.col("doc_id") % EVAL_MOD != 0).select("doc_id", sh)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+    )
+
+
+def _sql_shingles_k(expr: str, k: int) -> str:
+    toks = f"regexp_split_to_array({expr}, ' +')"
+    return (
+        f"list_distinct([array_to_string(list_slice({toks}, i, i + {k - 1}), ' ') "
+        f"for i in generate_series(1, greatest(len({toks}) - {k - 1}, 1))])"
+    )
+
+
+def sql_decontaminate(k: int = DECON_K) -> str:
+    return f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({_sql_shingles_k('text', k)}) AS shingle
+  FROM documents WHERE doc_id % {EVAL_MOD} = 0
+),
+train_sh AS (
+  SELECT doc_id, unnest({_sql_shingles_k('text', k)}) AS shingle
+  FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_overlap
+FROM train_sh t JOIN eval_sh e USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing.
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, block: int = PACK_BLOCK
+) -> DataFrame:
+    """(doc_id, n_tokens, start_off, first_seq, last_seq): position of each
+    document in the packed fixed-``block``-token training stream, docs
+    concatenated in doc_id order.
+
+    The global exclusive prefix sum is two-phase: (1) partial token sums
+    per doc_id range of PACK_BUCKET docs — a map-side-combinable groupBy
+    with one row out per range; (2) a cumulative window over that tiny
+    range table (safe: |ranges| = |corpus| / 4096); (3) broadcast the
+    range offsets back and finish with a within-range window partitioned
+    by range.  No stage ever sorts more than one range's docs in a task."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("rng"),
+    )
+    rng_tot = docs.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
+    rng_off = rng_tot.select(
+        "rng",
+        (
+            F.coalesce(
+                F.sum("rng_tokens").over(
+                    Window.orderBy("rng").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("rng_off"),
+    )
+    w_in = (
+        Window.partitionBy("rng")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.join(F.broadcast(rng_off), "rng")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("rng_off")
+                + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+            ).alias("start_off"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.floor(F.col("start_off") / block).alias("first_seq"),
+            F.floor(
+                (F.col("start_off") + F.col("n_tokens") - 1) / block
+            ).alias("last_seq"),
+        )
+    )
+
+
+def sql_pack_sequences(block: int = PACK_BLOCK) -> str:
+    return f"""
+WITH sized AS (
+  SELECT doc_id, len(regexp_split_to_array(text, ' +')) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM sized
+)
+SELECT doc_id, n_tokens, start_off,
+       CAST(FLOOR(start_off / {block}) AS BIGINT) AS first_seq,
+       CAST(FLOOR((start_off + n_tokens - 1) / {block}) AS BIGINT) AS last_seq
+FROM offs
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval.
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str] | None = None,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """(doc_id, score): top-``topk`` docs by Okapi BM25 for the fixed
+    query-term list, score rounded to 6 (ties broken by doc_id asc).
+
+    tf per term is a JVM array-filter on the token array — the corpus is
+    never exploded to (doc, token) rows.  N/avgdl/df are tiny aggregates
+    joined back via broadcast; the result is a TakeOrderedAndProject."""
+    terms = terms or BM25_TERMS
+
+    def _tf(term: str):
+        # NB: the lambda must take exactly one arg — PySpark higher-order
+        # functions treat a second parameter as the element index.
+        return F.size(F.filter(_toks(), lambda x: x == F.lit(term)))
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(_toks()).alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        part = idf * (
+            tf
+            * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", score.alias("raw"))
+        .where(F.col("raw") > 0)
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .limit(topk)
+        .select("doc_id", F.round("raw", 6).alias("score"))
+    )
+
+
+def sql_bm25_topk(terms: list[str] | None = None, topk: int = BM25_TOPK) -> str:
+    terms = terms or BM25_TERMS
+    toks = "regexp_split_to_array(text, ' +')"
+    tf_cols = ", ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"ln((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5) + 1.0)"
+        f" * (d.tf_{i} * ({BM25_K1} + 1.0)"
+        f" / (d.tf_{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * d.dl / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({toks}) AS dl, {tf_cols} FROM documents
+),
+s AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM d
+)
+SELECT doc_id, ROUND(score, 6) AS score FROM (
+  SELECT d.doc_id, {parts} AS score FROM d CROSS JOIN s
+) WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {topk}
+"""

@@ -1,0 +1,111 @@
+"""Corpus-level training-data ops (sparkmedkg/corpusops.py).
+
+Value parity with DuckDB is covered by the driver gate (corpus_decontaminate,
+corpus_pack_sequences, corpus_bm25_topk); here we pin the semantics against
+plain-Python brute force and the packing invariants.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from sparkmedkg import corpusops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _doc_texts(spark):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+
+def _py_shingles(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) <= k:
+        return {" ".join(toks[:k])}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    texts = _doc_texts(spark)
+    eval_sh = set()
+    for d, t in texts.items():
+        if d % corpusops.EVAL_MOD == 0:
+            eval_sh |= _py_shingles(t, corpusops.DECON_K)
+    want = {}
+    for d, t in texts.items():
+        if d % corpusops.EVAL_MOD == 0:
+            continue
+        n = len(_py_shingles(t, corpusops.DECON_K) & eval_sh)
+        if n:
+            want[d] = n
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in corpusops.decontaminate(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus must actually contain contaminated docs"
+
+
+def test_pack_sequences_invariants(spark):
+    rows = sorted(
+        corpusops.pack_sequences(spark, SF).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # contiguous stream: each doc starts where the previous ended
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        off += r["n_tokens"]
+        assert r["first_seq"] == r["start_off"] // corpusops.PACK_BLOCK
+        assert (
+            r["last_seq"]
+            == (r["start_off"] + r["n_tokens"] - 1) // corpusops.PACK_BLOCK
+        )
+    # every fixed-size block except the tail is fully covered
+    assert rows[-1]["last_seq"] == (off - 1) // corpusops.PACK_BLOCK
+
+
+def test_bm25_matches_bruteforce(spark):
+    texts = _doc_texts(spark)
+    k1, b = corpusops.BM25_K1, corpusops.BM25_B
+    dls = {d: len(t.split()) for d, t in texts.items()}
+    n_docs = len(texts)
+    avgdl = sum(dls.values()) / n_docs
+    scores = {}
+    for term in corpusops.BM25_TERMS:
+        df = sum(1 for t in texts.values() if term in t.split())
+        idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        for d, t in texts.items():
+            tf = t.split().count(term)
+            part = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dls[d] / avgdl)
+            )
+            scores[d] = scores.get(d, 0.0) + part
+    want = sorted(
+        ((d, s) for d, s in scores.items() if s > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[: corpusops.BM25_TOPK]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in corpusops.bm25_topk(spark, SF).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, (gd, gs, ws)
+
+
+def test_bm25_plan_has_no_token_explode(spark):
+    """The corpus must never be exploded to (doc, token) rows: tf comes
+    from array ops inside the scan projection."""
+    plan = (
+        corpusops.bm25_topk(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # Generate == explode operator
