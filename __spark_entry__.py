@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs_reach": graphalgo.q_bfs_reach,
         "kg_label_propagation": graphalgo.q_label_propagation,
         "kg_neighbor_jaccard": graphalgo.q_neighbor_jaccard,
+        "kg_kcore": graphalgo.q_kcore,
         "kg_ontology_closure": hierarchy.ontology_closure,
         "kg_category_rollup": hierarchy.category_rollup,
         # --- training-corpus preparation (composed filters + sampling) ---
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": relops.events_percentiles,
         "events_sliding_sum": relops.events_sliding_sum,
         "events_latest_per_key": relops.events_latest_per_key,
+        "events_range_join": relops.events_range_join,
         "events_running_sum": relops.events_running_sum,
         "events_topk_per_user": relops.events_topk_per_user,
         "tpch_pricing_summary": relops.tpch_pricing_summary,
@@ -156,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_reach": graphalgo.sql_bfs_reach(),
         "kg_label_propagation": graphalgo.sql_label_propagation(),
         "kg_neighbor_jaccard": graphalgo.sql_neighbor_jaccard(),
+        "kg_kcore": graphalgo.sql_kcore(),
         "kg_ontology_closure": hierarchy.sql_ontology_closure(),
         "kg_category_rollup": hierarchy.sql_category_rollup(),
         "corpus_training_ready": trainprep.sql_training_ready(),
@@ -211,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "events_percentiles": relops.sql_events_percentiles(),
         "events_sliding_sum": relops.sql_events_sliding_sum(),
         "events_latest_per_key": relops.sql_events_latest_per_key(),
+        "events_range_join": relops.sql_events_range_join(),
         "events_running_sum": relops.sql_events_running_sum(),
         "events_topk_per_user": relops.sql_events_topk_per_user(),
         "tpch_pricing_summary": relops.sql_tpch_pricing_summary(),

@@ -263,3 +263,102 @@ JOIN deg da ON da.src = a
 JOIN deg db ON db.src = b
 WHERE n_common::DOUBLE / (da.deg + db.deg - n_common)::DOUBLE >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling to fixpoint).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def q_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, core_deg): nodes of the k-core of the co-occurrence graph
+    (the maximal induced subgraph where every node keeps degree >= k),
+    with their degree inside the core.
+
+    Iterative peeling: each round drops nodes whose degree within the
+    surviving induced subgraph fell below k.  Per round: two semi-join
+    filters of the edge set against the (monotonically shrinking) alive
+    set, one map-side-combinable degree count — the shuffles are keyed on
+    node ids and the work tracks the surviving subgraph, so late rounds
+    on a 100 TB-derived graph touch only the dense remainder.  The alive
+    set is localCheckpoint'd eagerly per round (O(1) lineage) and the
+    loop exits early at fixpoint: the set only shrinks, so an unchanged
+    count IS set equality, and extra rounds would be no-ops — making the
+    early exit result-identical to the oracle's fixed ``rounds`` unroll."""
+    return kcore_from_edges(_edges(spark, sf_dir, min_docs), k, rounds)
+
+
+def kcore_from_edges(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """Peeling loop over any symmetric (src, dst) edge DataFrame."""
+
+    def survivors(alive: DataFrame) -> DataFrame:
+        return (
+            edges.join(
+                alive.select(F.col("CUI").alias("src")), "src", "left_semi"
+            )
+            .join(alive.select(F.col("CUI").alias("dst")), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+            .where(F.col("core_deg") >= k)
+        )
+
+    alive = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .where(F.col("core_deg") >= k)
+        .select(F.col("src").alias("CUI"), "core_deg")
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(rounds - 1):
+        nxt = survivors(alive).select(
+            F.col("src").alias("CUI"), "core_deg"
+        ).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        stable = n_nxt == n_alive
+        alive, n_alive = nxt, n_nxt
+        if stable:
+            break
+    return alive
+
+
+def sql_kcore(
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    # Each round references the previous one TWICE (src + dst semi-join);
+    # without MATERIALIZED DuckDB inlines CTEs, so the unroll re-expands
+    # the full edges pipeline 2^rounds times and never finishes.
+    steps = []
+    for i in range(1, rounds):
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT e.src AS cui, COUNT(*) AS core_deg
+  FROM edges e
+  JOIN a{i - 1} s ON s.cui = e.src
+  JOIN a{i - 1} t ON t.cui = e.dst
+  GROUP BY e.src HAVING COUNT(*) >= {k}
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+a0 AS MATERIALIZED (
+  SELECT src AS cui, COUNT(*) AS core_deg FROM edges
+  GROUP BY src HAVING COUNT(*) >= {k}
+),
+{unrolled}
+SELECT cui AS CUI, core_deg FROM a{rounds - 1}
+"""

@@ -582,3 +582,77 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
       FROM events)
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: bucketed band join, never per-user quadratic.
+# ---------------------------------------------------------------------------
+
+RANGE_WIN_SEC = 600
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, error_id, error_ts_us, click_id, click_ts_us, gap_us):
+    every error event paired with each click by the same user strictly
+    before it and at most RANGE_WIN_SEC earlier — the classic interval
+    join ("what did the user do in the 10 minutes before the error?").
+
+    Spark plans a raw ``t1.ts BETWEEN t2.ts - W AND t2.ts`` predicate as a
+    broadcast-nested-loop (or per-user cross) join, so instead both sides
+    are keyed on (user_id, time_bucket) with bucket width == the window:
+    a qualifying click can only sit in the error's own or the previous
+    bucket, so the error side probes exactly two buckets (a 2-element
+    explode of the small side of the pair count) and the exact range
+    predicate filters after the equi-join.  Per-row fan-out is bounded by
+    per-(user, bucket) density — a hot user's history never cross-joins
+    with itself across the full retention window.  The DuckDB oracle is
+    the plain inequality join (an independent formulation)."""
+    win_us = RANGE_WIN_SEC * 1_000_000
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        us.alias("click_ts_us"),
+        F.floor(us / win_us).alias("bucket"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        us.alias("error_ts_us"),
+        F.explode(
+            F.array(F.floor(us / win_us), F.floor(us / win_us) - 1)
+        ).alias("bucket"),
+    )
+    return (
+        errors.join(clicks, ["user_id", "bucket"])
+        .where(
+            (F.col("click_ts_us") < F.col("error_ts_us"))
+            & (F.col("click_ts_us") >= F.col("error_ts_us") - win_us)
+        )
+        .select(
+            "user_id",
+            "error_id",
+            "error_ts_us",
+            "click_id",
+            "click_ts_us",
+            (F.col("error_ts_us") - F.col("click_ts_us")).alias("gap_us"),
+        )
+    )
+
+
+def sql_events_range_join() -> str:
+    win_us = RANGE_WIN_SEC * 1_000_000
+    return f"""
+SELECT e.user_id,
+       e.event_id AS error_id,
+       epoch_us(e.ts) AS error_ts_us,
+       c.event_id AS click_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) < epoch_us(e.ts)
+ AND epoch_us(c.ts) >= epoch_us(e.ts) - {win_us}
+"""

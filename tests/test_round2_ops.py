@@ -260,3 +260,75 @@ def test_category_rollup_subsumption(spark):
     rows = {r["ancestor"]: r for r in hierarchy.category_rollup(spark, SF).collect()}
     assert rows["W0102"]["n_docs"] >= rows["W0101"]["n_docs"] >= rows["W0100"]["n_docs"]
     assert rows["W0100"]["n_mentions"] > 0
+
+
+def test_range_join_matches_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    clicks = defaultdict(list)
+    for r in ev:
+        if r["event_type"] == "click":
+            clicks[r["user_id"]].append((r["ts"], r["event_id"]))
+    win_us = relops.RANGE_WIN_SEC * 1_000_000
+    want = set()
+    for r in ev:
+        if r["event_type"] != "error":
+            continue
+        e_us = int(r["ts"].timestamp() * 1_000_000)
+        for cts, cid in clicks[r["user_id"]]:
+            c_us = int(cts.timestamp() * 1_000_000)
+            if c_us < e_us and c_us >= e_us - win_us:
+                want.add((r["event_id"], cid, e_us - c_us))
+    got = {
+        (r["error_id"], r["click_id"], r["gap_us"])
+        for r in relops.events_range_join(spark, SF).collect()
+    }
+    assert got == want
+    assert want, "fixture must exercise the window"
+
+
+def test_kcore_matches_peeling(spark):
+    from sparkmedkg import graphalgo, relations
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, graphalgo.PR_MIN_DOCS
+        ).collect()
+    }
+    k = graphalgo.KCORE_K
+    alive = {s for s, _ in edges}
+    while True:
+        deg = defaultdict(int)
+        for s, d in edges:
+            if s in alive and d in alive:
+                deg[s] += 1
+        nxt = {n for n in alive if deg[n] >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {n: deg[n] for n in alive}
+    got = {
+        r["CUI"]: r["core_deg"] for r in graphalgo.q_kcore(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_kcore_iterative_peeling(spark):
+    """Clique + attached path: the path peels away one node per round (the
+    corpus graph is too dense to exercise the iteration), and the clique's
+    3-core survives."""
+    from sparkmedkg import graphalgo
+
+    und = [("k1", "k2"), ("k1", "k3"), ("k1", "k4"), ("k2", "k3"),
+           ("k2", "k4"), ("k3", "k4"),            # K4: every degree 3
+           ("k4", "p1"), ("p1", "p2"), ("p2", "p3")]  # path tail
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src string, dst string")
+    got = {
+        r["CUI"]: r["core_deg"]
+        for r in graphalgo.kcore_from_edges(edges, k=2).collect()
+    }
+    # 2-core: the path tail (p3 deg 1 -> peel; then p2 -> peel; then p1)
+    # disappears over THREE rounds; K4 remains at degree 3
+    assert got == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
+    assert graphalgo.kcore_from_edges(edges, k=4).count() == 0
