@@ -32,6 +32,7 @@ from sparkmedkg import (
     simsearch,
     textstats,
     trainprep,
+    webclean,
     webkg,
 )
 
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cooccurrence": webkg.q_cooccurrence,
         "kg_relations": relations.q_relations,
         "kg_pagerank": relations.q_pagerank,
+        "kg_pmi_edges": relations.q_pmi_edges,
         "kg_triangles": trainprep.kg_triangles,
         # --- graph analytics over the co-occurrence KG ---
         "kg_degree_dist": graphalgo.q_degree_dist,
@@ -74,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpusops.decontaminate,
         "corpus_pack_sequences": corpusops.pack_sequences,
         "corpus_bm25_topk": corpusops.bm25_topk,
+        "corpus_chunk_dedup": webclean.chunk_dedup,
+        "corpus_pii_redact": webclean.pii_redact,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -153,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": webkg.sql_cooccurrence(),
         "kg_relations": relations.sql_relations(),
         "kg_pagerank": relations.sql_pagerank(),
+        "kg_pmi_edges": relations.sql_pmi_edges(),
         "kg_triangles": trainprep.sql_kg_triangles(),
         "kg_degree_dist": graphalgo.sql_degree_dist(),
         "kg_bfs_reach": graphalgo.sql_bfs_reach(),
@@ -166,6 +171,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": corpusops.sql_decontaminate(),
         "corpus_pack_sequences": corpusops.sql_pack_sequences(),
         "corpus_bm25_topk": corpusops.sql_bm25_topk(),
+        "corpus_chunk_dedup": webclean.sql_chunk_dedup(),
+        "corpus_pii_redact": webclean.sql_pii_redact(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

@@ -224,26 +224,32 @@ GROUP BY 1, 2, 3
 # PageRank (fixed-iteration) over the co-occurrence graph.
 # ---------------------------------------------------------------------------
 
-def _cooccur_edges(
-    spark: SparkSession, sf_dir: str, min_docs: int
-) -> DataFrame:
-    """Symmetric (src, dst) edge list from doc-level CUI co-occurrence with
-    support >= min_docs (same pair definition as webkg.q_cooccurrence)."""
+def _doc_cui(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (url, CUI) linked-mention incidence — the shared input of
+    the co-occurrence edge builder and the PMI scorer.  Persisted via
+    webkg._track: the Python NER stage feeds both sides of the pair
+    self-join AND the count/edge fan-out downstream, so it must run once,
+    not once per branch (released on the next corpus-query call)."""
     from sparkmedkg import ner, webkg
     from sparkmedkg.webkg import alias_bc, docs_df
 
     d = docs_df(spark, sf_dir).where(F.col("lang") == "en")
     mentions = ner.detect_mentions(d, alias_bc(spark), mode="all")
     links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
-    # the Python NER stage feeds both sides of the pair self-join AND the
-    # degree/edge fan-out downstream — persist (tracked: released on the
-    # next corpus-query call) so it runs once, not once per branch.
-    doc_cui = webkg._track(
+    return webkg._track(
         mentions.select("url", "mention")
         .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
         .select("url", "CUI")
         .distinct()
     )
+
+
+def _cooccur_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int
+) -> DataFrame:
+    """Symmetric (src, dst) edge list from doc-level CUI co-occurrence with
+    support >= min_docs (same pair definition as webkg.q_cooccurrence)."""
+    doc_cui = _doc_cui(spark, sf_dir)
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
     b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
     und = (
@@ -359,4 +365,88 @@ nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
 r0 AS (SELECT cui, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
 {unrolled}
 SELECT cui AS CUI, round(pr, 6) AS pagerank FROM r{iters}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI association scoring for co-occurring entity pairs.
+# ---------------------------------------------------------------------------
+
+def q_pmi_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(src, dst, n_ab, n_a, n_b, pmi): pointwise mutual information
+    ln(P(a,b) / (P(a)P(b))) = ln(n_ab * N / (n_a * n_b)) over doc-level
+    co-occurrence, one row per unordered pair (src < dst) with support
+    >= min_docs.  PMI separates genuinely associated concept pairs from
+    pairs that co-occur only because both are frequent — the standard
+    edge-weighting step before thresholding a co-occurrence KG.
+
+    Plan: the (url, CUI) incidence is persisted once and feeds (a) the
+    pair self-join on url (bounded per-doc fan-out, same shape as
+    q_cooccurrence), (b) the per-CUI marginal counts, and (c) the scalar
+    N.  Marginals are lexicon-bounded (|concepts| rows) so both joins onto
+    the pair set are explicit broadcasts — the only real shuffle is the
+    pair groupBy."""
+    doc_cui = _doc_cui(spark, sf_dir)
+    n_docs = doc_cui.select("url").distinct().count()
+    marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("dst"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_docs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("CUI").alias("src"), F.col("n_c").alias("n_a"))),
+            "src",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("CUI").alias("dst"), F.col("n_c").alias("n_b"))),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_docs))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def sql_pmi_edges(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+nd AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM doc_cui),
+marg AS (SELECT cui, COUNT(*) AS n_c FROM doc_cui GROUP BY cui),
+pairs AS (
+  SELECT a.cui AS src, b.cui AS dst, COUNT(*) AS n_ab
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= {min_docs}
+)
+SELECT p.src, p.dst, p.n_ab, ma.n_c AS n_a, mb.n_c AS n_b,
+       round(ln(p.n_ab::DOUBLE * (SELECT n FROM nd)
+                / (ma.n_c::DOUBLE * mb.n_c::DOUBLE)), 6) AS pmi
+FROM pairs p JOIN marg ma ON ma.cui = p.src
+             JOIN marg mb ON mb.cui = p.dst
 """

@@ -1,0 +1,69 @@
+"""Corpus-cleaning batch: global chunk dedup, PII redaction, PMI edges.
+
+Oracle-value parity is covered by the driver gate; these pin the semantics
+against independent brute-force recomputation in plain Python.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from sparkmedkg import relations, webclean
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_dedup_matches_bruteforce(spark):
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    w = webclean.CHUNK_W
+    seen = set()
+    want = {}
+    for doc_id, text in docs:  # ascending doc_id == global (doc_id, pos) order
+        toks = re.split(" +", text)
+        kept = []
+        for i in range(0, len(toks), w):
+            chunk = " ".join(toks[i : i + w])
+            if chunk not in seen:
+                seen.add(chunk)
+                kept.append(chunk)
+        if kept:
+            want[doc_id] = (len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_kept"], r["clean_text"])
+        for r in webclean.chunk_dedup(spark, SF).collect()
+    }
+    assert got == want
+    n_total = sum(math.ceil(len(re.split(" +", t)) / w) for _, t in docs)
+    n_kept = sum(n for n, _ in want.values())
+    assert n_kept < n_total, "fixture must actually drop repeated chunks"
+
+
+def test_pii_redact(spark):
+    rows = webclean.pii_redact(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_phones"] == 1  # exactly one reconstructed phone per row
+        assert r["n_nums"] >= 1    # the Customer#000000042 digit tail
+        assert "[PHONE]" in r["redacted"] and "[NUM]" in r["redacted"]
+        assert not re.search(webclean.PHONE_RE, r["redacted"])
+        assert not re.search(webclean.NUM_RE, r["redacted"])
+
+
+def test_pmi_edges_consistent(spark):
+    rows = relations.q_pmi_edges(spark, SF).collect()
+    assert rows
+    # every row must imply the same corpus size N, and pmi must recompute
+    # from the emitted counts with that N.
+    ns = {round(math.exp(r["pmi"]) * r["n_a"] * r["n_b"] / r["n_ab"]) for r in rows}
+    assert len(ns) == 1
+    n = ns.pop()
+    for r in rows:
+        assert r["n_ab"] >= relations.PR_MIN_DOCS
+        assert r["src"] < r["dst"]
+        assert abs(
+            r["pmi"] - math.log(r["n_ab"] * n / (r["n_a"] * r["n_b"]))
+        ) < 1e-5
