@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25_topk": corpusops.bm25_topk,
         "corpus_chunk_dedup": webclean.chunk_dedup,
         "corpus_pii_redact": webclean.pii_redact,
+        "corpus_url_normalize": webclean.url_normalize,
+        "corpus_host_stats": webclean.host_stats,
+        "corpus_quality_filter": webclean.quality_filter,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -173,6 +176,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bm25_topk": corpusops.sql_bm25_topk(),
         "corpus_chunk_dedup": webclean.sql_chunk_dedup(),
         "corpus_pii_redact": webclean.sql_pii_redact(),
+        "corpus_url_normalize": webclean.sql_url_normalize(),
+        "corpus_host_stats": webclean.sql_host_stats(),
+        "corpus_quality_filter": webclean.sql_quality_filter(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

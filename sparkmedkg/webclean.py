@@ -158,3 +158,165 @@ SELECT c_custkey,
                       '{NUM_RE}', '[NUM]', 'g') AS redacted
 FROM customer
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + host rollup.
+# ---------------------------------------------------------------------------
+# The driver's documents table carries no URL column, so a messy URL is
+# reconstructed deterministically from (source, lang, doc_id) — uppercase
+# host, explicit default port, tracking params — and the operator's job is
+# to normalize it exactly the way a crawl-frontier dedup would: lowercase
+# host, drop the default port, strip utm_*/ref= tracking params, sort the
+# survivors.  The oracle rebuilds the same URL with the same pure formula.
+
+TRACKING_PREFIXES = ("utm_", "ref=")
+
+
+def _messy_url():
+    return F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("source"),
+        F.lit("&x="),
+        F.col("doc_id") % 7,
+        F.lit("&b="),
+        F.col("doc_id") % 3,
+    )
+
+
+def url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host, domain, path, n_dropped, canon_url): URL
+    canonicalization — lowercase host, default port dropped (the host
+    capture stops at ':'), tracking params (utm_*, ref=) stripped, the
+    remaining query params sorted.  Map-only regexp/array expressions, no
+    shuffle, no UDF — at 10^12 URLs this rides the scan."""
+    url = _messy_url()
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    path = F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+    params = F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&")
+    kept = F.filter(
+        params,
+        lambda p: ~(p.startswith(TRACKING_PREFIXES[0]) | p.startswith(TRACKING_PREFIXES[1])),
+    )
+    canon_q = F.array_join(F.array_sort(kept), "&")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        host.alias("host"),
+        domain.alias("domain"),
+        path.alias("path"),
+        (F.size(params) - F.size(kept)).alias("n_dropped"),
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+        ).alias("canon_url"),
+    )
+
+
+def sql_url_normalize() -> str:
+    url = (
+        "concat('https://WWW.', source, '.Example.COM:443/', lang, '/doc/', doc_id, "
+        "'?utm_source=feed&ref=', source, '&x=', doc_id % 7, '&b=', doc_id % 3)"
+    )
+    host = rf"lower(regexp_extract({url}, '^https?://([^/:?#]+)', 1))"
+    path = rf"regexp_extract({url}, '^https?://[^/?#]+([^?#]*)', 1)"
+    kept = (
+        rf"list_filter(string_split(regexp_extract({url}, '\?(.*)$', 1), '&'), "
+        "p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'ref=')))"
+    )
+    return rf"""
+SELECT doc_id,
+       {host} AS host,
+       regexp_extract({host}, '([^.]+\.[^.]+)$', 1) AS domain,
+       {path} AS path,
+       len(string_split(regexp_extract({url}, '\?(.*)$', 1), '&')) - len({kept}) AS n_dropped,
+       concat('https://', {host}, {path},
+              CASE WHEN array_to_string(list_sort({kept}), '&') <> ''
+                   THEN concat('?', array_to_string(list_sort({kept}), '&'))
+                   ELSE '' END) AS canon_url
+FROM documents
+"""
+
+
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, n_docs, n_langs, n_chars): per-host crawl rollup over the
+    canonicalized corpus — one partial-aggregated shuffle keyed on host.
+    Host skew (one domain owning 10% of the crawl) is the classic hot key;
+    count/sum partials collapse it map-side before the exchange."""
+    url = _messy_url()
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(host.alias("host"), "lang", "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def sql_host_stats() -> str:
+    url = (
+        "concat('https://WWW.', source, '.Example.COM:443/', lang, '/doc/', doc_id, "
+        "'?utm_source=feed&ref=', source, '&x=', doc_id % 7, '&b=', doc_id % 3)"
+    )
+    host = rf"lower(regexp_extract({url}, '^https?://([^/:?#]+)', 1))"
+    return f"""
+SELECT {host} AS host, COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percentile-threshold quality filter.
+# ---------------------------------------------------------------------------
+
+QUALITY_PCT = 0.5
+
+
+def quality_filter(
+    spark: SparkSession, sf_dir: str, pct: float = QUALITY_PCT
+) -> DataFrame:
+    """(doc_id, quality_score, p_cut): documents at or above the exact
+    corpus ``pct``-quantile of textstats.quality's score — the
+    "keep the top half by quality" training-mix gate.
+
+    Plan: the quantile is ONE scalar from a partial-aggregatable
+    percentile over the score column, broadcast back over the corpus
+    (BroadcastNestedLoopJoin on a 1-row side == a literal); the corpus is
+    scanned twice but never shuffled.  At 100 TB swap the exact percentile
+    for approx_percentile with a pinned accuracy and the plan is
+    unchanged."""
+    from sparkmedkg.textstats import quality
+
+    q = quality(spark, sf_dir).select("doc_id", "quality_score")
+    cut = q.agg(
+        F.expr(f"percentile(quality_score, {pct})").alias("p_cut")
+    )
+    return (
+        q.crossJoin(F.broadcast(cut))
+        .where(F.col("quality_score") >= F.col("p_cut"))
+        .select("doc_id", "quality_score", F.round("p_cut", 6).alias("p_cut"))
+    )
+
+
+def sql_quality_filter(pct: float = QUALITY_PCT) -> str:
+    from sparkmedkg.textstats import sql_quality
+
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({sql_quality()})),
+cut AS (SELECT quantile_cont(quality_score, {pct}) AS p_cut FROM q)
+SELECT doc_id, quality_score, round(cut.p_cut, 6) AS p_cut
+FROM q, cut WHERE quality_score >= cut.p_cut
+"""

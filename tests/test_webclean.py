@@ -67,3 +67,55 @@ def test_pmi_edges_consistent(spark):
         assert abs(
             r["pmi"] - math.log(r["n_ab"] * n / (r["n_a"] * r["n_b"]))
         ) < 1e-5
+
+
+def test_url_normalize_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {r["doc_id"]: r for r in webclean.url_normalize(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for d in docs:
+        r = got[d["doc_id"]]
+        host = f"www.{d['source']}.example.com"
+        assert r["host"] == host
+        assert r["domain"] == "example.com"
+        assert r["path"] == f"/{d['lang']}/doc/{d['doc_id']}"
+        assert r["n_dropped"] == 2  # utm_source + ref
+        kept = sorted([f"b={d['doc_id'] % 3}", f"x={d['doc_id'] % 7}"])
+        assert r["canon_url"] == f"https://{host}{r['path']}?{'&'.join(kept)}"
+
+
+def test_host_stats_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, set(), 0])
+    for d in docs:
+        w = want[f"www.{d['source']}.example.com"]
+        w[0] += 1
+        w[1].add(d["lang"])
+        w[2] += d["n_chars"]
+    got = {r["host"]: r for r in webclean.host_stats(spark, SF).collect()}
+    assert set(got) == set(want)
+    for h, (n, langs, chars) in want.items():
+        assert (got[h]["n_docs"], got[h]["n_langs"], got[h]["n_chars"]) == (
+            n, len(langs), chars)
+
+
+def test_quality_filter_median(spark):
+    from sparkmedkg.textstats import quality
+
+    scores = sorted(
+        r["quality_score"] for r in quality(spark, SF).collect()
+    )
+    rows = webclean.quality_filter(spark, SF).collect()
+    cut = {r["p_cut"] for r in rows}
+    assert len(cut) == 1
+    cut = cut.pop()
+    # all emitted rows clear the cut, and the emitted set IS everything
+    # at-or-above it
+    assert all(r["quality_score"] >= cut for r in rows)
+    assert len(rows) == sum(1 for s in scores if s >= cut)
+    # the cut is the interpolated median of the score distribution
+    n = len(scores)
+    exp = (scores[(n - 1) // 2] + scores[n // 2]) / 2
+    assert abs(cut - exp) < 1e-6
