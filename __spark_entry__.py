@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_normalize": webclean.url_normalize,
         "corpus_host_stats": webclean.host_stats,
         "corpus_quality_filter": webclean.quality_filter,
+        "corpus_snapshot_diff": webclean.snapshot_diff,
+        "corpus_weighted_sample": trainprep.weighted_sample,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -179,6 +181,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_url_normalize": webclean.sql_url_normalize(),
         "corpus_host_stats": webclean.sql_host_stats(),
         "corpus_quality_filter": webclean.sql_quality_filter(),
+        "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
+        "corpus_weighted_sample": trainprep.sql_weighted_sample(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

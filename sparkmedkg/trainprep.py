@@ -284,3 +284,47 @@ SELECT source,
                   AS DOUBLE), 6) AS avg_quality
 FROM q GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES).
+# ---------------------------------------------------------------------------
+
+WS_K = 100
+WS_HEX = 15  # first 60 bits of md5 -> deterministic uniform u, portable
+
+
+def weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WS_K
+) -> DataFrame:
+    """(doc_id, n_chars, skey): k documents sampled without replacement
+    with probability proportional to length — the Efraimidis-Spirakis
+    one-pass reservoir: per-row key ln(u)/w with u deterministic from
+    md5(doc_id), take the k largest keys.  Longer docs get larger
+    (less-negative) keys more often; a fixed u per doc makes the draw
+    reproducible across engines and reruns.
+
+    Plan: map-only key projection + TakeOrderedAndProject — each partition
+    keeps its local top-k and only k-row heads reach the driver merge; no
+    shuffle of the corpus, identical shape at 10^12 rows."""
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, WS_HEX), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << (WS_HEX * 4)))
+    skey = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars", F.round(skey, 10).alias("skey"))
+        .orderBy(F.col("skey").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def sql_weighted_sample(k: int = WS_K) -> str:
+    h = f"CAST('0x' || substring(md5(doc_id::VARCHAR), 1, {WS_HEX}) AS BIGINT)"
+    u = f"(({h})::DOUBLE + 0.5) / {float(1 << (WS_HEX * 4))}"
+    return f"""
+SELECT doc_id, n_chars, round(ln({u}) / n_chars::DOUBLE, 10) AS skey
+FROM documents
+ORDER BY skey DESC, doc_id LIMIT {k}
+"""

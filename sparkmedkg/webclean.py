@@ -320,3 +320,77 @@ cut AS (SELECT quantile_cont(quality_score, {pct}) AS p_cut FROM q)
 SELECT doc_id, quality_score, round(cut.p_cut, 6) AS p_cut
 FROM q, cut WHERE quality_score >= cut.p_cut
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl snapshot diff.
+# ---------------------------------------------------------------------------
+# Two crawl snapshots are derived deterministically from the documents
+# table (no external data): the OLD snapshot misses doc_id % 11 == 0, the
+# NEW snapshot misses doc_id % 13 == 0 and carries revised text for
+# doc_id % 7 == 0.  The operator is the incremental-recrawl diff itself.
+
+DIFF_OLD_MOD = 11
+DIFF_NEW_MOD = 13
+DIFF_REV_MOD = 7
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, status, old_digest, new_digest): added / removed / changed
+    documents between two crawl snapshots, by content digest; unchanged
+    rows are dropped.  This is the incremental-KG input selector: only
+    rows emitted here need re-extraction.
+
+    Plan: full outer join on the crawl key with digest compare — one
+    co-partitioned sort-merge join (both sides shuffled on doc_id once).
+    At 100 TB both snapshots live bucketed on the crawl key (see
+    materialize.write_bucketed_graph for the bucketing seam), making the
+    diff exchange-free."""
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % DIFF_OLD_MOD != 0).select(
+        "doc_id", F.md5("text").alias("old_digest")
+    )
+    new = docs.where(F.col("doc_id") % DIFF_NEW_MOD != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % DIFF_REV_MOD == 0,
+                F.concat(F.col("text"), F.lit(" rev2")),
+            ).otherwise(F.col("text"))
+        ).alias("new_digest"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_digest", "new_digest")
+    )
+
+
+def sql_snapshot_diff() -> str:
+    return f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_digest FROM documents
+  WHERE doc_id % {DIFF_OLD_MOD} <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {DIFF_REV_MOD} = 0 THEN text || ' rev2'
+                  ELSE text END) AS new_digest
+  FROM documents WHERE doc_id % {DIFF_NEW_MOD} <> 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest <> new_digest THEN 'changed' END AS status,
+       old_digest, new_digest
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+WHERE CASE WHEN old_digest IS NULL THEN 'added'
+           WHEN new_digest IS NULL THEN 'removed'
+           WHEN old_digest <> new_digest THEN 'changed' END IS NOT NULL
+"""

@@ -119,3 +119,47 @@ def test_quality_filter_median(spark):
     n = len(scores)
     exp = (scores[(n - 1) // 2] + scores[n // 2]) / 2
     assert abs(cut - exp) < 1e-6
+
+
+def test_snapshot_diff_bruteforce(spark):
+    import hashlib
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    h = lambda t: hashlib.md5(t.encode()).hexdigest()
+    old = {d: h(t) for d, t in docs.items() if d % webclean.DIFF_OLD_MOD != 0}
+    new = {d: h(t + " rev2" if d % webclean.DIFF_REV_MOD == 0 else t)
+           for d, t in docs.items() if d % webclean.DIFF_NEW_MOD != 0}
+    want = {}
+    for d in old.keys() | new.keys():
+        if d not in old:
+            want[d] = ("added", None, new[d])
+        elif d not in new:
+            want[d] = ("removed", old[d], None)
+        elif old[d] != new[d]:
+            want[d] = ("changed", old[d], new[d])
+    got = {
+        r["doc_id"]: (r["status"], r["old_digest"], r["new_digest"])
+        for r in webclean.snapshot_diff(spark, SF).collect()
+    }
+    assert got == want
+    assert {s for s, _, _ in want.values()} == {"added", "removed", "changed"}
+
+
+def test_weighted_sample_bruteforce(spark):
+    import hashlib
+    import math as m
+
+    from sparkmedkg import trainprep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    keys = []
+    for r in docs:
+        hx = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[: trainprep.WS_HEX]
+        u = (int(hx, 16) + 0.5) / float(1 << (trainprep.WS_HEX * 4))
+        keys.append((round(m.log(u) / r["n_chars"], 10), -r["doc_id"]))
+    keys.sort(reverse=True)
+    want = {-d for _, d in keys[: trainprep.WS_K]}
+    got = [r["doc_id"] for r in trainprep.weighted_sample(spark, SF).collect()]
+    assert len(got) == trainprep.WS_K
+    assert set(got) == want
