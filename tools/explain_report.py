@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import dedup, graphalgo, relations, relops, simsearch, textstats
-    from sparkmedkg import trainprep, webkg
+    from sparkmedkg import trainprep, webclean, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -178,6 +178,56 @@ def main() -> None:
             # ranked keep-latest: single window over the compaction key
             lambda: relops.events_latest_per_key(spark, SF),
             ["Window", "!SortMergeJoin"],
+        ),
+        "events_range_join": (
+            # bucketed band join: pure equi-join on (user_id, bucket) with
+            # the 2-bucket probe explode — Spark must NOT fall back to the
+            # nested-loop plan it picks for a raw range predicate
+            lambda: relops.events_range_join(spark, SF),
+            ["!BroadcastNestedLoop", "!CartesianProduct"],
+        ),
+        "corpus_chunk_dedup": (
+            # keeper set = min(struct) aggregate per chunk; two partial+final
+            # aggregate shuffles, never a join back against the corpus
+            lambda: webclean.chunk_dedup(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "corpus_pii_redact": (
+            # map-only regexp pass: no Exchange
+            lambda: webclean.pii_redact(spark, SF),
+            ["!Exchange", "codegen id"],
+        ),
+        "corpus_url_normalize": (
+            # map-only regexp+array canonicalization: no Exchange
+            lambda: webclean.url_normalize(spark, SF),
+            ["!Exchange", "codegen id"],
+        ),
+        "corpus_host_stats": (
+            # one partial-aggregated shuffle on host
+            lambda: webclean.host_stats(spark, SF),
+            ["HashAggregate", "Exchange", "!SortMergeJoin"],
+        ),
+        "corpus_quality_filter": (
+            # 1-row percentile broadcast back over the score scan
+            lambda: webclean.quality_filter(spark, SF),
+            ["BroadcastNestedLoopJoin", "!SortMergeJoin"],
+        ),
+        "corpus_snapshot_diff": (
+            # co-partitioned full-outer sort-merge join on the crawl key
+            lambda: webclean.snapshot_diff(spark, SF),
+            ["SortMergeJoin FullOuter", "!CartesianProduct"],
+        ),
+        "corpus_weighted_sample": (
+            # map-only sample key + per-partition top-k: no Exchange
+            lambda: trainprep.weighted_sample(spark, SF),
+            ["TakeOrderedAndProject", "!Exchange"],
+        ),
+        "kg_pmi_edges": (
+            # lexicon-bounded marginals broadcast onto the pair set
+            lambda: relations.q_pmi_edges(spark, SF),
+            ["BroadcastHashJoin", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
         ),
     }
 
