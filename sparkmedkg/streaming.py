@@ -246,3 +246,74 @@ def stream_kg_update(
     )
     q.awaitTermination()
     return metrics
+
+
+# ---------------------------------------------------------------------------
+# Watermarked stream-stream interval join.
+# ---------------------------------------------------------------------------
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of event parquet drops."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(input_dir)
+    )
+
+
+def stream_error_click_join(
+    events: DataFrame,
+    window_sec: int = 600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming analogue of relops.events_range_join: every error event
+    paired with same-user clicks in the preceding ``window_sec`` seconds,
+    as a watermarked stream-stream inner join.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    click_ts to [error_ts - window, error_ts), so Spark's state store
+    retains each side only for watermark + window — bounded state at any
+    input rate, the scale answer for joining two infinite streams.  (The
+    batch twin events_range_join is the oracle-gated semantics witness;
+    the streaming test asserts availableNow output == the batch join.)"""
+    ts = F.col("ts").cast("timestamp")  # tolerate timestamp_ntz sources
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            ts.alias("error_ts"),
+        )
+        .withWatermark("error_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            ts.alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            f"""e_user = c_user
+                AND click_ts < error_ts
+                AND click_ts >= error_ts - INTERVAL {window_sec} SECONDS"""
+        ),
+    )
+    return joined.select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        F.unix_micros("error_ts").alias("error_ts_us"),
+        "click_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )

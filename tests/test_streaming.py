@@ -221,3 +221,47 @@ def test_stream_kg_update_matches_batch_and_is_idempotent(
     # no new files -> the checkpoint yields no batches (or empty merges)
     m3 = streaming.stream_kg_update(spark, in_dir, store_dir, ckpt, lkp, alias_bc)
     assert sum(m["new_nodes"] + m["new_edges"] for m in m3) == 0
+
+
+def test_stream_error_click_join_matches_batch(tmp_path_factory, spark):
+    from pyspark.sql import functions as F
+    import shutil
+
+    from sparkmedkg import relops
+
+    base = str(tmp_path_factory.mktemp("streamj"))
+    in_dir, out_dir, ckpt = (
+        os.path.join(base, d) for d in ("in", "out", "ckpt")
+    )
+    os.makedirs(in_dir)
+    # two crawl-slice drops, split by time so the join state crosses
+    # micro-batch boundaries without violating the watermark
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    mid = ev.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+    ev.where(F.unix_micros("ts") <= mid).coalesce(1).write.parquet(
+        os.path.join(in_dir, "slice=0")
+    )
+    ev.where(F.unix_micros("ts") > mid).coalesce(1).write.parquet(
+        os.path.join(in_dir, "slice=1")
+    )
+
+    s = streaming.stream_error_click_join(
+        streaming.stream_events(spark, f"{in_dir}/slice=*"),
+        window_sec=relops.RANGE_WIN_SEC,
+        watermark="30 days",
+    )
+    streaming.run_available_now(s, out_dir, ckpt)
+    got = {
+        (r["error_id"], r["click_id"], r["gap_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["error_id"], r["click_id"], r["gap_us"])
+        for r in relops.events_range_join(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert got == want
+    assert want
