@@ -39,6 +39,9 @@ MENTION_SCHEMA = "url string, mention string, resolved string, node_label string
 # entries are evicted, so at most a handful of tries live per worker.
 _TRIE_CACHE: dict[str, dict] = {}
 _TRIE_CACHE_MAX = 4
+# broadcast-lexicon guard: ~3M UMLS-scale aliases broadcast fine; beyond
+# this, route through the join-based matcher instead of the driver collect.
+MAX_ALIAS_ROWS = 5_000_000
 
 
 def tokenize(text_lower: str) -> list[str]:
@@ -220,14 +223,27 @@ def broadcast_alias_index(
     Label per alias = semtype of its CUI (ambiguous aliases in the fixture
     ontology always agree on semtype, matching the reference where the label
     comes from the NER model, not the linker).
+
+    The collect is bounded by MAX_ALIAS_ROWS: a broadcast lexicon must fit
+    in executor memory anyway (UMLS-scale ~3M aliases is a few hundred MB
+    and passes; a web-scale entity dictionary beyond the cap should be
+    restructured as an equi-join against the token stream — see
+    relations.mention_occurrences for that formulation).
     """
     import uuid
 
-    rows = (
+    limited = (
         aliases.join(concepts.select("CUI", "semtype"), "CUI")
         .select("alias", "semtype")
         .distinct()
-        .collect()
+        .limit(MAX_ALIAS_ROWS + 1)
     )
+    rows = limited.collect()
+    if len(rows) > MAX_ALIAS_ROWS:
+        raise ValueError(
+            f"alias index exceeds MAX_ALIAS_ROWS={MAX_ALIAS_ROWS}; "
+            "use the join-based matcher (relations.mention_occurrences) "
+            "for dictionaries too large to broadcast"
+        )
     index = sorted({(r["alias"], r["semtype"]) for r in rows})
     return spark.sparkContext.broadcast((uuid.uuid4().hex, index))

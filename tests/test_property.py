@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the algorithmically delicate
+operators: the ppjoin-style prefix-filtered Jaccard join (exactness under
+adversarial shingle-count / hash-order combinations, incl. the tau=0.8
+float-boundary regime from ADVICE r1) and k-core peeling on random graphs.
+
+Each example synthesizes a small corpus/graph and compares the Spark
+operator against an independent brute-force recomputation in Python.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+from collections import defaultdict
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkmedkg import dedup, graphalgo
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+doc_st = st.lists(
+    st.sampled_from(WORDS), min_size=dedup.SHINGLE_K, max_size=12
+).map(" ".join)
+corpus_st = st.lists(doc_st, min_size=2, max_size=10)
+
+
+def _shingles(text: str, k: int = dedup.SHINGLE_K) -> set[str]:
+    toks = re.split(" +", text)
+    n_starts = max(len(toks) - k + 1, 1)
+    return {" ".join(toks[i : i + k]) for i in range(n_starts)}
+
+
+def _brute_pairs(texts: list[str], tau: float) -> set[tuple[int, int]]:
+    sh = [_shingles(t) for t in texts]
+    out = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and inter / union >= tau:
+            out.add((a, b))
+    return out
+
+
+@pytest.fixture(scope="module")
+def prop_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("prop"))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(corpus=corpus_st, tau=st.sampled_from([0.5, 0.8]))
+def test_prefix_jaccard_is_exact(spark, prop_dir, corpus, tau):
+    sf_dir = os.path.join(
+        prop_dir, f"c{abs(hash((tuple(corpus), tau))) % 10**9}"
+    )
+    if not os.path.exists(sf_dir):
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(corpus)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs_prefix(spark, sf_dir, tau=tau).collect()
+    }
+    assert got == _brute_pairs(corpus, tau)
+
+
+edge_st = st.tuples(
+    st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+).filter(lambda e: e[0] != e[1])
+graph_st = st.lists(edge_st, min_size=1, max_size=24)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(edges=graph_st, k=st.sampled_from([2, 3]))
+def test_kcore_matches_peeling_random_graphs(spark, edges, k):
+    und = {tuple(sorted(e)) for e in edges}
+    sym = [(f"n{a}", f"n{b}") for a, b in und] + [
+        (f"n{b}", f"n{a}") for a, b in und
+    ]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    alive = {s for s, _ in sym}
+    deg: dict[str, int] = {}
+    while True:
+        deg = defaultdict(int)
+        for s, d in sym:
+            if s in alive and d in alive:
+                deg[s] += 1
+        nxt = {n for n in alive if deg[n] >= k}
+        if nxt == alive:
+            break
+        alive = nxt
+    want = {n: deg[n] for n in alive}
+    got = {
+        r["CUI"]: r["core_deg"]
+        for r in graphalgo.kcore_from_edges(df, k=k, rounds=12).collect()
+    }
+    assert got == want
