@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_weighted_sample": trainprep.weighted_sample,
         "corpus_temperature_sample": trainprep.temperature_sample,
         "corpus_oov_rate": corpusops.oov_rate,
+        "emb_kmeans": simsearch.kmeans,
         # --- enrichment + canonicalization (E1-E4, J4, CC) ---
         "kg_genes": kgoracle.q_genes,
         "kg_snomed": kgoracle.q_snomed,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_weighted_sample": trainprep.sql_weighted_sample(),
         "corpus_temperature_sample": trainprep.sql_temperature_sample(),
         "corpus_oov_rate": corpusops.sql_oov_rate(),
+        "emb_kmeans": simsearch.sql_kmeans(),
         "kg_genes": kgoracle.sql_genes(),
         "kg_snomed": kgoracle.sql_snomed(),
         "kg_clinical_features": kgoracle.sql_clinical_features(),

@@ -517,3 +517,141 @@ FROM shortlist s, q
 ORDER BY {exact} DESC, s.vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration distributed k-means (Lloyd's) over the embedding column.
+# ---------------------------------------------------------------------------
+
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1000
+
+
+def _qvec():
+    """Quantize the float vector to integers: floor(x*SCALE + 0.5) per dim.
+    Every downstream operation (distance sums, centroid means) is then
+    EXACT integer arithmetic — associative, so partial aggregation order
+    cannot perturb results, and bit-identical across engines."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KM_SCALE + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dist2(qcol, cent: list[int]) -> Column:
+    c = F.array(*[F.lit(int(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(qcol, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster, dist2): Lloyd's k-means after ``iters`` synchronous
+    iterations over integer-quantized embeddings. Init = the k lowest
+    vec_ids; ties in assignment break to the lowest cluster id; centroid
+    update is per-dim floor(sum/count) — all exact integer arithmetic, so
+    the unrolled DuckDB oracle matches bit-for-bit.
+
+    Plan per iteration: assignment is a map-only pass (k centroid literal
+    arrays folded into the projection — the same shuffle-free argmin that
+    fixed ann_ivf_topk); the update is ONE partial-aggregated shuffle of
+    64 per-dim integer sums + a k-row driver collect to rebuild the
+    literals. Nothing else moves: at 10^12 vectors each iteration is scan
+    + tiny agg, the canonical scalable Lloyd's shape."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _qvec().alias("q")
+    )
+    # (label, centroid) pairs: labels survive even if a cluster empties
+    # mid-iteration (matching the oracle, which keeps original cl labels).
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign(df, cents):
+        dists = F.array(*[_dist2(F.col("q"), c) for _, c in cents])
+        labels = F.array(*[F.lit(lbl) for lbl, _ in cents])
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        return df.select(
+            "vec_id",
+            "q",
+            F.element_at(labels, pos).cast("int").alias("cluster"),
+            F.array_min(dists).alias("dist2"),
+        )
+
+    for _ in range(iters):
+        a = assign(emb, cents)
+        rows = (
+            a.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(DIM)],
+            )
+            .orderBy("cluster")
+            .collect()
+        )
+        def _tdiv(s: int, n: int) -> int:
+            # truncate-toward-zero division, matching DuckDB's integer `//`
+            return s // n if s >= 0 else -((-s) // n)
+
+        cents = [
+            (
+                int(r["cluster"]),
+                [_tdiv(int(r[f"s{d}"]), int(r["n"])) for d in range(DIM)],
+            )
+            for r in rows
+        ]
+    return assign(emb, cents).select("vec_id", "cluster", "dist2")
+
+
+def sql_kmeans(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    q = (
+        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "for e in embedding]"
+    )
+    dist = (
+        "list_aggregate([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i]) "
+        "for i in generate_series(1, 64)], 'sum')"
+    )
+    steps = []
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        steps.append(
+            f"""a{it} AS (
+  SELECT vec_id, q, cl AS cluster, d AS dist2 FROM (
+    SELECT v.vec_id, v.q, c.cl, {dist} AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cl) AS rn
+    FROM vq v CROSS JOIN {prev} c)
+  WHERE rn = 1
+),
+cs{it} AS (
+  SELECT cluster, i, SUM(q[i]) AS s
+  FROM a{it}, generate_series(1, 64) t(i) GROUP BY cluster, i
+),
+cn{it} AS (SELECT cluster, COUNT(*) AS n FROM a{it} GROUP BY cluster),
+c{it} AS (
+  SELECT cs.cluster AS cl, list(cs.s // cn.n ORDER BY cs.i) AS q
+  FROM cs{it} cs JOIN cn{it} cn USING (cluster)
+  GROUP BY cs.cluster
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH vq AS (SELECT vec_id, {q} AS q FROM embeddings),
+c0 AS (SELECT vec_id AS cl, q FROM vq WHERE vec_id < {k}),
+{unrolled}
+SELECT v.vec_id,
+       CAST(c.cl AS INTEGER) AS cluster,
+       {dist.replace("c.q", "c.q")} AS dist2
+FROM vq v CROSS JOIN c{iters} c
+QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cl) = 1
+"""

@@ -220,3 +220,49 @@ def test_oov_rate_bruteforce(spark):
         assert (got[d]["n_tokens"], got[d]["n_oov"]) == (len(toks), n_oov)
     assert any(r["n_oov"] > 0 for r in got.values())
     assert any(r["n_oov"] == 0 for r in got.values()) or True
+
+
+def test_kmeans_matches_bruteforce(spark):
+    import math as m
+
+    from sparkmedkg import simsearch
+
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    q = {
+        r["vec_id"]: [int(m.floor(float(x) * 1000 + 0.5)) for x in r["embedding"]]
+        for r in rows
+    }
+    k, iters = simsearch.KM_K, simsearch.KM_ITERS
+    cents = {i: q[i] for i in range(k)}
+
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    def assign(cents):
+        out = {}
+        for vid, v in q.items():
+            best = min(
+                ((sum((a - b) ** 2 for a, b in zip(v, c)), cl)
+                 for cl, c in sorted(cents.items())),
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums, cnt = {}, {}
+        for vid, (cl, _) in a.items():
+            cnt[cl] = cnt.get(cl, 0) + 1
+            s = sums.setdefault(cl, [0] * len(q[vid]))
+            for d, x in enumerate(q[vid]):
+                s[d] += x
+        cents = {
+            cl: [tdiv(s, cnt[cl]) for s in sums[cl]] for cl in sums
+        }
+    want = assign(cents)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in simsearch.kmeans(spark, SF).collect()
+    }
+    assert got == want
+    assert len({cl for cl, _ in got.values()}) > 1
