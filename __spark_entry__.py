@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_propagation": graphalgo.q_label_propagation,
         "kg_neighbor_jaccard": graphalgo.q_neighbor_jaccard,
         "kg_kcore": graphalgo.q_kcore,
+        "kg_weighted_sssp": graphalgo.q_weighted_sssp,
         "kg_ontology_closure": hierarchy.ontology_closure,
         "kg_category_rollup": hierarchy.category_rollup,
         # --- training-corpus preparation (composed filters + sampling) ---
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_propagation": graphalgo.sql_label_propagation(),
         "kg_neighbor_jaccard": graphalgo.sql_neighbor_jaccard(),
         "kg_kcore": graphalgo.sql_kcore(),
+        "kg_weighted_sssp": graphalgo.sql_weighted_sssp(),
         "kg_ontology_closure": hierarchy.sql_ontology_closure(),
         "kg_category_rollup": hierarchy.sql_category_rollup(),
         "corpus_training_ready": trainprep.sql_training_ready(),

@@ -362,3 +362,104 @@ a0 AS MATERIALIZED (
 {unrolled}
 SELECT cui AS CUI, core_deg FROM a{rounds - 1}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (fixed-round Bellman-Ford).
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+SSSP_COST_NUM = 1_000_000
+
+
+def q_weighted_sssp(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = SSSP_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, dist): shortest weighted distance from the lexicographically
+    smallest node after ``rounds`` Bellman-Ford relaxations.  Edge cost is
+    the INTEGER association cost 1_000_000 // n_docs (stronger
+    co-occurrence == cheaper hop), so every distance is exact integer
+    arithmetic — engine-portable with no float-sum ordering concerns.
+
+    Plan per round: one equi-join of the current distance table (|reached|
+    rows) against edges on src + one min-groupBy — the same
+    frontier-bounded shape as BFS but carrying min-cost instead of
+    min-hops.  Distances are localCheckpoint'd per round so lineage stays
+    O(1) at deep round counts."""
+    from sparkmedkg import relations as _r
+
+    doc_cui = _r._doc_cui(spark, sf_dir)
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
+    und = (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    cost = F.expr(f"div({SSSP_COST_NUM}, n_docs)").alias("cost")
+    edges = (
+        und.select(F.col("x").alias("src"), F.col("y").alias("dst"), cost)
+        .unionByName(
+            und.select(F.col("y").alias("src"), F.col("x").alias("dst"), cost)
+        )
+        .persist()
+    )
+    src0 = edges.agg(F.min("src")).first()[0]
+
+    dist = spark.createDataFrame(
+        [(src0, 0)], "CUI string, dist long"
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist["CUI"] == edges["src"])
+            .select(
+                F.col("dst").alias("CUI"),
+                (F.col("dist") + F.col("cost")).alias("dist"),
+            )
+            .unionByName(dist)
+            .groupBy("CUI")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = relaxed.localCheckpoint(eager=True)
+    edges.unpersist()
+    return dist
+
+
+def sql_weighted_sssp(
+    rounds: int = SSSP_ROUNDS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""d{t} AS MATERIALIZED (
+  SELECT cui, MIN(dist) AS dist FROM (
+    SELECT e.dst AS cui, p.dist + e.cost AS dist
+    FROM d{t - 1} p JOIN wedges e ON e.src = p.cui
+    UNION ALL SELECT cui, dist FROM d{t - 1}
+  ) GROUP BY cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    # the shared cooccur CTE ends with the unweighted `edges` CTE; it is
+    # simply left unreferenced here and the weighted variant built beside it
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+wund AS (
+  SELECT a.cui AS x, b.cui AS y, COUNT(*) AS n_docs
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= {min_docs}
+),
+wedges AS MATERIALIZED (
+  SELECT x AS src, y AS dst, {SSSP_COST_NUM} // n_docs AS cost FROM wund
+  UNION ALL SELECT y, x, {SSSP_COST_NUM} // n_docs FROM wund
+),
+d0 AS (SELECT (SELECT MIN(src) FROM wedges) AS cui, CAST(0 AS BIGINT) AS dist),
+{unrolled}
+SELECT cui AS CUI, dist FROM d{rounds}
+"""

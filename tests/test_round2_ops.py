@@ -332,3 +332,39 @@ def test_kcore_iterative_peeling(spark):
     # disappears over THREE rounds; K4 remains at degree 3
     assert got == {"k1": 3, "k2": 3, "k3": 3, "k4": 3}
     assert graphalgo.kcore_from_edges(edges, k=4).count() == 0
+
+
+def test_weighted_sssp_matches_bellman_ford(spark):
+    from sparkmedkg import graphalgo, relations
+
+    doc_cui = relations._doc_cui(spark, SF)
+    pairs = defaultdict(int)
+    rows = doc_cui.collect()
+    by_doc = defaultdict(set)
+    for r in rows:
+        by_doc[r["url"]].add(r["CUI"])
+    for cuis in by_doc.values():
+        s = sorted(cuis)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pairs[(s[i], s[j])] += 1
+    edges = []
+    for (x, y), n in pairs.items():
+        if n >= graphalgo.PR_MIN_DOCS:
+            c = graphalgo.SSSP_COST_NUM // n
+            edges.append((x, y, c))
+            edges.append((y, x, c))
+    src0 = min(s for s, _, _ in edges)
+    dist = {src0: 0}
+    for _ in range(graphalgo.SSSP_ROUNDS):
+        nxt = dict(dist)
+        for s, d, c in edges:
+            if s in dist and dist[s] + c < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + c
+        dist = nxt
+    got = {
+        r["CUI"]: r["dist"]
+        for r in graphalgo.q_weighted_sssp(spark, SF).collect()
+    }
+    assert got == dist
+    assert len(got) > 1 and got[src0] == 0
