@@ -33,6 +33,7 @@ from sparkmedkg import (
     textstats,
     trainprep,
     webclean,
+    webgraph,
     webkg,
 )
 
@@ -69,6 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_neighbor_jaccard": graphalgo.q_neighbor_jaccard,
         "kg_kcore": graphalgo.q_kcore,
         "kg_weighted_sssp": graphalgo.q_weighted_sssp,
+        "kg_adamic_adar": webgraph.q_adamic_adar,
+        # --- web-graph construction + sketches ---
+        "web_link_graph": webgraph.link_graph,
+        "web_hits": webgraph.q_hits,
+        "corpus_kmv_distinct": webgraph.kmv_distinct,
+        "dedup_containment": webgraph.containment_pairs,
         "kg_ontology_closure": hierarchy.ontology_closure,
         "kg_category_rollup": hierarchy.category_rollup,
         # --- training-corpus preparation (composed filters + sampling) ---
@@ -174,6 +181,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_jaccard": graphalgo.sql_neighbor_jaccard(),
         "kg_kcore": graphalgo.sql_kcore(),
         "kg_weighted_sssp": graphalgo.sql_weighted_sssp(),
+        "kg_adamic_adar": webgraph.sql_adamic_adar(),
+        "web_link_graph": webgraph.sql_link_graph(),
+        "web_hits": webgraph.sql_hits(),
+        "corpus_kmv_distinct": webgraph.sql_kmv_distinct(),
+        "dedup_containment": webgraph.sql_containment_pairs(),
         "kg_ontology_closure": hierarchy.sql_ontology_closure(),
         "kg_category_rollup": hierarchy.sql_category_rollup(),
         "corpus_training_ready": trainprep.sql_training_ready(),

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import relations, trainprep, webclean, webkg  # noqa: E402
+from sparkmedkg import relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -80,6 +80,9 @@ BENCH_QUERIES = {
     "corpus_chunk_dedup": webclean.chunk_dedup,
     "corpus_weighted_sample": trainprep.weighted_sample,
     "corpus_snapshot_diff": webclean.snapshot_diff,
+    "web_link_graph": webgraph.link_graph,
+    "corpus_kmv_distinct": webgraph.kmv_distinct,
+    "dedup_containment": webgraph.containment_pairs,
     "kg_pmi_edges": relations.q_pmi_edges,
     "events_sessionize": relops.events_sessionize,
     "events_asof_join": relops.events_asof_join,

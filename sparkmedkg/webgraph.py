@@ -1,0 +1,419 @@
+"""Web-graph construction + graph/sketch analytics for the crawl corpus.
+
+The reference pipeline stops at per-document extraction (its only graph
+analytic is the Neo4j `/intersection` endpoint,
+/root/reference/pymedgraph/graph/neo4jconnector.py:267-316).  A
+Common-Crawl-scale KG build also needs the *web graph itself*: anchor
+extraction from raw html into host-level edges, hub/authority scoring over
+those directed edges, and cardinality sketches for crawl accounting.  This
+module adds that family, each operator DuckDB-oracle-gated:
+
+- ``link_graph``        html anchors -> (src_host, dst_host, n_links) edges
+- ``q_hits``            fixed-iteration HITS hubs/authorities on that graph
+- ``kmv_distinct``      k-minimum-values distinct-count sketch vs exact
+- ``q_adamic_adar``     common-neighbor link prediction on the KG
+- ``containment_pairs`` asymmetric shingle containment (quote/subset dups)
+
+The documents table has no html column, so ``link_graph`` synthesizes a
+deterministic page body (every token becomes an anchor whose target host is
+an md5-derived function of the token — same formula in the DuckDB oracle,
+same md5-60-bit bridge as dedup.py's minhash) and then runs the REAL
+extraction path: ``regexp_extract_all`` over the html string, entirely
+JVM-side.  At 10^12 real pages the synthesis select is replaced by the
+Iceberg scan of the html column; everything downstream is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkmedkg import graphalgo, relations
+from sparkmedkg.relations import PR_MIN_DOCS, sql_cooccur_edges_cte
+
+N_DST_HOSTS = 31        # synthetic anchor target-host universe
+MAX_ANCHORS = 64        # per-page anchor cap (real crawls cap outlinks too)
+N_SRC_HOSTS = 97        # crawl host universe (matches fixtures url scheme)
+HITS_ITERS = 2
+KMV_K = 64              # sketch size: k smallest 60-bit hashes
+AA_TAU = 0.35           # Adamic-Adar emit threshold
+CONT_TAU = 0.8          # containment emit threshold
+CONT_MAX_DF = 64        # drop shingles appearing in more docs than this
+
+
+def _h60(col):
+    """First 60 bits of md5 as a non-negative bigint — the same
+    Spark<->DuckDB hash bridge as dedup._mh_params (dedup.py:295-317)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _sql_h60(expr: str) -> str:
+    return f"CAST('0x' || substring(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Host-level link graph from html anchors.
+# ---------------------------------------------------------------------------
+
+def _page_html():
+    """Deterministic html body: first MAX_ANCHORS tokens each become an
+    <a href="https://h{md5(token)%N}.example/p">token</a> anchor."""
+    toks = F.slice(F.split(F.col("text"), " +"), 1, MAX_ANCHORS)
+    anchor = lambda t: F.concat(  # noqa: E731
+        F.lit('<a href="https://h'),
+        (_h60(t) % N_DST_HOSTS).cast("string"),
+        F.lit('.example/p">'),
+        t,
+        F.lit("</a>"),
+    )
+    return F.concat(
+        F.lit("<html><body>"),
+        F.concat_ws("", F.transform(toks, anchor)),
+        F.lit("</body></html>"),
+    )
+
+
+def _sql_page_html() -> str:
+    toks = f"list_slice(regexp_split_to_array(text, ' +'), 1, {MAX_ANCHORS})"
+    anchor = (
+        "'<a href=\"https://h' || "
+        f"({_sql_h60('t')} % {N_DST_HOSTS}) || "
+        "'.example/p\">' || t || '</a>'"
+    )
+    return (
+        "'<html><body>' || "
+        f"array_to_string([{anchor} for t in {toks}], '') || "
+        "'</body></html>'"
+    )
+
+
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_host, dst_host, n_links): host-level web-graph edges extracted
+    from page html.  The extraction is the production path — one
+    ``regexp_extract_all`` over the html column (whole-stage codegen, rides
+    the scan), explode, then a single map-side-combinable groupBy.  No UDF,
+    no driver loop; at 10^12 pages the only shuffle is the (src,dst)
+    aggregation, and the per-page anchor cap bounds explode fan-out."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = _page_html().alias("html")
+    src = F.concat(
+        F.lit("site"), (F.col("doc_id") % N_SRC_HOSTS).cast("string"),
+        F.lit(".example"),
+    ).alias("src_host")
+    hosts = F.regexp_extract_all(
+        F.col("html"), F.lit('href="https://([^"/]+)'), 1
+    )
+    return (
+        docs.select(src, html)
+        .select("src_host", F.explode(hosts).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def sql_link_graph() -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS src_host,
+         {_sql_page_html()} AS html
+  FROM documents
+),
+anchors AS (
+  SELECT src_host, unnest(regexp_extract_all(html, 'href="https://([^"/]+)', 1))
+           AS dst_host
+  FROM pages
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM anchors GROUP BY src_host, dst_host
+"""
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (fixed synchronous iterations, L1-normalized).
+# ---------------------------------------------------------------------------
+
+def q_hits(
+    spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS
+) -> DataFrame:
+    """(host, hub, authority) after ``iters`` HITS rounds on the distinct
+    directed host-graph edges.  Each round is two edge joins + two grouped
+    sums (map-side combinable) and two scalar normalizations (1-row
+    broadcast); edges persist once across rounds, same shape as
+    relations.q_pagerank.  L1 normalization keeps the oracle's unrolled
+    CTEs exact under round(6)."""
+    edges = (
+        link_graph(spark, sf_dir)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    scores = nodes.select(
+        "host", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
+    )
+    for i in range(iters):
+        # h'(u) = sum_{u->v} a(v), then L1-normalize
+        h = (
+            edges.join(scores.select(F.col("host").alias("dst"), "auth"), "dst")
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        hub = nodes.join(
+            h.select(F.col("src").alias("host"), "s"), "host", "left"
+        ).select("host", F.coalesce("s", F.lit(0.0)).alias("hub"))
+        hub = hub.crossJoin(
+            F.broadcast(hub.agg(F.sum("hub").alias("tot")))
+        ).select("host", (F.col("hub") / F.col("tot")).alias("hub"))
+        # a'(v) = sum_{u->v} h'(u), then L1-normalize
+        a = (
+            edges.join(hub.select(F.col("host").alias("src"), "hub"), "src")
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        auth = nodes.join(
+            a.select(F.col("dst").alias("host"), "s"), "host", "left"
+        ).select("host", F.coalesce("s", F.lit(0.0)).alias("auth"))
+        auth = auth.crossJoin(
+            F.broadcast(auth.agg(F.sum("auth").alias("tot")))
+        ).select("host", (F.col("auth") / F.col("tot")).alias("auth"))
+        scores = hub.join(auth, "host")
+        if (i + 1) % 3 == 0:  # lineage truncation for deep runs
+            scores = scores.localCheckpoint(eager=True)
+    out = scores.select(
+        "host", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority")
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def sql_hits(iters: int = HITS_ITERS) -> str:
+    steps = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""h{k}_raw AS (
+  SELECT n.host, COALESCE(x.s, 0) AS hub
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS host, SUM(p.auth) AS s
+    FROM edges e JOIN {prev} p ON e.dst = p.host GROUP BY e.src
+  ) x ON n.host = x.host
+),
+h{k} AS (SELECT host, hub / (SELECT SUM(hub) FROM h{k}_raw) AS hub
+         FROM h{k}_raw),
+a{k}_raw AS (
+  SELECT n.host, COALESCE(x.s, 0) AS auth
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, SUM(p.hub) AS s
+    FROM edges e JOIN h{k} p ON e.src = p.host GROUP BY e.dst
+  ) x ON n.host = x.host
+),
+a{k} AS (SELECT host, auth / (SELECT SUM(auth) FROM a{k}_raw) AS auth
+         FROM a{k}_raw),
+s{k} AS (SELECT h.host, h.hub, a.auth
+         FROM h{k} h JOIN a{k} a ON h.host = a.host)"""
+        )
+        prev = f"s{k}"
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH lg AS ({sql_link_graph()}),
+edges AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM lg),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+s0 AS (SELECT host, 1.0 AS hub, 1.0 AS auth FROM nodes),
+{unrolled}
+SELECT host, round(hub, 6) AS hub, round(auth, 6) AS authority FROM s{iters}
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch.
+# ---------------------------------------------------------------------------
+
+def kmv_distinct(
+    spark: SparkSession, sf_dir: str, k: int = KMV_K
+) -> DataFrame:
+    """(source, n_exact, kmv_est): per-source distinct-text cardinality,
+    exact vs the KMV estimate (k-1) * 2^60 / h_k where h_k is the k-th
+    smallest 60-bit text hash.  The rank<=k filter compiles to Spark's
+    WindowGroupLimit: each map task keeps only its local k smallest before
+    the shuffle, so the exchange carries O(parts * k) rows per group — the
+    sketch property that makes KMV mergeable on 1000 executors.  Groups
+    with fewer than k distinct values report the exact count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashes = docs.select("source", _h60(F.col("text")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("source")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("n_sk"))
+    )
+    exact = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_sk") < k, F.col("n_exact").cast("double")
+    ).otherwise((k - 1) * F.lit(float(2**60)) / F.col("hk"))
+    return (
+        exact.join(sk, "source")
+        .select("source", "n_exact", F.round(est, 2).alias("kmv_est"))
+    )
+
+
+def sql_kmv_distinct(k: int = KMV_K) -> str:
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT source, {_sql_h60('text')} AS h FROM documents
+),
+ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM hashes
+),
+sk AS (
+  SELECT source, MAX(h) AS hk, COUNT(*) AS n_sk
+  FROM ranked WHERE rn <= {k} GROUP BY source
+),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM hashes GROUP BY source)
+SELECT e.source, e.n_exact,
+       round(CASE WHEN s.n_sk < {k} THEN e.n_exact::DOUBLE
+                  ELSE {k - 1} * {float(2**60)!r} / s.hk END, 2) AS kmv_est
+FROM exact e JOIN sk s ON e.source = s.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the co-occurrence KG.
+# ---------------------------------------------------------------------------
+
+def q_adamic_adar(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = AA_TAU,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(a, b, aa_score) for non-adjacent-or-adjacent node pairs with
+    Adamic-Adar score sum(1/ln(deg(u))) over shared neighbors u >= tau.
+    Same bounded wedge enumeration as graphalgo.q_neighbor_jaccard — one
+    equi-join on the shared-neighbor key with the weight joined in before
+    the grouped sum; never a node-pair cross join.  Degree-1 neighbors
+    carry no information (1/ln(1) diverges) and are excluded, matching the
+    standard formulation."""
+    edges = graphalgo._edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wt = deg.where(F.col("deg") > 1).select(
+        F.col("src").alias("u"), (1.0 / F.log(F.col("deg"))).alias("w")
+    )
+    x = edges.select(F.col("dst").alias("u"), F.col("src").alias("a"))
+    y = edges.select(F.col("dst").alias("u"), F.col("src").alias("b"))
+    return (
+        x.join(y, "u")
+        .where(F.col("a") < F.col("b"))
+        .join(wt, "u")
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("s"))
+        .where(F.col("s") >= tau)
+        .select("a", "b", F.round("s", 6).alias("aa_score"))
+    )
+
+
+def sql_adamic_adar(
+    tau: float = AA_TAU, min_docs: int = PR_MIN_DOCS
+) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+wt AS (SELECT src AS u, 1.0 / ln(deg) AS w FROM deg WHERE deg > 1)
+SELECT x.src AS a, y.src AS b, round(SUM(wt.w), 6) AS aa_score
+FROM edges x
+JOIN edges y ON x.dst = y.dst AND x.src < y.src
+JOIN wt ON wt.u = x.dst
+GROUP BY x.src, y.src
+HAVING SUM(wt.w) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (quote / subset detection).
+# ---------------------------------------------------------------------------
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = CONT_TAU,
+    max_df: int = CONT_MAX_DF,
+) -> DataFrame:
+    """(src_id, dst_id, containment): ordered pairs where
+    |S_src ∩ S_dst| / |S_src| >= tau over the informative shingle space —
+    shingles appearing in more than ``max_df`` documents (boilerplate /
+    stop-phrases) are removed from BOTH numerator and denominator, so the
+    result is exact on the filtered space and the blocking self-join is
+    bounded by max_df^2 candidates per shingle instead of exploding on hot
+    keys.  Catches quotes and page-subset duplication that symmetric
+    Jaccard (dedup.jaccard_pairs) misses when the containing doc is much
+    larger.  The dropped-shingle count is observable via the shingle-DF
+    table; the cap is part of the operator contract, not a silent
+    truncation (the oracle applies the identical cap)."""
+    from sparkmedkg import dedup
+
+    sh = dedup.doc_shingles(spark, sf_dir)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("src_id"), "shingle")
+    b = kept.select(F.col("doc_id").alias("dst_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("src_id"), F.col("n_sh").alias("na")),
+            "src_id",
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("na").cast("double"),
+        )
+        .where(F.col("containment") >= tau)
+        .select("src_id", "dst_id", F.round("containment", 6).alias("containment"))
+        .localCheckpoint(eager=True)
+    )
+    kept.unpersist()
+    return out
+
+
+def sql_containment_pairs(
+    tau: float = CONT_TAU, max_df: int = CONT_MAX_DF
+) -> str:
+    from sparkmedkg.dedup import _sql_shingles
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {max_df}
+),
+kept AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.src_id, c.dst_id,
+       round(c.n_common::DOUBLE / s.n_sh::DOUBLE, 6) AS containment
+FROM common c JOIN sizes s ON s.doc_id = c.src_id
+WHERE c.n_common::DOUBLE / s.n_sh::DOUBLE >= {tau}
+"""
