@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from sparkmedkg import dedup, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
+from sparkmedkg import dedup, er, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
 from sparkmedkg import relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
@@ -85,6 +85,8 @@ BENCH_QUERIES = {
     "dedup_containment": webgraph.containment_pairs,
     "kg_pmi_edges": relations.q_pmi_edges,
     "events_sessionize": relops.events_sessionize,
+    "events_scd2": relops.events_scd2,
+    "er_sorted_neighborhood": er.sorted_neighborhood,
     "events_asof_join": relops.events_asof_join,
     "events_range_join": relops.events_range_join,
     "tpch_pricing_summary": relops.tpch_pricing_summary,

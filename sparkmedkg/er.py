@@ -1,0 +1,179 @@
+"""Entity resolution over the crawl corpus: blocked sorted-neighborhood
+candidate generation + edit-distance verify, and survivorship (canonical
+record construction) over near-dup clusters.
+
+The reference canonicalizes entities only by exact CUI identity
+(/root/reference/pymedgraph/graph/neo4jconnector.py MERGE-by-id); a
+web-scale KG build also needs record-level ER: finding records that are
+the *same entity* despite textual noise, then collapsing each cluster to
+one canonical survivor.  Both stages here are DuckDB-oracle-gated.
+
+Sorted-neighborhood at scale: the textbook method globally sorts all
+records and slides a window — a global total order is a single-partition
+bottleneck on a cluster, so this implementation uses the standard
+*blocked* variant: records are hashed into blocks by a normalized key
+prefix, sorted within each block (per-block window = per-key shuffle,
+fully parallel), and paired within ``W`` positions via an offset-explode
+EQUI-join (never a range/theta join).  Multi-pass SNM (a second pass with
+a rotated key) is the recall lever at scale; one deterministic pass is
+gated here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SN_WINDOW = 4          # neighborhood size (pairs within W-1 positions)
+SN_PREFIX = 4          # block key: first chars of the normalized text
+LEV_PREFIX = 64        # edit distance computed on this normalized prefix
+LEV_MAX = 16           # emit pairs at or below this distance
+
+
+def _norm(col):
+    """Lowercased text with whitespace collapsed — the ER sort key base."""
+    return F.regexp_replace(F.lower(col), r"\s+", " ")
+
+
+def _sql_norm(expr: str) -> str:
+    return rf"regexp_replace(lower({expr}), '\s+', ' ', 'g')"
+
+
+def sorted_neighborhood(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = SN_WINDOW,
+    lev_max: int = LEV_MAX,
+) -> DataFrame:
+    """(a, b, lev) candidate duplicate pairs: records sharing a block
+    (normalized-text prefix), within ``window`` positions in the
+    block-local sort order, whose normalized-prefix edit distance is at
+    most ``lev_max``.  a < b.
+
+    One shuffle on the block key (row_number window), then an equi-join on
+    (block, rn + offset) built by exploding the 1..W-1 offset array — the
+    join never degenerates to a range predicate, and per-block work is
+    |block| * (W-1).  The levenshtein verify runs on a fixed 64-char
+    normalized prefix so per-pair cost is bounded."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", _norm(F.col("text")).alias("norm")
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring("norm", 1, SN_PREFIX).alias("block"),
+        F.substring("norm", 1, LEV_PREFIX).alias("sig"),
+        F.col("norm").alias("sk"),
+    )
+    w = Window.partitionBy("block").orderBy("sk", "doc_id")
+    ranked = keyed.withColumn("rn", F.row_number().over(w))
+    left = ranked.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "rn",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(window - 1))
+        ).alias("off"),
+    ).withColumn("rn_b", F.col("rn") + F.col("off"))
+    right = ranked.select(
+        "block",
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    pairs = left.join(right, ["block", "rn_b"]).withColumn(
+        "lev", F.levenshtein("sig_a", "sig_b")
+    )
+    return (
+        pairs.where(F.col("lev") <= lev_max)
+        .select(
+            F.least("id_a", "id_b").alias("a"),
+            F.greatest("id_a", "id_b").alias("b"),
+            "lev",
+        )
+        .distinct()
+    )
+
+
+def sql_sorted_neighborhood(
+    window: int = SN_WINDOW, lev_max: int = LEV_MAX
+) -> str:
+    norm = _sql_norm("text")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         substring({norm}, 1, {SN_PREFIX}) AS block,
+         substring({norm}, 1, {LEV_PREFIX}) AS sig,
+         {norm} AS sk
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY block ORDER BY sk, doc_id) AS rn
+  FROM keyed
+),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         levenshtein(l.sig, r.sig) AS lev
+  FROM ranked l
+  JOIN ranked r
+    ON l.block = r.block
+   AND r.rn - l.rn BETWEEN 1 AND {window - 1}
+)
+SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b, lev
+FROM pairs WHERE lev <= {lev_max}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Survivorship: canonical record per near-dup cluster.
+# ---------------------------------------------------------------------------
+
+def survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rep_id, cluster_size, canon_text_id, canon_source, n_langs): one
+    canonical record per near-dup cluster (dedup.dedup_clusters), built
+    with deterministic survivorship rules — the longest member's text wins
+    (ties to the smallest doc_id via a unique max_by key), the
+    lexicographically smallest source wins, language variety is counted.
+
+    The cluster table is orders of magnitude smaller than the corpus (only
+    docs in >= 1 near-dup pair), so the member-attribute join broadcasts
+    and the rollup is one small aggregation — the corpus-scale work
+    remains dedup_clusters' single prefix join."""
+    from sparkmedkg import dedup
+
+    members = dedup.dedup_clusters(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    joined = members.join(docs, "doc_id").withColumn(
+        # unique per member: longest text wins, ties to smallest doc_id
+        "pick_key",
+        F.col("n_chars") * F.lit(2**32) - F.col("doc_id"),
+    )
+    return joined.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.expr("max_by(doc_id, pick_key)").alias("canon_text_id"),
+        F.min("source").alias("canon_source"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def sql_survivorship() -> str:
+    # the proven dedup_clusters oracle (brute-force pairs + recursive-CTE
+    # closure) wrapped as a members CTE, then the same survivorship rollup
+    from sparkmedkg.dedup import sql_dedup_clusters
+
+    members = sql_dedup_clusters().strip()
+    return f"""
+WITH members AS ({members}),
+joined AS (
+  SELECT m.rep_id, d.doc_id, d.source, d.lang,
+         d.n_chars * 4294967296 - d.doc_id AS pick_key
+  FROM members m JOIN documents d ON d.doc_id = m.doc_id
+)
+SELECT rep_id, COUNT(*) AS cluster_size,
+       arg_max(doc_id, pick_key) AS canon_text_id,
+       MIN(source) AS canon_source,
+       COUNT(DISTINCT lang) AS n_langs
+FROM joined GROUP BY rep_id
+"""

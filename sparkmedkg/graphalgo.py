@@ -463,3 +463,58 @@ d0 AS (SELECT (SELECT MIN(src) FROM wedges) AS cui, CAST(0 AS BIGINT) AS dist),
 {unrolled}
 SELECT cui AS CUI, dist FROM d{rounds}
 """
+
+
+# ---------------------------------------------------------------------------
+# Local clustering coefficient.
+# ---------------------------------------------------------------------------
+
+def q_clustering_coeff(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(CUI, deg, lcc): local clustering coefficient
+    2*triangles / (deg*(deg-1)) for every node with degree >= 2.
+
+    Composition of two already-bounded stages: trainprep.kg_triangles'
+    degree-oriented triangle enumeration (wedge fan-out bounded by
+    arboricity, hub-skew-proof) and the one-shuffle degree count — the
+    final join is per-node (|V| rows), trivially broadcastable relative to
+    the edge set.  Nodes in no triangle get lcc = 0 via the left join."""
+    from sparkmedkg import trainprep
+
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tri = trainprep.kg_triangles(spark, sf_dir, min_docs)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri.withColumnRenamed("CUI", "src"), "src", "left")
+        .select(
+            F.col("src").alias("CUI"),
+            "deg",
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+def sql_clustering_coeff(min_docs: int = PR_MIN_DOCS) -> str:
+    from sparkmedkg.trainprep import sql_tri_cte
+
+    return f"""
+WITH {sql_tri_cte(min_docs)},
+tcnt AS (
+  SELECT cui, COUNT(*) AS n_triangles
+  FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris)
+  GROUP BY cui
+)
+SELECT d.src AS CUI, d.deg,
+       round(2.0 * COALESCE(t.n_triangles, 0)::DOUBLE
+             / (d.deg * (d.deg - 1))::DOUBLE, 6) AS lcc
+FROM deg d LEFT JOIN tcnt t ON t.cui = d.src
+WHERE d.deg >= 2
+"""

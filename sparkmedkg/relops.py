@@ -656,3 +656,54 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND epoch_us(c.ts) < epoch_us(e.ts)
  AND epoch_us(c.ts) >= epoch_us(e.ts) - {win_us}
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) interval build from a change log.
+# ---------------------------------------------------------------------------
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, valid_from_us, valid_to_us): the event stream
+    replayed into type-2 dimension history — one validity interval per run
+    of consecutive identical event_type values per user, the current
+    interval open-ended (NULL valid_to_us).  The classic warehouse pattern
+    for crawl/label state over time.
+
+    Gaps-and-islands entirely inside ONE per-user window shuffle: lag marks
+    run starts, the runs-only lead supplies the next start.  Interval
+    bounds are epoch-microsecond longs (engine-identical hashing, same
+    rationale as events_sessionize).  At 10^12 change rows this is a
+    single hash exchange on user_id + two in-partition sorted passes."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    starts = ev.withColumn(
+        "is_start",
+        (prev.isNull() | (prev != F.col("event_type"))).cast("int"),
+    ).where(F.col("is_start") == 1)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w2).alias("valid_to_us"),
+    )
+
+
+def sql_events_scd2() -> str:
+    return """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to_us
+FROM marked WHERE is_start = 1
+"""

@@ -192,12 +192,13 @@ def kg_triangles(
     return per_node.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def sql_kg_triangles(min_docs: int = 2) -> str:
-    from sparkmedkg.relations import PR_MIN_DOCS  # noqa: F401  (doc link)
+def sql_tri_cte(min_docs: int = 2) -> str:
+    """WITH-body prefix (aliases .. tris, plus sym/deg) for the oriented
+    triangle enumeration — shared by the triangle-count oracle here and
+    graphalgo's clustering-coefficient oracle."""
     from sparkmedkg.webkg import _links_cte, sql_aliases_cte
 
-    return f"""
-WITH {sql_aliases_cte()},
+    return f"""{sql_aliases_cte()},
 read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
 {_links_cte().lstrip()},
 doc_cui AS (
@@ -228,7 +229,12 @@ tris AS (
   UNION ALL
   SELECT wg.u, wg.v, wg.w FROM wedges wg
   JOIN oriented c ON wg.w = c.src AND wg.v = c.dst
-)
+)"""
+
+
+def sql_kg_triangles(min_docs: int = 2) -> str:
+    return f"""
+WITH {sql_tri_cte(min_docs)}
 SELECT cui AS CUI, COUNT(*) AS n_triangles
 FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
       UNION ALL SELECT w FROM tris)
