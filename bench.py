@@ -90,6 +90,8 @@ BENCH_QUERIES = {
     "events_asof_join": relops.events_asof_join,
     "events_range_join": relops.events_range_join,
     "tpch_pricing_summary": relops.tpch_pricing_summary,
+    "tpch_top_unshipped": relops.tpch_top_unshipped,
+    "web_anchor_terms": webgraph.anchor_terms,
     "tpch_revenue_by_region": relops.tpch_revenue_by_region,
 }
 

@@ -450,3 +450,94 @@ SELECT p.src, p.dst, p.n_ab, ma.n_c AS n_a, mb.n_c AS n_b,
 FROM pairs p JOIN marg ma ON ma.cui = p.src
              JOIN marg mb ON mb.cui = p.dst
 """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from a seed entity.
+# ---------------------------------------------------------------------------
+
+PPR_ITERS = 3
+PPR_ALPHA = 0.15  # restart probability
+
+
+def q_ppr(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PPR_ITERS,
+    alpha: float = PPR_ALPHA,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, ppr) after ``iters`` random-walk-with-restart rounds from the
+    deterministic seed (smallest CUI): p <- alpha*e_seed + (1-alpha)*W p.
+    The KG-proximity score behind 'related entities' panels — unlike
+    global PageRank it ranks nodes BY RELEVANCE TO the seed.
+
+    Same persisted-edges iteration shape as q_pagerank; the seed indicator
+    is a 1-row broadcast join (no collect), restart mass is added as a
+    column expression.  Rank mass is conserved (symmetric graph, no
+    dangling nodes), which the test asserts."""
+    edges = _cooccur_edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    nodes = ed.select(F.col("src").alias("CUI")).distinct().persist()
+    seed = nodes.agg(F.min("CUI").alias("seed_cui"))
+    is_seed = F.when(F.col("seed_cui").isNotNull(), 1.0).otherwise(0.0)
+    base = nodes.join(
+        F.broadcast(seed), nodes["CUI"] == F.col("seed_cui"), "left"
+    ).select("CUI", is_seed.alias("e"))
+    ranks = base.select("CUI", F.col("e").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["CUI"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = base.join(
+            contrib, base["CUI"] == contrib["dst"], "left"
+        ).select(
+            "CUI",
+            (
+                F.lit(alpha) * F.col("e")
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    out = ranks.select("CUI", F.round("pr", 6).alias("ppr")).localCheckpoint(
+        eager=True
+    )
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def sql_ppr(
+    iters: int = PPR_ITERS,
+    alpha: float = PPR_ALPHA,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT n.cui,
+         {alpha} * (CASE WHEN n.cui = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END)
+         + {1.0 - alpha} * COALESCE(c.s, 0) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS cui, SUM(p.pr / dg.deg) AS s
+    FROM edges e JOIN r{k - 1} p ON e.src = p.cui
+                 JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON n.cui = c.cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS cui FROM edges),
+seed AS (SELECT MIN(cui) AS s FROM nodes),
+r0 AS (SELECT cui, CASE WHEN cui = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END
+         AS pr FROM nodes),
+{unrolled}
+SELECT cui AS CUI, round(pr, 6) AS ppr FROM r{iters}
+"""

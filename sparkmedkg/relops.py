@@ -707,3 +707,121 @@ SELECT user_id, event_type,
          AS valid_to_us
 FROM marked WHERE is_start = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report: the diagnostic that sizes salting / AQE decisions.
+# ---------------------------------------------------------------------------
+
+SKEW_TOPK = 20
+
+
+def events_key_skew(
+    spark: SparkSession, sf_dir: str, topk: int = SKEW_TOPK
+) -> DataFrame:
+    """(rank, user_id, n_events, pct_of_total, hot_over_median): the
+    ``topk`` hottest shuffle keys with their share of total rows and their
+    ratio over the median key — the report that decides whether a join
+    needs salting (canon.salted_counts) or AQE skew splitting.
+
+    One partial-aggregated count shuffle; the global total and median are
+    1-row broadcasts over the (small) per-key count table; the top-k is a
+    TakeOrdered-style ranked window over that same table."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    stats = per_key.agg(
+        F.sum("n_events").alias("total"),
+        F.median("n_events").alias("med"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("total") * 100.0, 6
+            ).alias("pct_of_total"),
+            F.round(
+                F.col("n_events").cast("double") / F.col("med"), 6
+            ).alias("hot_over_median"),
+        )
+    )
+
+
+def sql_events_key_skew(topk: int = SKEW_TOPK) -> str:
+    return f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT SUM(n_events) AS total, MEDIAN(n_events) AS med FROM per_key
+)
+SELECT rank, user_id, n_events,
+       round(n_events::DOUBLE / total * 100.0, 6) AS pct_of_total,
+       round(n_events::DOUBLE / med, 6) AS hot_over_median
+FROM (
+  SELECT p.*, s.total, s.med,
+         ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rank
+  FROM per_key p CROSS JOIN stats s
+) WHERE rank <= {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment-filtered 3-table join, grouped revenue, top-k.
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+Q3_TOPK = 10
+
+
+def tpch_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: top unshipped orders by potential revenue for one market
+    segment.  Both date filters land in PushedFilters at the parquet
+    scans; the customer dim is broadcast; the revenue agg shuffles on
+    l_orderkey only for surviving rows; the final top-k is
+    TakeOrderedAndProject (no global sort)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_CUTOFF)
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF)
+    )
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", us.alias("o_orderdate_us"), "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(Q3_TOPK)
+    )
+
+
+def sql_tpch_top_unshipped() -> str:
+    return f"""
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT {Q3_TOPK}
+"""

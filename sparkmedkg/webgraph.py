@@ -417,3 +417,73 @@ SELECT c.src_id, c.dst_id,
 FROM common c JOIN sizes s ON s.doc_id = c.src_id
 WHERE c.n_common::DOUBLE / s.n_sh::DOUBLE >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: top referring terms per target host.
+# ---------------------------------------------------------------------------
+
+ANCHOR_TOPK = 5
+
+
+def anchor_terms(
+    spark: SparkSession, sf_dir: str, topk: int = ANCHOR_TOPK
+) -> DataFrame:
+    """(dst_host, term, n, rank): the ``topk`` most frequent anchor texts
+    pointing at each host — the classic web-graph signal for naming /
+    describing a target entity (what the web *calls* a page is often
+    better evidence than the page itself).
+
+    Parses the full anchor tags out of the html (list-transform +
+    per-element regexp group extraction, all JVM expressions), explodes to
+    (dst_host, term), then one map-side-combinable count and a per-host
+    top-k window that rides the count shuffle's (dst_host) prefix.  Hot
+    hosts fan into the count's partial aggregation, not the window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tags = F.regexp_extract_all(
+        F.col("html"), F.lit("(<a [^>]*>[^<]*</a>)"), 1
+    )
+    pairs = F.transform(
+        tags,
+        lambda a: F.struct(
+            F.regexp_extract(a, 'href="https://([^"/]+)', 1).alias("dst_host"),
+            F.regexp_extract(a, ">([^<]*)</a>", 1).alias("term"),
+        ),
+    )
+    counts = (
+        docs.select(_page_html().alias("html"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.dst_host", "p.term")
+        .groupBy("dst_host", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+    )
+
+
+def sql_anchor_terms(topk: int = ANCHOR_TOPK) -> str:
+    return f"""
+WITH pages AS (SELECT {_sql_page_html()} AS html FROM documents),
+tags AS (
+  SELECT unnest(regexp_extract_all(html, '(<a [^>]*>[^<]*</a>)', 1)) AS tag
+  FROM pages
+),
+pairs AS (
+  SELECT regexp_extract(tag, 'href="https://([^"/]+)', 1) AS dst_host,
+         regexp_extract(tag, '>([^<]*)</a>', 1) AS term
+  FROM tags
+),
+counts AS (
+  SELECT dst_host, term, COUNT(*) AS n FROM pairs GROUP BY dst_host, term
+)
+SELECT dst_host, term, n, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dst_host
+                               ORDER BY n DESC, term) AS rank
+  FROM counts
+) WHERE rank <= {topk}
+"""

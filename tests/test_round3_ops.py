@@ -1,0 +1,86 @@
+"""Round-3 additions: personalized PageRank, anchor-term aggregation,
+key-skew report, TPC-H Q3.  Oracle-value parity runs in the driver gate;
+these pin algorithmic invariants and brute-force equality.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pytest
+
+from sparkmedkg import relations, relops, webgraph
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ppr_mass_conserved_and_seed_dominates(spark):
+    rows = relations.q_ppr(spark, SF).collect()
+    # restart mass alpha + propagated mass (1-alpha) is conserved every
+    # round on a symmetric graph with no dangling nodes
+    assert sum(r["ppr"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    seed = min(r["CUI"] for r in rows)
+    by = {r["CUI"]: r["ppr"] for r in rows}
+    assert by[seed] == max(by.values())
+    assert all(v >= 0 for v in by.values())
+
+
+def test_ppr_differs_from_global_pagerank(spark):
+    ppr = {r["CUI"]: r["ppr"] for r in relations.q_ppr(spark, SF).collect()}
+    pr = {
+        r["CUI"]: r["pagerank"]
+        for r in relations.q_pagerank(spark, SF).collect()
+    }
+    assert set(ppr) == set(pr)
+    # personalization reorders the ranking (seed-proximal nodes rise)
+    rank_ppr = sorted(ppr, key=lambda c: -ppr[c])
+    rank_pr = sorted(pr, key=lambda c: -pr[c])
+    assert rank_ppr != rank_pr
+
+
+def test_anchor_terms_matches_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    counts = defaultdict(int)
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t][: webgraph.MAX_ANCHORS]
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            counts[(f"h{h % webgraph.N_DST_HOSTS}.example", t)] += 1
+    per_host = defaultdict(list)
+    for (host, term), n in counts.items():
+        per_host[host].append((-n, term))
+    want = set()
+    for host, lst in per_host.items():
+        for rank, (negn, term) in enumerate(sorted(lst)[: webgraph.ANCHOR_TOPK], 1):
+            want.add((host, term, -negn, rank))
+    got = {
+        (r["dst_host"], r["term"], r["n"], r["rank"])
+        for r in webgraph.anchor_terms(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_key_skew_report_invariants(spark):
+    rows = sorted(
+        relops.events_key_skew(spark, SF).collect(), key=lambda r: r["rank"]
+    )
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert sum(r["pct_of_total"] for r in rows) <= 100.0 + 1e-6
+    assert all(r["hot_over_median"] >= 1.0 for r in rows if r["rank"] == 1)
+
+
+def test_tpch_q3_filters_and_order(spark):
+    import datetime
+
+    rows = relops.tpch_top_unshipped(spark, SF).collect()
+    assert 0 < len(rows) <= relops.Q3_TOPK
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    cutoff_us = int(
+        datetime.datetime.fromisoformat(relops.Q3_CUTOFF).timestamp() * 1_000_000
+    )
+    assert all(r["o_orderdate_us"] < cutoff_us for r in rows)
