@@ -825,3 +825,42 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT {Q3_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: outer-join count distribution.
+# ---------------------------------------------------------------------------
+
+def tpch_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer INCLUDING zero-order
+    customers (the left outer join + count(non-null) pattern an inner join
+    silently gets wrong).  Two map-side-combinable aggregations; the join
+    shuffles on custkey once — at 10^12 orders the customer side buckets
+    or broadcasts and the count rides the same exchange."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def sql_tpch_order_count_dist() -> str:
+    return """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

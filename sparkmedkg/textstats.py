@@ -255,3 +255,71 @@ def sql_normalize() -> str:
 SELECT doc_id, length({norm}) AS norm_len, md5({norm}) AS norm_md5
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality deciles WITHOUT a global-sort ntile.
+# ---------------------------------------------------------------------------
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_docs, min_score, max_score, avg_score): the corpus
+    bucketed by exact quality-score decile cutpoints.
+
+    ntile(10) OVER (ORDER BY score) would collapse the corpus into ONE
+    window partition — the classic global-sort scale killer.  Instead the
+    nine exact cutpoints are one aggregate row (percentile array),
+    broadcast back, and each doc's decile is the expression
+    1 + #{cutpoints strictly below its score} — two corpus passes, zero
+    global sort, identical tie handling in both engines."""
+    score = F.round(
+        F.least(F.size(_toks()).cast("double") / F.lit(100.0), F.lit(1.0))
+        * F.round(
+            F.size(F.array_distinct(_toks())).cast("double")
+            / F.size(_toks()).cast("double"),
+            6,
+        ),
+        6,
+    )
+    scored = _docs(spark, sf_dir).select("doc_id", score.alias("s"))
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = scored.agg(
+        F.percentile("s", F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    )
+    decile = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("s") > c, 1).otherwise(0),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("s", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("s"), 6).alias("min_score"),
+            F.round(F.max("s"), 6).alias("max_score"),
+            F.round(F.avg("s"), 6).alias("avg_score"),
+        )
+    )
+
+
+def sql_quality_deciles() -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    score = (
+        f"round(least(len({toks})::DOUBLE / 100.0, 1.0) * "
+        f"round(len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE, 6), 6)"
+    )
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+WITH scored AS (SELECT doc_id, {score} AS s FROM documents),
+cuts AS (SELECT quantile_cont(s, [{qs}]) AS cuts FROM scored),
+assigned AS (
+  SELECT s, 1 + len(list_filter(cuts, c -> s > c)) AS decile
+  FROM scored CROSS JOIN cuts
+)
+SELECT decile, COUNT(*) AS n_docs,
+       round(MIN(s), 6) AS min_score,
+       round(MAX(s), 6) AS max_score,
+       round(AVG(s), 6) AS avg_score
+FROM assigned GROUP BY decile
+"""

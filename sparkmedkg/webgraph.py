@@ -359,7 +359,12 @@ def containment_pairs(
     truncation (the oracle applies the identical cap)."""
     from sparkmedkg import dedup
 
-    sh = dedup.doc_shingles(spark, sf_dir)
+    # the shingling expression (split + sliding-window transform +
+    # array_distinct) is the most expensive map stage here — persist its
+    # exploded output once so the DF count, the anti-join, the sizes agg
+    # and both join sides all read the cached 2-column table instead of
+    # re-shingling the corpus three times
+    sh = dedup.doc_shingles(spark, sf_dir).persist()
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -368,28 +373,60 @@ def containment_pairs(
     )
     kept = sh.join(F.broadcast(hot), "shingle", "left_anti").persist()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("src_id"), "shingle")
-    b = kept.select(F.col("doc_id").alias("dst_id"), "shingle")
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    # enumerate each unordered candidate ONCE (a < b halves the blocking
+    # join and the pair aggregation), then emit the two directed rows by
+    # expression — n_common is shared, only the denominator differs
     common = (
         a.join(b, "shingle")
-        .where(F.col("src_id") != F.col("dst_id"))
-        .groupBy("src_id", "dst_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
+    both = (
         common.join(
-            sizes.select(F.col("doc_id").alias("src_id"), F.col("n_sh").alias("na")),
-            "src_id",
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")),
+            "a",
         )
-        .withColumn(
-            "containment",
-            F.col("n_common").cast("double") / F.col("na").cast("double"),
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb")),
+            "b",
         )
-        .where(F.col("containment") >= tau)
-        .select("src_id", "dst_id", F.round("containment", 6).alias("containment"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src_id"),
+                        F.col("b").alias("dst_id"),
+                        (
+                            F.col("n_common").cast("double")
+                            / F.col("na").cast("double")
+                        ).alias("c"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src_id"),
+                        F.col("a").alias("dst_id"),
+                        (
+                            F.col("n_common").cast("double")
+                            / F.col("nb").cast("double")
+                        ).alias("c"),
+                    ),
+                )
+            ).alias("p")
+        )
+    )
+    out = (
+        both.where(F.col("p.c") >= tau)
+        .select(
+            "p.src_id",
+            "p.dst_id",
+            F.round("p.c", 6).alias("containment"),
+        )
         .localCheckpoint(eager=True)
     )
     kept.unpersist()
+    sh.unpersist()
     return out
 
 

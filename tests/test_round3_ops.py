@@ -10,6 +10,8 @@ from collections import defaultdict
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from sparkmedkg import relations, relops, webgraph
 
 SF = "/root/testdata/sf0.001"
@@ -84,3 +86,48 @@ def test_tpch_q3_filters_and_order(spark):
         datetime.datetime.fromisoformat(relops.Q3_CUTOFF).timestamp() * 1_000_000
     )
     assert all(r["o_orderdate_us"] < cutoff_us for r in rows)
+
+
+def test_tpch_q13_includes_zero_order_customers(spark):
+    rows = relops.tpch_order_count_dist(spark, SF).collect()
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    n_orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert sum(r["custdist"] for r in rows) == n_cust
+    assert sum(r["c_count"] * r["custdist"] for r in rows) == n_orders
+    with_orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .join(
+            spark.read.parquet(f"{SF}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .count()
+    )
+    zero = {r["c_count"]: r["custdist"] for r in rows}.get(0, 0)
+    assert zero == n_cust - with_orders
+
+
+def test_quality_deciles_partition_the_corpus(spark):
+    from sparkmedkg import textstats
+
+    rows = sorted(
+        textstats.quality_deciles(spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert all(1 <= r["decile"] <= 10 for r in rows)
+    for r in rows:
+        assert r["min_score"] <= r["avg_score"] <= r["max_score"]
+    # score ranges are non-overlapping and ordered across deciles
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_score"] <= hi["min_score"]

@@ -5,6 +5,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from sparkmedkg import fixtures, ner, schemas, streaming
 
 
@@ -265,3 +267,55 @@ def test_stream_error_click_join_matches_batch(tmp_path_factory, spark):
     }
     assert got == want
     assert want
+
+
+def test_stream_sessionize_matches_bruteforce(tmp_path_factory, spark):
+    import datetime
+    from collections import defaultdict
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    # write the slice then stream it back
+    base = str(tmp_path_factory.mktemp("streamsess"))
+    in_dir = os.path.join(base, "in")
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+
+    sess = streaming.stream_sessionize(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessout")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("select * from sessout").collect()
+    }
+
+    # brute-force replay under session_window's contract:
+    # merge when next event < last_ts + gap; end = last_ts + gap
+    gap_us = 30 * 60 * 1_000_000
+    rows = sorted(ev.collect(), key=lambda r: (r["user_id"], r["ts"]))
+    per_user = defaultdict(list)
+    for r in rows:
+        us = int(r["ts"].timestamp() * 1_000_000)
+        per_user[r["user_id"]].append(us)
+    want = set()
+    for u, times in per_user.items():
+        start = times[0]
+        last = times[0]
+        n = 1
+        for t in times[1:]:
+            if t < last + gap_us:
+                last = t
+                n += 1
+            else:
+                want.add((u, start, last + gap_us, n))
+                start = last = t
+                n = 1
+        want.add((u, start, last + gap_us, n))
+    assert got == want
