@@ -48,7 +48,11 @@ BM25_TOPK = 10
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkmedkg.session import widen_scan
+
+    # shingling / tokenization stages below are per-row heavy; widen
+    # single-row-group fixture scans (no-op at scale)
+    return widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _toks(text_col: str = "text"):

@@ -43,7 +43,11 @@ JACCARD_TAU = 0.5
 
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkmedkg.session import widen_scan
+
+    # shingling is the dedup family's expensive per-row stage; widen
+    # single-row-group fixture scans so it parallelizes (no-op at scale)
+    return widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------

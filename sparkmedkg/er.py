@@ -55,9 +55,11 @@ def sorted_neighborhood(
     join never degenerates to a range predicate, and per-block work is
     |block| * (W-1).  The levenshtein verify runs on a fixed 64-char
     normalized prefix so per-pair cost is bounded."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", _norm(F.col("text")).alias("norm")
-    )
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", _norm(F.col("text")).alias("norm"))
     keyed = docs.select(
         "doc_id",
         F.substring("norm", 1, SN_PREFIX).alias("block"),

@@ -64,7 +64,11 @@ PRED_BY_PAIR = {
 
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    from sparkmedkg.session import widen_scan
+
+    # widen AFTER filter+select so the lang predicate stays pushed to the
+    # scan and only surviving rows are redistributed (no-op at scale)
+    return widen_scan(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .where(F.col("lang") == "en")
         .select("doc_id", "text")

@@ -65,3 +65,23 @@ def get_spark(
     for k, v in conf.items():
         b = b.config(k, v)
     return b.getOrCreate()
+
+
+def widen_scan(df, min_factor: int = 1):
+    """Repartition a DataFrame ONLY when its scan produced fewer partitions
+    than the cluster has cores — the small-file case where a single parquet
+    row group would otherwise serialize an expensive per-row stage (e.g.
+    shingling) into one task.
+
+    At production scale this is a no-op: a 100 TB scan yields O(10^5)
+    splits, so the branch never triggers and no shuffle is added.  In the
+    sandbox the sf* fixture tables are one row group each, which parquet
+    cannot split below file granularity regardless of maxPartitionBytes.
+    Round-robin repartitioning is safe here because every downstream
+    operator is a key-based aggregate/join whose VALUES are
+    partitioning-independent."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -19,6 +19,8 @@ TOKEN_RE = "[a-z0-9]+"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: every consumer here is a map-only signal pass whose
+    # plan should stay shuffle-free (rides the scan at any scale).
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 

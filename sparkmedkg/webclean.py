@@ -31,6 +31,9 @@ NUM_RE = r"\d{4,}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: several consumers (pii_redact, url_normalize) are pure
+    # map-only passes whose plans should stay shuffle-free; the
+    # compute-bound consumer (chunk_dedup) widens locally.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -54,13 +57,15 @@ def chunk_dedup(
     reassemble.  Chunk-frequency skew (boilerplate repeated 10^8 times at
     web scale) is absorbed by the map-side combine: each map task emits one
     row per distinct chunk regardless of local repeat count."""
+    from sparkmedkg.session import widen_scan
+
     toks = F.split(F.col("text"), " +")
     n_chunks = (F.size(toks) + F.lit(w - 1)) / F.lit(w)
     chunks = F.transform(
         F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
     )
-    ex = _docs(spark, sf_dir).select(
+    ex = widen_scan(_docs(spark, sf_dir)).select(
         "doc_id", F.posexplode(chunks).alias("pos", "chunk")
     )
     keep = ex.groupBy("chunk").agg(

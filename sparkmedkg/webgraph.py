@@ -94,7 +94,9 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan), explode, then a single map-side-combinable groupBy.  No UDF,
     no driver loop; at 10^12 pages the only shuffle is the (src,dst)
     aggregation, and the per-page anchor cap bounds explode fan-out."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     html = _page_html().alias("html")
     src = F.concat(
         F.lit("site"), (F.col("doc_id") % N_SRC_HOSTS).cast("string"),
@@ -245,7 +247,9 @@ def kmv_distinct(
     the shuffle, so the exchange carries O(parts * k) rows per group — the
     sketch property that makes KMV mergeable on 1000 executors.  Groups
     with fewer than k distinct values report the exact count."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     hashes = docs.select("source", _h60(F.col("text")).alias("h")).distinct()
     w = Window.partitionBy("source").orderBy("h")
     sk = (
@@ -476,7 +480,9 @@ def anchor_terms(
     (dst_host, term), then one map-side-combinable count and a per-host
     top-k window that rides the count shuffle's (dst_host) prefix.  Hot
     hosts fan into the count's partial aggregation, not the window."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tags = F.regexp_extract_all(
         F.col("html"), F.lit("(<a [^>]*>[^<]*</a>)"), 1
     )
