@@ -139,7 +139,15 @@ def pack_sequences(
     range table (safe: |ranges| = |corpus| / 4096); (3) broadcast the
     range offsets back and finish with a within-range window partitioned
     by range.  No stage ever sorts more than one range's docs in a task."""
-    docs = _docs(spark, sf_dir).select(
+    return pack_sequences_df(_docs(spark, sf_dir), block)
+
+
+def pack_sequences_df(docs_in: DataFrame, block: int = PACK_BLOCK) -> DataFrame:
+    """DataFrame-in variant of ``pack_sequences`` so a pipeline can pack a
+    FILTERED corpus (e.g. jobs/prep_corpus_job.py packs the survivors of
+    the quality/dedup gates, not the raw table).  ``docs_in`` needs
+    (doc_id, text)."""
+    docs = docs_in.select(
         "doc_id",
         F.size(_toks()).alias("n_tokens"),
         (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("rng"),

@@ -109,3 +109,28 @@ def test_bm25_plan_has_no_token_explode(spark):
         .toString()
     )
     assert "Generate" not in plan  # Generate == explode operator
+
+
+def test_pack_sequences_df_wrapper_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    via_dir = {tuple(r) for r in corpusops.pack_sequences(spark, sf).collect()}
+    via_df = {
+        tuple(r)
+        for r in corpusops.pack_sequences_df(
+            spark.read.parquet(f"{sf}/documents.parquet")
+        ).collect()
+    }
+    assert via_dir == via_df
+    # packing a FILTERED corpus yields a contiguous, gap-free token stream
+    sub = spark.read.parquet(f"{sf}/documents.parquet").where(
+        F.col("doc_id") % 3 == 0
+    )
+    rows = sorted(
+        corpusops.pack_sequences_df(sub).collect(), key=lambda r: r["doc_id"]
+    )
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        off += r["n_tokens"]
