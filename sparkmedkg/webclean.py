@@ -19,7 +19,7 @@ operator has a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 CHUNK_W = 3
@@ -398,4 +398,110 @@ FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
 WHERE CASE WHEN old_digest IS NULL THEN 'added'
            WHEN new_digest IS NULL THEN 'removed'
            WHEN old_digest <> new_digest THEN 'changed' END IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift detection between crawl snapshots.
+# ---------------------------------------------------------------------------
+
+DRIFT_TOPK = 20
+
+
+def corpus_drift(
+    spark: SparkSession, sf_dir: str, topk: int = DRIFT_TOPK
+) -> DataFrame:
+    """(term, p_old, p_new, jsd_contrib, rank): the ``topk`` terms whose
+    unigram probability moved most between the two crawl snapshots (same
+    old/new synthesis as ``snapshot_diff``), with each term's contribution
+    to the Jensen-Shannon divergence — the data-quality tripwire that
+    catches a template change, a spam flood, or a parser regression
+    before it poisons a training mix.
+
+    Plan: one explode+count per snapshot (map-side combinable), totals as
+    1-row broadcasts, a full-outer term join (both sides already hashed on
+    term), and a TakeOrdered-style ranked top-k.  Nothing touches the
+    corpus twice and nothing sorts more than the term table."""
+    docs = _docs(spark, sf_dir)
+    toks = F.explode(F.split(F.col("text"), " +")).alias("term")
+    old_tf = (
+        docs.where(F.col("doc_id") % DIFF_OLD_MOD != 0)
+        .select(toks)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_old"))
+    )
+    new_text = F.when(
+        F.col("doc_id") % DIFF_REV_MOD == 0,
+        F.concat(F.col("text"), F.lit(" rev2")),
+    ).otherwise(F.col("text"))
+    new_tf = (
+        docs.where(F.col("doc_id") % DIFF_NEW_MOD != 0)
+        .select(F.explode(F.split(new_text, " +")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_new"))
+    )
+    tot_old = old_tf.agg(F.sum("c_old").alias("t_old"))
+    tot_new = new_tf.agg(F.sum("c_new").alias("t_new"))
+    joined = (
+        old_tf.join(new_tf, "term", "full_outer")
+        .na.fill({"c_old": 0, "c_new": 0})
+        .crossJoin(F.broadcast(tot_old))
+        .crossJoin(F.broadcast(tot_new))
+        .select(
+            "term",
+            (F.col("c_old") / F.col("t_old")).alias("p"),
+            (F.col("c_new") / F.col("t_new")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    contrib = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    )
+    w = Window.orderBy(F.abs(F.col("p") - F.col("q")).desc(), F.col("term"))
+    return (
+        joined.withColumn("jsd_contrib", contrib)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "term",
+            F.round("p", 6).alias("p_old"),
+            F.round("q", 6).alias("p_new"),
+            F.round("jsd_contrib", 6).alias("jsd_contrib"),
+            "rank",
+        )
+    )
+
+
+def sql_corpus_drift(topk: int = DRIFT_TOPK) -> str:
+    return f"""
+WITH old_terms AS (
+  SELECT unnest(regexp_split_to_array(text, ' +')) AS term
+  FROM documents WHERE doc_id % {DIFF_OLD_MOD} <> 0
+),
+old_tf AS (SELECT term, COUNT(*) AS c_old FROM old_terms GROUP BY term),
+new_terms AS (
+  SELECT unnest(regexp_split_to_array(
+           CASE WHEN doc_id % {DIFF_REV_MOD} = 0 THEN text || ' rev2'
+                ELSE text END, ' +')) AS term
+  FROM documents WHERE doc_id % {DIFF_NEW_MOD} <> 0
+),
+new_tf AS (SELECT term, COUNT(*) AS c_new FROM new_terms GROUP BY term),
+j AS (
+  SELECT COALESCE(o.term, n.term) AS term,
+         COALESCE(c_old, 0)::DOUBLE / (SELECT SUM(c_old) FROM old_tf) AS p,
+         COALESCE(c_new, 0)::DOUBLE / (SELECT SUM(c_new) FROM new_tf) AS q
+  FROM old_tf o FULL OUTER JOIN new_tf n ON o.term = n.term
+),
+scored AS (
+  SELECT term, p, q,
+         (CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0 END
+          + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0 END)
+           AS jsd_contrib,
+         ROW_NUMBER() OVER (ORDER BY abs(p - q) DESC, term) AS rank
+  FROM j
+)
+SELECT term, round(p, 6) AS p_old, round(q, 6) AS p_new,
+       round(jsd_contrib, 6) AS jsd_contrib, rank
+FROM scored WHERE rank <= {topk}
 """

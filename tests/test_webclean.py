@@ -266,3 +266,18 @@ def test_kmeans_matches_bruteforce(spark):
     }
     assert got == want
     assert len({cl for cl, _ in got.values()}) > 1
+
+
+def test_corpus_drift_surfaces_injected_term(spark):
+    from sparkmedkg import webclean
+
+    rows = webclean.corpus_drift(spark, "/root/testdata/sf0.001").collect()
+    by_term = {r["term"]: r for r in rows}
+    # the synthesized new snapshot appends ' rev2' to every doc_id%7==0 doc:
+    # a term absent from the old snapshot must surface as drift
+    assert "rev2" in by_term
+    assert by_term["rev2"]["p_old"] == 0.0
+    assert by_term["rev2"]["p_new"] > 0.0
+    # per-term JSD contributions are non-negative and ranks contiguous
+    assert all(r["jsd_contrib"] >= 0 for r in rows)
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
