@@ -545,3 +545,171 @@ r0 AS (SELECT cui, CASE WHEN cui = (SELECT s FROM seed) THEN 1.0 ELSE 0.0 END
 {unrolled}
 SELECT cui AS CUI, round(pr, 6) AS ppr FROM r{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Mention context-window extraction (distant-supervision training data).
+# ---------------------------------------------------------------------------
+
+CTX_W = 3  # tokens of context each side
+
+
+def q_mention_contexts(
+    spark: SparkSession, sf_dir: str, w: int = CTX_W
+) -> DataFrame:
+    """(doc_id, start_idx, mention, label, context): every positional
+    mention occurrence with its +/-``w``-token context window — the rows a
+    distant-supervision relation-extraction trainer consumes.
+
+    Same single-codegen-stage occurrence machinery as
+    ``mention_occurrences`` (posexplode + broadcast alias join + slice
+    verify), but the token array stays in flight so the context slice is
+    a free projection — no join back against the corpus."""
+    words = _read_docs(spark, sf_dir).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    tok = words.select("doc_id", "ws", F.posexplode("ws").alias("idx", "wd"))
+    lex = F.broadcast(_alias_tokens_df(spark))
+    occ = tok.join(lex, tok["wd"] == lex["first_tok"]).where(
+        F.slice("ws", F.col("idx") + 1, F.col("n_toks")) == F.col("toks")
+    )
+    lo = F.greatest(F.col("idx") + 1 - w, F.lit(1))
+    hi_end = F.col("idx") + F.col("n_toks")  # 1-based end token
+    length = F.least(hi_end + w, F.size("ws")) - lo + 1
+    return occ.select(
+        "doc_id",
+        F.col("idx").alias("start_idx"),
+        F.col("alias").alias("mention"),
+        "label",
+        F.concat_ws(" ", F.slice("ws", lo, length)).alias("context"),
+    )
+
+
+def sql_mention_contexts(w: int = CTX_W) -> str:
+    from sparkmedkg.webkg import sql_aliases_cte
+
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM read_docs),
+alias_toks AS (
+  SELECT alias, label, string_split(alias, ' ') AS ts,
+         len(string_split(alias, ' ')) AS n
+  FROM (SELECT DISTINCT alias, label FROM aliases)
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks
+)
+SELECT p.doc_id, p.i - 1 AS start_idx, a.alias AS mention, a.label,
+       array_to_string(
+         list_slice(p.ws, greatest(p.i - {w}, 1),
+                    least(p.i + a.n - 1 + {w}, len(p.ws))), ' ') AS context
+FROM pos p
+JOIN alias_toks a
+  ON p.ws[p.i] = a.ts[1] AND list_slice(p.ws, p.i, p.i + a.n - 1) = a.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for KG-embedding training (TransE-style corruption).
+# ---------------------------------------------------------------------------
+
+NEG_K = 2
+
+
+def q_negative_triples(
+    spark: SparkSession, sf_dir: str, k: int = NEG_K, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """(subj_cui, pred, obj_cui, neg_idx, neg_obj_cui): each positive
+    extracted triple paired with ``k`` deterministic tail-corruption
+    negatives — the contrastive rows a TransE/DistMult-style KG-embedding
+    trainer consumes.  The corrupted tail is picked by md5-hash index into
+    the sorted entity vocabulary (engine-portable, replayable across
+    retries); corruptions that collide with the true tail or with ANY
+    positive triple are filtered (the standard 'filtered setting').
+
+    Scale: the entity vocabulary is lexicon-bounded (UMLS ~4M CUIs — a few
+    hundred MB sorted array, broadcastable); the positive set joins as a
+    broadcast anti-join.  The corpus-scale work stays in the one relation
+    extraction pass."""
+    pos = q_relations(spark, sf_dir, max_gap=max_gap).select(
+        "subj_cui", "pred", "obj_cui"
+    ).persist()
+    vocab = (
+        pos.select(F.col("subj_cui").alias("c"))
+        .union(pos.select("obj_cui"))
+        .distinct()
+        .agg(F.array_sort(F.collect_set("c")).alias("vocab"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "subj_cui", "pred", "obj_cui", F.col("neg_idx")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        pos.crossJoin(F.broadcast(vocab))
+        .select(
+            "subj_cui",
+            "pred",
+            "obj_cui",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"),
+            F.col("vocab"),
+        )
+        .select(
+            "subj_cui",
+            "pred",
+            "obj_cui",
+            "neg_idx",
+            F.element_at("vocab", (h % F.size("vocab") + 1).cast("int")).alias(
+                "neg_obj_cui"
+            ),
+        )
+        .where(F.col("neg_obj_cui") != F.col("obj_cui"))
+    )
+    out = cand.join(
+        pos.select(
+            "subj_cui", "pred", F.col("obj_cui").alias("neg_obj_cui")
+        ),
+        ["subj_cui", "pred", "neg_obj_cui"],
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    pos.unpersist()
+    return out
+
+
+def sql_negative_triples(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH pos AS (
+  SELECT subj_cui, pred, obj_cui FROM ({sql_relations(max_gap)}) r
+),
+vocab AS (
+  SELECT list_sort(list(DISTINCT c)) AS v
+  FROM (SELECT subj_cui AS c FROM pos UNION SELECT obj_cui FROM pos)
+),
+cand AS (
+  SELECT p.subj_cui, p.pred, p.obj_cui, i.neg_idx,
+         v.v[(CAST('0x' || substring(
+                md5(p.subj_cui || '|' || p.pred || '|' || p.obj_cui
+                    || '|' || i.neg_idx), 1, 15) AS BIGINT)
+              % len(v.v)) + 1] AS neg_obj_cui
+  FROM pos p
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS neg_idx) i
+  CROSS JOIN vocab v
+)
+SELECT c.subj_cui, c.pred, c.obj_cui, c.neg_idx, c.neg_obj_cui
+FROM cand c
+WHERE c.neg_obj_cui <> c.obj_cui
+  AND NOT EXISTS (
+    SELECT 1 FROM pos q
+    WHERE q.subj_cui = c.subj_cui AND q.pred = c.pred
+      AND q.obj_cui = c.neg_obj_cui
+  )
+"""

@@ -105,3 +105,48 @@ def test_pagerank_two_node_graph_analytic(spark, tmp_path):
     rows = relations.q_pagerank(spark, d).collect()
     got = {r["CUI"]: r["pagerank"] for r in rows}
     assert got == {"W0004": 0.5, "W0008": 0.5}
+
+
+def test_mention_contexts_window(spark):
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = relations.q_mention_contexts(spark, sf).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .where(F.col("lang") == "en")
+        .collect()
+    }
+    for r in rows[:200]:
+        ws = docs[r["doc_id"]]
+        n_m = len(r["mention"].split(" "))
+        lo = max(r["start_idx"] - relations.CTX_W, 0)
+        hi = min(r["start_idx"] + n_m - 1 + relations.CTX_W, len(ws) - 1)
+        assert r["context"] == " ".join(ws[lo:hi + 1])
+        # the mention itself sits inside the window
+        assert r["mention"] in r["context"]
+
+
+def test_negative_triples_filtered_setting(spark):
+    sf = "/root/testdata/sf0.001"
+    pos = {
+        (r["subj_cui"], r["pred"], r["obj_cui"])
+        for r in relations.q_relations(spark, sf).collect()
+    }
+    entities = {s for s, _, _ in pos} | {o for _, _, o in pos}
+    neg = relations.q_negative_triples(spark, sf).collect()
+    assert neg
+    for r in neg:
+        # every negative corrupts a real positive...
+        assert (r["subj_cui"], r["pred"], r["obj_cui"]) in pos
+        # ...into a tail that is a real entity but NOT a true triple
+        assert r["neg_obj_cui"] in entities
+        assert r["neg_obj_cui"] != r["obj_cui"]
+        assert (r["subj_cui"], r["pred"], r["neg_obj_cui"]) not in pos
+        assert 0 <= r["neg_idx"] < relations.NEG_K
+    # determinism: re-running yields the identical multiset
+    again = relations.q_negative_triples(spark, sf).collect()
+    key = lambda r: (r["subj_cui"], r["pred"], r["obj_cui"], r["neg_idx"])
+    assert sorted(map(key, neg)) == sorted(map(key, again))
