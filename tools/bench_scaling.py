@@ -109,7 +109,16 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+    # preserve hand-maintained sections (per-query suite notes) that live
+    # after the generated scaling block
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    with open(bench_path, "w") as fh:
         fh.write(
             "# BENCH — measured throughput + scaling efficiency\n\n"
             "Host: 32-vCPU VM (shared hypervisor), 125 GiB RAM; identical job "
@@ -137,6 +146,7 @@ def main() -> None:
             "Reference single-process baseline (BASELINE.md): ~3.5-4.6 "
             "docs/sec e2e,\n~13-60 abstracts/sec NER-only. See "
             "BENCH_r*.json for the per-query suite at sf0.1.\n"
+            + tail
         )
 
 
