@@ -530,3 +530,92 @@ SELECT dst_host, term, n, rank FROM (
   FROM counts
 ) WHERE rank <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style register sketch (deterministic, engine-portable).
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+# alpha_m for m=64, written as the same literal formula in both engines so
+# the doubles match bit-for-bit
+_HLL_ALPHA_EXPR = f"0.7213 / (1.0 + 1.079 / {HLL_M})"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_exact, hll_est): per-source distinct-text cardinality,
+    exact vs a from-scratch HyperLogLog estimate (m=64 registers over the
+    60-bit md5 hash, standard small-range correction).
+
+    Unlike the KMV top-k sketch (``kmv_distinct``), the register maxima
+    are a PLAIN groupBy((source, register)).max — fully partial-agg
+    mergeable with at most |groups| * 64 rows ever crossing the exchange,
+    the exact shape a 1000-executor cardinality rollup wants.  Register
+    rank uses integer bit-length via base-2 string conversion (Spark
+    ``conv``, DuckDB ``to_base``) rather than float log2, so the sketch is
+    bit-identical across engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashes = docs.select("source", _h60(F.col("text")).alias("h")).distinct()
+    rem = (F.col("h") / HLL_M).cast("bigint")
+    bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
+    rho = F.when(rem == 0, F.lit(61 - HLL_P)).otherwise(
+        F.lit(60 - HLL_P) - bitlen + 1
+    )
+    regs = (
+        hashes.select(
+            "source", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    per_src = regs.groupBy("source").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")  # empty registers
+    s = F.col("s_present") + v.cast("double")
+    raw = F.expr(_HLL_ALPHA_EXPR) * F.lit(float(HLL_M * HLL_M)) / s
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = hashes.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(per_src, "source").select(
+        "source", "n_exact", F.round(est, 2).alias("hll_est")
+    )
+
+
+def sql_hll_distinct() -> str:
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT source, {_sql_h60('text')} AS h FROM documents
+),
+rr AS (
+  SELECT source, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN {61 - HLL_P}
+              ELSE {60 - HLL_P} - length(to_base(h // {HLL_M}, 2)) + 1
+         END AS rho
+  FROM hashes
+),
+regs AS (SELECT source, reg, MAX(rho) AS mx FROM rr GROUP BY source, reg),
+per_src AS (
+  SELECT source, SUM(power(2.0, -mx)) AS s_present, COUNT(*) AS n_regs
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN ({_HLL_ALPHA_EXPR}) * {float(HLL_M * HLL_M)!r}
+                   / (s_present + ({HLL_M} - n_regs)) <= 2.5 * {HLL_M}
+                AND ({HLL_M} - n_regs) > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                     / ({HLL_M} - n_regs))
+              ELSE ({_HLL_ALPHA_EXPR}) * {float(HLL_M * HLL_M)!r}
+                   / (s_present + ({HLL_M} - n_regs))
+         END AS est
+  FROM per_src
+),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM hashes GROUP BY source)
+SELECT e.source, e.n_exact, round(s.est, 2) AS hll_est
+FROM exact e JOIN est s ON e.source = s.source
+"""

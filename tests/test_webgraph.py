@@ -204,3 +204,49 @@ def test_containment_is_asymmetric(spark):
     assert any(
         (b, a) in got and got[(a, b)] != got[(b, a)] for (a, b) in got
     )
+
+
+def test_hll_estimate_bounded_error(spark):
+    import math as _m
+
+    for sf in [SF, "/root/testdata/sf0.01"]:
+        rows = webgraph.hll_distinct(spark, sf).collect()
+        assert rows
+        for r in rows:
+            assert r["hll_est"] > 0
+            rel = abs(r["hll_est"] - r["n_exact"]) / max(r["n_exact"], 1)
+            # sigma ~ 1.04/sqrt(64) ~ 13%; allow 4 sigma (linear counting
+            # makes small groups much tighter in practice)
+            assert rel < 4 * 1.04 / _m.sqrt(webgraph.HLL_M), (sf, dict(r.asDict()))
+
+
+def test_hll_matches_reference_implementation(spark):
+    import hashlib
+    import math as _m
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    seen = defaultdict(set)
+    for r in docs:
+        seen[r["source"]].add(int(hashlib.md5(r["text"].encode()).hexdigest()[:15], 16))
+    m = webgraph.HLL_M
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    want = {}
+    for src, hs in seen.items():
+        regs = {}
+        for h in hs:
+            reg, rem = h % m, h // m
+            rho = (61 - webgraph.HLL_P) if rem == 0 else (60 - webgraph.HLL_P) - rem.bit_length() + 1
+            regs[reg] = max(regs.get(reg, 0), rho)
+        s = sum(2.0 ** -v for v in regs.values()) + (m - len(regs))
+        raw = alpha * m * m / s
+        v = m - len(regs)
+        est = m * _m.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+        want[src] = round(est, 2)
+    got = {
+        r["source"]: r["hll_est"]
+        for r in webgraph.hll_distinct(spark, SF).collect()
+    }
+    assert got == want
