@@ -864,3 +864,137 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis: ordered view -> click -> purchase conversion per user.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, n_users): how many users reached each funnel stage IN ORDER
+    — a user counts for 'click' only with a click strictly after their
+    first view, and for 'purchase' only with a purchase strictly after
+    that click.  The product-analytics staple.
+
+    Plan: conditional min-aggregations per user compute the earliest
+    qualifying timestamp per stage in ONE groupBy(user_id) shuffle (no
+    joins, no window): t1 = min(ts | view), t2 = min(ts | click AND ts >
+    t1) needs t1 first, so stages chain as nested aggregates over the same
+    grouped rows via min(CASE...) on a second compact pass over the
+    per-user event list (collected struct array, row-local fold) — the
+    per-user event list is bounded by per-user activity, not the corpus."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_type"))
+        ).alias("evs")
+    )
+    t1 = F.aggregate(
+        "evs",
+        F.lit(None).cast("long"),
+        lambda acc, e: F.when(
+            acc.isNull() & (e["event_type"] == FUNNEL_STEPS[0]), e["us"]
+        ).otherwise(acc),
+    )
+    stage = per_user.select("user_id", t1.alias("t1"), F.col("evs"))
+    t2 = F.aggregate(
+        "evs",
+        F.lit(None).cast("long"),
+        lambda acc, e: F.when(
+            acc.isNull()
+            & (e["event_type"] == FUNNEL_STEPS[1])
+            & F.col("t1").isNotNull()
+            & (e["us"] > F.col("t1")),
+            e["us"],
+        ).otherwise(acc),
+    )
+    stage = stage.select("user_id", "t1", t2.alias("t2"), "evs")
+    t3 = F.aggregate(
+        "evs",
+        F.lit(None).cast("long"),
+        lambda acc, e: F.when(
+            acc.isNull()
+            & (e["event_type"] == FUNNEL_STEPS[2])
+            & F.col("t2").isNotNull()
+            & (e["us"] > F.col("t2")),
+            e["us"],
+        ).otherwise(acc),
+    )
+    stage = stage.select("user_id", "t1", "t2", t3.alias("t3"))
+    return stage.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+    ).selectExpr(
+        f"stack(3, '{FUNNEL_STEPS[0]}', n1, '{FUNNEL_STEPS[1]}', n2, "
+        f"'{FUNNEL_STEPS[2]}', n3) AS (stage, n_users)"
+    )
+
+
+def sql_events_funnel() -> str:
+    v, c, p = FUNNEL_STEPS
+    return f"""
+WITH t1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{v}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{c}' AND epoch_us(e.ts) > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{p}' AND epoch_us(e.ts) > t2.t2
+  GROUP BY e.user_id
+)
+SELECT '{v}' AS stage, (SELECT COUNT(*) FROM t1) AS n_users
+UNION ALL SELECT '{c}', (SELECT COUNT(*) FROM t2)
+UNION ALL SELECT '{p}', (SELECT COUNT(*) FROM t3)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE aggregation (full grouping-sets lattice).
+# ---------------------------------------------------------------------------
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, dow, gid, n_events, sum_value): CUBE over
+    (event_type, day-of-week) — all four grouping sets in ONE shuffle
+    (Spark expands the lattice inside a single aggregate, not a union of
+    four scans).  Completes the OLAP trio with events_rollup and
+    events_pivot; gid is the standard grouping-bit encoding."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow", F.dayofweek(F.col("ts").cast("timestamp"))
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("event_type", "dow", "gid", "n_events", "sum_value")
+    )
+
+
+def sql_events_cube() -> str:
+    return """
+SELECT event_type, dow,
+       GROUPING(event_type, dow) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM (SELECT event_type, value, dayofweek(ts) + 1 AS dow FROM events)
+GROUP BY CUBE (event_type, dow)
+"""

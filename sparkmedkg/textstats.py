@@ -325,3 +325,72 @@ SELECT decile, COUNT(*) AS n_docs,
        round(AVG(s), 6) AS avg_score
 FROM assigned GROUP BY decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity (CCNet-style quality scoring, deterministic).
+# ---------------------------------------------------------------------------
+
+PPL_SMOOTH = 0.5  # add-k smoothing mass
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, ppl): per-document perplexity under an add-k
+    unigram LM fit on the corpus itself — the CCNet-recipe quality signal
+    (a KenLM 5-gram in production; the unigram variant is the honest
+    in-sandbox stand-in, same plumbing).  High-ppl docs are OOV-ish noise,
+    very-low-ppl docs are repetitive boilerplate; both ends get filtered.
+
+    Plan: ONE explode+count shuffle fits the LM; the vocabulary folds into
+    a single broadcast map row; scoring is then a map-only pass over the
+    corpus (aggregate over the token array against the broadcast map) —
+    the corpus is never exploded a second time."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " +")
+    tf = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lm = tf.agg(
+        F.map_from_arrays(
+            F.collect_list("tok"), F.collect_list("c")
+        ).alias("cnt"),
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    # add-k smoothed log-prob; unseen tokens impossible here (LM fit on the
+    # same corpus) but the smoothing keeps the formula well-defined anyway
+    denom = F.col("total").cast("double") + F.lit(PPL_SMOOTH) * F.col("v")
+    logp = lambda t: F.log(  # noqa: E731
+        (
+            F.coalesce(F.element_at(F.col("cnt"), t), F.lit(0)).cast("double")
+            + F.lit(PPL_SMOOTH)
+        )
+        / denom
+    )
+    n = F.size(toks)
+    s = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + logp(t))
+    return docs.crossJoin(F.broadcast(lm)).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(F.exp(-s / n.cast("double")), 4).alias("ppl"),
+    )
+
+
+def sql_lm_perplexity() -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH tok AS (
+  SELECT unnest({toks}) AS tok FROM documents
+),
+tf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+lm AS (SELECT map(list(tok), list(c)) AS cnt, SUM(c) AS total,
+              COUNT(*) AS v FROM tf)
+SELECT d.doc_id, len({toks}) AS n_tokens,
+       round(exp(-list_sum([ln(
+           (COALESCE(map_extract(cnt, t)[1], 0)::DOUBLE + {PPL_SMOOTH})
+           / (total::DOUBLE + {PPL_SMOOTH} * v))
+         for t in {toks}]) / len({toks})::DOUBLE), 4) AS ppl
+FROM documents d CROSS JOIN lm
+"""

@@ -131,3 +131,75 @@ def test_quality_deciles_partition_the_corpus(spark):
     # score ranges are non-overlapping and ordered across deciles
     for lo, hi in zip(rows, rows[1:]):
         assert lo["max_score"] <= hi["min_score"]
+
+
+def test_funnel_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from sparkmedkg.relops import FUNNEL_STEPS
+
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    n = dict.fromkeys(FUNNEL_STEPS, 0)
+    for rows in by_user.values():
+        t1 = next((t for t, e in rows if e == FUNNEL_STEPS[0]), None)
+        if t1 is None:
+            continue
+        n[FUNNEL_STEPS[0]] += 1
+        t2 = next(
+            (t for t, e in rows if e == FUNNEL_STEPS[1] and t > t1), None
+        )
+        if t2 is None:
+            continue
+        n[FUNNEL_STEPS[1]] += 1
+        t3 = next(
+            (t for t, e in rows if e == FUNNEL_STEPS[2] and t > t2), None
+        )
+        if t3 is not None:
+            n[FUNNEL_STEPS[2]] += 1
+    got = {
+        r["stage"]: r["n_users"]
+        for r in relops.events_funnel(spark, SF).collect()
+    }
+    assert got == n
+    assert got[FUNNEL_STEPS[0]] >= got[FUNNEL_STEPS[1]] >= got[FUNNEL_STEPS[2]]
+
+
+def test_cube_lattice_consistency(spark):
+    rows = relops.events_cube(spark, SF).collect()
+    total = spark.read.parquet(f"{SF}/events.parquet").count()
+    # grand total row (gid=3) equals the table count; each marginal layer
+    # also sums to the table count
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["n_events"] == total
+    for gid in (0, 1, 2):
+        assert sum(r["n_events"] for r in rows if r["gid"] == gid) == total
+
+
+def test_lm_perplexity_matches_bruteforce(spark):
+    import math as _m
+    from collections import Counter
+
+    from sparkmedkg import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    cnt = Counter()
+    for r in docs:
+        cnt.update(r["text"].split(" "))
+    total, v, k = sum(cnt.values()), len(cnt), textstats.PPL_SMOOTH
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in textstats.lm_perplexity(spark, SF).collect()
+    }
+    for r in docs[:100]:
+        toks = r["text"].split(" ")
+        s = sum(_m.log((cnt[t] + k) / (total + k * v)) for t in toks)
+        want = round(_m.exp(-s / len(toks)), 4)
+        assert abs(got[r["doc_id"]] - want) < 2e-3, (r["doc_id"], got[r["doc_id"]], want)
