@@ -187,3 +187,82 @@ SELECT doc_id,
         % 1000003)::BIGINT AS checksum
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (average-hash) near-dup bucketing over the binary column.
+# ---------------------------------------------------------------------------
+
+PHASH_CELLS = 64
+PHASH_SCHEMA = "doc_id bigint, phash string"
+
+
+def _phash_bits(data: bytes) -> str:
+    """64-bit average-hash over the fake-decoded 'grayscale' grid: the
+    payload is split into 64 equal byte chunks (the downsample stand-in),
+    each cell is its byte sum, and bit_j = cell_j > mean — pure integer
+    compares (cell*64 > total), no float."""
+    n = len(data)
+    cells = [
+        sum(data[(j * n) // PHASH_CELLS:((j + 1) * n) // PHASH_CELLS])
+        for j in range(PHASH_CELLS)
+    ]
+    total = sum(cells)
+    return "".join(
+        "1" if c * PHASH_CELLS > total else "0" for c in cells
+    )
+
+
+def phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash, n_bucket): perceptual-hash near-dup bucketing for
+    image-like payloads — payloads whose 'pixel' energy distribution
+    matches land in the same 64-bit bucket even when bytes differ
+    slightly.  The hash runs in the Arrow-batched mapInPandas lane (the
+    real decode slots into ``decode_image``); bucket sizes are one
+    map-side-combinable count joined back by hash.  At 10^12 images the
+    only shuffles are the count and the bucket join, both on the 64-bit
+    hash key."""
+    docs = with_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "payload")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), _phash_bits(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    hashed = docs.mapInPandas(fn, PHASH_SCHEMA)
+    sizes = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_bucket"))
+    return hashed.join(sizes, "phash").select("doc_id", "phash", "n_bucket")
+
+
+def sql_phash_buckets() -> str:
+    """The fake 'grid' is byte arithmetic over the ASCII payload, so the
+    whole hash is expressible in DuckDB list comprehensions (same ASCII
+    assumption as sql_fake_features)."""
+    chars = "string_split(text, '')"
+    cell = (
+        f"COALESCE(list_sum([ascii(c) for c in "
+        f"list_slice({chars}, (j * length(text)) // {PHASH_CELLS} + 1, "
+        f"((j + 1) * length(text)) // {PHASH_CELLS})]), 0)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT doc_id,
+         [{cell} for j in generate_series(0, {PHASH_CELLS - 1})] AS cs
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         array_to_string(
+           [CASE WHEN c * {PHASH_CELLS} > list_sum(cs) THEN '1' ELSE '0' END
+            for c in cs], '') AS phash
+  FROM cells
+),
+sizes AS (SELECT phash, COUNT(*) AS n_bucket FROM hashed GROUP BY phash)
+SELECT h.doc_id, h.phash, s.n_bucket
+FROM hashed h JOIN sizes s ON h.phash = s.phash
+"""

@@ -998,3 +998,43 @@ SELECT event_type, dow,
 FROM (SELECT event_type, value, dayofweek(ts) + 1 AS dow FROM events)
 GROUP BY CUBE (event_type, dow)
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts (cohort week x activity-week offset).
+# ---------------------------------------------------------------------------
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_wk, week_offset, n_users): classic retention triangle —
+    users grouped by first-activity week, counted in each later week they
+    were active.  Week index is epoch-days // 7 (a pure integer, so the
+    bucketing is engine- and timezone-identical; calendar week functions
+    differ between engines).
+
+    Plan: distinct (user, wk) rides one shuffle; the per-user cohort min
+    is a second partial agg on the SAME user key; the final (cohort,
+    offset) count is map-side combinable.  No windows, no joins against
+    the raw event log."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         / F.lit(7 * 86_400_000_000)).cast("long").alias("wk"),
+    ).distinct()
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def sql_events_retention() -> str:
+    wk = f"epoch_us(ts) // {7 * 86_400_000_000}"
+    return f"""
+WITH uw AS (SELECT DISTINCT user_id, {wk} AS wk FROM events),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM uw GROUP BY user_id)
+SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
+       COUNT(DISTINCT u.user_id) AS n_users
+FROM uw u JOIN cohort c ON u.user_id = c.user_id
+GROUP BY 1, 2
+"""

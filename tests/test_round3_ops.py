@@ -203,3 +203,51 @@ def test_lm_perplexity_matches_bruteforce(spark):
         s = sum(_m.log((cnt[t] + k) / (total + k * v)) for t in toks)
         want = round(_m.exp(-s / len(toks)), 4)
         assert abs(got[r["doc_id"]] - want) < 2e-3, (r["doc_id"], got[r["doc_id"]], want)
+
+
+def test_retention_triangle_invariants(spark):
+    rows = relops.events_retention(spark, SF).collect()
+    assert rows
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # offset-0 across cohorts counts every user exactly once
+    assert sum(r["n_users"] for r in rows if r["week_offset"] == 0) == n_users
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # within a cohort no later week exceeds the cohort's own size
+    from collections import defaultdict
+
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        by_cohort[r["cohort_wk"]][r["week_offset"]] = r["n_users"]
+    for offs in by_cohort.values():
+        for off, n in offs.items():
+            assert n <= offs[0]
+
+
+def test_phash_buckets_bruteforce_and_grouping(spark):
+    from collections import Counter
+
+    from sparkmedkg import multimodal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    want_hash = {
+        r["doc_id"]: multimodal._phash_bits(r["text"].encode())
+        for r in docs
+    }
+    sizes = Counter(want_hash.values())
+    got = {
+        r["doc_id"]: (r["phash"], r["n_bucket"])
+        for r in multimodal.phash_buckets(spark, SF).collect()
+    }
+    assert set(got) == set(want_hash)
+    for d, (ph, nb) in got.items():
+        assert ph == want_hash[d]
+        assert nb == sizes[ph]
+    # identical payloads share a bucket (the fixture has exact dups)
+    assert any(nb > 1 for _, nb in got.values())
