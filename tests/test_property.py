@@ -109,3 +109,126 @@ def test_kcore_matches_peeling_random_graphs(spark, edges, k):
         for r in graphalgo.kcore_from_edges(df, k=k, rounds=12).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric) exactness on random corpora.
+# ---------------------------------------------------------------------------
+
+def _brute_containment(
+    texts: list[str], tau: float, max_df: int
+) -> dict[tuple[int, int], float]:
+    sh = [_shingles(t) for t in texts]
+    df = defaultdict(int)
+    for s in sh:
+        for g in s:
+            df[g] += 1
+    hot = {g for g, c in df.items() if c > max_df}
+    kept = [s - hot for s in sh]
+    out = {}
+    for a in range(len(texts)):
+        if not kept[a]:
+            continue
+        for b in range(len(texts)):
+            if a == b:
+                continue
+            c = len(kept[a] & kept[b]) / len(kept[a])
+            if c >= tau:
+                out[(a, b)] = round(c, 6)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(corpus=corpus_st, tau=st.sampled_from([0.5, 0.8]), max_df=st.sampled_from([2, 64]))
+def test_containment_is_exact(spark, prop_dir, corpus, tau, max_df):
+    from sparkmedkg import webgraph
+
+    sf_dir = os.path.join(
+        prop_dir, f"ct{abs(hash((tuple(corpus), tau, max_df))) % 10**9}"
+    )
+    if not os.path.exists(sf_dir):
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(corpus)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in webgraph.containment_pairs(
+            spark, sf_dir, tau=tau, max_df=max_df
+        ).collect()
+    }
+    want = _brute_containment(corpus, tau, max_df)
+    assert set(got) == set(want)
+    for k_ in want:
+        assert abs(got[k_] - want[k_]) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# Funnel counts on random event streams.
+# ---------------------------------------------------------------------------
+
+ev_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user
+        st.integers(min_value=0, max_value=50),         # second offset
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(evs=ev_st)
+def test_funnel_matches_bruteforce_random(spark, prop_dir, evs):
+    import datetime
+
+    from sparkmedkg import relops
+
+    base = datetime.datetime(2025, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=s), u, t, 1.0, "{}")
+        for i, (u, s, t) in enumerate(evs)
+    ]
+    sf_dir = os.path.join(prop_dir, f"fu{abs(hash(tuple(evs))) % 10**9}")
+    if not os.path.exists(sf_dir):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in relops.events_funnel(spark, sf_dir).collect()
+    }
+    # brute force under the operator's contract (ties broken by event_id
+    # within equal timestamps via the sorted struct array)
+    per_user = defaultdict(list)
+    for i, (u, s, t) in enumerate(evs):
+        per_user[u].append((s * 1_000_000, i, t))
+    want = {"view": 0, "click": 0, "purchase": 0}
+    for lst in per_user.values():
+        lst.sort()
+        t1 = next((us for us, _, e in lst if e == "view"), None)
+        if t1 is None:
+            continue
+        want["view"] += 1
+        t2 = next((us for us, _, e in lst if e == "click" and us > t1), None)
+        if t2 is None:
+            continue
+        want["click"] += 1
+        if any(e == "purchase" and us > t2 for us, _, e in lst):
+            want["purchase"] += 1
+    assert got == want
