@@ -1038,3 +1038,148 @@ SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
 FROM uw u JOIN cohort c ON u.user_id = c.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: conditional-aggregate promo revenue share.
+# ---------------------------------------------------------------------------
+
+def tpch_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(promo_revenue_pct, promo_rev, total_rev): the share of lineitem
+    revenue from PROMO-type parts — the conditional-aggregate-over-a-join
+    shape (CASE inside SUM, not a second scan).  The part dim broadcasts;
+    one exchange total for the global aggregate; DECIMAL-stable sums with
+    the ratio computed from the rounded doubles identically in both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6
+        ).alias("promo_revenue_pct"),
+        "promo_rev",
+        "total_rev",
+    )
+
+
+def sql_tpch_promo_revenue() -> str:
+    return """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1.0 - l_discount)
+                            AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+         AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_revenue_pct,
+       promo_rev, total_rev
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: HAVING-gated large orders.
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 150
+
+
+def tpch_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, o_totalprice, sum_qty): orders whose total lineitem
+    quantity exceeds the HAVING threshold, hydrated with the order row —
+    the aggregate-then-semi-join pattern (the heavy lineitem agg runs
+    once; the orders join touches only qualifying keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > Q18_QTY)
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def sql_tpch_large_orders() -> str:
+    return f"""
+SELECT o_orderkey, o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > {Q18_QTY}
+) q ON o_orderkey = q.l_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed z-score anomaly detection.
+# ---------------------------------------------------------------------------
+
+ZSCORE_MIN_N = 5
+ZSCORE_TAU = 3.0
+
+
+def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, value, z): events whose value deviates more
+    than ZSCORE_TAU population standard deviations from that user's OWN
+    prior history (expanding frame up to the previous row — the causal
+    formulation a live monitor uses; including the current row would
+    dilute its own anomaly).  Users need ZSCORE_MIN_N prior events before
+    scoring.  One per-user sort shuffle; mean/stddev ride the same window
+    frame."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    n = F.count("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select("event_id", "user_id", "value", n.alias("n_prior"), z.alias("zr"))
+        .where((F.col("n_prior") >= ZSCORE_MIN_N) & (F.abs("zr") > ZSCORE_TAU))
+        .select("event_id", "user_id", F.round("value", 6).alias("value"),
+                F.round("zr", 4).alias("z"))
+    )
+
+
+def sql_events_zscore() -> str:
+    return f"""
+SELECT event_id, user_id, round(value, 6) AS value, round(z, 4) AS z
+FROM (
+  SELECT event_id, user_id, value,
+         COUNT(value) OVER w AS n_prior,
+         (value - AVG(value) OVER w) / stddev_pop(value) OVER w AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+WHERE n_prior >= {ZSCORE_MIN_N} AND abs(z) > {ZSCORE_TAU}
+"""

@@ -251,3 +251,47 @@ def test_phash_buckets_bruteforce_and_grouping(spark):
         assert nb == sizes[ph]
     # identical payloads share a bucket (the fixture has exact dups)
     assert any(nb > 1 for _, nb in got.values())
+
+
+def test_promo_revenue_share_bounds(spark):
+    r = relops.tpch_promo_revenue(spark, SF).collect()[0]
+    assert 0.0 <= r["promo_revenue_pct"] <= 100.0
+    assert 0 < r["promo_rev"] < r["total_rev"]
+
+
+def test_large_orders_having_gate(spark):
+    rows = relops.tpch_large_orders(spark, SF).collect()
+    assert rows
+    assert all(r["sum_qty"] > relops.Q18_QTY for r in rows)
+    # every qualifying aggregate key appears exactly once after hydration
+    keys = [r["o_orderkey"] for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_zscore_matches_bruteforce(spark):
+    import statistics
+    from collections import defaultdict
+
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    hist = defaultdict(list)
+    want = {}
+    for r in ev:
+        h = hist[r["user_id"]]
+        if len(h) >= relops.ZSCORE_MIN_N:
+            mu = sum(h) / len(h)
+            sd = statistics.pstdev(h)
+            if sd > 0:
+                z = (r["value"] - mu) / sd
+                if abs(z) > relops.ZSCORE_TAU:
+                    want[r["event_id"]] = round(z, 4)
+        h.append(r["value"])
+    got = {
+        r["event_id"]: r["z"]
+        for r in relops.events_zscore(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 2e-3
