@@ -619,3 +619,116 @@ exact AS (SELECT source, COUNT(*) AS n_exact FROM hashes GROUP BY source)
 SELECT e.source, e.n_exact, round(s.est, 2) AS hll_est
 FROM exact e JOIN est s ON e.source = s.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Mirror-site detection: host-pair cosine over IDF-weighted anchor terms.
+# ---------------------------------------------------------------------------
+
+MIRROR_TAU = 0.9       # cosine threshold for mirror candidates
+MIRROR_MAX_TERM_HOSTS = 32   # drop terms seen on more hosts than this
+
+
+def mirror_hosts(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = MIRROR_TAU,
+    max_term_hosts: int = MIRROR_MAX_TERM_HOSTS,
+) -> DataFrame:
+    """(host_a, host_b, cosine): source-host pairs whose outgoing
+    anchor-term profiles are near-identical under IDF-weighted cosine —
+    the host-level mirror/scraper-farm detector that runs BEFORE
+    per-document dedup at crawl scale (dropping a mirrored host removes
+    millions of docs in one decision).
+
+    Profile: per (src_host, term) link counts weighted by
+    ln(1 + N/df_term); terms appearing on more than ``max_term_hosts``
+    hosts are dropped from BOTH the numerator join and the norms (exact
+    on the informative-term space, and the pair join is bounded by
+    max_term_hosts^2 candidates per term — the same capped-blocking
+    contract as containment_pairs).  One equi-join on the term key;
+    norms are a per-host aggregate joined back; never a host-pair cross
+    join."""
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % N_SRC_HOSTS).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.explode(
+            F.slice(F.split(F.col("text"), " +"), 1, MAX_ANCHORS)
+        ).alias("term"),
+    )
+    tf = pages.groupBy("host", "term").agg(F.count(F.lit(1)).alias("c"))
+    n_hosts = tf.select("host").distinct().count()
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        tf.join(
+            F.broadcast(df_t.where(F.col("df") <= max_term_hosts)), "term"
+        )
+        .select(
+            "host",
+            "term",
+            (
+                F.col("c").cast("double")
+                * F.log(F.lit(1.0) + F.lit(float(n_hosts)) / F.col("df"))
+            ).alias("w"),
+        )
+        .persist()
+    )
+    norms = kept.groupBy("host").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = kept.select(F.col("host").alias("host_a"), "term", F.col("w").alias("wa"))
+    b = kept.select(F.col("host").alias("host_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col("host").alias("host_a"), F.col("nrm").alias("na")), "host_a")
+        .join(norms.select(F.col("host").alias("host_b"), F.col("nrm").alias("nb")), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= tau)
+        .localCheckpoint(eager=True)
+    )
+    kept.unpersist()
+    return out
+
+
+def sql_mirror_hosts(
+    tau: float = MIRROR_TAU, max_term_hosts: int = MIRROR_MAX_TERM_HOSTS
+) -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS host,
+         unnest(list_slice(regexp_split_to_array(text, ' +'), 1,
+                           {MAX_ANCHORS})) AS term
+  FROM documents
+),
+tf AS (SELECT host, term, COUNT(*) AS c FROM pages GROUP BY host, term),
+nh AS (SELECT COUNT(DISTINCT host)::DOUBLE AS n FROM tf),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+kept AS (
+  SELECT tf.host, tf.term,
+         tf.c::DOUBLE * ln(1.0 + (SELECT n FROM nh) / d.df) AS w
+  FROM tf JOIN df_t d ON tf.term = d.term
+  WHERE d.df <= {max_term_hosts}
+),
+norms AS (SELECT host, sqrt(SUM(w * w)) AS nrm FROM kept GROUP BY host),
+dots AS (
+  SELECT a.host AS host_a, b.host AS host_b, SUM(a.w * b.w) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT d.host_a, d.host_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.host = d.host_a
+JOIN norms nb ON nb.host = d.host_b
+WHERE d.dot / (na.nrm * nb.nrm) >= {tau}
+"""

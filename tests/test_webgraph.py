@@ -250,3 +250,52 @@ def test_hll_matches_reference_implementation(spark):
         for r in webgraph.hll_distinct(spark, SF).collect()
     }
     assert got == want
+
+
+def test_mirror_hosts_matches_bruteforce(spark):
+    import math as _m
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    tf = defaultdict(int)
+    for r in docs:
+        host = f"site{r['doc_id'] % webgraph.N_SRC_HOSTS}.example"
+        for t in [x for x in r["text"].split(" ") if x][: webgraph.MAX_ANCHORS]:
+            tf[(host, t)] += 1
+    hosts = {h for h, _ in tf}
+    df = defaultdict(int)
+    for (_, t) in tf:
+        df[t] += 1
+    n = float(len(hosts))
+    w = {
+        (h, t): c * _m.log(1.0 + n / df[t])
+        for (h, t), c in tf.items()
+        if df[t] <= webgraph.MIRROR_MAX_TERM_HOSTS
+    }
+    vec = defaultdict(dict)
+    for (h, t), x in w.items():
+        vec[h][t] = x
+    want = {}
+    hs = sorted(hosts)
+    for i, a in enumerate(hs):
+        va = vec.get(a, {})
+        na = _m.sqrt(sum(x * x for x in va.values()))
+        for b in hs[i + 1:]:
+            vb = vec.get(b, {})
+            if not va or not vb:
+                continue
+            dot = sum(va[t] * vb.get(t, 0.0) for t in va)
+            if dot == 0.0:
+                continue
+            nb = _m.sqrt(sum(x * x for x in vb.values()))
+            cos = dot / (na * nb)
+            if cos >= webgraph.MIRROR_TAU:
+                want[(a, b)] = round(cos, 6)
+    got = {
+        (r["host_a"], r["host_b"]): r["cosine"]
+        for r in webgraph.mirror_hosts(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=5e-6)
