@@ -373,3 +373,100 @@ SELECT doc_id,
              / len({toks})::DOUBLE, 6) AS oov_rate
 FROM documents, vocab
 """
+
+
+def mask_contaminated(
+    spark: SparkSession, sf_dir: str, k: int = DECON_K
+) -> DataFrame:
+    """(doc_id, n_masked, masked_text): the REMOVAL half of
+    decontamination — every training-doc token covered by a k-shingle
+    that appears in the eval split is replaced with ``<mask>``, keeping
+    the rest of the document (dropping whole documents over one leaked
+    phrase wastes data; span masking is what production pipelines do).
+
+    Plan: positional shingles explode once, hit the broadcast eval set
+    (BroadcastHashJoin), and collapse to a per-doc start-offset list; the
+    token rewrite is then a row-local nested higher-order expression
+    (transform + exists) — the corpus is scanned twice (once for spans,
+    once for rewrite) and shuffled only on doc_id for the tiny hit
+    list."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    n = F.size(toks)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    eval_sh = (
+        docs.where(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(_shingles_k("text", k)).alias("shingle"))
+        .distinct()
+    )
+    pos = docs.where(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", F.posexplode(sh_arr).alias("i0", "shingle")
+    )
+    hits = (
+        pos.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i0").alias("starts"))
+    )
+    train = docs.where(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", toks.alias("toks")
+    )
+    joined = train.join(hits, "doc_id", "left").withColumn(
+        "starts", F.coalesce("starts", F.array().cast("array<int>"))
+    )
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("starts"), lambda s: (s <= j) & (j <= s + F.lit(k - 1))
+    )
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    masked = F.transform(
+        idx,
+        lambda j: F.when(covered(j), F.lit("<mask>")).otherwise(
+            F.element_at("toks", (j + 1).cast("int"))
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(F.filter(idx, covered)).alias("n_masked"),
+        F.concat_ws(" ", masked).alias("masked_text"),
+    )
+
+
+def sql_mask_contaminated(k: int = DECON_K) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    sh_pos = (
+        f"[{{'i0': i - 1, "
+        f"'sh': array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')}} "
+        f"for i in generate_series(1, greatest(len({toks}) - {k - 1}, 1))]"
+    )
+    return f"""
+WITH eval_sh AS (
+  SELECT DISTINCT unnest({_sql_shingles_k('text', k)}) AS shingle
+  FROM documents WHERE doc_id % {EVAL_MOD} = 0
+),
+pos AS (
+  SELECT doc_id, u.i0 AS i0, u.sh AS shingle
+  FROM (SELECT doc_id, unnest({sh_pos}) AS u
+        FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+),
+hits AS (
+  SELECT p.doc_id, list(DISTINCT p.i0) AS starts
+  FROM pos p JOIN eval_sh e ON p.shingle = e.shingle
+  GROUP BY p.doc_id
+),
+train AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+  WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT t.doc_id,
+       len(list_filter(generate_series(0, len(t.toks) - 1),
+           j -> len(list_filter(COALESCE(h.starts, []),
+                    s -> s <= j AND j <= s + {k - 1})) > 0)) AS n_masked,
+       array_to_string(
+         [CASE WHEN len(list_filter(COALESCE(h.starts, []),
+                       s -> s <= j AND j <= s + {k - 1})) > 0
+               THEN '<mask>' ELSE t.toks[j + 1] END
+          for j in generate_series(0, len(t.toks) - 1)], ' ') AS masked_text
+FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""

@@ -134,3 +134,29 @@ def test_pack_sequences_df_wrapper_equivalence(spark):
     for r in rows:
         assert r["start_off"] == off
         off += r["n_tokens"]
+
+
+def test_mask_contaminated_consistent_with_decontaminate(spark):
+    sf = "/root/testdata/sf0.001"
+    masked = {
+        r["doc_id"]: r
+        for r in corpusops.mask_contaminated(spark, sf).collect()
+    }
+    flagged = {
+        r["doc_id"] for r in corpusops.decontaminate(spark, sf).collect()
+    }
+    # a doc has masked tokens iff decontaminate flagged it
+    assert {d for d, r in masked.items() if r["n_masked"] > 0} == flagged
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    for d, r in masked.items():
+        orig = [t for t in docs[d].split(" ") if t]
+        out = r["masked_text"].split(" ")
+        assert len(out) == len(orig)
+        assert sum(1 for t in out if t == "<mask>") == r["n_masked"]
+        # unmasked positions are byte-identical to the original tokens
+        assert all(
+            o == w for o, w in zip(out, orig) if o != "<mask>"
+        )
