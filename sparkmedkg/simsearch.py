@@ -655,3 +655,232 @@ SELECT v.vec_id,
 FROM vq v CROSS JOIN c{iters} c
 QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cl) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: per-subspace codebooks + ADC shortlist.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4            # subspaces
+PQ_SUB = DIM // PQ_M
+PQ_K = 8            # centroids per subspace (codebook size)
+PQ_ITERS = 2
+PQ_SHORT = 100      # ADC shortlist size before exact rerank
+PQ_TOPK = 10
+
+
+def _pq_train(emb, b: int, k: int = PQ_K, iters: int = PQ_ITERS):
+    """Fixed-iteration integer Lloyd's on subspace ``b`` (same exact-math
+    contract as ``kmeans``); returns [(label, centroid_list)]."""
+    lo = b * PQ_SUB + 1
+    sub = emb.select("vec_id", F.slice("q", lo, PQ_SUB).alias("qb"))
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["qb"]])
+        for r in sub.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def d2(col, c):
+        return sum(
+            (F.element_at(col, i + 1) - F.lit(c[i])) ** 2
+            for i in range(PQ_SUB)
+        ).cast("bigint")
+
+    def _tdiv(s: int, n: int) -> int:
+        return s // n if s >= 0 else -((-s) // n)
+
+    for _ in range(iters):
+        dists = F.array(*[d2(F.col("qb"), c) for _, c in cents])
+        labels = F.array(*[F.lit(lbl) for lbl, _ in cents])
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        a = sub.select(
+            "qb", F.element_at(labels, pos).cast("int").alias("cluster")
+        )
+        rows = (
+            a.groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("qb")[d]).alias(f"s{d}") for d in range(PQ_SUB)],
+            )
+            .orderBy("cluster")
+            .collect()
+        )
+        cents = [
+            (
+                int(r["cluster"]),
+                [_tdiv(int(r[f"s{d}"]), int(r["n"])) for d in range(PQ_SUB)],
+            )
+            for r in rows
+        ]
+    return cents
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = PQ_TOPK,
+    shortlist: int = PQ_SHORT,
+) -> DataFrame:
+    """(vec_id, adc_dist2, dist2): exact top-k nearest neighbours (squared
+    L2 over the integer-quantized vectors) found PQ-style — per-subspace
+    codebooks (fixed-iteration integer Lloyd's), each vector encoded as
+    PQ_M codes, candidates shortlisted by asymmetric distance (sum of
+    per-subspace query->centroid distances, a table lookup instead of a
+    64-dim computation), and only the shortlist reranked exactly.
+
+    This is the memory shape a 10^12-vector index needs: 4 codes/vector
+    instead of 64 floats (the codebooks are k*M tiny literals), scan cost
+    is per-code lookups, and the exact vectors are touched for
+    ``shortlist`` rows only.  All arithmetic is integer, so the DuckDB
+    oracle (unrolled per-subspace kmeans + the same ADC join) matches
+    bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _qvec().alias("q")
+    ).persist()
+    books = [_pq_train(emb, b) for b in range(PQ_M)]
+    qrow = emb.where(F.col("vec_id") == query_id).collect()[0]
+    qq = [int(v) for v in qrow["q"]]
+
+    def sub_d2(vec: list[int], b: int, c: list[int]) -> int:
+        lo = b * PQ_SUB
+        return sum((vec[lo + i] - c[i]) ** 2 for i in range(PQ_SUB))
+
+    # ADC lookup tables: dist2(query subvector, centroid) per (block, label)
+    adc = [
+        {lbl: sub_d2(qq, b, c) for lbl, c in books[b]} for b in range(PQ_M)
+    ]
+
+    cand = emb.where(F.col("vec_id") != query_id)
+    adc_cols = []
+    for b in range(PQ_M):
+        lo = b * PQ_SUB + 1
+        qb = F.slice("q", lo, PQ_SUB)
+        d2s = F.array(
+            *[
+                sum(
+                    (F.element_at(qb, i + 1) - F.lit(c[i])) ** 2
+                    for i in range(PQ_SUB)
+                ).cast("bigint")
+                for _, c in books[b]
+            ]
+        )
+        labels = F.array(*[F.lit(lbl) for lbl, _ in books[b]])
+        code = F.element_at(
+            labels, F.array_position(d2s, F.array_min(d2s)).cast("int")
+        )
+        # code -> ADC table entry, as a literal CASE chain (PQ_K entries)
+        expr = None
+        for lbl, _ in books[b]:
+            branch = F.when(code == lbl, F.lit(adc[b][lbl]))
+            expr = branch if expr is None else expr.when(
+                code == lbl, F.lit(adc[b][lbl])
+            )
+        adc_cols.append(expr.cast("bigint"))
+    scored = cand.select(
+        "vec_id", "q", sum(adc_cols).alias("adc_dist2")
+    )
+    short = (
+        scored.orderBy(F.asc("adc_dist2"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    exact = sum(
+        (F.element_at("q", i + 1) - F.lit(qq[i])) ** 2 for i in range(DIM)
+    ).cast("bigint")
+    out = (
+        short.withColumn("dist2", exact)
+        .orderBy(F.asc("dist2"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "adc_dist2", "dist2")
+        .localCheckpoint(eager=True)
+    )
+    emb.unpersist()
+    return out
+
+
+def sql_pq_topk(
+    query_id: int = 0,
+    k: int = PQ_TOPK,
+    shortlist: int = PQ_SHORT,
+    iters: int = PQ_ITERS,
+) -> str:
+    q = (
+        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "for e in embedding]"
+    )
+    dist = (
+        f"list_aggregate([(v.qb[i] - c.qb[i]) * (v.qb[i] - c.qb[i]) "
+        f"for i in generate_series(1, {PQ_SUB})], 'sum')"
+    )
+    blocks = []
+    for b in range(PQ_M):
+        lo = b * PQ_SUB + 1
+        steps = []
+        for it in range(1, iters + 1):
+            prev = f"b{b}c{it - 1}"
+            steps.append(
+                f"""b{b}a{it} AS (
+  SELECT vec_id, qb, cl AS cluster FROM (
+    SELECT v.vec_id, v.qb, c.cl, {dist} AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cl) AS rn
+    FROM b{b}vq v CROSS JOIN {prev} c)
+  WHERE rn = 1
+),
+b{b}cs{it} AS (
+  SELECT cluster, i, SUM(qb[i]) AS s
+  FROM b{b}a{it}, generate_series(1, {PQ_SUB}) t(i) GROUP BY cluster, i
+),
+b{b}cn{it} AS (SELECT cluster, COUNT(*) AS n FROM b{b}a{it} GROUP BY cluster),
+b{b}c{it} AS (
+  SELECT cs.cluster AS cl, list(cs.s // cn.n ORDER BY cs.i) AS qb
+  FROM b{b}cs{it} cs JOIN b{b}cn{it} cn USING (cluster)
+  GROUP BY cs.cluster
+)"""
+            )
+        blocks.append(
+            f"""b{b}vq AS (
+  SELECT vec_id, list_slice(q, {lo}, {lo + PQ_SUB - 1}) AS qb FROM vq
+),
+b{b}c0 AS (SELECT vec_id AS cl, qb FROM b{b}vq WHERE vec_id < {PQ_K}),
+"""
+            + ",\n".join(steps)
+            + f""",
+b{b}enc AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, c.cl, {dist} AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cl) AS rn
+    FROM b{b}vq v CROSS JOIN b{b}c{iters} c)
+  WHERE rn = 1
+),
+b{b}adc AS (
+  SELECT c.cl,
+         list_aggregate([(qv.qb[i] - c.qb[i]) * (qv.qb[i] - c.qb[i])
+                         for i in generate_series(1, {PQ_SUB})], 'sum') AS d
+  FROM b{b}c{iters} c
+  CROSS JOIN (SELECT qb FROM b{b}vq WHERE vec_id = {query_id}) qv
+)"""
+        )
+    all_blocks = ",\n".join(blocks)
+    adc_sum = " + ".join(
+        f"(SELECT a.d FROM b{b}enc e JOIN b{b}adc a USING (cl) "
+        f"WHERE e.vec_id = s.vec_id)"
+        for b in range(PQ_M)
+    )
+    return f"""
+WITH vq AS (SELECT vec_id, {q} AS q FROM embeddings),
+{all_blocks},
+scored AS (
+  SELECT s.vec_id, s.q, {adc_sum} AS adc_dist2
+  FROM vq s WHERE s.vec_id <> {query_id}
+),
+short AS (
+  SELECT * FROM scored ORDER BY adc_dist2, vec_id LIMIT {shortlist}
+),
+qfull AS (SELECT q FROM vq WHERE vec_id = {query_id})
+SELECT s.vec_id, s.adc_dist2,
+       list_aggregate([(s.q[i] - qf.q[i]) * (s.q[i] - qf.q[i])
+                       for i in generate_series(1, {DIM})], 'sum') AS dist2
+FROM short s CROSS JOIN qfull qf
+ORDER BY dist2, s.vec_id LIMIT {k}
+"""

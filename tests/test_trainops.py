@@ -258,3 +258,36 @@ def test_frame_sample_uniform_stride(spark):
         assert all(i < r["n_frames"] for i in idxs)
         assert idxs == list(range(0, r["n_frames"], r["stride"]))
         assert 1 <= len(idxs) <= 15  # ceil(n/(n//8)) <= 15 for n >= 8
+
+
+def test_pq_topk_recall_and_exact_rerank(spark):
+    import math
+
+    from sparkmedkg import simsearch
+
+    sf = "/root/testdata/sf0.001"
+    rows = simsearch.pq_topk(spark, sf).collect()
+    assert len(rows) == simsearch.PQ_TOPK
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+
+    def qz(v):
+        return [int(math.floor(float(x) * 1000 + 0.5)) for x in v]
+
+    qq = qz(next(r["embedding"] for r in emb if r["vec_id"] == 0))
+    true_d = {
+        r["vec_id"]: sum((a - b) ** 2 for a, b in zip(qz(r["embedding"]), qq))
+        for r in emb
+        if r["vec_id"] != 0
+    }
+    # the rerank distances are the TRUE distances (exact rerank contract)
+    for r in rows:
+        assert r["dist2"] == true_d[r["vec_id"]]
+        assert r["adc_dist2"] >= 0
+    # shortlist quality: decent recall of the true top-k
+    true10 = {
+        v for v, _ in sorted(true_d.items(), key=lambda kv: (kv[1], kv[0]))[
+            : simsearch.PQ_TOPK
+        ]
+    }
+    got = {r["vec_id"] for r in rows}
+    assert len(got & true10) / simsearch.PQ_TOPK >= 0.6
