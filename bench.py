@@ -81,7 +81,9 @@ BENCH_QUERIES = {
     "corpus_weighted_sample": trainprep.weighted_sample,
     "corpus_snapshot_diff": webclean.snapshot_diff,
     "web_link_graph": webgraph.link_graph,
+    "web_mirror_hosts": webgraph.mirror_hosts,
     "corpus_kmv_distinct": webgraph.kmv_distinct,
+    "corpus_hll_distinct": webgraph.hll_distinct,
     "dedup_containment": webgraph.containment_pairs,
     "kg_pmi_edges": relations.q_pmi_edges,
     "events_sessionize": relops.events_sessionize,
