@@ -1,0 +1,94 @@
+"""Pipeline-quality metric queries: measure our OWN approximations.
+
+A production data pipeline monitors its approximate operators against
+exact ground truth on sampled slices — otherwise an LSH parameter drift
+or a bucketing regression silently degrades dedup/retrieval quality.
+These queries compose already-oracle-gated operators into the two
+standard scorecards:
+
+- ``dedup_lsh_quality`` — precision/recall of the MinHash-LSH candidate
+  pairs against the exact shingle-Jaccard pairs at the same tau.
+- ``ann_lsh_recall`` — recall@k of the hyperplane-LSH ANN against the
+  brute-force cosine top-k.
+
+Both are DuckDB-oracle-gated by composing the constituents' SQL twins,
+so the metric itself is verified, not just the operators it measures.
+At 100 TB the same queries run on a deterministic md5-bucket sample
+(trainprep.stratified_sample's pattern) rather than the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkmedkg import dedup, simsearch
+
+
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_candidates, n_true, n_hits, precision, recall): how well the
+    LSH banding candidates cover the exact Jaccard>=tau pairs.  Both
+    sides are sparse pair sets (orders of magnitude below the corpus),
+    so the scoring join is trivially broadcastable."""
+    cand = dedup.lsh_candidate_pairs(spark, sf_dir).select("a", "b")
+    truth = dedup.jaccard_pairs_prefix(
+        spark, sf_dir, tau=dedup.JACCARD_TAU
+    ).select("a", "b")
+    hits = cand.join(truth, ["a", "b"])
+    agg = (
+        cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+        ).alias("precision"),
+        F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6).alias(
+            "recall"
+        ),
+    )
+
+
+def sql_dedup_lsh_quality() -> str:
+    return f"""
+WITH cand AS (SELECT a, b FROM ({dedup.sql_lsh_candidate_pairs()}) c),
+truth AS (SELECT a, b FROM ({dedup.sql_jaccard_pairs(dedup.JACCARD_TAU)}) t),
+hits AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+SELECT (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE
+             / (SELECT COUNT(*) FROM cand), 6) AS precision,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE
+             / (SELECT COUNT(*) FROM truth), 6) AS recall
+"""
+
+
+def ann_lsh_recall(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """(k, n_hits, recall): overlap of the hyperplane-LSH top-k with the
+    brute-force cosine top-k for the standard query vector."""
+    exact_ids = simsearch.cosine_topk(spark, sf_dir, k=k).select("vec_id")
+    approx_ids = simsearch.lsh_topk(spark, sf_dir, k=k).select("vec_id")
+    hits = approx_ids.join(exact_ids, "vec_id")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k).alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall"),
+    )
+
+
+def sql_ann_lsh_recall(k: int = 10) -> str:
+    return f"""
+WITH exact_ids AS (SELECT vec_id FROM ({simsearch.sql_cosine_topk(k=k)}) e),
+approx_ids AS (SELECT vec_id FROM ({simsearch.sql_lsh_topk(k=k)}) a),
+hits AS (SELECT * FROM approx_ids INTERSECT SELECT * FROM exact_ids)
+SELECT {k} AS k,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
+"""

@@ -291,3 +291,19 @@ def test_pq_topk_recall_and_exact_rerank(spark):
     }
     got = {r["vec_id"] for r in rows}
     assert len(got & true10) / simsearch.PQ_TOPK >= 0.6
+
+
+def test_metric_queries_sane(spark):
+    from sparkmedkg import metrics
+
+    sf = "/root/testdata/sf0.001"
+    q = metrics.dedup_lsh_quality(spark, sf).collect()[0]
+    assert 0 <= q["n_hits"] <= min(q["n_candidates"], q["n_true"])
+    assert 0.0 <= q["precision"] <= 1.0
+    assert 0.0 <= q["recall"] <= 1.0
+    # banding with 4x4 bands at tau=0.5 should catch most true pairs
+    assert q["recall"] >= 0.8
+
+    r = metrics.ann_lsh_recall(spark, sf).collect()[0]
+    assert r["k"] == 10 and 0 <= r["n_hits"] <= 10
+    assert r["recall"] == r["n_hits"] / 10
