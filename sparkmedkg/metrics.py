@@ -92,3 +92,65 @@ SELECT {k} AS k,
        (SELECT COUNT(*) FROM hits) AS n_hits,
        round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
 """
+
+
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_exact_dup_docs, n_near_dup_docs, n_unique_docs,
+    pct_unique): the corpus-level dedup scorecard — how many documents an
+    exact pass removes (non-canonical members of identical-text groups),
+    how many more the near-dup pass removes (higher-id members of
+    Jaccard>=tau pairs, net of exact dups), and what survives.  The
+    headline number every crawl-curation report leads with.
+
+    Composes the gated exact_dedup and prefix-join pair operators; the
+    roll-up joins run over the (tiny) duplicate sets, never the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    exact = dedup.exact_dedup(spark, sf_dir)
+    exact_dups = exact.select(
+        (F.col("n_copies") - 1).alias("extra")
+    ).agg(F.sum("extra").alias("n_exact_dup_docs"))
+    keep_exact = exact.select(F.col("keep_id").alias("doc_id"))
+    near_drops = (
+        dedup.jaccard_pairs_prefix(spark, sf_dir, tau=dedup.JACCARD_TAU)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+        .join(keep_exact, "doc_id", "left_semi")  # not already exact-dropped
+    )
+    agg = (
+        docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(exact_dups)
+        .crossJoin(near_drops.agg(F.count(F.lit(1)).alias("n_near_dup_docs")))
+    )
+    unique = (
+        F.col("n_docs") - F.col("n_exact_dup_docs") - F.col("n_near_dup_docs")
+    )
+    return agg.select(
+        "n_docs",
+        "n_exact_dup_docs",
+        "n_near_dup_docs",
+        unique.alias("n_unique_docs"),
+        F.round(
+            unique.cast("double") / F.col("n_docs") * 100.0, 6
+        ).alias("pct_unique"),
+    )
+
+
+def sql_corpus_dedup_report() -> str:
+    return f"""
+WITH exact AS ({dedup.sql_exact_dedup()}),
+near AS (
+  SELECT DISTINCT b AS doc_id
+  FROM ({dedup.sql_jaccard_pairs(dedup.JACCARD_TAU)}) p
+  WHERE b IN (SELECT keep_id FROM exact)
+),
+base AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT SUM(n_copies - 1) FROM exact) AS n_exact_dup_docs,
+         (SELECT COUNT(*) FROM near) AS n_near_dup_docs
+)
+SELECT n_docs, n_exact_dup_docs, n_near_dup_docs,
+       n_docs - n_exact_dup_docs - n_near_dup_docs AS n_unique_docs,
+       round((n_docs - n_exact_dup_docs - n_near_dup_docs)::DOUBLE
+             / n_docs * 100.0, 6) AS pct_unique
+FROM base
+"""

@@ -307,3 +307,21 @@ def test_metric_queries_sane(spark):
     r = metrics.ann_lsh_recall(spark, sf).collect()[0]
     assert r["k"] == 10 and 0 <= r["n_hits"] <= 10
     assert r["recall"] == r["n_hits"] / 10
+
+
+def test_corpus_dedup_report_set_algebra(spark):
+    from sparkmedkg import metrics
+
+    sf = "/root/testdata/sf0.001"
+    r = metrics.corpus_dedup_report(spark, sf).collect()[0]
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert r["n_docs"] == n_docs
+    exact = {x["keep_id"]: x["n_copies"] for x in dedup.exact_dedup(spark, sf).collect()}
+    assert r["n_exact_dup_docs"] == sum(c - 1 for c in exact.values())
+    keep = set(exact)
+    near = {
+        x["b"] for x in dedup.jaccard_pairs_prefix(spark, sf, tau=0.5).collect()
+    } & keep
+    assert r["n_near_dup_docs"] == len(near)
+    assert r["n_unique_docs"] == n_docs - r["n_exact_dup_docs"] - r["n_near_dup_docs"]
+    assert 0 < r["pct_unique"] <= 100.0
