@@ -1183,3 +1183,68 @@ FROM (
 )
 WHERE n_prior >= {ZSCORE_MIN_N} AND abs(z) > {ZSCORE_TAU}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier per nation (two-level revenue rollup).
+# ---------------------------------------------------------------------------
+
+def tpch_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, nation_revenue, top_supplier, top_supplier_rev): per-nation
+    lineitem revenue with each nation's highest-revenue supplier — the
+    Q15 two-level rollup (fine agg on (nation, supplier), then the
+    per-nation total and argmax ride the SAME shuffled key prefix, no
+    second corpus pass).  Supplier and nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    fine = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nation), sup["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "s_suppkey", "s_name")
+        .agg(F.sum(rev).cast("double").alias("srev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("srev").desc(), F.col("s_suppkey")
+    )
+    return (
+        fine.withColumn("rk", F.row_number().over(w))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("srev"), 6).alias("nation_revenue"),
+            F.max(F.when(F.col("rk") == 1, F.col("s_name"))).alias(
+                "top_supplier"
+            ),
+            F.round(
+                F.max(F.when(F.col("rk") == 1, F.col("srev"))), 6
+            ).alias("top_supplier_rev"),
+        )
+    )
+
+
+def sql_tpch_supplier_revenue() -> str:
+    return """
+WITH fine AS (
+  SELECT n_name, s_suppkey, s_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS srev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_suppkey, s_name
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name
+                               ORDER BY srev DESC, s_suppkey) AS rk
+  FROM fine
+)
+SELECT n_name,
+       round(SUM(srev), 6) AS nation_revenue,
+       MAX(CASE WHEN rk = 1 THEN s_name END) AS top_supplier,
+       round(MAX(CASE WHEN rk = 1 THEN srev END), 6) AS top_supplier_rev
+FROM ranked GROUP BY n_name
+"""

@@ -295,3 +295,25 @@ def test_zscore_matches_bruteforce(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 2e-3
+
+
+def test_supplier_revenue_rollup_consistency(spark):
+    rows = relops.tpch_supplier_revenue(spark, SF).collect()
+    assert rows
+    # nation totals sum to the overall joined-lineitem revenue
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    total = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .selectExpr(
+            "CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) "
+            "AS DECIMAL(18,6))) AS DOUBLE) AS t"
+        )
+        .collect()[0]["t"]
+    )
+    assert sum(r["nation_revenue"] for r in rows) == pytest.approx(
+        total, rel=1e-9
+    )
+    for r in rows:
+        assert r["top_supplier_rev"] <= r["nation_revenue"] + 1e-9
+        assert r["top_supplier"]
