@@ -144,12 +144,15 @@ near AS (
   WHERE b IN (SELECT keep_id FROM exact)
 ),
 base AS (
-  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-         (SELECT SUM(n_copies - 1) FROM exact) AS n_exact_dup_docs,
-         (SELECT COUNT(*) FROM near) AS n_near_dup_docs
+  -- CAST: DuckDB SUM of integers is HUGEINT; Spark emits BIGINT.
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(n_copies - 1) FROM exact) AS BIGINT)
+             AS n_exact_dup_docs,
+         CAST((SELECT COUNT(*) FROM near) AS BIGINT) AS n_near_dup_docs
 )
 SELECT n_docs, n_exact_dup_docs, n_near_dup_docs,
-       n_docs - n_exact_dup_docs - n_near_dup_docs AS n_unique_docs,
+       CAST(n_docs - n_exact_dup_docs - n_near_dup_docs AS BIGINT)
+           AS n_unique_docs,
        round((n_docs - n_exact_dup_docs - n_near_dup_docs)::DOUBLE
              / n_docs * 100.0, 6) AS pct_unique
 FROM base

@@ -73,7 +73,8 @@ sess AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM marked
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
        MIN(epoch_us(ts)) AS session_start_us,
        MAX(epoch_us(ts)) AS session_end_us
 FROM sess GROUP BY user_id, session_idx
@@ -404,7 +405,7 @@ SELECT event_type,
        COUNT(k) AS n_with_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k,
-       SUM(k) AS sum_k
+       CAST(SUM(k) AS BIGINT) AS sum_k
 FROM (SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events)
@@ -473,7 +474,8 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_events_pivot() -> str:
     cols = ",\n       ".join(
-        f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS {t}"
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {t}"
         for t in PIVOT_TYPES
     )
     return f"""

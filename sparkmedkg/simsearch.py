@@ -651,7 +651,7 @@ c0 AS (SELECT vec_id AS cl, q FROM vq WHERE vec_id < {k}),
 {unrolled}
 SELECT v.vec_id,
        CAST(c.cl AS INTEGER) AS cluster,
-       {dist.replace("c.q", "c.q")} AS dist2
+       CAST({dist.replace("c.q", "c.q")} AS BIGINT) AS dist2
 FROM vq v CROSS JOIN c{iters} c
 QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cl) = 1
 """
@@ -871,7 +871,8 @@ b{b}adc AS (
 WITH vq AS (SELECT vec_id, {q} AS q FROM embeddings),
 {all_blocks},
 scored AS (
-  SELECT s.vec_id, s.q, {adc_sum} AS adc_dist2
+  -- CAST: DuckDB sums of integers widen to HUGEINT; Spark emits BIGINT.
+  SELECT s.vec_id, s.q, CAST({adc_sum} AS BIGINT) AS adc_dist2
   FROM vq s WHERE s.vec_id <> {query_id}
 ),
 short AS (
@@ -879,8 +880,9 @@ short AS (
 ),
 qfull AS (SELECT q FROM vq WHERE vec_id = {query_id})
 SELECT s.vec_id, s.adc_dist2,
-       list_aggregate([(s.q[i] - qf.q[i]) * (s.q[i] - qf.q[i])
-                       for i in generate_series(1, {DIM})], 'sum') AS dist2
+       CAST(list_aggregate([(s.q[i] - qf.q[i]) * (s.q[i] - qf.q[i])
+                            for i in generate_series(1, {DIM})], 'sum')
+            AS BIGINT) AS dist2
 FROM short s CROSS JOIN qfull qf
 ORDER BY dist2, s.vec_id LIMIT {k}
 """

@@ -284,8 +284,8 @@ WITH q AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-       SUM(n_tokens) AS total_tokens,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) / COUNT(*)
                   AS DOUBLE), 6) AS avg_quality
 FROM q GROUP BY source

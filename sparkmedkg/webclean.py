@@ -278,7 +278,8 @@ def sql_host_stats() -> str:
     host = rf"lower(regexp_extract({url}, '^https?://([^/:?#]+)', 1))"
     return f"""
 SELECT {host} AS host, COUNT(*) AS n_docs,
-       COUNT(DISTINCT lang) AS n_langs, SUM(n_chars) AS n_chars
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
 FROM documents GROUP BY 1
 """
 
