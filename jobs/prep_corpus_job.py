@@ -18,7 +18,14 @@ Stages (each an independently oracle-gated operator):
   4. sequence packing       corpusops.pack_sequences over the cleaned text
 
 Writes:
-  --out/train.parquet     (seq_id, n_docs, n_tokens, text)
+  --out/train.parquet     per-document sequence placement rows
+                          (doc_id, n_tokens, start_off, first_seq,
+                          last_seq, clean_text) — each cleaned doc with
+                          its token offset and the packed-sequence ids
+                          it lands in; a loader reconstructs sequence
+                          seq_id by concatenating clean_text of docs
+                          with first_seq <= seq_id <= last_seq in
+                          doc_id order, slicing at the block boundary
   --out/metrics.json      one JSON line of per-stage counts (the lineage
                           record a pipeline run leaves behind)
 """

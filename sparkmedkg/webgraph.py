@@ -557,7 +557,9 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashes = docs.select("source", _h60(F.col("text")).alias("h")).distinct()
-    rem = (F.col("h") / HLL_M).cast("bigint")
+    # shiftright keeps the arithmetic in 64-bit integers; double division
+    # rounds above 2^53 and would disagree with the oracle's exact h // 64.
+    rem = F.shiftright(F.col("h"), HLL_P)
     bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
     rho = F.when(rem == 0, F.lit(61 - HLL_P)).otherwise(
         F.lit(60 - HLL_P) - bitlen + 1
@@ -689,12 +691,14 @@ def mirror_hosts(
     out = (
         dots.join(norms.select(F.col("host").alias("host_a"), F.col("nrm").alias("na")), "host_a")
         .join(norms.select(F.col("host").alias("host_b"), F.col("nrm").alias("nb")), "host_b")
+        # Filter on the RAW cosine (matching the SQL twin), THEN round for
+        # output — rounding first would admit raw values in [tau-5e-7, tau).
+        .where(F.col("dot") / (F.col("na") * F.col("nb")) >= tau)
         .select(
             "host_a",
             "host_b",
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
-        .where(F.col("cosine") >= tau)
         .localCheckpoint(eager=True)
     )
     kept.unpersist()
