@@ -99,9 +99,9 @@ def doc_stage(
     """Per-document stages only: returns (doc_nodes, doc_edges, links,
     cached) where ``cached`` are the persisted intermediates to unpersist
     after the group's writes. The nodes/edges/links outputs all fan out
-    from the mentions mapInPandas stage, and a group performs THREE actions
+    from the mention-detection stage, and a group performs THREE actions
     (merge_nodes, merge_edges, links merge) — without the persist the
-    Python NER stage would re-run once per action."""
+    detection stage would re-run once per action."""
     alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
     papers = docs.where(F.col("lang") == "en").select(
         "url", "lang", pipeline.topic_expr().alias("topic")

@@ -202,6 +202,221 @@ def detect_mentions(
     return src.mapInPandas(fn, MENTION_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# JVM-expression mention detection (the e2e hot lane).
+#
+# Dictionary matching does not need Python at all: tokenization is a
+# split/filter projection, occurrence detection is posexplode + broadcast
+# lexicon join (the relations.mention_occurrences shape, proven match-set
+# equal to the trie in test_relations), and greedy leftmost-longest
+# selection is an expression-level aggregate over each doc's (tiny)
+# occurrence list.  The ONLY Python left on this lane is the per-doc
+# Schwartz-Hearst abbreviation map, which runs on '('-containing docs
+# only (~12% of the fixture corpus) and scans no tokens.
+#
+# ``detect_mentions`` (mapInPandas) remains as the seam for model-scored
+# NER (SURVEY.md §2.7 N1/N2) and as the cross-lane equality baseline.
+# ---------------------------------------------------------------------------
+
+ABBR_SCHEMA = "url string, sf string, lf string"
+
+
+def abbr_pairs(docs: DataFrame, id_col: str = "url",
+               text_col: str = "text") -> DataFrame:
+    """(url, sf, lf): per-doc Schwartz-Hearst short->long form pairs.
+    Pre-filtered to docs containing '(' — the pattern can't fire
+    elsewhere — so the Arrow lane touches a sliver of the corpus."""
+    src = docs.where(F.instr(F.col(text_col), "(") > 0).select(
+        F.col(id_col).alias("url"), F.col(text_col).alias("text")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, sfs, lfs = [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                if not text:
+                    continue
+                for sf, lf in schwartz_hearst(text).items():
+                    urls.append(url)
+                    sfs.append(sf)
+                    lfs.append(lf)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sf": pd.Series(sfs, dtype="object"),
+                    "lf": pd.Series(lfs, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(fn, ABBR_SCHEMA)
+
+
+def alias_label_df(spark: SparkSession, aliases: DataFrame,
+                   concepts: DataFrame) -> DataFrame:
+    """(alias, label, toks, n_toks, first_tok) lexicon for the JVM matcher
+    — the DataFrame twin of ``broadcast_alias_index``.  Deduped by token
+    sequence with max(alias, label) winning, mirroring the trie's
+    last-insertion-wins over sorted pairs (build_trie)."""
+    pairs = (
+        aliases.join(concepts.select("CUI", "semtype"), "CUI")
+        .select("alias", F.col("semtype").alias("label"))
+        .distinct()
+    )
+    return _lexicon(pairs)
+
+
+def alias_label_df_local(spark: SparkSession,
+                         pairs: list[tuple[str, str]]) -> DataFrame:
+    """Lexicon DataFrame from a driver-side (alias, label) list."""
+    return _lexicon(
+        spark.createDataFrame(sorted(set(pairs)), "alias string, label string")
+    )
+
+
+def _lexicon(pairs: DataFrame) -> DataFrame:
+    toks = F.filter(F.split("alias", " "), lambda x: x != "")
+    return (
+        pairs.withColumn("toks", toks)
+        .groupBy("toks")
+        .agg(F.max(F.struct("alias", "label")).alias("m"))
+        .select(
+            F.col("m.alias").alias("alias"),
+            F.col("m.label").alias("label"),
+            "toks",
+            F.size("toks").alias("n_toks"),
+            F.col("toks")[0].alias("first_tok"),
+        )
+    )
+
+
+def _lexmap(lexicon: DataFrame) -> DataFrame:
+    """ONE row: map first_tok -> array<struct(toks, n_toks, alias, label)>.
+    Cross-joined (broadcast, 1 row) onto the doc stream so matching is a
+    pure per-row expression — the JVM analogue of the broadcast trie."""
+    return (
+        lexicon.groupBy("first_tok")
+        .agg(
+            F.collect_list(
+                F.struct("toks", "n_toks", "alias", "label")
+            ).alias("cs")
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("first_tok", "cs"))
+            ).alias("lexmap")
+        )
+    )
+
+
+# All word-boundary alias occurrences in one expression: for token i, the
+# candidates sharing its first token come from the lexmap; a candidate
+# matches iff the token slice starting at i equals its token sequence.
+# neg_end = -(i + n_toks) so array_sort's (start asc, neg_end asc) order is
+# exactly (start asc, longest first) for the greedy scan.
+_MATCHES_EXPR = """
+flatten(
+  transform(ws, (w, i) ->
+    transform(
+      filter(ifnull(lexmap[w], array()),
+             c -> slice(ws, i + 1, c.n_toks) == c.toks),
+      c -> struct(i AS start, -(i + c.n_toks) AS neg_end,
+                  c.alias AS mention, c.label AS label))))
+"""
+
+# greedy leftmost-longest over the (start asc, longest-first)-sorted match
+# list: accept a match iff it starts at or after the cursor (= end of the
+# last accepted match) — exactly find_mentions's positional scan, including
+# longest-wins at equal start (the longest sorts first and moves the cursor
+# past its shorter siblings).
+_GREEDY_EXPR = """
+aggregate(
+  array_sort(ms),
+  struct(0 AS cursor,
+         cast(array() AS array<struct<mention:string,label:string>>) AS kept),
+  (acc, x) -> IF(x.start >= acc.cursor,
+                 struct(-x.neg_end AS cursor,
+                        concat(acc.kept,
+                               array(struct(x.mention AS mention,
+                                            x.label AS label))) AS kept),
+                 acc),
+  acc -> acc.kept
+)
+"""
+
+_ALL_EXPR = """
+transform(ms, x -> struct(x.mention AS mention, x.label AS label))
+"""
+
+
+def detect_mentions_jvm(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    mode: str = "longest",
+    id_col: str = "url",
+    text_col: str = "text",
+    lang_filter: str | None = "en",
+) -> DataFrame:
+    """JVM twin of ``detect_mentions``: same (url, mention, resolved,
+    node_label) rows (asserted lane-equal in test_ner), no Python on the
+    token path.
+
+    Plan shape: the ENTIRE per-doc match — tokenize, occurrence scan,
+    greedy leftmost-longest selection, per-doc dedup — is one projection
+    over a 1-row broadcast lexicon map (no explode of the token stream,
+    no exchange).  The only shuffle on the lane is the
+    abbreviation-resolution join against the '('-docs-only
+    Schwartz-Hearst mapInPandas output, and it moves mention-sized rows.
+
+    MEASURED (local[32], round 3): this lane is 3-5x SLOWER than the
+    Arrow trie lane for dictionary matching — 3.3s vs 0.8s on 100k
+    300-byte docs, 4.6s vs 1.0s on 20k 3-8KB pages — because Catalyst
+    evaluates higher-order-function lambdas interpreted (per-token
+    per-candidate), while the CPython trie walk is a dict probe per
+    token.  It therefore exists as the measured alternative and the
+    no-Python-workers option, NOT the default; ``detect_mentions``
+    (mapInPandas) is the hot lane, and relations.mention_occurrences is
+    the join-based formulation for beyond-broadcast lexicons."""
+    if lang_filter is not None and "lang" in docs.columns:
+        docs = docs.where(F.col("lang") == lang_filter)
+    src = docs.select(
+        F.col(id_col).alias("url"), F.col(text_col).alias("text")
+    ).where(F.col("text").isNotNull() & (F.col("text") != ""))
+    toks = F.filter(
+        F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    words = src.select("url", toks.alias("ws")).crossJoin(
+        F.broadcast(_lexmap(lexicon))
+    )
+    if mode == "longest":
+        kept = F.expr(_GREEDY_EXPR)
+    elif mode == "all":
+        kept = F.expr(_ALL_EXPR)
+    else:  # pragma: no cover - contract guard
+        raise ValueError(f"unknown match mode: {mode}")
+    sel = (
+        words.select("url", F.expr(_MATCHES_EXPR).alias("ms"))
+        .where(F.size("ms") > 0)
+        .select("url", F.explode(F.array_distinct(kept)).alias("k"))
+        .select(
+            "url",
+            F.col("k.mention").alias("mention"),
+            F.col("k.label").alias("node_label"),
+        )
+    )
+    abbr = abbr_pairs(docs, id_col=id_col, text_col=text_col)
+    return sel.join(
+        abbr,
+        (sel["url"] == abbr["url"]) & (sel["mention"] == abbr["sf"]),
+        "left",
+    ).select(
+        sel["url"],
+        "mention",
+        F.coalesce(F.col("lf"), F.col("mention")).alias("resolved"),
+        "node_label",
+    )
+
+
 def broadcast_alias_index_local(
     spark: SparkSession, pairs: list[tuple[str, str]]
 ):

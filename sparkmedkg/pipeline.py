@@ -34,6 +34,7 @@ def build_graph(
     cui_n: int = 4,
     alias_bc=None,
     gate_empty_genes: bool = False,
+    ner_impl: str = "python",
 ) -> dict[str, DataFrame]:
     """Runs every stage; returns the named intermediate + output DataFrames.
 
@@ -48,16 +49,32 @@ def build_graph(
     genes plan, so the proteins/GO stages never schedule jobs on empty
     input. Default False keeps the whole graph lazy (empty genes then just
     yield empty downstream tables).
-    """
-    if alias_bc is None:
-        alias_bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
 
+    ``ner_impl`` selects the mention-detection lane: ``"python"``
+    (default — the Arrow-batched mapInPandas trie, also the seam where
+    model-scored NER plugs in) or ``"jvm"`` (the single-projection HOF
+    matcher over a 1-row broadcast lexicon map). Both lanes emit
+    identical rows (asserted in test_ner). The python trie is the
+    MEASURED-faster lane for dictionary matching — 0.8s vs 3.3s on 100k
+    300-byte docs and 1.0s vs 4.6s on 20k 3-8KB pages at local[32]
+    (Catalyst higher-order-function lambdas evaluate interpreted, not
+    codegen'd; the CPython trie walk is cheaper per token) — see
+    BENCH.md "mention-detection lanes".
+    """
     papers = docs.where(F.col("lang") == "en").select(
         "url", "warc_ts", "text", "lang", topic_expr().alias("topic")
     )
-    # NER (mapInPandas) and linking fan out into every downstream table;
-    # persist both so the Python stage and the link shuffle run once
-    mentions = ner.detect_mentions(docs, alias_bc).persist()
+    # NER and linking fan out into every downstream table; persist both so
+    # the detection stage and the link shuffle run once
+    if ner_impl == "jvm":
+        lex = ner.alias_label_df(spark, lkp["aliases"], lkp["concepts"])
+        mentions = ner.detect_mentions_jvm(docs, lex).persist()
+    else:
+        if alias_bc is None:
+            alias_bc = ner.broadcast_alias_index(
+                spark, lkp["aliases"], lkp["concepts"]
+            )
+        mentions = ner.detect_mentions(docs, alias_bc).persist()
     links = link.link_mentions(mentions, lkp["aliases"], lkp["concepts"]).persist()
     ents = select.top_entities(mentions, n=top_n)
     cuis = (

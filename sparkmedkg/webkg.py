@@ -13,7 +13,9 @@ Every function here mirrors a reference operator (file:line cites into
 gate can verify the Spark result value-for-value:
 
 - mention detection  = the real ``ner.detect_mentions`` mapInPandas trie in
-  ``all`` mode; oracle = word-boundary LIKE join (entityrecognition.py:43-74)
+  ``all`` mode (measured 3-5x faster than the lane-equal JVM HOF matcher
+  ``ner.detect_mentions_jvm`` — see BENCH.md "mention-detection lanes");
+  oracle = word-boundary LIKE join (entityrecognition.py:43-74)
 - linking            = the real ``link.link_mentions`` trigram-cosine scorer;
   oracle = DuckDB list-comprehension trigrams (entityrecognition.py:87-116)
 - selection          = top-15 entities x top-4 CUIs (medgen.py:136-163)
@@ -100,6 +102,12 @@ def alias_bc(spark: SparkSession):
     """Broadcast (alias, label) index straight from the driver-side
     lexicon constants — no Spark job needed to build it."""
     return ner.broadcast_alias_index_local(spark, alias_label_pairs())
+
+
+def lex_df(spark: SparkSession) -> DataFrame:
+    """Lexicon DataFrame for the JVM matcher (ner.detect_mentions_jvm) —
+    same (alias, label) contents as ``alias_bc``."""
+    return ner.alias_label_df_local(spark, alias_label_pairs())
 
 
 def concepts_df(spark: SparkSession) -> DataFrame:

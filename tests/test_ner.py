@@ -53,3 +53,22 @@ def test_mentions_lang_filtered(tables):
     urls = {r.url for r in tables["mentions"].select("url").distinct().collect()}
     en_urls = {r.url for r in tables["papers"].select("url").collect()}
     assert urls <= en_urls
+
+
+def test_jvm_lane_equals_python_lane(spark, docs, lkp):
+    """detect_mentions_jvm must emit exactly the mapInPandas trie's rows
+    in BOTH match modes (incl. Schwartz-Hearst-resolved abbreviations —
+    the fixture corpus contains '(PKU)'-style patterns)."""
+    bc = ner.broadcast_alias_index(spark, lkp["aliases"], lkp["concepts"])
+    lex = ner.alias_label_df(spark, lkp["aliases"], lkp["concepts"])
+    for mode in ("longest", "all"):
+        py = {tuple(r) for r in ner.detect_mentions(docs, bc, mode=mode).collect()}
+        jvm = {
+            tuple(r)
+            for r in ner.detect_mentions_jvm(docs, lex, mode=mode).collect()
+        }
+        assert py == jvm, (
+            mode,
+            sorted(py - jvm)[:5],
+            sorted(jvm - py)[:5],
+        )
