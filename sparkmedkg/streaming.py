@@ -349,3 +349,120 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible availableNow replays (batch-oracle-gated streaming).
+#
+# The DuckDB correctness gate is batch-only, so the streaming operators
+# above are otherwise pytest-gated.  These two entries run the REAL
+# streaming queries (session_window sessionization, watermarked
+# stream-stream interval join) over the driver's events table via an
+# availableNow replay and return the result as a plain DataFrame, with an
+# ANSI-SQL oracle expressing the same semantics — a driver-green row for
+# the streaming lane.
+# ---------------------------------------------------------------------------
+
+SESS_GAP_MIN = 30
+
+
+def _replay_dirs() -> tuple[str, str]:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sparkmedkg_replay_")
+    return f"{base}/in", f"{base}/ckpt"
+
+
+def q_stream_sessionize_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_start_us, session_end_us, n_events): the
+    streaming ``stream_sessionize`` (built-in merging session_window)
+    replayed availableNow over the events table, complete-mode memory
+    sink.  Oracle: gap-sessionization under session_window's contract —
+    a NEW session starts when the inter-event gap is >= gap (strict-<
+    merge), and session_end = last event + gap."""
+    import uuid
+
+    in_dir, _ = _replay_dirs()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    name = f"sess_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_sessionize(stream, gap=f"{SESS_GAP_MIN} minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def sql_stream_sessionize_replay() -> str:
+    gap_us = SESS_GAP_MIN * 60 * 1_000_000
+    return f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {gap_us}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM marked
+)
+SELECT user_id,
+       MIN(epoch_us(ts)) AS session_start_us,
+       MAX(epoch_us(ts)) + {gap_us} AS session_end_us,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+def q_stream_error_click_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(user_id, error_id, error_ts_us, click_id, click_ts_us, gap_us):
+    the watermarked stream-stream interval join replayed availableNow
+    over the events table (inner stream-stream joins emit matches
+    eagerly; the watermark only bounds state retention, so a full replay
+    with a generous watermark reproduces the batch join exactly).
+    Oracle: the batch interval-join SQL (same as events_range_join)."""
+    import uuid
+
+    from sparkmedkg import relops
+
+    in_dir, _ = _replay_dirs()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    s = stream_error_click_join(
+        stream, window_sec=relops.RANGE_WIN_SEC, watermark="365 days"
+    )
+    name = f"ecj_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def sql_stream_error_click_replay() -> str:
+    from sparkmedkg import relops
+
+    return relops.sql_events_range_join()
