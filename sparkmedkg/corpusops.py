@@ -471,3 +471,122 @@ SELECT t.doc_id,
           for j in generate_series(0, len(t.toks) - 1)], ' ') AS masked_text
 FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair frequency (the inner loop of tokenizer training).
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 30
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, topk: int = BPE_TOPK
+) -> DataFrame:
+    """(pair, n): the ``topk`` most frequent ADJACENT token pairs across
+    the corpus — the statistic a BPE/unigram tokenizer trainer computes
+    every merge iteration.  Deterministic order: (n desc, pair asc).
+
+    Plan: pair enumeration is a per-row transform over the token array
+    (no join), the count is ONE map-side-combinable groupBy on the pair
+    key, and the top-k is TakeOrdered — at 10^12 docs the exchange
+    carries only partial (pair, count) rows, the canonical word-count
+    shape.  A full BPE trainer would iterate: count -> merge best pair
+    into the token stream (a row-local transform) -> recount."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(topk)
+    )
+
+
+def sql_bpe_pair_counts(topk: int = BPE_TOPK) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH t AS (SELECT {toks} AS ws FROM documents),
+pairs AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS pair
+  FROM t
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (integer-quantized idf for cross-engine
+# exactness, the KM_SCALE convention).
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+IDF_SCALE = 1_000_000
+
+
+def tfidf_keywords(
+    spark: SparkSession, sf_dir: str, topk: int = TFIDF_TOPK
+) -> DataFrame:
+    """(doc_id, term, tf, score): each doc's ``topk`` terms by tf-idf,
+    with idf quantized to idf_q = (N * IDF_SCALE) div df so the score
+    (tf * idf_q) is EXACT integer arithmetic — bit-identical across
+    engines, no float-boundary flakiness at the top-k cut.  Ties break
+    (score desc, term asc).
+
+    Plan: tf is one (doc, term) groupBy of the exploded token stream; df
+    derives from tf (one more partial-agg shuffle on term); N is a 1-row
+    broadcast; the per-doc top-k compiles to WindowGroupLimit, so each
+    map task keeps only its local k before the doc_id exchange."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "score",
+            F.col("tf") * F.expr(f"div(n_docs * {IDF_SCALE}, df)"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= topk)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+def sql_tfidf_keywords(topk: int = TFIDF_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf,
+       CAST(tf * ((n.n_docs * {IDF_SCALE}) // df.df) AS BIGINT) AS score
+FROM tf JOIN df USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) <= {topk}
+"""

@@ -160,3 +160,32 @@ def test_mask_contaminated_consistent_with_decontaminate(spark):
         assert all(
             o == w for o, w in zip(out, orig) if o != "<mask>"
         )
+
+
+def test_bpe_pair_counts_shape(spark):
+    from sparkmedkg import corpusops
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpusops.bpe_pair_counts(spark, sf).collect()
+    assert len(rows) == corpusops.BPE_TOPK
+    # descending counts, each pair is two space-joined tokens
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["pair"].split(" ")) == 2 for r in rows)
+
+
+def test_tfidf_keywords_contract(spark):
+    from sparkmedkg import corpusops
+
+    sf = "/root/testdata/sf0.001"
+    out = corpusops.tfidf_keywords(spark, sf).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = len(per_doc)
+    assert n_docs > 0
+    for doc, rs in per_doc.items():
+        assert 1 <= len(rs) <= corpusops.TFIDF_TOPK
+        scores = [r["score"] for r in rs]
+        # integer-exact scores, no float boundary
+        assert all(isinstance(s, int) for s in scores)
