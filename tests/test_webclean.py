@@ -223,6 +223,7 @@ def test_oov_rate_bruteforce(spark):
 
 
 def test_kmeans_matches_bruteforce(spark):
+    import hashlib
     import math as m
 
     from sparkmedkg import simsearch
@@ -233,14 +234,23 @@ def test_kmeans_matches_bruteforce(spark):
         for r in rows
     }
     k, iters = simsearch.KM_K, simsearch.KM_ITERS
-    cents = {i: q[i] for i in range(k)}
+
+    # training sample = md5-bucket(vec_id) < TRAIN_BP (the round-3
+    # sample-trained contract); init = the k lowest sample vec_ids
+    def in_sample(vid):
+        h = int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+        return h % simsearch.TRAIN_MOD < simsearch.TRAIN_BP
+
+    train = {vid: v for vid, v in q.items() if in_sample(vid)}
+    assert len(train) >= k, "sample too small for init"
+    cents = {i: train[i] for i in sorted(train)[:k]}
 
     def tdiv(s, n):
         return s // n if s >= 0 else -((-s) // n)
 
-    def assign(cents):
+    def assign(cents, pts):
         out = {}
-        for vid, v in q.items():
+        for vid, v in pts.items():
             best = min(
                 ((sum((a - b) ** 2 for a, b in zip(v, c)), cl)
                  for cl, c in sorted(cents.items())),
@@ -249,17 +259,17 @@ def test_kmeans_matches_bruteforce(spark):
         return out
 
     for _ in range(iters):
-        a = assign(cents)
+        a = assign(cents, train)
         sums, cnt = {}, {}
         for vid, (cl, _) in a.items():
             cnt[cl] = cnt.get(cl, 0) + 1
-            s = sums.setdefault(cl, [0] * len(q[vid]))
-            for d, x in enumerate(q[vid]):
+            s = sums.setdefault(cl, [0] * len(train[vid]))
+            for d, x in enumerate(train[vid]):
                 s[d] += x
         cents = {
             cl: [tdiv(s, cnt[cl]) for s in sums[cl]] for cl in sums
         }
-    want = assign(cents)
+    want = assign(cents, q)
     got = {
         r["vec_id"]: (r["cluster"], r["dist2"])
         for r in simsearch.kmeans(spark, SF).collect()

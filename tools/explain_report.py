@@ -31,7 +31,7 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    from sparkmedkg import dedup, graphalgo, relations, relops, simsearch, textstats
+    from sparkmedkg import corpusops, dedup, graphalgo, relations, relops, simsearch, textstats
     from sparkmedkg import trainprep, webclean, webkg
     from sparkmedkg.session import get_spark
 
@@ -193,6 +193,19 @@ def main() -> None:
             ["HashAggregate", "!SortMergeJoin", "!CartesianProduct",
              "!BroadcastNestedLoop"],
         ),
+        "corpus_bpe_pair_counts": (
+            # word-count shape: per-row pair transform + partial/final
+            # count + TakeOrdered — no join anywhere, text-only scan
+            lambda: corpusops.bpe_pair_counts(spark, SF),
+            ["TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
+        "corpus_tfidf_keywords": (
+            # per-doc top-k must compile to WindowGroupLimit (local k per
+            # map task before the doc_id exchange); N is a 1-row broadcast
+            lambda: corpusops.tfidf_keywords(spark, SF),
+            ["WindowGroupLimit", "!SortMergeJoin"],
+        ),
         "corpus_pii_redact": (
             # map-only regexp pass: no Exchange
             lambda: webclean.pii_redact(spark, SF),
@@ -266,8 +279,18 @@ def main() -> None:
         lines.extend(keep[:40])
         lines.append("```")
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+    plans_path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    # preserve the hand-audited tail (sections reviewed manually, not in
+    # the checks dict) across regenerations
+    tail = ""
+    marker = "# Hand-audited sections"
+    if os.path.exists(plans_path):
+        prev = open(plans_path).read()
+        idx = prev.find(marker)
+        if idx != -1:
+            tail = "\n\n" + prev[idx:].rstrip() + "\n"
+    with open(plans_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n" + tail)
     print("\nwrote PLANS.md")
     if failed:
         print(f"FAILED checks: {failed}")
