@@ -590,3 +590,234 @@ FROM tf JOIN df USING (term) CROSS JOIN n
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY score DESC, term) <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (mergeable heavy-hitter counts).
+# ---------------------------------------------------------------------------
+
+CMS_W = 256   # buckets per row
+CMS_D = 4     # hash rows
+CMS_TERMS = ["hash", "join", "window", "stream", "the"]
+
+
+def _cms_bucket(d_col, term_col):
+    # identical in DuckDB: CAST('0x' || substring(md5(d || '|' || term),
+    # 1, 15) AS BIGINT) % CMS_W — the repo's md5 idiom, exact both sides.
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(d_col.cast("string"), F.lit("|"), term_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def countmin_freq(
+    spark: SparkSession, sf_dir: str, terms: list[str] | None = None
+) -> DataFrame:
+    """(term, exact_n, cms_est): corpus frequency of the probe terms,
+    exact vs the count-min estimate (min over CMS_D hashed-bucket sums;
+    always >= exact).  The sketch is what a 10^12-token corpus keeps when
+    exact per-term counts don't fit: CMS_D x CMS_W counters, built in ONE
+    pass with map-side partial aggregation (the exchange carries at most
+    parts * D * W rows), mergeable across any partitioning.  Determinism:
+    buckets come from md5(d || '|' || term), identical in DuckDB."""
+    if terms is None:
+        terms = CMS_TERMS
+    toks = _docs(spark, sf_dir).select(F.explode(_toks()).alias("term"))
+    d = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d")
+    sketch = (
+        toks.select("term", d)
+        .select("d", _cms_bucket(F.col("d"), F.col("term")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = spark.createDataFrame([(t,) for t in terms], "term string")
+    probe_cells = probes.select(
+        "term",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("d"),
+    ).select(
+        "term", "d", _cms_bucket(F.col("d"), F.col("term")).alias("bucket")
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        toks.join(F.broadcast(probes), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return (
+        probes.join(exact, "term", "left")
+        .join(est, "term", "left")
+        .select(
+            "term",
+            F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+            F.coalesce("cms_est", F.lit(0)).alias("cms_est"),
+        )
+    )
+
+
+def sql_countmin_freq(terms: list[str] | None = None) -> str:
+    if terms is None:
+        terms = CMS_TERMS
+    vals = ", ".join(f"('{t}')" for t in terms)
+    bucket = (
+        "CAST('0x' || substring(md5(CAST(d AS VARCHAR) || '|' || term), "
+        f"1, 15) AS BIGINT) % {CMS_W}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(text, ' +')) AS term FROM documents
+),
+ds AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+sketch AS (
+  SELECT d, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN ds GROUP BY 1, 2
+),
+probes AS (SELECT * FROM (VALUES {vals}) v(term)),
+cells AS (SELECT term, d, {bucket} AS bucket FROM probes CROSS JOIN ds),
+est AS (
+  SELECT term, CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS cms_est
+  FROM cells c LEFT JOIN sketch s USING (d, bucket) GROUP BY term
+),
+exact AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM toks JOIN probes USING (term) GROUP BY term
+)
+SELECT p.term,
+       CAST(COALESCE(e.exact_n, 0) AS BIGINT) AS exact_n,
+       CAST(COALESCE(s.cms_est, 0) AS BIGINT) AS cms_est
+FROM probes p LEFT JOIN exact e USING (term) LEFT JOIN est s USING (term)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application: apply the best (distinct-token) merge, recount.
+# ---------------------------------------------------------------------------
+
+def bpe_merge_step(
+    spark: SparkSession, sf_dir: str, topk: int = BPE_TOPK
+) -> DataFrame:
+    """(pair, n): pair counts AFTER applying the corpus's best merge — one
+    full iteration of BPE training on top of ``bpe_pair_counts``.  The
+    winning pair is the most frequent whose two tokens DIFFER (for a != b
+    adjacent matches cannot overlap, so the left-to-right non-overlapping
+    merge is a closed-form row-local transform — no sequential scan); its
+    merged symbol joins with '_'.
+
+    Plan: one tiny driver collect for the winning pair (like the k-means
+    centroid literals), then the merge rewrite is a pure projection over
+    the token array and the recount is the same word-count shape as
+    bpe_pair_counts — corpus scanned twice, shuffles carry (pair, count)
+    partials only."""
+    docs = _docs(spark, sf_dir)
+    toks = _toks()
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(
+            F.element_at(F.split("pair", " "), 1)
+            != F.element_at(F.split("pair", " "), 2)
+        )
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .collect()
+    )
+    a, b = top[0]["pair"].split(" ")
+    merged = F.lit(a + "_" + b)
+    al, bl = F.lit(a), F.lit(b)
+
+    # eligible(i): t[i]=a and t[i+1]=b.  With a != b two eligible
+    # positions cannot be adjacent, so every eligible position merges.
+    def elig(i):
+        return (F.element_at(toks, i) == al) & (
+            F.element_at(toks, i + 1) == bl
+        )
+
+    new_toks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(
+                (i < n) & elig(i), merged
+            ).when(
+                (i > 1) & elig(i - 1), F.lit(None).cast("string")
+            ).otherwise(F.element_at(toks, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    m = F.size(new_toks)
+    new_pairs = F.when(
+        m >= 2,
+        F.transform(
+            F.sequence(F.lit(1), m - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(new_toks, i),
+                F.element_at(new_toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(new_pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(topk)
+    )
+
+
+def sql_bpe_merge_step(topk: int = BPE_TOPK) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH t0 AS (SELECT {toks} AS ws FROM documents),
+p0 AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS pair
+  FROM t0
+),
+top1 AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM (SELECT pair, COUNT(*) AS n FROM p0 GROUP BY pair)
+  WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+  ORDER BY n DESC, pair LIMIT 1
+),
+t1 AS (
+  SELECT list_filter(
+           [CASE WHEN i < len(ws) AND ws[i] = a AND ws[i + 1] = b
+                   THEN a || '_' || b
+                 WHEN i > 1 AND ws[i - 1] = a AND ws[i] = b
+                   THEN NULL
+                 ELSE ws[i] END
+            for i in generate_series(1, len(ws))],
+           x -> x IS NOT NULL) AS ws
+  FROM t0 CROSS JOIN top1
+),
+p1 AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS pair
+  FROM t1
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM p1 GROUP BY pair
+ORDER BY n DESC, pair LIMIT {topk}
+"""

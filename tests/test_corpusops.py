@@ -189,3 +189,32 @@ def test_tfidf_keywords_contract(spark):
         scores = [r["score"] for r in rs]
         # integer-exact scores, no float boundary
         assert all(isinstance(s, int) for s in scores)
+
+
+def test_countmin_overestimates_never_under(spark):
+    from sparkmedkg import corpusops
+
+    rows = corpusops.countmin_freq(spark, "/root/testdata/sf0.001").collect()
+    assert {r["term"] for r in rows} == set(corpusops.CMS_TERMS)
+    for r in rows:
+        # count-min property: estimate >= true frequency
+        assert r["cms_est"] >= r["exact_n"], r
+
+
+def test_bpe_merge_step_removes_winning_pair(spark):
+    from sparkmedkg import corpusops
+
+    sf = "/root/testdata/sf0.001"
+    before = corpusops.bpe_pair_counts(spark, sf, topk=200).collect()
+    # the winning pair: most frequent with distinct tokens
+    win = next(
+        r["pair"] for r in before
+        if r["pair"].split(" ")[0] != r["pair"].split(" ")[1]
+    )
+    after = corpusops.bpe_merge_step(spark, sf, topk=1_000_000).collect()
+    after_pairs = {r["pair"] for r in after}
+    a, b = win.split(" ")
+    # every adjacent (a, b) occurrence was merged away
+    assert win not in after_pairs
+    # the merged symbol participates in new pairs
+    assert any(f"{a}_{b}" in p.split(" ") for p in after_pairs)
