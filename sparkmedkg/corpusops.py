@@ -480,6 +480,20 @@ FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
 BPE_TOPK = 30
 
 
+def _pairs_of(ws):
+    """Adjacent-pair array over a MATERIALIZED token-array column."""
+    n = F.size(ws)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def bpe_pair_counts(
     spark: SparkSession, sf_dir: str, topk: int = BPE_TOPK
 ) -> DataFrame:
@@ -492,21 +506,16 @@ def bpe_pair_counts(
     key, and the top-k is TakeOrdered — at 10^12 docs the exchange
     carries only partial (pair, count) rows, the canonical word-count
     shape.  A full BPE trainer would iterate: count -> merge best pair
-    into the token stream (a row-local transform) -> recount."""
+    into the token stream (a row-local transform) -> recount.
+
+    The token array is materialized as a column BEFORE the pair
+    transform: element_at over the raw split() expression would
+    re-evaluate the split per access (O(tokens^2) per doc — measured
+    4x slower even on abstract-sized docs)."""
     docs = _docs(spark, sf_dir)
-    toks = _toks()
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    words = docs.select(_toks().alias("ws"))
     return (
-        docs.select(F.explode(pairs).alias("pair"))
+        words.select(F.explode(_pairs_of(F.col("ws"))).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
@@ -718,21 +727,15 @@ def bpe_merge_step(
     centroid literals), then the merge rewrite is a pure projection over
     the token array and the recount is the same word-count shape as
     bpe_pair_counts — corpus scanned twice, shuffles carry (pair, count)
-    partials only."""
+    partials only.  Each derived array (ws, then the rewritten nt) is
+    MATERIALIZED as a column before element_at indexes into it —
+    element_at over an unmaterialized expression re-evaluates it per
+    access, turning the rewrite O(tokens^2) per doc (measured: 28s ->
+    1.5s at sf0.001)."""
     docs = _docs(spark, sf_dir)
-    toks = _toks()
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    words = docs.select(_toks().alias("ws"))
     top = (
-        docs.select(F.explode(pairs).alias("pair"))
+        words.select(F.explode(_pairs_of(F.col("ws"))).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(
@@ -746,13 +749,13 @@ def bpe_merge_step(
     a, b = top[0]["pair"].split(" ")
     merged = F.lit(a + "_" + b)
     al, bl = F.lit(a), F.lit(b)
+    ws = F.col("ws")
+    n = F.size(ws)
 
     # eligible(i): t[i]=a and t[i+1]=b.  With a != b two eligible
     # positions cannot be adjacent, so every eligible position merges.
     def elig(i):
-        return (F.element_at(toks, i) == al) & (
-            F.element_at(toks, i + 1) == bl
-        )
+        return (F.element_at(ws, i) == al) & (F.element_at(ws, i + 1) == bl)
 
     new_toks = F.filter(
         F.transform(
@@ -761,24 +764,13 @@ def bpe_merge_step(
                 (i < n) & elig(i), merged
             ).when(
                 (i > 1) & elig(i - 1), F.lit(None).cast("string")
-            ).otherwise(F.element_at(toks, i)),
+            ).otherwise(F.element_at(ws, i)),
         ),
         lambda x: x.isNotNull(),
     )
-    m = F.size(new_toks)
-    new_pairs = F.when(
-        m >= 2,
-        F.transform(
-            F.sequence(F.lit(1), m - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(new_toks, i),
-                F.element_at(new_toks, i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    rewritten = words.select(new_toks.alias("nt"))
     return (
-        docs.select(F.explode(new_pairs).alias("pair"))
+        rewritten.select(F.explode(_pairs_of(F.col("nt"))).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
