@@ -64,12 +64,16 @@ def _toks(text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 def _shingles_k(text_col: str, k: int):
-    toks = _toks(text_col)
-    n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    )
+    # token array bound as a lambda variable so it evaluates once per row
+    # (slice over the raw split() re-evaluates it per shingle — O(n^2))
+    def of(ws):
+        n = F.size(ws)
+        starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+        )
+
+    return F.element_at(F.transform(F.array(_toks(text_col)), of), 1)
 
 
 def decontaminate(
@@ -393,11 +397,16 @@ def mask_contaminated(
     list."""
     docs = _docs(spark, sf_dir)
     toks = _toks()
-    n = F.size(toks)
-    sh_arr = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+
+    # token array bound as a lambda variable (evaluates once per row)
+    def _sh_of(ws):
+        n = F.size(ws)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        )
+
+    sh_arr = F.element_at(F.transform(F.array(toks), _sh_of), 1)
     eval_sh = (
         docs.where(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode(_shingles_k("text", k)).alias("shingle"))

@@ -161,14 +161,29 @@ def repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (same rows in both engines)."""
     toks = _toks()
     n = F.size(toks)
-    five = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(4), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-    )
-    dup5 = F.when(n < 5, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(five)).cast("double")
-        / F.size(five).cast("double")
-    )
+
+    # bind the token array, then the shingle array, as lambda variables so
+    # each evaluates once per row (slice over the raw split() expression
+    # re-evaluates it per shingle — O(tokens^2) per doc)
+    def _dup5_of(ws):
+        m = F.size(ws)
+        five = F.transform(
+            F.sequence(F.lit(1), F.greatest(m - F.lit(4), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, 5)),
+        )
+        return F.element_at(
+            F.transform(
+                F.array(five),
+                lambda fv: F.when(m < 5, F.lit(0.0)).otherwise(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(fv)).cast("double")
+                    / F.size(fv).cast("double")
+                ),
+            ),
+            1,
+        )
+
+    dup5 = F.element_at(F.transform(F.array(toks), _dup5_of), 1)
     d = _docs(spark, sf_dir).select(
         "doc_id", toks.alias("toks"), F.round(dup5, 6).alias("dup_5gram_frac")
     )

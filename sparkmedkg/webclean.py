@@ -59,11 +59,17 @@ def chunk_dedup(
     row per distinct chunk regardless of local repeat count."""
     from sparkmedkg.session import widen_scan
 
-    toks = F.split(F.col("text"), " +")
-    n_chunks = (F.size(toks) + F.lit(w - 1)) / F.lit(w)
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w)),
+    # token array bound as a lambda variable (evaluates once per row;
+    # slice over the raw split() re-evaluates it per chunk — O(n^2))
+    def _chunks_of(ws):
+        n_chunks = (F.size(ws) + F.lit(w - 1)) / F.lit(w)
+        return F.transform(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i * w + 1, w)),
+        )
+
+    chunks = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), " +")), _chunks_of), 1
     )
     ex = widen_scan(_docs(spark, sf_dir)).select(
         "doc_id", F.posexplode(chunks).alias("pos", "chunk")
