@@ -674,8 +674,8 @@ def countmin_freq(
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
     return (
-        probes.join(exact, "term", "left")
-        .join(est, "term", "left")
+        probes.join(F.broadcast(exact), "term", "left")
+        .join(F.broadcast(est), "term", "left")
         .select(
             "term",
             F.coalesce("exact_n", F.lit(0)).alias("exact_n"),

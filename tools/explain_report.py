@@ -206,6 +206,19 @@ def main() -> None:
             lambda: corpusops.tfidf_keywords(spark, SF),
             ["WindowGroupLimit", "!SortMergeJoin"],
         ),
+        "corpus_countmin_freq": (
+            # sketch build = one partial-agg shuffle; probe cells and the
+            # sketch join broadcast; never a sort-merge join
+            lambda: corpusops.countmin_freq(spark, SF),
+            ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin"],
+        ),
+        "corpus_bpe_merge_step": (
+            # merge rewrite is a projection; recount is the word-count
+            # shape (partial agg + TakeOrdered), no joins
+            lambda: corpusops.bpe_merge_step(spark, SF),
+            ["TakeOrderedAndProject", "HashAggregate", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
         "corpus_pii_redact": (
             # map-only regexp pass: no Exchange
             lambda: webclean.pii_redact(spark, SF),
