@@ -32,7 +32,7 @@ Scale notes (10^9-node graph on 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkmedkg import relations, webkg
@@ -517,4 +517,122 @@ SELECT d.src AS CUI, d.deg,
              / (d.deg * (d.deg - 1))::DOUBLE, 6) AS lcc
 FROM deg d LEFT JOIN tcnt t ON t.cui = d.src
 WHERE d.deg >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec sampling pass).
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 3
+
+
+def _walk_choice(walk_col, step: int, cur_col) -> Column:
+    """Deterministic 60-bit md5 draw for (walk, step, cur) — the engine-
+    portable hash idiom (identical in DuckDB as CAST('0x' || substring(
+    md5(...), 1, 15) AS BIGINT)); mod deg happens at the join site."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(walk_col, F.lit(f"|{step}|"), cur_col)
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def q_random_walks(
+    spark: SparkSession,
+    sf_dir: str,
+    walk_len: int = WALK_LEN,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(walk, step, node): one fixed-length uniform random walk per start
+    node over the co-occurrence KG — the sampling pass that turns a graph
+    into a skip-gram training corpus (DeepWalk; node2vec with p=q=1).
+    Draws are md5(walk|step|cur) mod degree, so the walk corpus is fully
+    deterministic: reproducible across partitionings, retries, and engines
+    (the DuckDB oracle replays the identical walks).
+
+    Scale shape: edges get a per-src (rank, degree) once — two window
+    functions over ONE partitionBy(src) shuffle, persisted and reused by
+    every step.  Each step is then a single equi-join of the |V|-row walk
+    frontier against the ranked edges on cur = src, with the rank-match
+    predicate (rk = draw mod deg) evaluated join-side — per-step shuffle
+    traffic is O(|V|) state rows, never the O(sum deg) full fan-out, and
+    lineage is truncated per hop exactly like q_bfs_reach.  At 10^9 nodes
+    x walk_len steps this is the standard embarrassingly-iterative shape:
+    walk_len co-partitioned joins, nothing quadratic anywhere."""
+    edges = _edges(spark, sf_dir, min_docs)
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = webkg._track(
+        edges.select(
+            "src",
+            "dst",
+            (F.row_number().over(w) - 1).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+        )
+    )
+    state = (
+        edges.select(F.col("src").alias("walk"))
+        .distinct()
+        .select("walk", F.col("walk").alias("node"), F.lit(0).alias("step"))
+        .localCheckpoint(eager=True)
+    )
+    out = state
+    for t in range(1, walk_len + 1):
+        nxt = (
+            state.join(
+                ranked,
+                (state["node"] == ranked["src"])
+                & (
+                    ranked["rk"]
+                    == _walk_choice(state["walk"], t, state["node"])
+                    % ranked["deg"]
+                ),
+            )
+            .select("walk", F.col("dst").alias("node"), F.lit(t).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        state = nxt
+        out = out.unionByName(state)
+    return out.select("walk", "step", "node")
+
+
+def sql_random_walks(
+    walk_len: int = WALK_LEN, min_docs: int = PR_MIN_DOCS
+) -> str:
+    def draw(prev: str, t: int) -> str:
+        return (
+            f"CAST('0x' || substring(md5({prev}.walk || '|{t}|' || "
+            f"{prev}.node), 1, 15) AS BIGINT)"
+        )
+
+    steps = []
+    for t in range(1, walk_len + 1):
+        steps.append(
+            f"""w{t} AS (
+  SELECT p.walk, r.dst AS node, {t} AS step
+  FROM w{t - 1} p JOIN redges r
+    ON r.src = p.node AND r.rk = {draw("p", t)} % r.deg
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM w{t}" for t in range(walk_len + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+redges AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM edges
+),
+w0 AS (SELECT DISTINCT src AS walk, src AS node, 0 AS step FROM edges),
+{unrolled}
+SELECT walk, step, node FROM ({union})
 """

@@ -713,3 +713,93 @@ WHERE c.neg_obj_cui <> c.obj_cui
       AND q.obj_cui = c.neg_obj_cui
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-hop motif paths: the KG pattern-match primitive.
+# ---------------------------------------------------------------------------
+
+MOTIF_MID_CAP = 64
+
+
+def q_motif_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap: int = MAX_GAP,
+    mid_cap: int = MOTIF_MID_CAP,
+) -> DataFrame:
+    """(subj_cui, pred1, mid_cui, pred2, obj_cui, support): every two-hop
+    typed path (a)-[p1]->(b)-[p2]->(c) with a != c over the canonical
+    triple table — the Cypher ``(a)-[]->(b)-[]->(c)`` pattern match the
+    reference's fixed /intersection endpoint cannot express
+    (/root/reference/pymedgraph/graph/neo4jconnector.py:267-316), and the
+    first query a KG consumer runs (drug -> disease -> gene inference
+    chains).  ``support`` = least of the two hops' document support.
+
+    Scale shape: the self-join key is the MID node, so both sides
+    co-partition on one shuffle key; the quadratic hazard is a hub mid
+    (fan-out = in_deg(b) * out_deg(b)), bounded here by an explicit
+    degree-product cap computed from two map-side-combinable degree
+    counts — the same hub discipline as dedup_containment's hot-shingle
+    cap.  At web scale the capped mids are the skew you'd otherwise salt;
+    excluding (and logging) them keeps per-key join work <= mid_cap."""
+    from sparkmedkg import webkg
+
+    rel = webkg._track(q_relations(spark, sf_dir, max_gap))
+    ind = rel.groupBy(F.col("obj_cui").alias("mid")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    outd = rel.groupBy(F.col("subj_cui").alias("mid")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ok_mid = (
+        ind.join(outd, "mid")
+        .where(F.col("in_deg") * F.col("out_deg") <= mid_cap)
+        .select("mid")
+    )
+    a = rel.select(
+        "subj_cui",
+        F.col("pred").alias("pred1"),
+        F.col("obj_cui").alias("mid"),
+        F.col("n_docs").alias("nd1"),
+    )
+    b = rel.select(
+        F.col("subj_cui").alias("mid"),
+        F.col("pred").alias("pred2"),
+        "obj_cui",
+        F.col("n_docs").alias("nd2"),
+    )
+    return (
+        a.join(ok_mid, "mid", "left_semi")
+        .join(b, "mid")
+        .where(F.col("subj_cui") != F.col("obj_cui"))
+        .select(
+            "subj_cui",
+            "pred1",
+            F.col("mid").alias("mid_cui"),
+            "pred2",
+            "obj_cui",
+            F.least("nd1", "nd2").alias("support"),
+        )
+    )
+
+
+def sql_motif_paths(
+    max_gap: int = MAX_GAP, mid_cap: int = MOTIF_MID_CAP
+) -> str:
+    return f"""
+WITH rel AS ({sql_relations(max_gap)}),
+ind AS (SELECT obj_cui AS mid, COUNT(*) AS in_deg FROM rel GROUP BY 1),
+outd AS (SELECT subj_cui AS mid, COUNT(*) AS out_deg FROM rel GROUP BY 1),
+ok AS (
+  SELECT mid FROM ind JOIN outd USING (mid)
+  WHERE in_deg * out_deg <= {mid_cap}
+)
+SELECT a.subj_cui, a.pred AS pred1, a.obj_cui AS mid_cui,
+       b.pred AS pred2, b.obj_cui,
+       CAST(LEAST(a.n_docs, b.n_docs) AS BIGINT) AS support
+FROM rel a
+JOIN ok ON a.obj_cui = ok.mid
+JOIN rel b ON b.subj_cui = a.obj_cui
+WHERE a.subj_cui <> b.obj_cui
+"""

@@ -576,6 +576,11 @@ def _dist2(qcol, cent: list[int]) -> Column:
     )
 
 
+def _tdiv(s: int, n: int) -> int:
+    # truncate-toward-zero division, matching DuckDB's integer `//`
+    return s // n if s >= 0 else -((-s) // n)
+
+
 def kmeans(
     spark: SparkSession,
     sf_dir: str,
@@ -630,10 +635,6 @@ def kmeans(
             .orderBy("cluster")
             .collect()
         )
-        def _tdiv(s: int, n: int) -> int:
-            # truncate-toward-zero division, matching DuckDB's integer `//`
-            return s // n if s >= 0 else -((-s) // n)
-
         cents = [
             (
                 int(r["cluster"]),
@@ -729,9 +730,6 @@ def _pq_train(emb, b: int, k: int = PQ_K, iters: int = PQ_ITERS):
             (F.element_at(col, i + 1) - F.lit(c[i])) ** 2
             for i in range(PQ_SUB)
         ).cast("bigint")
-
-    def _tdiv(s: int, n: int) -> int:
-        return s // n if s >= 0 else -((-s) // n)
 
     for _ in range(iters):
         dists = F.array(*[d2(F.col("qb"), c) for _, c in cents])
@@ -931,4 +929,90 @@ SELECT s.vec_id, s.adc_dist2,
             AS BIGINT) AS dist2
 FROM short s CROSS JOIN qfull qf
 ORDER BY dist2, s.vec_id LIMIT {k}
+"""
+
+# ---------------------------------------------------------------------------
+# Nearest-class-mean (Rocchio) classifier: train + score, all DataFrame ops.
+# ---------------------------------------------------------------------------
+
+
+def centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, predicted, n): confusion matrix of a nearest-class-mean
+    classifier over the embedding table — the simplest trained model a
+    curation pipeline runs at corpus scale (e.g. topic/quality routing of
+    crawl shards by embedding), with the train/score split, centroid fit,
+    and scoring all expressed as DataFrame ops.
+
+    Replaces the reference's per-document python model loop
+    (/root/reference/pymedgraph/dataprocessing/nerpipe.py batching) with a
+    two-pass distributed fit/score: TRAIN = the deterministic md5-bucket
+    sample (``_train_bucket`` < TRAIN_BP, the same sampler as kmeans/PQ);
+    the class means are ONE partial-aggregated shuffle of 64 per-dim
+    integer sums (quantized by ``_qvec`` so summation order can't perturb
+    them) + an n_labels-row driver collect; scoring the held-out rows is a
+    map-only projection with the class-mean literals folded in (the
+    shuffle-free argmin of kmeans/IVF), then the confusion matrix is one
+    tiny grouped count.  At 10^12 rows: training cost is sample-bounded,
+    the corpus pays one scan, nothing shuffles but (label, predicted)
+    partial counts.  All arithmetic is exact integers -> bit-identical to
+    the DuckDB oracle, ties to the lowest class id."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label", _qvec().alias("q")
+    )
+    train = emb.where(_train_bucket() < TRAIN_BP)
+    rows = (
+        train.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.col("q")[d]).alias(f"s{d}") for d in range(DIM)],
+        )
+        .orderBy("label")
+        .collect()
+    )
+    cents = [
+        (int(r["label"]), [_tdiv(int(r[f"s{d}"]), int(r["n"])) for d in range(DIM)])
+        for r in rows
+    ]
+    dists = F.array(*[_dist2(F.col("q"), c) for _, c in cents])
+    labels = F.array(*[F.lit(lbl) for lbl, _ in cents])
+    pos = F.array_position(dists, F.array_min(dists)).cast("int")
+    test = emb.where(_train_bucket() >= TRAIN_BP)
+    return (
+        test.select(
+            "label", F.element_at(labels, pos).cast("int").alias("predicted")
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_centroid_classify() -> str:
+    q = (
+        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "for e in embedding]"
+    )
+    dist = (
+        "list_aggregate([(v.q[i] - c.q[i]) * (v.q[i] - c.q[i]) "
+        "for i in generate_series(1, 64)], 'sum')"
+    )
+    return f"""
+WITH vq AS (SELECT vec_id, label, {q} AS q FROM embeddings),
+tr AS (SELECT * FROM vq WHERE {_SQL_TRAIN_PRED}),
+cs AS (
+  SELECT label AS cl, i, SUM(q[i]) AS s
+  FROM tr, generate_series(1, 64) t(i) GROUP BY 1, 2
+),
+cn AS (SELECT label AS cl, COUNT(*) AS n FROM tr GROUP BY 1),
+cents AS (
+  SELECT cs.cl, list(cs.s // cn.n ORDER BY cs.i) AS q
+  FROM cs JOIN cn USING (cl) GROUP BY cs.cl
+),
+te AS (SELECT * FROM vq WHERE NOT ({_SQL_TRAIN_PRED})),
+pred AS (
+  SELECT v.label, c.cl AS predicted FROM te v CROSS JOIN cents c
+  QUALIFY row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cl) = 1
+)
+SELECT label, CAST(predicted AS INTEGER) AS predicted,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
 """

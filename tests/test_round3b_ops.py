@@ -1,0 +1,160 @@
+"""Round-3 additions, second batch: nearest-class-mean classifier, two-hop
+motif paths, deterministic random walks.  Oracle-value parity runs in the
+driver gate; these pin brute-force equality and algorithmic invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from sparkmedkg import graphalgo, relations, simsearch
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bucket(vec_id: int) -> int:
+    h = hashlib.md5(str(vec_id).encode()).hexdigest()
+    return int(h[:15], 16) % simsearch.TRAIN_MOD
+
+
+def _quant(v) -> list[int]:
+    import math
+
+    return [int(math.floor(float(x) * simsearch.KM_SCALE + 0.5)) for x in v]
+
+
+def test_centroid_classify_matches_bruteforce(spark):
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    train = [r for r in emb if _bucket(r["vec_id"]) < simsearch.TRAIN_BP]
+    test = [r for r in emb if _bucket(r["vec_id"]) >= simsearch.TRAIN_BP]
+    assert train and test
+    sums: dict[int, list[int]] = defaultdict(lambda: [0] * simsearch.DIM)
+    counts: dict[int, int] = defaultdict(int)
+    for r in train:
+        q = _quant(r["embedding"])
+        s = sums[r["label"]]
+        for i, x in enumerate(q):
+            s[i] += x
+        counts[r["label"]] += 1
+    cents = {
+        lbl: [simsearch._tdiv(s, counts[lbl]) for s in sums[lbl]]
+        for lbl in sums
+    }
+    want: dict[tuple[int, int], int] = defaultdict(int)
+    for r in test:
+        q = _quant(r["embedding"])
+        best = min(
+            sorted(cents),
+            key=lambda lbl: (
+                sum((a - b) * (a - b) for a, b in zip(q, cents[lbl])),
+                lbl,
+            ),
+        )
+        want[(r["label"], best)] += 1
+    got = {
+        (r["label"], r["predicted"]): r["n"]
+        for r in simsearch.centroid_classify(spark, SF).collect()
+    }
+    assert got == dict(want)
+    # every held-out row is classified exactly once
+    assert sum(got.values()) == len(test)
+
+
+def test_motif_paths_matches_bruteforce(spark):
+    rel = relations.q_relations(spark, SF).collect()
+    in_deg: dict[str, int] = defaultdict(int)
+    out_deg: dict[str, int] = defaultdict(int)
+    for r in rel:
+        in_deg[r["obj_cui"]] += 1
+        out_deg[r["subj_cui"]] += 1
+    ok = {
+        m
+        for m in set(in_deg) & set(out_deg)
+        if in_deg[m] * out_deg[m] <= relations.MOTIF_MID_CAP
+    }
+    want = set()
+    for a in rel:
+        if a["obj_cui"] not in ok:
+            continue
+        for b in rel:
+            if b["subj_cui"] == a["obj_cui"] and a["subj_cui"] != b["obj_cui"]:
+                want.add(
+                    (
+                        a["subj_cui"],
+                        a["pred"],
+                        a["obj_cui"],
+                        b["pred"],
+                        b["obj_cui"],
+                        min(a["n_docs"], b["n_docs"]),
+                    )
+                )
+    got = {
+        (
+            r["subj_cui"],
+            r["pred1"],
+            r["mid_cui"],
+            r["pred2"],
+            r["obj_cui"],
+            r["support"],
+        )
+        for r in relations.q_motif_paths(spark, SF).collect()
+    }
+    assert got == want
+    assert got  # the fixture graph has two-hop structure
+
+
+def test_motif_hub_cap_excludes_heavy_mids(spark):
+    # with cap 0 nothing qualifies; the cap is a real gate, not decoration
+    assert relations.q_motif_paths(spark, SF, mid_cap=0).count() == 0
+
+
+def test_random_walks_match_bruteforce_replay(spark):
+    edges = [
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    ]
+    adj: dict[str, list[str]] = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    for s in adj:
+        adj[s].sort()
+    want = set()
+    for start in sorted(adj):
+        cur = start
+        want.add((start, 0, cur))
+        for t in range(1, graphalgo.WALK_LEN + 1):
+            h = hashlib.md5(f"{start}|{t}|{cur}".encode()).hexdigest()
+            cur = adj[cur][int(h[:15], 16) % len(adj[cur])]
+            want.add((start, t, cur))
+    got = {
+        (r["walk"], r["step"], r["node"])
+        for r in graphalgo.q_random_walks(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_random_walks_are_paths_on_the_graph(spark):
+    edges = {
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    }
+    rows = graphalgo.q_random_walks(spark, SF).collect()
+    by_walk: dict[str, dict[int, str]] = defaultdict(dict)
+    for r in rows:
+        # exactly one node per (walk, step)
+        assert r["step"] not in by_walk[r["walk"]]
+        by_walk[r["walk"]][r["step"]] = r["node"]
+    for walk, steps in by_walk.items():
+        assert steps[0] == walk
+        assert sorted(steps) == list(range(graphalgo.WALK_LEN + 1))
+        for t in range(1, graphalgo.WALK_LEN + 1):
+            assert (steps[t - 1], steps[t]) in edges

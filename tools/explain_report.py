@@ -255,6 +255,25 @@ def main() -> None:
             ["BroadcastHashJoin", "!CartesianProduct",
              "!BroadcastNestedLoop"],
         ),
+        "emb_centroid_classify": (
+            # scoring is a map-only projection (class-mean literals folded
+            # in); the only exchange is the tiny confusion-matrix count
+            lambda: simsearch.centroid_classify(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "kg_motif_paths": (
+            # two-hop self-join co-partitions on the mid key; the hub cap
+            # keeps per-key fan bounded — never a nested-loop product
+            lambda: relations.q_motif_paths(spark, SF),
+            ["!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "kg_random_walks": (
+            # per-step frontier joins are equi-joins on cur = src; lineage
+            # is checkpoint-truncated per hop (plan shows the final union)
+            lambda: graphalgo.q_random_walks(spark, SF),
+            ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
     }
 
     lines = [
