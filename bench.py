@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, graphalgo, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -95,6 +95,14 @@ BENCH_QUERIES = {
     "tpch_top_unshipped": relops.tpch_top_unshipped,
     "web_anchor_terms": webgraph.anchor_terms,
     "tpch_revenue_by_region": relops.tpch_revenue_by_region,
+    # round-3 additions: tokenizer-training, sketch, classifier, and
+    # graph-sampling operators
+    "corpus_tfidf_keywords": corpusops.tfidf_keywords,
+    "corpus_countmin_freq": corpusops.countmin_freq,
+    "corpus_bpe_merge_step": corpusops.bpe_merge_step,
+    "emb_centroid_classify": simsearch.centroid_classify,
+    "kg_motif_paths": relations.q_motif_paths,
+    "kg_random_walks": graphalgo.q_random_walks,
 }
 
 

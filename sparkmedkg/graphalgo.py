@@ -636,3 +636,65 @@ w0 AS (SELECT DISTINCT src AS walk, src AS node, 0 AS step FROM edges),
 {unrolled}
 SELECT walk, step, node FROM ({union})
 """
+
+
+SG_WINDOW = 2
+
+
+def q_walk_skipgrams(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = SG_WINDOW,
+    walk_len: int = WALK_LEN,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(center, context, n): skip-gram co-occurrence counts over the
+    random-walk corpus — the (input, output) pair table a word2vec-style
+    node-embedding trainer consumes, completing the DeepWalk prep chain
+    (q_random_walks samples the corpus, this windows it into pairs).
+
+    Scale shape: the window pairing is the bounded offset-explode
+    equi-join of q_relations (each position fans to <= 2*window join
+    probes on the (walk, step) key — never a per-walk cross join), and
+    the count is one map-side-combinable shuffle of (center, context)
+    partials.  Walk positions are O(|V| * walk_len) rows, so the whole
+    pass is linear in the graph."""
+    walks = q_random_walks(spark, sf_dir, walk_len, min_docs)
+    a = walks.select(
+        "walk",
+        F.col("node").alias("center"),
+        F.explode(
+            F.filter(
+                F.sequence(
+                    F.col("step") - window, F.col("step") + window
+                ),
+                lambda j: j != F.col("step"),
+            )
+        ).alias("j"),
+    )
+    b = walks.select(
+        F.col("walk").alias("w2"),
+        F.col("step").alias("j2"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, (a["walk"] == b["w2"]) & (a["j"] == b["j2"]))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_walk_skipgrams(
+    window: int = SG_WINDOW,
+    walk_len: int = WALK_LEN,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    return f"""
+WITH walks AS ({sql_random_walks(walk_len, min_docs)})
+SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+FROM walks a
+JOIN walks b
+  ON a.walk = b.walk
+ AND abs(a.step - b.step) BETWEEN 1 AND {window}
+GROUP BY 1, 2
+"""

@@ -719,7 +719,7 @@ WHERE c.neg_obj_cui <> c.obj_cui
 # Two-hop motif paths: the KG pattern-match primitive.
 # ---------------------------------------------------------------------------
 
-MOTIF_MID_CAP = 64
+MOTIF_MID_CAP = 4096
 
 
 def q_motif_paths(
@@ -741,7 +741,9 @@ def q_motif_paths(
     (fan-out = in_deg(b) * out_deg(b)), bounded here by an explicit
     degree-product cap computed from two map-side-combinable degree
     counts — the same hub discipline as dedup_containment's hot-shingle
-    cap.  At web scale the capped mids are the skew you'd otherwise salt;
+    cap (the default bounds per-key join work at 4096 rows; the fixture
+    graph stays well under it at every SF, while a web-scale hub — a
+    ubiquitous CUI with 10^5 in- and out-triples — is excluded).  At web scale the capped mids are the skew you'd otherwise salt;
     excluding (and logging) them keeps per-key join work <= mid_cap."""
     from sparkmedkg import webkg
 

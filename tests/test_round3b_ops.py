@@ -158,3 +158,24 @@ def test_random_walks_are_paths_on_the_graph(spark):
         assert sorted(steps) == list(range(graphalgo.WALK_LEN + 1))
         for t in range(1, graphalgo.WALK_LEN + 1):
             assert (steps[t - 1], steps[t]) in edges
+
+
+def test_walk_skipgrams_match_bruteforce(spark):
+    walks = graphalgo.q_random_walks(spark, SF).collect()
+    by_walk: dict[str, dict[int, str]] = defaultdict(dict)
+    for r in walks:
+        by_walk[r["walk"]][r["step"]] = r["node"]
+    want: dict[tuple[str, str], int] = defaultdict(int)
+    for steps in by_walk.values():
+        for i, ci in steps.items():
+            for j, cj in steps.items():
+                if i != j and abs(i - j) <= graphalgo.SG_WINDOW:
+                    want[(ci, cj)] += 1
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in graphalgo.q_walk_skipgrams(spark, SF).collect()
+    }
+    assert got == dict(want)
+    # symmetric window => the pair table is symmetric with equal counts
+    for (a, b), n in got.items():
+        assert got[(b, a)] == n

@@ -274,6 +274,12 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "kg_walk_skipgrams": (
+            # bounded offset-explode pairing: equi-join on (walk, step),
+            # then one map-side-combinable pair count — no product
+            lambda: graphalgo.q_walk_skipgrams(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
     }
 
     lines = [
