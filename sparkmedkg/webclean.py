@@ -512,3 +512,140 @@ SELECT term, round(p, 6) AS p_old, round(q, 6) AS p_new,
        round(jsd_contrib, 6) AS jsd_contrib, rank
 FROM scored WHERE rank <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repeated-span removal (map-only C4 companion).
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    spark: SparkSession, sf_dir: str, w: int = CHUNK_W
+) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, clean_text): drop repeats of a
+    ``w``-token chunk WITHIN each document, keeping first occurrences in
+    order — the intra-doc half of the C4 recipe (its corpus-global half is
+    ``chunk_dedup``).  Boilerplate that repeats inside one page (nav bars,
+    cookie banners) dies here without any cross-document coordination.
+
+    Plan: pure projection — chunking, first-occurrence filtering
+    (array_position(chunks, chunk) == own index), and reassembly are all
+    higher-order array functions on the row, so a 10^12-document pass is
+    map-only with ZERO exchanges; this is the cheap gate you run before
+    the corpus-global shuffle ops."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0).cast("long"), F.floor((n - 1) / w))
+    chunks = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    kept = F.filter(
+        chunks,
+        lambda c, i: F.array_position(chunks, c) == i + 1,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(chunks).alias("n_chunks"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def sql_line_dedup(w: int = CHUNK_W) -> str:
+    chunks = (
+        f"[array_to_string(ws[(i - 1) * {w} + 1 : (i - 1) * {w} + {w}], ' ') "
+        f"for i in generate_series(1, (len(ws) - 1) // {w} + 1)]"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, {chunks} AS chunks FROM t),
+k AS (
+  SELECT doc_id, chunks,
+         [chunks[i] for i in generate_series(1, len(chunks))
+          if list_position(chunks, chunks[i]) = i] AS kept
+  FROM c
+)
+SELECT doc_id, len(chunks) AS n_chunks, len(kept) AS n_kept,
+       array_to_string(kept, ' ') AS clean_text
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-blocklist filter (suffix-explode + broadcast semi-join).
+# ---------------------------------------------------------------------------
+
+# suffix-semantics fixtures: one exact host, one parent domain that
+# blocks every subdomain, one miss
+BLOCKLIST = [
+    "www.src3.example.com",   # exact host
+    "src7.example.com",       # parent domain -> blocks www.src7...
+    "spam.example.net",       # not in the crawl
+]
+
+
+def _host_suffixes(host) -> F.Column:
+    """All dot-suffixes of a host (a.b.c -> [a.b.c, b.c, c]) — the
+    constant-fan-out (<= label count) explode that turns 'host or any
+    parent domain is listed' into an equi-join."""
+    labels = F.split(host, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def blocklist_filter(
+    spark: SparkSession, sf_dir: str, blocklist: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, host, blocked_by): the audit table of documents removed by
+    a domain blocklist, with parent-suffix semantics (listing
+    ``example.org`` blocks every subdomain) — the SafeSearch/spam-list
+    gate every crawl pipeline runs, and the log of what it dropped.
+
+    Scale shape: each host explodes to its <= label-count dot-suffixes
+    (constant fan-out), which equi-join the blocklist — broadcast here; a
+    10^6-entry list at 10^12 URLs would shuffle-join on the suffix key
+    instead, same plan shape.  Ties (host matches two listed suffixes)
+    resolve to the longest, most specific rule via one partial-agg max."""
+    rules = spark.createDataFrame(
+        [(b,) for b in (blocklist or BLOCKLIST)], "rule string"
+    )
+    url = _messy_url()
+    host = F.lower(F.regexp_extract(url, r"^https?://([^/:?#]+)", 1))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        host.alias("host"),
+        F.explode(_host_suffixes(host)).alias("sfx"),
+    )
+    return (
+        docs.join(F.broadcast(rules), docs["sfx"] == rules["rule"])
+        .groupBy("doc_id", "host")
+        .agg(F.max(F.struct(F.length("rule"), F.col("rule"))).alias("m"))
+        .select("doc_id", "host", F.col("m.rule").alias("blocked_by"))
+    )
+
+
+def sql_blocklist_filter(blocklist: list[str] | None = None) -> str:
+    vals = ", ".join(f"('{b}')" for b in (blocklist or BLOCKLIST))
+    url = (
+        "concat('https://WWW.', source, '.Example.COM:443/', lang, '/doc/', doc_id, "
+        "'?utm_source=feed&ref=', source, '&x=', doc_id % 7, '&b=', doc_id % 3)"
+    )
+    host = rf"lower(regexp_extract({url}, '^https?://([^/:?#]+)', 1))"
+    return rf"""
+WITH d AS (SELECT doc_id, {host} AS host FROM documents),
+s AS (
+  SELECT doc_id, host,
+         unnest([array_to_string(string_split(host, '.')[i:], '.')
+                 for i in generate_series(1, len(string_split(host, '.')))])
+         AS sfx
+  FROM d
+),
+rules AS (SELECT * FROM (VALUES {vals}) v(rule))
+SELECT doc_id, host, rule AS blocked_by
+FROM s JOIN rules ON s.sfx = rules.rule
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY length(rule) DESC, rule DESC) = 1
+"""

@@ -179,3 +179,58 @@ def test_walk_skipgrams_match_bruteforce(spark):
     # symmetric window => the pair table is symmetric with equal counts
     for (a, b), n in got.items():
         assert got[(b, a)] == n
+
+
+def test_line_dedup_matches_bruteforce(spark):
+    from sparkmedkg import webclean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    w = webclean.CHUNK_W
+    want = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        chunks = [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+        seen, kept = set(), []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        want[r["doc_id"]] = (len(chunks), len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in webclean.line_dedup(spark, SF).collect()
+    }
+    assert got == want
+    # the fixture corpus contains intra-doc repetition somewhere
+    assert any(nk < nc for nc, nk, _ in got.values())
+
+
+def test_blocklist_suffix_semantics(spark):
+    from sparkmedkg import webclean
+
+    rows = webclean.blocklist_filter(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert any(
+            r["host"] == b or r["host"].endswith("." + b)
+            for b in webclean.BLOCKLIST
+        ), r
+        # the reported rule is the longest matching suffix
+        matches = [
+            b
+            for b in webclean.BLOCKLIST
+            if r["host"] == b or r["host"].endswith("." + b)
+        ]
+        assert r["blocked_by"] == max(matches, key=lambda b: (len(b), b))
+    # exact-host and parent-domain rules both fire; the miss never does
+    fired = {r["blocked_by"] for r in rows}
+    assert "www.src3.example.com" in fired
+    assert "src7.example.com" in fired
+    assert "spam.example.net" not in fired
+    # nothing outside the listed suffixes is blocked
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) < n_docs

@@ -274,6 +274,17 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "corpus_line_dedup": (
+            # intra-doc span dedup is pure row-local array work: no Exchange
+            lambda: webclean.line_dedup(spark, SF),
+            ["!Exchange", "codegen id"],
+        ),
+        "corpus_blocklist_filter": (
+            # constant-fan suffix explode + broadcast rule join; the only
+            # exchange is the per-doc longest-rule aggregation
+            lambda: webclean.blocklist_filter(spark, SF),
+            ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+        ),
         "kg_walk_skipgrams": (
             # bounded offset-explode pairing: equi-join on (walk, step),
             # then one map-side-combinable pair count — no product
