@@ -1250,3 +1250,150 @@ SELECT n_name,
        round(MAX(CASE WHEN rk = 1 THEN srev END), 6) AS top_supplier_rev
 FROM ranked GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (the 10^12-row percentile path).
+# ---------------------------------------------------------------------------
+
+QSK_BIN = 4.0  # bin width in value units
+
+
+def events_quantile_sketch(
+    spark: SparkSession, sf_dir: str, bin_w: float = QSK_BIN
+) -> DataFrame:
+    """(event_type, n, p50_est, p90_est, p99_est, max_err): per-type
+    quantile estimates from a fixed-width histogram sketch — the mergeable
+    counterpart of ``events_percentiles``'s exact per-group sorted buffer.
+    At 10^12 rows an exact percentile cannot hold the group in memory; a
+    histogram of B counters per group is one map-side-combinable shuffle,
+    mergeable across partitions/days/retries, with error bounded a priori
+    by the bin width (reported as ``max_err``).
+
+    Estimate rule (deterministic both engines): the quantile-q estimate is
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q*n); the true value lies within [est, est + bin_w).  The
+    cumulative scan is a per-type window over <= B rows riding the
+    groupBy(type, bin) shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    binned = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / bin_w).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    def est(q: float):
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin")
+        )
+        return (F.min(hit) * bin_w).alias(f"p{int(q * 100)}_est")
+
+    return (
+        cum.groupBy("event_type")
+        .agg(F.max("n").alias("n"), est(0.5), est(0.9), est(0.99))
+        .select(
+            "event_type",
+            "n",
+            "p50_est",
+            "p90_est",
+            "p99_est",
+            F.lit(bin_w).alias("max_err"),
+        )
+    )
+
+
+def sql_events_quantile_sketch(bin_w: float = QSK_BIN) -> str:
+    def est(q: float) -> str:
+        return (
+            f"MIN(CASE WHEN cum >= ceil({q} * n) THEN bin END) * {bin_w} "
+            f"AS p{int(q * 100)}_est"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(value / {bin_w}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+cumt AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM b
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       {est(0.5)}, {est(0.9)}, {est(0.99)},
+       {bin_w} AS max_err
+FROM cumt GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multi-dimensional data layout).
+# ---------------------------------------------------------------------------
+
+Z_BITS = 8
+
+
+def events_zorder_key(
+    spark: SparkSession, sf_dir: str, bits: int = Z_BITS
+) -> DataFrame:
+    """(event_id, user_bucket, time_bucket, zkey): the interleaved-bit
+    Z-order key over (user_id, event hour) — the clustering key a 100 TB
+    events table is range-partitioned and sorted by so that BOTH per-user
+    and per-time-range predicates prune files (the Delta/Iceberg
+    OPTIMIZE ZORDER layout, computed here as a pure projection).  A table
+    laid out by zkey serves user-scoped scans and time-window scans from
+    O(hit) files each; laying out by either column alone makes the other
+    predicate a full scan.
+
+    Map-only exact integer bit arithmetic (unrolled shifts — no UDF, no
+    shuffle); at write time you'd ``repartitionByRange(zkey)`` and sort
+    within partitions, which adds the one range exchange any clustered
+    write pays."""
+    ev = _t(spark, sf_dir, "events")
+    xb = (F.col("user_id") % (1 << bits)).cast("long")
+    hours = (F.col("ts").cast("timestamp").cast("long") / 3600).cast("long")
+    yb = (hours % (1 << bits)).cast("long")
+    z = None
+    for i in range(bits):
+        xbit = F.shiftright(xb, i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        ybit = F.shiftright(yb, i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+        z = xbit + ybit if z is None else z + xbit + ybit
+    return ev.select(
+        "event_id",
+        xb.alias("user_bucket"),
+        yb.alias("time_bucket"),
+        z.cast("long").alias("zkey"),
+    )
+
+
+def sql_events_zorder_key(bits: int = Z_BITS) -> str:
+    xb = f"(user_id % {1 << bits})"
+    yb = f"((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % {1 << bits})"
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xb} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({yb} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    z = " + ".join(terms)
+    return f"""
+SELECT event_id,
+       CAST({xb} AS BIGINT) AS user_bucket,
+       CAST({yb} AS BIGINT) AS time_bucket,
+       CAST({z} AS BIGINT) AS zkey
+FROM events
+"""

@@ -234,3 +234,58 @@ def test_blocklist_suffix_semantics(spark):
     # nothing outside the listed suffixes is blocked
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert len(rows) < n_docs
+
+
+def test_quantile_sketch_matches_binned_order_statistic(spark):
+    import math
+    from collections import defaultdict as dd
+
+    from sparkmedkg import relops
+
+    vals = dd(list)
+    for r in (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    ):
+        vals[r["event_type"]].append(r["value"])
+    sk = {
+        r["event_type"]: r
+        for r in relops.events_quantile_sketch(spark, SF).collect()
+    }
+    assert set(sk) == set(vals)
+    for et, s in sk.items():
+        vs = sorted(vals[et])
+        assert s["n"] == len(vs)
+        for q in (0.5, 0.9, 0.99):
+            # the estimate is the lower bin edge of the ceil(q*n)-th order
+            # statistic — within max_err of it by construction
+            k = math.ceil(q * len(vs))
+            true_k = vs[k - 1]
+            est = s[f"p{int(q * 100)}_est"]
+            want = math.floor(true_k / s["max_err"]) * s["max_err"]
+            assert est == want, (et, q, est, want, true_k)
+            assert est <= true_k < est + s["max_err"]
+
+
+def test_zorder_key_bit_interleave(spark):
+    from sparkmedkg import relops
+
+    rows = relops.events_zorder_key(spark, SF).collect()
+    assert rows
+    for r in rows[:500]:
+        x, y, z = r["user_bucket"], r["time_bucket"], r["zkey"]
+        want = 0
+        for i in range(relops.Z_BITS):
+            want |= ((x >> i) & 1) << (2 * i)
+            want |= ((y >> i) & 1) << (2 * i + 1)
+        assert z == want
+    # z-order locality: sorting by zkey co-locates both dimensions —
+    # adjacent keys differ in at most the full bucket range, and the key
+    # is a bijection of (x, y)
+    seen = {}
+    for r in rows:
+        k = (r["user_bucket"], r["time_bucket"])
+        if k in seen:
+            assert seen[k] == r["zkey"]
+        seen[k] = r["zkey"]

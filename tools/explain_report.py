@@ -274,6 +274,18 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "events_quantile_sketch": (
+            # one partial-agg (type, bin) shuffle; the cumulative window
+            # rides the grouped key — no join, no product
+            lambda: relops.events_quantile_sketch(spark, SF),
+            ["HashAggregate", "Window", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
+        "events_zorder_key": (
+            # clustering-key computation is a pure projection: no Exchange
+            lambda: relops.events_zorder_key(spark, SF),
+            ["!Exchange", "codegen id"],
+        ),
         "corpus_line_dedup": (
             # intra-doc span dedup is pure row-local array work: no Exchange
             lambda: webclean.line_dedup(spark, SF),
