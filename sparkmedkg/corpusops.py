@@ -822,3 +822,80 @@ SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
 FROM p1 GROUP BY pair
 ORDER BY n DESC, pair LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and embedding ANN.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+
+
+def hybrid_rrf(
+    spark: SparkSession, sf_dir: str, k: int = RRF_K
+) -> DataFrame:
+    """(doc_id, bm25_rank, ann_rank, rrf): reciprocal-rank fusion of the
+    lexical (BM25 top-k) and dense (brute-cosine top-k over the aligned
+    embedding table) retrieval lists — the standard hybrid-search
+    combiner (score = sum 1/(k + rank)), composed entirely from two
+    operators this repo already gates.
+
+    Scale shape: both component lists are top-k results (<= tens of
+    rows), so the fusion itself — two row_number windows and a full-outer
+    join — runs on driver-trivial data; ALL the heavy lifting stays in
+    the component retrievers, which is the point of RRF (no score
+    calibration across systems, only ranks).  Determinism: component
+    scores are engine-identical, ranks tie-break on doc_id, and
+    1/(k+rank) is exact double arithmetic."""
+    from sparkmedkg import simsearch
+
+    bm = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    ann = simsearch.cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .alias("ann_rank"),
+    )
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(k) + F.col(r)), F.lit(0.0)
+    )
+    return (
+        bm.join(ann, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "ann_rank",
+            F.round(contrib("bm25_rank") + contrib("ann_rank"), 6).alias(
+                "rrf"
+            ),
+        )
+    )
+
+
+def sql_hybrid_rrf(k: int = RRF_K) -> str:
+    from sparkmedkg import simsearch
+
+    return f"""
+WITH bm_raw AS ({sql_bm25_topk()}),
+ann_raw AS ({simsearch.sql_cosine_topk()}),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+  FROM bm_raw
+),
+ann AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS ann_rank
+  FROM ann_raw
+)
+SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+       bm25_rank, ann_rank,
+       round(COALESCE(1.0 / ({k} + bm25_rank), 0)
+             + COALESCE(1.0 / ({k} + ann_rank), 0), 6) AS rrf
+FROM bm FULL OUTER JOIN ann USING (doc_id)
+"""

@@ -1397,3 +1397,162 @@ SELECT event_id,
        CAST({z} AS BIGINT) AS zkey
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (runtime-filter pattern, built explicitly).
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 128   # 32 usable bits per word -> 4096-bit filter
+BLOOM_K = 2         # hash functions
+BLOOM_NATION = 3    # the dim predicate: suppliers of this nation
+
+
+def _bloom_cells(key_col, k: int = BLOOM_K):
+    """(word, mask) pairs for a key — k md5-derived bit positions in a
+    WORDS x 32-bit bitset (32 bits keeps every mask positive in a signed
+    BIGINT, identical in DuckDB).  Engine-portable: the same md5 idiom as
+    the count-min sketch."""
+    def bitpos(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{j}|"), key_col.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % (BLOOM_WORDS * 32)
+        )
+
+    return [
+        (
+            (bitpos(j) / 32).cast("long"),
+            # dynamic shift: 2^b as an exact double (b <= 31), cast back
+            F.pow(F.lit(2.0), bitpos(j) % 32).cast("long"),
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_prune_suppliers(
+    spark: SparkSession, sf_dir: str, nation: int = BLOOM_NATION
+) -> DataFrame:
+    """(l_suppkey, in_bloom, in_dim): per probe key, whether the Bloom
+    filter built from nation-``nation`` suppliers admits it vs whether it
+    truly qualifies — the runtime-filter pattern (Spark's AQE
+    InSubqueryExec / Iceberg bloom pushdown) built explicitly so its
+    behaviour is testable: NO false negatives ever, false positives shrink
+    the scan instead of gating correctness (the real join downstream still
+    decides).
+
+    Scale shape: the filter build is one partial-agg shuffle of <= WORDS
+    bit_or rows over the (small) dim side; the W-row bitset broadcasts to
+    the probe scan, where membership is a map-side bitwise AND — the fact
+    table is never shuffled to discover that 97% of it joins nothing.
+    Exact integer/bit arithmetic -> bit-identical oracle."""
+    sup = _t(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") == nation
+    )
+
+    def cells_col(key_col):
+        # both hash cells in ONE projection (single scan of each side)
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(w.alias("word"), m.alias("mask"))
+                    for w, m in _bloom_cells(key_col)
+                ]
+            )
+        ).alias("c")
+
+    sketch = (
+        sup.select(cells_col(F.col("s_suppkey")))
+        .select("c.word", "c.mask")
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    probes = (
+        _t(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    )
+    hit = (
+        probes.select("l_suppkey", cells_col(F.col("l_suppkey")))
+        .select(
+            "l_suppkey",
+            F.col("c.word").alias("word"),
+            F.col("c.mask").alias("mask"),
+        )
+        .join(F.broadcast(sketch), "word", "left")
+        .select(
+            "l_suppkey",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ).alias("h"),
+        )
+    )
+    in_bloom = hit.groupBy("l_suppkey").agg(
+        F.min(F.col("h").cast("int")).cast("boolean").alias("in_bloom")
+    )
+    truth = sup.select(F.col("s_suppkey").alias("l_suppkey")).distinct()
+    return (
+        in_bloom.join(
+            truth.withColumn("in_dim", F.lit(True)), "l_suppkey", "left"
+        )
+        .select(
+            "l_suppkey",
+            "in_bloom",
+            F.coalesce("in_dim", F.lit(False)).alias("in_dim"),
+        )
+    )
+
+
+def sql_bloom_prune_suppliers(nation: int = BLOOM_NATION) -> str:
+    def bitpos(j: int, key: str) -> str:
+        return (
+            f"(CAST('0x' || substring(md5('{j}|' || CAST({key} AS VARCHAR)),"
+            f" 1, 15) AS BIGINT) % {BLOOM_WORDS * 32})"
+        )
+
+    def cell(j: int, key: str) -> str:
+        return (
+            f"SELECT {bitpos(j, key)} // 32 AS word, "
+            f"(CAST(1 AS BIGINT) << CAST({bitpos(j, key)} % 32 AS INTEGER))"
+            f" AS mask"
+        )
+
+    dim_cells = " UNION ALL ".join(
+        f"{cell(j, 's_suppkey')} FROM dim" for j in range(BLOOM_K)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT l_suppkey, w.word, w.mask FROM probes, "
+        f"LATERAL ({cell(j, 'l_suppkey')}) w"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = {nation}),
+sketch AS (
+  SELECT word, bit_or(mask) AS bits FROM ({dim_cells}) GROUP BY word
+),
+probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+pc AS ({probe_cells}),
+hits AS (
+  SELECT l_suppkey,
+         (COALESCE(s.bits, 0) & pc.mask) <> 0 AS h
+  FROM pc LEFT JOIN sketch s USING (word)
+),
+ib AS (
+  SELECT l_suppkey, CAST(MIN(CAST(h AS INTEGER)) AS BOOLEAN) AS in_bloom
+  FROM hits GROUP BY 1
+)
+SELECT ib.l_suppkey, ib.in_bloom,
+       (d.s_suppkey IS NOT NULL) AS in_dim
+FROM ib LEFT JOIN dim d ON ib.l_suppkey = d.s_suppkey
+"""

@@ -649,3 +649,65 @@ FROM s JOIN rules ON s.sfx = rules.rule
 QUALIFY row_number() OVER (PARTITION BY doc_id
                            ORDER BY length(rule) DESC, rule DESC) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# One-pass table profiling (ANALYZE-style column statistics).
+# ---------------------------------------------------------------------------
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(column, n, n_null, n_distinct, min_s, max_s): per-column profile
+    of the documents table — the ANALYZE/stats-collection pass every
+    ingestion pipeline runs before planning (NDV feeds join-strategy and
+    partition-count choices; null/min/max feed skipping metadata).
+
+    Plan: ONE full-table aggregate computes every column's metrics in the
+    same pass (count/min/max partial-agg; countDistinct expands to the
+    standard per-column expand-aggregate), then the single result row is
+    unpivoted to per-column rows via a row-local explode — the corpus is
+    scanned exactly once regardless of column count, vs the naive
+    one-query-per-column loop's C scans."""
+    docs = _docs(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+        ]
+    one = docs.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__nn").alias("n_null"),
+                    F.col(f"{c}__nd").alias("n_distinct"),
+                    F.col(f"{c}__mn").alias("min_s"),
+                    F.col(f"{c}__mx").alias("max_s"),
+                )
+                for c in PROFILE_COLS
+            ]
+        )
+    ).alias("p")
+    return one.select("n", per_col).select(
+        "p.column", "n", "p.n_null", "p.n_distinct", "p.min_s", "p.max_s"
+    )
+
+
+def sql_corpus_profile() -> str:
+    parts = []
+    for c in PROFILE_COLS:
+        parts.append(
+            f"""SELECT '{c}' AS "column", COUNT(*) AS n,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_s,
+       MAX(CAST({c} AS VARCHAR)) AS max_s
+FROM documents"""
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -289,3 +289,78 @@ def test_zorder_key_bit_interleave(spark):
         if k in seen:
             assert seen[k] == r["zkey"]
         seen[k] = r["zkey"]
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    from sparkmedkg import relops
+
+    rows = relops.bloom_prune_suppliers(spark, SF).collect()
+    assert rows
+    # the contract: every true member passes the filter
+    for r in rows:
+        if r["in_dim"]:
+            assert r["in_bloom"], r
+    # and the filter actually prunes (most non-members rejected)
+    non = [r for r in rows if not r["in_dim"]]
+    pruned = [r for r in non if not r["in_bloom"]]
+    assert non and len(pruned) > len(non) * 0.5, (
+        len(pruned),
+        len(non),
+    )
+
+
+def test_hybrid_rrf_matches_component_ranks(spark):
+    from sparkmedkg import corpusops, simsearch
+
+    bm = sorted(
+        corpusops.bm25_topk(spark, SF).collect(),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    ann = sorted(
+        simsearch.cosine_topk(spark, SF).collect(),
+        key=lambda r: (-r["cos"], r["vec_id"]),
+    )
+    bm_rank = {r["doc_id"]: i + 1 for i, r in enumerate(bm)}
+    ann_rank = {r["vec_id"]: i + 1 for i, r in enumerate(ann)}
+    got = {
+        r["doc_id"]: r for r in corpusops.hybrid_rrf(spark, SF).collect()
+    }
+    assert set(got) == set(bm_rank) | set(ann_rank)
+    for d, r in got.items():
+        assert r["bm25_rank"] == bm_rank.get(d)
+        assert r["ann_rank"] == ann_rank.get(d)
+        want = sum(
+            1.0 / (corpusops.RRF_K + rk)
+            for rk in (bm_rank.get(d), ann_rank.get(d))
+            if rk is not None
+        )
+        assert abs(r["rrf"] - want) < 1e-6
+    # docs on both lists outrank single-list docs with the same best rank
+    both = [r for r in got.values() if r["bm25_rank"] and r["ann_rank"]]
+    if both:
+        single = [
+            r for r in got.values() if (r["bm25_rank"] is None) != (r["ann_rank"] is None)
+        ]
+        assert max(r["rrf"] for r in both) >= max(
+            (r["rrf"] for r in single), default=0.0
+        )
+
+
+def test_corpus_profile_matches_bruteforce(spark):
+    from sparkmedkg import webclean
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {
+        r["column"]: r for r in webclean.corpus_profile(spark, SF).collect()
+    }
+    assert set(got) == set(webclean.PROFILE_COLS)
+    for c in webclean.PROFILE_COLS:
+        vals = [r[c] for r in docs]
+        nn = [v for v in vals if v is not None]
+        strs = [str(v) for v in nn]
+        r = got[c]
+        assert r["n"] == len(vals)
+        assert r["n_null"] == len(vals) - len(nn)
+        assert r["n_distinct"] == len(set(nn))
+        assert r["min_s"] == min(strs)
+        assert r["max_s"] == max(strs)

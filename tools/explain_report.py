@@ -274,6 +274,25 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "tpch_bloom_prune": (
+            # W-row bitset broadcast onto the probe side; membership is a
+            # map-side bitwise AND — never a product
+            lambda: relops.bloom_prune_suppliers(spark, SF),
+            ["BroadcastHashJoin", "!CartesianProduct"],
+        ),
+        "corpus_hybrid_rrf": (
+            # fusion runs on two <= topk lists: rank windows + one tiny
+            # full-outer join; the heavy lifting stays in the retrievers
+            lambda: corpusops.hybrid_rrf(spark, SF),
+            ["Window", "!CartesianProduct"],
+        ),
+        "corpus_profile": (
+            # ALL columns profiled in one scan: countDistinct expands in
+            # a single (sort-)aggregate chain — no per-column rescan joins
+            lambda: webclean.corpus_profile(spark, SF),
+            ["Expand", "SortAggregate", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
         "events_quantile_sketch": (
             # one partial-agg (type, bin) shuffle; the cumulative window
             # rides the grouped key — no join, no product
