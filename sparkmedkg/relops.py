@@ -1556,3 +1556,96 @@ SELECT ib.l_suppkey, ib.in_bloom,
        (d.s_suppkey IS NOT NULL) AS in_dim
 FROM ib LEFT JOIN dim d ON ib.l_suppkey = d.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: first/last-touch click per purchase.
+# ---------------------------------------------------------------------------
+
+ATTR_SEC = 86_400  # attribution lookback (24h)
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, first_click_id, last_click_id, n_clicks): for
+    every purchase, the first- and last-touch click in the preceding
+    ATTR_SEC window (strictly earlier), plus the window's click count —
+    first/last-touch attribution in ONE per-user window pass.
+
+    Plan shape: no purchase x click self-join (the naive formulation —
+    quadratic per user); instead every event rides one partitionBy(user)
+    RANGE window ordered by event time, with the click extrema computed as
+    conditional min/max over the time-bounded frame.  One exchange total;
+    per-user skew is bounded by per-user event counts like
+    events_sliding_sum.  Determinism: extrema are taken over a
+    zero-padded (timestamp, event_id) string encoding, so same-instant
+    clicks tie-break identically in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    enc = F.when(
+        F.col("event_type") == "click",
+        F.concat(
+            F.lpad(F.col("us").cast("string"), 20, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ATTR_SEC * 1_000_000, -1)
+    )
+    base = ev.select(
+        "event_id", "user_id", "event_type", us.alias("us")
+    ).withColumn("click_enc", enc)
+    dec = lambda c: F.substring(c, 22, 12).cast("long")  # noqa: E731
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.min("click_enc").over(w).alias("fc"),
+            F.max("click_enc").over(w).alias("lc"),
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .over(w)
+            .alias("n_clicks"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            dec(F.col("fc")).alias("first_click_id"),
+            dec(F.col("lc")).alias("last_click_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+def sql_events_attribution() -> str:
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN
+           lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || '|' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+         END AS click_enc
+  FROM events
+),
+win AS (
+  SELECT event_id, user_id, event_type,
+         MIN(click_enc) OVER w AS fc,
+         MAX(click_enc) OVER w AS lc,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_clicks
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {ATTR_SEC * 1_000_000} PRECEDING
+                 AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CAST(substring(fc, 22, 12) AS BIGINT) AS first_click_id,
+       CAST(substring(lc, 22, 12) AS BIGINT) AS last_click_id,
+       CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks
+FROM win WHERE event_type = 'purchase'
+"""

@@ -364,3 +364,46 @@ def test_corpus_profile_matches_bruteforce(spark):
         assert r["n_distinct"] == len(set(nn))
         assert r["min_s"] == min(strs)
         assert r["max_s"] == max(strs)
+
+
+def test_attribution_matches_bruteforce(spark):
+    from sparkmedkg import relops
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    want = {}
+    for u, rows in by_user.items():
+        for p in rows:
+            if p["event_type"] != "purchase":
+                continue
+            pt = p["ts"]
+            lo_us = int(pt.timestamp() * 1_000_000) - relops.ATTR_SEC * 1_000_000
+            clicks = [
+                c
+                for c in rows
+                if c["event_type"] == "click"
+                and lo_us
+                <= int(c["ts"].timestamp() * 1_000_000)
+                <= int(pt.timestamp() * 1_000_000) - 1
+            ]
+            key = lambda c: (c["ts"], c["event_id"])  # noqa: E731
+            want[p["event_id"]] = (
+                u,
+                min(clicks, key=key)["event_id"] if clicks else None,
+                max(clicks, key=key)["event_id"] if clicks else None,
+                len(clicks),
+            )
+    got = {
+        r["event_id"]: (
+            r["user_id"],
+            r["first_click_id"],
+            r["last_click_id"],
+            r["n_clicks"],
+        )
+        for r in relops.events_attribution(spark, SF).collect()
+    }
+    assert got == want
+    assert any(n > 0 for *_, n in got.values())
+    assert any(n == 0 for *_, n in got.values()) or len(got) > 0

@@ -274,6 +274,13 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "events_attribution": (
+            # no purchase x click self-join: one per-user RANGE window
+            # pass — a single exchange, never a join
+            lambda: relops.events_attribution(spark, SF),
+            ["Window", "!SortMergeJoin", "!BroadcastHashJoin",
+             "!CartesianProduct"],
+        ),
         "tpch_bloom_prune": (
             # W-row bitset broadcast onto the probe side; membership is a
             # map-side bitwise AND — never a product
