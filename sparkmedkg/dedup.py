@@ -754,3 +754,116 @@ HAVING COUNT(*) >= {min_df}
 ORDER BY doc_freq DESC, shingle ASC
 LIMIT {topn}
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot near-dup (the crawl-delta admission gate).
+# ---------------------------------------------------------------------------
+
+SNAP_TAU = 0.5
+SNAP_OLD_MOD = 11  # same snapshot-split convention as webclean.snapshot_diff
+SNAP_NEW_MOD = 13
+
+
+def snapshot_near_dup(
+    spark: SparkSession, sf_dir: str, tau: float = SNAP_TAU
+) -> DataFrame:
+    """(new_id, old_id, jaccard): documents ADDED by the new crawl
+    snapshot (present in NEW, absent from OLD — webclean.snapshot_diff's
+    split) that are shingle-Jaccard >= tau near-dups of a document the
+    OLD corpus already has.  snapshot_diff catches byte-level re-crawls;
+    this catches re-hosted / lightly-edited copies, so only genuinely
+    novel text enters the training corpus — the INCREMENTAL dedup that
+    avoids re-running all-pairs over corpus+delta.
+
+    Scale shape: the ppjoin prefix-filter of jaccard_pairs_prefix applied
+    ASYMMETRICALLY — both sides prefix on the same sorted 64-bit key
+    space, but the join is delta x corpus, so candidate work tracks the
+    (small) delta side, not |corpus|^2; the exact verify joins the two
+    key arrays back by pair id, never re-exploding.  At 10^12 docs with a
+    10^8 delta this is the only formulation that terminates."""
+    docs = _read_docs(spark, sf_dir)
+    keys = F.array_sort(
+        F.array_distinct(
+            F.transform(_shingles_col(), lambda s: F.xxhash64(s))
+        )
+    )
+    p_len = (
+        F.floor(F.size("keys") * F.lit(1.0 - tau) + F.lit(1e-9)).cast("int")
+        + F.lit(1)
+    )
+    with_prefix = docs.select(
+        "doc_id",
+        keys.alias("keys"),
+    ).select(
+        "doc_id", "keys", F.slice("keys", F.lit(1), p_len).alias("prefix")
+    )
+    new = with_prefix.where(
+        (F.col("doc_id") % SNAP_OLD_MOD == 0)
+        & (F.col("doc_id") % SNAP_NEW_MOD != 0)
+    ).persist()
+    old = with_prefix.where(F.col("doc_id") % SNAP_OLD_MOD != 0).persist()
+    _CACHED.extend([new, old])
+    cand = (
+        new.select(
+            F.col("doc_id").alias("new_id"),
+            F.explode("prefix").alias("key"),
+        )
+        .join(
+            old.select(
+                F.col("doc_id").alias("old_id"),
+                F.explode("prefix").alias("key"),
+            ),
+            "key",
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            new.select(F.col("doc_id").alias("new_id"), F.col("keys").alias("ka")),
+            "new_id",
+        )
+        .join(
+            old.select(F.col("doc_id").alias("old_id"), F.col("keys").alias("kb")),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            (
+                F.size(F.array_intersect("ka", "kb"))
+                / (
+                    F.size("ka")
+                    + F.size("kb")
+                    - F.size(F.array_intersect("ka", "kb"))
+                )
+            ).alias("j"),
+        )
+    )
+    return verify.where(F.col("j") >= tau).select(
+        "new_id", "old_id", F.round("j", 6).alias("jaccard")
+    )
+
+
+def sql_snapshot_near_dup(tau: float = SNAP_TAU) -> str:
+    """Oracle: brute-force delta x corpus shingle Jaccard — the prefix
+    filter is a plan optimization, not a semantics change."""
+    sh = _sql_shingles("text")
+    return f"""
+WITH newd AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+  WHERE doc_id % {SNAP_OLD_MOD} = 0 AND doc_id % {SNAP_NEW_MOD} <> 0
+),
+oldd AS (
+  SELECT doc_id, {sh} AS sh FROM documents
+  WHERE doc_id % {SNAP_OLD_MOD} <> 0
+)
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+             / (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))),
+             6) AS jaccard
+FROM newd n CROSS JOIN oldd o
+WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+      / (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= {tau}
+"""

@@ -407,3 +407,40 @@ def test_attribution_matches_bruteforce(spark):
     assert got == want
     assert any(n > 0 for *_, n in got.values())
     assert any(n == 0 for *_, n in got.values()) or len(got) > 0
+
+
+def test_snapshot_neardup_matches_bruteforce(spark):
+    from sparkmedkg import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def shingles(text: str) -> set:
+        ws = text.split()
+        k = dedup.SHINGLE_K
+        n = max(len(ws) - k + 1, 1)
+        return {" ".join(ws[i : i + k]) for i in range(n)}
+
+    new = [
+        r
+        for r in docs
+        if r["doc_id"] % dedup.SNAP_OLD_MOD == 0
+        and r["doc_id"] % dedup.SNAP_NEW_MOD != 0
+    ]
+    old = [r for r in docs if r["doc_id"] % dedup.SNAP_OLD_MOD != 0]
+    want = set()
+    for a in new:
+        sa = shingles(a["text"])
+        for b in old:
+            sb = shingles(b["text"])
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= dedup.SNAP_TAU:
+                want.add((a["doc_id"], b["doc_id"], round(j, 6)))
+    got = {
+        (r["new_id"], r["old_id"], r["jaccard"])
+        for r in dedup.snapshot_near_dup(spark, SF).collect()
+    }
+    assert got == want
+    assert got  # fixture delta contains near-dups of the old corpus

@@ -274,6 +274,13 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "dedup_snapshot_neardup": (
+            # delta x corpus prefix join: equi-join on the 8-byte key,
+            # verify by pair id — never a cross join
+            lambda: dedup.snapshot_near_dup(spark, SF),
+            ["HashAggregate", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
         "events_attribution": (
             # no purchase x click self-join: one per-user RANGE window
             # pass — a single exchange, never a join
