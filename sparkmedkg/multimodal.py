@@ -266,3 +266,125 @@ sizes AS (SELECT phash, COUNT(*) AS n_bucket FROM hashed GROUP BY phash)
 SELECT h.doc_id, h.phash, s.n_bucket
 FROM hashed h JOIN sizes s ON h.phash = s.phash
 """
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation over fake decoded samples.
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 16     # samples (bytes) per frame
+VAD_TH = 100       # active iff mean sample value >= VAD_TH (integer: sum >= TH*W)
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seg, start_frame, end_frame, n_frames): voice-activity
+    segments over the payload treated as a PCM-ish sample stream (the
+    deterministic fake-decode convention of this module: sample value =
+    byte value; a real codec plugs in at the decode_image/fake_decode
+    seam).  Frames of VAD_FRAME samples are active when their integer
+    energy sum >= VAD_TH * VAD_FRAME; maximal runs of active frames are
+    the segments — the silence-trimming pass an audio-corpus pipeline
+    runs before transcription/feature extraction.
+
+    Plan: the whole detection — framing, energy, run detection
+    (gaps-and-islands INSIDE the row's frame array via start/end masks,
+    not a window over exploded rows) — is row-local higher-order-function
+    arithmetic, so a 10^12-clip pass is map-only with one explode of the
+    (few) segments per clip at the very end.  Exact integer energy ->
+    bit-identical oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))),
+    )
+
+    def of(cs):
+        nf = F.floor((F.size(cs) - 1) / VAD_FRAME).cast("int") + 1
+        energy = F.transform(
+            F.sequence(F.lit(1), nf),
+            lambda f: F.aggregate(
+                F.slice(cs, (f - 1) * VAD_FRAME + 1, VAD_FRAME),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # active-frame mask, then run starts/ends as index filters
+        act = F.transform(
+            energy,
+            lambda e, i: (
+                e
+                >= F.lit(VAD_TH)
+                * F.least(
+                    F.lit(VAD_FRAME), F.size(cs) - i * VAD_FRAME
+                )
+            ).cast("int"),
+        )
+        idx = F.sequence(F.lit(1), F.size(act))
+        starts = F.filter(
+            idx,
+            lambda i: (F.element_at(act, i) == 1)
+            & ((i == 1) | (F.element_at(act, i - 1) == 0)),
+        )
+        ends = F.filter(
+            idx,
+            lambda i: (F.element_at(act, i) == 1)
+            & (
+                (i == F.size(act))
+                | (F.element_at(act, i + 1) == 0)
+            ),
+        )
+        return F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        )
+
+    segs = F.element_at(F.transform(F.array(codes), of), 1)
+    return (
+        docs.select("doc_id", F.posexplode(segs).alias("seg0", "se"))
+        .select(
+            "doc_id",
+            (F.col("seg0") + 1).alias("seg"),
+            F.col("se.s").alias("start_frame"),
+            F.col("se.e").alias("end_frame"),
+            (F.col("se.e") - F.col("se.s") + 1).alias("n_frames"),
+        )
+    )
+
+
+def sql_audio_vad_segments() -> str:
+    codes = (
+        "[ascii(substring(text, i, 1)) "
+        "for i in generate_series(1, length(text))]"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {codes} AS cs FROM documents),
+e AS (
+  SELECT doc_id, cs,
+         [list_aggregate(cs[(f - 1) * {VAD_FRAME} + 1 :
+                            (f - 1) * {VAD_FRAME} + {VAD_FRAME}], 'sum')
+          for f in generate_series(1, (len(cs) - 1) // {VAD_FRAME} + 1)]
+         AS energy
+  FROM c
+),
+a AS (
+  SELECT doc_id,
+         [CASE WHEN energy[i] >= {VAD_TH} * least({VAD_FRAME},
+                 len(cs) - i * {VAD_FRAME} + {VAD_FRAME})
+               THEN 1 ELSE 0 END
+          for i in generate_series(1, len(energy))] AS act
+  FROM e
+),
+se AS (
+  SELECT doc_id,
+         [i for i in generate_series(1, len(act))
+          if act[i] = 1 AND (i = 1 OR act[i - 1] = 0)] AS starts,
+         [i for i in generate_series(1, len(act))
+          if act[i] = 1 AND (i = len(act) OR act[i + 1] = 0)] AS ends
+  FROM a
+)
+SELECT doc_id,
+       CAST(k AS INTEGER) AS seg,
+       starts[k] AS start_frame,
+       ends[k] AS end_frame,
+       ends[k] - starts[k] + 1 AS n_frames
+FROM se, LATERAL unnest(generate_series(1, len(starts))) t(k)
+"""

@@ -444,3 +444,44 @@ def test_snapshot_neardup_matches_bruteforce(spark):
     }
     assert got == want
     assert got  # fixture delta contains near-dups of the old corpus
+
+
+def test_audio_vad_matches_bruteforce(spark):
+    from sparkmedkg import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    want = set()
+    for r in docs:
+        cs = [ord(ch) for ch in r["text"]]
+        W, TH = mm.VAD_FRAME, mm.VAD_TH
+        nf = (len(cs) - 1) // W + 1
+        act = []
+        for f in range(nf):
+            fr = cs[f * W : (f + 1) * W]
+            act.append(sum(fr) >= TH * len(fr))
+        seg = 0
+        i = 0
+        while i < nf:
+            if act[i]:
+                j = i
+                while j + 1 < nf and act[j + 1]:
+                    j += 1
+                seg += 1
+                want.add((r["doc_id"], seg, i + 1, j + 1, j - i + 1))
+                i = j + 1
+            else:
+                i += 1
+    got = {
+        (
+            r["doc_id"],
+            r["seg"],
+            r["start_frame"],
+            r["end_frame"],
+            r["n_frames"],
+        )
+        for r in mm.audio_vad_segments(spark, SF).collect()
+    }
+    assert got == want
+    assert got  # active speech exists in the fixture "audio"

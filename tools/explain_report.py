@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, relations, relops, simsearch, textstats
-    from sparkmedkg import trainprep, webclean, webkg
+    from sparkmedkg import multimodal, trainprep, webclean, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -273,6 +273,12 @@ def main() -> None:
             # is checkpoint-truncated per hop (plan shows the final union)
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "mm_audio_vad": (
+            # framing, energy, run detection all row-local HOFs; the only
+            # non-map op is the final per-clip segment explode
+            lambda: multimodal.audio_vad_segments(spark, SF),
+            ["Generate", "!Exchange", "!SortMergeJoin"],
         ),
         "dedup_snapshot_neardup": (
             # delta x corpus prefix join: equi-join on the 8-byte key,
