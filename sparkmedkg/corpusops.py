@@ -756,28 +756,9 @@ def bpe_merge_step(
         .collect()
     )
     a, b = top[0]["pair"].split(" ")
-    merged = F.lit(a + "_" + b)
-    al, bl = F.lit(a), F.lit(b)
-    ws = F.col("ws")
-    n = F.size(ws)
-
-    # eligible(i): t[i]=a and t[i+1]=b.  With a != b two eligible
-    # positions cannot be adjacent, so every eligible position merges.
-    def elig(i):
-        return (F.element_at(ws, i) == al) & (F.element_at(ws, i + 1) == bl)
-
-    new_toks = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.when(
-                (i < n) & elig(i), merged
-            ).when(
-                (i > 1) & elig(i - 1), F.lit(None).cast("string")
-            ).otherwise(F.element_at(ws, i)),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    rewritten = words.select(new_toks.alias("nt"))
+    # eligible positions (t[i]=a, t[i+1]=b) cannot be adjacent when a != b,
+    # so the non-overlapping rewrite is the shared closed form
+    rewritten = words.select(_apply_merge(F.col("ws"), a, b).alias("nt"))
     return (
         rewritten.select(F.explode(_pairs_of(F.col("nt"))).alias("pair"))
         .groupBy("pair")
@@ -898,4 +879,114 @@ SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
        round(COALESCE(1.0 / ({k} + bm25_rank), 0)
              + COALESCE(1.0 / ({k} + ann_rank), 0), 6) AS rrf
 FROM bm FULL OUTER JOIN ann USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE encode: M iterative merges (the full trainer loop, unrolled).
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_M = 3
+
+
+def _apply_merge(ws, a: str, b: str):
+    """Row-local non-overlapping rewrite of adjacent (a, b) -> 'a_b'
+    (requires a != b — guaranteed by the distinct-pair winner rule; same
+    closed form as bpe_merge_step)."""
+    al, bl, merged = F.lit(a), F.lit(b), F.lit(a + "_" + b)
+    n = F.size(ws)
+
+    def elig(i):
+        return (F.element_at(ws, i) == al) & (F.element_at(ws, i + 1) == bl)
+
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when((i < n) & elig(i), merged)
+            .when((i > 1) & elig(i - 1), F.lit(None).cast("string"))
+            .otherwise(F.element_at(ws, i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, m: int = BPE_ENCODE_M
+) -> DataFrame:
+    """(doc_id, n_tokens_raw, n_tokens_bpe, n_merges_applied): every
+    document re-tokenized by ``m`` iterations of BPE training — each
+    round finds the corpus-wide most-frequent distinct-token pair (tiny
+    driver collect, the k-means-literal pattern) and applies the
+    row-local merge rewrite.  This is the full trainer loop
+    (bpe_pair_counts = the count inside one round, bpe_merge_step = one
+    round; this runs ``m`` rounds and reports the compression each doc
+    got).
+
+    Plan: rewrites COMPOSE as stacked projections, so round k's pair
+    count scans the raw corpus once through the composed expression — m
+    scans total + 1 for the output, every shuffle a map-side-combinable
+    (pair, count) partial.  Nothing iterative ever shuffles the token
+    arrays themselves."""
+    docs = _docs(spark, sf_dir)
+    cur = docs.select("doc_id", _toks().alias("ws"), F.size(_toks()).alias("n0"))
+    for _ in range(m):
+        top = (
+            cur.select(F.explode(_pairs_of(F.col("ws"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(
+                F.element_at(F.split("pair", " "), 1)
+                != F.element_at(F.split("pair", " "), 2)
+            )
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        a, b = top[0]["pair"].split(" ")
+        cur = cur.select(
+            "doc_id", _apply_merge(F.col("ws"), a, b).alias("ws"), "n0"
+        )
+    return cur.select(
+        "doc_id",
+        F.col("n0").alias("n_tokens_raw"),
+        F.size("ws").alias("n_tokens_bpe"),
+        (F.col("n0") - F.size("ws")).alias("n_merges_applied"),
+    )
+
+
+def sql_bpe_encode(m: int = BPE_ENCODE_M) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    steps = []
+    for k in range(m):
+        steps.append(
+            f"""p{k} AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS pair
+  FROM t{k}
+),
+top{k} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM (SELECT pair, COUNT(*) AS n FROM p{k} GROUP BY pair)
+  WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+  ORDER BY n DESC, pair LIMIT 1
+),
+t{k + 1} AS (
+  SELECT doc_id, n0, list_filter(
+           [CASE WHEN i < len(ws) AND ws[i] = a AND ws[i + 1] = b
+                   THEN a || '_' || b
+                 WHEN i > 1 AND ws[i - 1] = a AND ws[i] = b
+                   THEN NULL
+                 ELSE ws[i] END
+            for i in generate_series(1, len(ws))],
+           x -> x IS NOT NULL) AS ws
+  FROM t{k} CROSS JOIN top{k}
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH t0 AS (SELECT doc_id, {toks} AS ws, len({toks}) AS n0 FROM documents),
+{unrolled}
+SELECT doc_id, n0 AS n_tokens_raw, len(ws) AS n_tokens_bpe,
+       n0 - len(ws) AS n_merges_applied
+FROM t{m}
 """

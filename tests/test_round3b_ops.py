@@ -485,3 +485,45 @@ def test_audio_vad_matches_bruteforce(spark):
     }
     assert got == want
     assert got  # active speech exists in the fixture "audio"
+
+
+def test_bpe_encode_matches_bruteforce(spark):
+    from collections import Counter
+
+    from sparkmedkg import corpusops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    toks = {r["doc_id"]: r["text"].split(" ") for r in docs}
+    raw_n = {d: len(t) for d, t in toks.items()}
+    for _ in range(corpusops.BPE_ENCODE_M):
+        cnt = Counter()
+        for t in toks.values():
+            for x, y in zip(t, t[1:]):
+                cnt[(x, y)] += 1
+        cands = [(p, n) for p, n in cnt.items() if p[0] != p[1]]
+        (a, b), _n = min(cands, key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+        for d, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + "_" + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[d] = out
+    got = {
+        r["doc_id"]: (
+            r["n_tokens_raw"],
+            r["n_tokens_bpe"],
+            r["n_merges_applied"],
+        )
+        for r in corpusops.bpe_encode(spark, SF).collect()
+    }
+    want = {
+        d: (raw_n[d], len(t), raw_n[d] - len(t)) for d, t in toks.items()
+    }
+    assert got == want
+    assert any(m > 0 for *_, m in got.values())

@@ -274,6 +274,12 @@ def main() -> None:
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
         ),
+        "corpus_bpe_encode": (
+            # m composed row-local rewrites feeding one pair-count shape;
+            # the token arrays never cross an exchange
+            lambda: corpusops.bpe_encode(spark, SF),
+            ["!SortMergeJoin", "!CartesianProduct", "!Exchange hashpartitioning"],
+        ),
         "mm_audio_vad": (
             # framing, energy, run detection all row-local HOFs; the only
             # non-map op is the final per-clip segment explode
