@@ -736,3 +736,92 @@ JOIN norms na ON na.host = d.host_a
 JOIN norms nb ON nb.host = d.host_b
 WHERE d.dot / (na.nrm * nb.nrm) >= {tau}
 """
+
+
+def hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_sources, sum_exact, n_exact_global, hll_union_est): corpus-wide
+    distinct-text cardinality obtained by MERGING the per-source HLL
+    register tables (per-register max) — the property that makes HLL the
+    scale sketch: shard/day/source sketches union in O(m) per group with
+    NO rescan of the raw data, while exact per-source counts can only be
+    summed (wrong under overlap — ``sum_exact`` vs ``n_exact_global``
+    shows the gap this query exists to avoid).
+
+    Plan: the merge is one groupBy(reg).max over |sources| * m register
+    rows, then a 1-row estimate — at 10^6 shards that's the entire
+    rollup cost.  Same bit-identical register arithmetic as
+    ``hll_distinct``."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashes = docs.select("source", _h60(F.col("text")).alias("h")).distinct()
+    rem = F.shiftright(F.col("h"), HLL_P)
+    bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
+    rho = F.when(rem == 0, F.lit(61 - HLL_P)).otherwise(
+        F.lit(60 - HLL_P) - bitlen + 1
+    )
+    per_source_regs = (
+        hashes.select(
+            "source", (F.col("h") % HLL_M).alias("reg"), rho.alias("rho")
+        )
+        .groupBy("source", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    merged = per_source_regs.groupBy("reg").agg(F.max("mx").alias("mx"))
+    agg = merged.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + v.cast("double")
+    raw = F.expr(_HLL_ALPHA_EXPR) * F.lit(float(HLL_M * HLL_M)) / s
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    stats = hashes.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("sum_exact"),
+        F.countDistinct("h").alias("n_exact_global"),
+    )
+    return stats.crossJoin(
+        F.broadcast(agg.select(F.round(est, 2).alias("hll_union_est")))
+    )
+
+
+def sql_hll_union() -> str:
+    alpha_mm = f"({_HLL_ALPHA_EXPR}) * {float(HLL_M * HLL_M)!r}"
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT source, {_sql_h60('text')} AS h FROM documents
+),
+rr AS (
+  SELECT source, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN {61 - HLL_P}
+              ELSE {60 - HLL_P} - length(to_base(h // {HLL_M}, 2)) + 1
+         END AS rho
+  FROM hashes
+),
+per_src AS (SELECT source, reg, MAX(rho) AS mx FROM rr GROUP BY 1, 2),
+merged AS (SELECT reg, MAX(mx) AS mx FROM per_src GROUP BY 1),
+agg AS (
+  SELECT SUM(power(2.0, -mx)) AS s_present, COUNT(*) AS n_regs FROM merged
+),
+est AS (
+  SELECT CASE WHEN {alpha_mm} / (s_present + ({HLL_M} - n_regs))
+                   <= 2.5 * {HLL_M}
+                AND ({HLL_M} - n_regs) > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                     / ({HLL_M} - n_regs))
+              ELSE {alpha_mm} / (s_present + ({HLL_M} - n_regs))
+         END AS est
+  FROM agg
+),
+stats AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(*) AS BIGINT) AS sum_exact,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_exact_global
+  FROM hashes
+)
+SELECT n_sources, sum_exact, n_exact_global,
+       round(est, 2) AS hll_union_est
+FROM stats CROSS JOIN est
+"""

@@ -527,3 +527,26 @@ def test_bpe_encode_matches_bruteforce(spark):
     }
     assert got == want
     assert any(m > 0 for *_, m in got.values())
+
+
+def test_hll_union_merges_registers(spark):
+    from sparkmedkg import webgraph
+
+    row = webgraph.hll_union(spark, SF).collect()[0]
+    per_src = webgraph.hll_distinct(spark, SF).collect()
+    # exact bookkeeping
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    pairs = {(r["source"], r["text"]) for r in docs}
+    texts = {t for _, t in pairs}
+    assert row["n_sources"] == len({s for s, _ in pairs})
+    assert row["sum_exact"] == len(pairs) == sum(r["n_exact"] for r in per_src)
+    assert row["n_exact_global"] == len(texts)
+    # the union estimate tracks GLOBAL distinct count (within HLL error for
+    # m=64, ~13% standard error -> generous 3-sigma bound), and sits well
+    # below the naive per-source sum when sources share texts
+    est = row["hll_union_est"]
+    assert abs(est - len(texts)) / len(texts) < 0.4, (est, len(texts))
+    if row["sum_exact"] > 1.5 * row["n_exact_global"]:
+        assert est < row["sum_exact"]

@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, relations, relops, simsearch, textstats
-    from sparkmedkg import multimodal, trainprep, webclean, webkg
+    from sparkmedkg import multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -273,6 +273,12 @@ def main() -> None:
             # is checkpoint-truncated per hop (plan shows the final union)
             lambda: graphalgo.q_random_walks(spark, SF),
             ["Union", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "corpus_hll_union": (
+            # shard-sketch merge: two partial-agg shuffles over register
+            # rows only; the raw corpus is scanned once
+            lambda: webgraph.hll_union(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
         ),
         "corpus_bpe_encode": (
             # m composed row-local rewrites feeding one pair-count shape;
