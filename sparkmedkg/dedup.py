@@ -798,6 +798,9 @@ def snapshot_near_dup(
     ).select(
         "doc_id", "keys", F.slice("keys", F.lit(1), p_len).alias("prefix")
     )
+    # same cache discipline as jaccard_pairs_prefix: release the previous
+    # invocation's blocks before pinning new ones
+    _release_cache()
     new = with_prefix.where(
         (F.col("doc_id") % SNAP_OLD_MOD == 0)
         & (F.col("doc_id") % SNAP_NEW_MOD != 0)
