@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from sparkmedkg import dedup, er, fixtures, pipeline, relops, simsearch, textstats  # noqa: E402
+from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
 from sparkmedkg import corpusops, graphalgo, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
@@ -103,6 +103,20 @@ BENCH_QUERIES = {
     "emb_centroid_classify": simsearch.centroid_classify,
     "kg_motif_paths": relations.q_motif_paths,
     "kg_random_walks": graphalgo.q_random_walks,
+    # round-3 second batch: cleaning, layout, sketches, retrieval fusion
+    "corpus_line_dedup": webclean.line_dedup,
+    "corpus_blocklist_filter": webclean.blocklist_filter,
+    "corpus_profile": webclean.corpus_profile,
+    "corpus_bpe_encode": corpusops.bpe_encode,
+    "corpus_hybrid_rrf": corpusops.hybrid_rrf,
+    "corpus_hll_union": webgraph.hll_union,
+    "dedup_snapshot_neardup": dedup.snapshot_near_dup,
+    "events_quantile_sketch": relops.events_quantile_sketch,
+    "events_zorder_key": relops.events_zorder_key,
+    "events_attribution": relops.events_attribution,
+    "tpch_bloom_prune": relops.bloom_prune_suppliers,
+    "mm_audio_vad": multimodal.audio_vad_segments,
+    "kg_walk_skipgrams": graphalgo.q_walk_skipgrams,
 }
 
 
