@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, graphalgo, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, graphalgo, kgembed, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -117,6 +117,13 @@ BENCH_QUERIES = {
     "tpch_bloom_prune": relops.bloom_prune_suppliers,
     "mm_audio_vad": multimodal.audio_vad_segments,
     "kg_walk_skipgrams": graphalgo.q_walk_skipgrams,
+    # round-3 third batch: KG consumption (embedding ranking, truss cores),
+    # Q2/Q21 relational shapes, table maintenance + crawl scheduling
+    "kg_transe_rank": kgembed.q_transe_rank,
+    "kg_truss_edges": graphalgo.q_truss_edges,
+    "tpch_waiting_orders": relops.tpch_waiting_orders,
+    "corpus_compaction_plan": corpusops.compaction_plan,
+    "web_crawl_frontier": webclean.crawl_frontier,
 }
 
 

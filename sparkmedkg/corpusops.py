@@ -990,3 +990,79 @@ SELECT doc_id, n0 AS n_tokens_raw, len(ws) AS n_tokens_bpe,
        n0 - len(ws) AS n_merges_applied
 FROM t{m}
 """
+
+
+# ---------------------------------------------------------------------------
+# Compaction planning: bin-pack documents into target-size output files.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 16_384
+COMPACT_SHARDS = 8
+
+
+def compaction_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    shards: int = COMPACT_SHARDS,
+) -> DataFrame:
+    """(lang, shard, bucket, n_docs, total_bytes, min_doc, max_doc): the
+    small-file compaction plan an Iceberg-style table-maintenance job
+    executes — documents are bin-packed in doc_id order into output file
+    groups of ~target_bytes each, independently per (lang, shard).
+
+    The bucket id is floor(start_offset / target), where start_offset is
+    the running byte total BEFORE the row — so the first doc of a group
+    always lands at the group start and no group is split mid-document
+    (the same first-fit rule as corpus_pack_sequences, which packs tokens
+    into model contexts).
+
+    Scale: the prefix sum is a per-(lang, shard) window — shards bound the
+    sequential region, so a skewed lang ('en' at web scale) still
+    parallelizes; integer byte math end-to-end (hash-stable)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    shard = (F.col("doc_id") % shards).cast("int")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = (
+        d.withColumn("shard", shard)
+        .withColumn("cum", F.sum("n_chars").over(w))
+        .withColumn(
+            "bucket",
+            F.floor((F.col("cum") - F.col("n_chars")) / target_bytes).cast(
+                "bigint"
+            ),
+        )
+    )
+    return placed.groupBy("lang", "shard", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def sql_compaction_plan(
+    target_bytes: int = COMPACT_TARGET_BYTES, shards: int = COMPACT_SHARDS
+) -> str:
+    return f"""
+WITH placed AS (
+  SELECT lang, CAST(doc_id % {shards} AS INT) AS shard, doc_id, n_chars,
+         SUM(n_chars) OVER (
+           PARTITION BY lang, doc_id % {shards} ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM documents
+)
+SELECT lang, shard,
+       CAST(floor((cum - n_chars) / {target_bytes}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM placed
+GROUP BY lang, shard, bucket
+"""

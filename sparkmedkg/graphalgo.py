@@ -698,3 +698,117 @@ JOIN walks b
  AND abs(a.step - b.step) BETWEEN 1 AND {window}
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# k-truss edge peel: edges supported by enough triangles, twice-peeled.
+# ---------------------------------------------------------------------------
+
+TRUSS_SUPPORT = 2
+TRUSS_MIN_DOCS = 2
+
+
+def _edge_support(tris: DataFrame) -> DataFrame:
+    """(src, dst, support): canonical (least, greatest) edge keys of each
+    triangle instance, counted.  Map-side-combinable single shuffle."""
+    e = (
+        tris.select(
+            F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+        )
+        .unionByName(
+            tris.select(
+                F.least("u", "w").alias("src"), F.greatest("u", "w").alias("dst")
+            )
+        )
+        .unionByName(
+            tris.select(
+                F.least("v", "w").alias("src"), F.greatest("v", "w").alias("dst")
+            )
+        )
+    )
+    return e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("support"))
+
+
+def q_truss_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    t: int = TRUSS_SUPPORT,
+    min_docs: int = TRUSS_MIN_DOCS,
+) -> DataFrame:
+    """(src, dst, support): co-occurrence edges surviving two rounds of
+    (t+2)-truss peeling — keep edges in >= t triangles, drop triangles
+    that lost an edge, recount, keep >= t again.  The fixed-round
+    formulation of the iterate-to-fixpoint truss decomposition; the dense
+    cores it keeps are the reliably-connected KG neighborhoods.
+
+    Scale: triangle enumeration is the degree-oriented arboricity-bounded
+    plan (trainprep.tris_df); each peel round is one map-side-combinable
+    count shuffle plus three broadcast-able semi-joins against the
+    surviving-edge set (sparse — AQE picks broadcast when it fits).  Rounds
+    are fixed (2), so the lineage stays shallow; a fixpoint run would
+    localCheckpoint per round like q_kcore."""
+    from sparkmedkg import trainprep
+
+    tris = trainprep.tris_df(spark, sf_dir, min_docs).persist()
+    tris.count()  # materialize once: support count + 3 semi-joins reuse it
+    surv1 = _edge_support(tris).where(F.col("support") >= t).select("src", "dst")
+
+    def _semi(df: DataFrame, a: str, b: str) -> DataFrame:
+        pair = df.withColumn("_s", F.least(a, b)).withColumn("_d", F.greatest(a, b))
+        return (
+            pair.join(
+                surv1.withColumnRenamed("src", "_s").withColumnRenamed("dst", "_d"),
+                ["_s", "_d"],
+                "left_semi",
+            )
+            .drop("_s", "_d")
+        )
+
+    tris2 = _semi(_semi(_semi(tris, "u", "v"), "u", "w"), "v", "w")
+    out = (
+        _edge_support(tris2)
+        .where(F.col("support") >= t)
+        .select("src", "dst", F.col("support").cast("bigint").alias("support"))
+        .localCheckpoint(eager=True)
+    )
+    tris.unpersist()
+    return out
+
+
+def sql_truss_edges(
+    t: int = TRUSS_SUPPORT, min_docs: int = TRUSS_MIN_DOCS
+) -> str:
+    from sparkmedkg.trainprep import sql_tri_cte
+
+    def _sup(src_cte: str) -> str:
+        return f"""
+  SELECT src, dst, COUNT(*) AS support FROM (
+    SELECT least(u, v) AS src, greatest(u, v) AS dst FROM {src_cte}
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM {src_cte}
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM {src_cte}
+  ) GROUP BY src, dst HAVING COUNT(*) >= {t}"""
+
+    # tris / surv1 / tris_m are MATERIALIZED: the triangle CTE embeds the
+    # whole NER->link->edge pipeline, and the 3-edge membership check
+    # references it from three EXISTS predicates — without materialization
+    # DuckDB re-expands the full pipeline per reference (observed: minutes
+    # at sf0.001 vs sub-second materialized).
+    return f"""
+WITH {sql_tri_cte(min_docs)},
+tris_m AS MATERIALIZED (SELECT u, v, w FROM tris),
+surv1 AS MATERIALIZED ({_sup('tris_m')}
+),
+tris2 AS (
+  SELECT tr.u, tr.v, tr.w FROM tris_m tr
+  WHERE EXISTS (SELECT 1 FROM surv1 e
+                WHERE e.src = least(tr.u, tr.v) AND e.dst = greatest(tr.u, tr.v))
+    AND EXISTS (SELECT 1 FROM surv1 e
+                WHERE e.src = least(tr.u, tr.w) AND e.dst = greatest(tr.u, tr.w))
+    AND EXISTS (SELECT 1 FROM surv1 e
+                WHERE e.src = least(tr.v, tr.w) AND e.dst = greatest(tr.v, tr.w))
+),
+tris2_m AS MATERIALIZED (SELECT u, v, w FROM tris2),
+sup2 AS ({_sup('tris2_m')}
+)
+SELECT src, dst, CAST(support AS BIGINT) AS support FROM sup2
+"""

@@ -1,0 +1,268 @@
+"""KG downstream-consumption operators: embedding-based link-prediction
+scoring (TransE), predicate signature induction, and N-Triples export.
+
+The reference pipeline stops at Neo4j upload (/root/reference/pymedgraph/
+graph/neo4jconnector.py); a production KG build feeds three further
+consumers, implemented here Spark-first:
+
+- **TransE scoring / ranking** — the standard KG-embedding eval: each
+  extracted positive triple is ranked against its deterministic
+  tail-corruption negatives (relations.q_negative_triples) under a fixed
+  embedding.  Embeddings are *derived deterministically from md5* (integer
+  components in [0, EMB_MOD)), so the whole score is exact BIGINT
+  arithmetic — bit-identical between Spark and the DuckDB oracle, no float
+  drift, no training state to ship.  A trained-model run swaps the hash
+  embedding for a broadcast lookup table; the plan shape (map-only score +
+  one groupBy on the triple key) is unchanged.
+- **Predicate signatures** — per-predicate top-k subject / object
+  entities by occurrence mass: the domain/range induction a KG curator
+  reviews before accepting a new relation type.
+- **N-Triples export** — serialize canonical (subj, pred, obj) rows plus
+  their n_docs provenance literal into RDF N-Triples lines: the
+  interchange format downstream triple stores bulk-load.  Map-only.
+
+Scale notes (10^12 docs → 10^9 triples on 1000 executors):
+- TransE scoring is map-only per (pos, neg) row followed by one groupBy
+  on the positive-triple key — partial-agg combinable, one shuffle.  The
+  hash embedding recomputes the positive score per negative row (k-fold
+  redundant md5); with a real embedding table you'd broadcast-join the
+  vectors once instead — same plan, cheaper expression.
+- Signatures: one groupBy (pred, side, cui) with map-side combine, then a
+  per-(pred, side) window on the already-shuffled prefix — no extra
+  exchange (window partitions by a prefix of the groupBy key).
+- Export is embarrassingly parallel; lines are written partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkmedkg import relations
+from sparkmedkg.relations import MAX_GAP, NEG_K
+
+EMB_DIM = 8
+EMB_MOD = 2001
+SIG_TOPK = 5
+
+
+# ---------------------------------------------------------------------------
+# TransE link-prediction ranking.
+# ---------------------------------------------------------------------------
+
+def _emb_component(col: str, kind: str, i: int) -> Column:
+    """i-th integer embedding component of an entity/relation id: the
+    first 60 bits of md5(id|kind|i) reduced mod EMB_MOD (always >= 0, so
+    `%` agrees between Spark and DuckDB)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col(col), F.lit(kind), F.lit(i))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % EMB_MOD
+    )
+
+
+def _transe_score2(subj: str, pred: str, obj: str) -> Column:
+    """Exact squared-L2 TransE score ||h + r - t||^2 in BIGINT."""
+    total = F.lit(0).cast("bigint")
+    for i in range(EMB_DIM):
+        d = (
+            _emb_component(subj, "e", i)
+            + _emb_component(pred, "r", i)
+            - _emb_component(obj, "e", i)
+        )
+        total = total + d * d
+    return total
+
+
+def q_transe_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(subj_cui, pred, obj_cui, pos_score2, n_neg, pos_rank): each
+    positive triple's exact squared TransE score and its optimistic rank
+    (1 + #negatives scoring strictly lower) among its k filtered
+    tail-corruption negatives — the per-triple rows behind an MRR/Hits@k
+    link-prediction report."""
+    neg = relations.q_negative_triples(spark, sf_dir, k=k, max_gap=max_gap)
+    scored = neg.select(
+        "subj_cui",
+        "pred",
+        "obj_cui",
+        _transe_score2("subj_cui", "pred", "obj_cui").alias("pos_score2"),
+        _transe_score2("subj_cui", "pred", "neg_obj_cui").alias("neg_score2"),
+    )
+    return scored.groupBy("subj_cui", "pred", "obj_cui", "pos_score2").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("neg_score2") < F.col("pos_score2"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pos_rank"),
+    )
+
+
+def _sql_emb(col: str, kind: str, i: str) -> str:
+    return (
+        f"(CAST('0x' || substring(md5({col} || '|{kind}|' || {i}), 1, 15)"
+        f" AS BIGINT) % {EMB_MOD})"
+    )
+
+
+def _sql_score2(subj: str, pred: str, obj: str) -> str:
+    terms = []
+    for i in range(EMB_DIM):
+        d = (
+            f"({_sql_emb(subj, 'e', str(i))} + {_sql_emb(pred, 'r', str(i))}"
+            f" - {_sql_emb(obj, 'e', str(i))})"
+        )
+        terms.append(f"{d} * {d}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_transe_rank(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH neg AS ({relations.sql_negative_triples(k, max_gap)}),
+scored AS (
+  SELECT subj_cui, pred, obj_cui,
+         {_sql_score2('subj_cui', 'pred', 'obj_cui')} AS pos_score2,
+         {_sql_score2('subj_cui', 'pred', 'neg_obj_cui')} AS neg_score2
+  FROM neg
+)
+SELECT subj_cui, pred, obj_cui,
+       CAST(pos_score2 AS BIGINT) AS pos_score2,
+       CAST(COUNT(*) AS BIGINT) AS n_neg,
+       CAST(1 + SUM(CASE WHEN neg_score2 < pos_score2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos_rank
+FROM scored
+GROUP BY subj_cui, pred, obj_cui, pos_score2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Predicate signatures: per-pred dominant domain/range entities.
+# ---------------------------------------------------------------------------
+
+def q_pred_signature(
+    spark: SparkSession,
+    sf_dir: str,
+    topk: int = SIG_TOPK,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(pred, side, cui, occ_sum, rk): for each predicate, the top-k
+    subject-side and object-side entities by total occurrence count —
+    the induced domain/range signature a curator reviews.  Ties broken by
+    cui ascending (deterministic)."""
+    rel = relations.q_relations(spark, sf_dir, max_gap=max_gap)
+    sides = rel.select(
+        "pred", F.lit("subj").alias("side"), F.col("subj_cui").alias("cui"), "n_occ"
+    ).unionByName(
+        rel.select(
+            "pred", F.lit("obj").alias("side"), F.col("obj_cui").alias("cui"), "n_occ"
+        )
+    )
+    mass = sides.groupBy("pred", "side", "cui").agg(
+        F.sum("n_occ").cast("bigint").alias("occ_sum")
+    )
+    w = Window.partitionBy("pred", "side").orderBy(
+        F.col("occ_sum").desc(), F.col("cui")
+    )
+    return (
+        mass.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= topk)
+    )
+
+
+def sql_pred_signature(topk: int = SIG_TOPK, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH rel AS ({relations.sql_relations(max_gap)}),
+sides AS (
+  SELECT pred, 'subj' AS side, subj_cui AS cui, n_occ FROM rel
+  UNION ALL
+  SELECT pred, 'obj' AS side, obj_cui AS cui, n_occ FROM rel
+),
+mass AS (
+  SELECT pred, side, cui, CAST(SUM(n_occ) AS BIGINT) AS occ_sum
+  FROM sides GROUP BY pred, side, cui
+),
+ranked AS (
+  SELECT pred, side, cui, occ_sum,
+         CAST(ROW_NUMBER() OVER (PARTITION BY pred, side
+                                 ORDER BY occ_sum DESC, cui) AS BIGINT) AS rk
+  FROM mass
+)
+SELECT * FROM ranked WHERE rk <= {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export.
+# ---------------------------------------------------------------------------
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+
+def q_export_ntriples(
+    spark: SparkSession, sf_dir: str, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """(stmt_id, line, n_chars): each canonical triple serialized as an
+    RDF N-Triples edge line plus a reified provenance literal line
+    carrying its n_docs support.  CUI/pred ids are URI-safe by
+    construction (alnum + '_'), so no percent-escaping is needed here; a
+    general exporter would regexp_replace the reserved characters first.
+    Map-only: lines serialize partition-local with no shuffle."""
+    rel = relations.q_relations(spark, sf_dir, max_gap=max_gap)
+    stmt = F.concat_ws("|", "subj_cui", "pred", "obj_cui")
+    edge = rel.select(
+        stmt.alias("stmt_id"),
+        F.concat(
+            F.lit("<urn:cui:"), F.col("subj_cui"),
+            F.lit("> <urn:kg:"), F.col("pred"),
+            F.lit("> <urn:cui:"), F.col("obj_cui"),
+            F.lit("> ."),
+        ).alias("line"),
+    )
+    prov = rel.select(
+        stmt.alias("stmt_id"),
+        F.concat(
+            F.lit("<urn:stmt:"),
+            F.concat_ws(":", "subj_cui", "pred", "obj_cui"),
+            F.lit("> <urn:kg:n_docs> \""),
+            F.col("n_docs").cast("string"),
+            F.lit(f"\"^^<{XSD_INT}> ."),
+        ).alias("line"),
+    )
+    out = edge.unionByName(prov)
+    return out.select(
+        "stmt_id", "line", F.length("line").cast("bigint").alias("n_chars")
+    )
+
+
+def sql_export_ntriples(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH rel AS ({relations.sql_relations(max_gap)}),
+lines AS (
+  SELECT subj_cui || '|' || pred || '|' || obj_cui AS stmt_id,
+         '<urn:cui:' || subj_cui || '> <urn:kg:' || pred
+           || '> <urn:cui:' || obj_cui || '> .' AS line
+  FROM rel
+  UNION ALL
+  SELECT subj_cui || '|' || pred || '|' || obj_cui AS stmt_id,
+         '<urn:stmt:' || subj_cui || ':' || pred || ':' || obj_cui
+           || '> <urn:kg:n_docs> "' || CAST(n_docs AS VARCHAR)
+           || '"^^<{XSD_INT}> .' AS line
+  FROM rel
+)
+SELECT stmt_id, line, CAST(length(line) AS BIGINT) AS n_chars FROM lines
+"""

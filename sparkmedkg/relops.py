@@ -1649,3 +1649,157 @@ SELECT event_id, user_id,
        CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks
 FROM win WHERE event_type = 'purchase'
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: cheapest supplier per part (correlated-min join-back).
+# ---------------------------------------------------------------------------
+
+MINCOST_REGION = "EUROPE"
+MINCOST_PTYPE = "STANDARD"
+
+
+def tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, p_name, s_name, min_price): for each STANDARD-type part,
+    the supplier(s) whose EUROPE-region lineitem hit the minimum extended
+    price — the Q2 correlated-subquery shape, decorrelated as
+    groupBy-min + join-back (Catalyst's own strategy for scalar-agg
+    correlation).  MIN over doubles is exact (no accumulation), so the
+    join-back equality and the oracle hash are both safe.
+
+    Scale: supplier⋈nation⋈region and part are broadcast dims; the fact
+    table is scanned once, and the min aggregate + join-back reuse the
+    same l_partkey hash partitioning (one exchange, two consumers)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(F.col("r_name") == MINCOST_REGION)
+        .select("s_suppkey", "s_name")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == MINCOST_PTYPE)
+        .select("p_partkey", "p_name")
+    )
+    li_eur = li.join(
+        F.broadcast(eur), li["l_suppkey"] == F.col("s_suppkey")
+    ).join(F.broadcast(part), li["l_partkey"] == F.col("p_partkey"))
+    pmin = li_eur.groupBy("p_partkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li_eur.join(
+            pmin.withColumnRenamed("p_partkey", "pk"),
+            (li_eur["p_partkey"] == F.col("pk"))
+            & (li_eur["l_extendedprice"] == F.col("min_price")),
+        )
+        .select("p_partkey", "p_name", "s_name", "min_price")
+        .distinct()
+    )
+
+
+def sql_tpch_min_cost_supplier() -> str:
+    return f"""
+WITH eur AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MINCOST_REGION}'
+),
+li_eur AS (
+  SELECT p.p_partkey, p.p_name, e.s_name, l.l_extendedprice
+  FROM lineitem l
+  JOIN eur e ON l.l_suppkey = e.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = '{MINCOST_PTYPE}'
+),
+pmin AS (
+  SELECT p_partkey, MIN(l_extendedprice) AS min_price
+  FROM li_eur GROUP BY p_partkey
+)
+SELECT DISTINCT li.p_partkey, li.p_name, li.s_name, pm.min_price
+FROM li_eur li
+JOIN pmin pm ON li.p_partkey = pm.p_partkey
+            AND li.l_extendedprice = pm.min_price
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who alone held up multi-supplier orders.
+# ---------------------------------------------------------------------------
+
+WAIT_LATE_DAYS = 90
+WAIT_TOPK = 10
+
+
+def tpch_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, numwait): suppliers who were the ONLY late shipper
+    (l_shipdate > o_orderdate + 90 days) in orders that involved at least
+    two suppliers — the Q21 exists/not-exists shape, folded into a single
+    per-order aggregate (n_suppliers, n_late_suppliers, the lone late
+    suppkey) instead of two correlated subqueries.
+
+    Scale: one shuffle join lineitem⋈orders on the order key feeds a
+    groupBy on the SAME key (exchange reused); the two COUNT(DISTINCT)s
+    expand in one aggregate pass; the final per-supplier count joins a
+    broadcast supplier dim and TakeOrdered's the top-k."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAIT_LATE_DAYS} DAYS"
+    )
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(
+            F.broadcast(supp), per_order["late_supp"] == supp["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(WAIT_TOPK)
+    )
+
+
+def sql_tpch_waiting_orders() -> str:
+    return f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                  + INTERVAL {WAIT_LATE_DAYS} DAY
+                             THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL {WAIT_LATE_DAYS} DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {WAIT_TOPK}
+"""

@@ -142,16 +142,23 @@ WHERE {bucket} < (CASE {cases} ELSE {SAMPLE_DEFAULT_BP} END)
 # Degree-oriented triangle participation over the co-occurrence graph.
 # ---------------------------------------------------------------------------
 
-def kg_triangles(
+def tris_df(
     spark: SparkSession, sf_dir: str, min_docs: int = 2
 ) -> DataFrame:
-    """(CUI, n_triangles): how many co-occurrence triangles each entity
-    participates in.  Edges are oriented from the lower-(degree, id)
-    endpoint to the higher before wedge enumeration, so per-node fan-out
-    is bounded by arboricity — the classic skew-proof triangle plan."""
+    """(u, v, w) triangle instances of the co-occurrence graph, each
+    enumerated exactly once.  Edges are oriented from the lower-(degree,
+    id) endpoint to the higher before wedge enumeration, so per-node
+    fan-out is bounded by arboricity — the classic skew-proof triangle
+    plan.  Shared by kg_triangles, clustering-coefficient, and the
+    k-truss peel (graphalgo.q_truss_edges)."""
     from sparkmedkg.relations import _cooccur_edges
 
-    sym = _cooccur_edges(spark, sf_dir, min_docs)  # symmetric (src, dst)
+    # Eagerly checkpoint the edge set: it feeds deg + two sides of the
+    # wedge join + the closing join — without truncation each branch
+    # re-runs the whole NER->link->pair pipeline (measured 29-89s at
+    # sf0.001 across the triangle family; sub-10s checkpointed).  The
+    # edge list is O(|E|) — small relative to the corpus it came from.
+    sym = _cooccur_edges(spark, sf_dir, min_docs).localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranked = (
         sym.join(deg.withColumnRenamed("src", "src_"), sym["src"] == F.col("src_"))
@@ -161,10 +168,16 @@ def kg_triangles(
         .drop("dst_")
         .withColumnRenamed("deg", "ddeg")
     )
-    oriented = ranked.where(
-        (F.col("sdeg") < F.col("ddeg"))
-        | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
-    ).select("src", "dst")
+    # oriented feeds three join branches (e1, e2, closer) — checkpoint so
+    # the deg-join runs once, not per branch.
+    oriented = (
+        ranked.where(
+            (F.col("sdeg") < F.col("ddeg"))
+            | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
+        )
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
 
     e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     e2 = oriented.select(F.col("src").alias("u2"), F.col("dst").alias("w"))
@@ -183,7 +196,15 @@ def kg_triangles(
         closer,
         ((F.col("w") == F.col("cv")) & (F.col("v") == F.col("cw")))
     ).select("u", "v", "w")
-    tris = tri.unionByName(tri2)
+    return tri.unionByName(tri2)
+
+
+def kg_triangles(
+    spark: SparkSession, sf_dir: str, min_docs: int = 2
+) -> DataFrame:
+    """(CUI, n_triangles): how many co-occurrence triangles each entity
+    participates in (enumeration: tris_df)."""
+    tris = tris_df(spark, sf_dir, min_docs)
     per_node = (
         tris.select(F.col("u").alias("CUI"))
         .unionByName(tris.select(F.col("v").alias("CUI")))

@@ -711,3 +711,77 @@ def sql_corpus_profile() -> str:
 FROM documents"""
         )
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Crawl frontier scheduling: per-host politeness waves.
+# ---------------------------------------------------------------------------
+
+FRONTIER_PER_HOST = 5
+
+
+def crawl_frontier(
+    spark: SparkSession, sf_dir: str, per_host: int = FRONTIER_PER_HOST
+) -> DataFrame:
+    """(host, doc_id, n_chars, wave, fetch_slot): the politeness-aware
+    crawl schedule a frontier manager emits — within each host (the
+    `source` crawl domain), candidate pages rank by descending content
+    size (the recrawl-value proxy; ties by doc_id), capped at per_host;
+    the global fetch order interleaves hosts wave-major
+    (fetch_slot = (wave-1)*n_hosts + host_idx) so no host is hit twice
+    before every host's wave-1 fetch — the round-robin schedule that
+    respects per-host rate limits without starving small hosts.
+
+    Scale: the per-URL work is one window per host key (cap keeps output
+    small); host enumeration (dense index) is a window over the DISTINCT
+    host table only — dimension-sized, never over the URL fact table.  At
+    web scale hosts number ~10^8: still a single-column sort orders of
+    magnitude below the fact table."""
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"), "doc_id", "n_chars"
+    )
+    wv = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    ranked = d.withColumn("wave", F.row_number().over(wv).cast("bigint")).where(
+        F.col("wave") <= per_host
+    )
+    hosts = d.select("host").distinct()
+    hw = Window.orderBy("host")  # dimension-sized table only
+    hidx = hosts.withColumn("host_idx", F.row_number().over(hw).cast("bigint"))
+    n_hosts = hidx.groupBy().agg(F.max("host_idx").alias("n_hosts"))
+    return (
+        ranked.join(F.broadcast(hidx), "host")
+        .join(F.broadcast(n_hosts))
+        .select(
+            "host",
+            "doc_id",
+            "n_chars",
+            "wave",
+            ((F.col("wave") - 1) * F.col("n_hosts") + F.col("host_idx") - 1)
+            .cast("bigint")
+            .alias("fetch_slot"),
+        )
+    )
+
+
+def sql_crawl_frontier(per_host: int = FRONTIER_PER_HOST) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT source AS host, doc_id, n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS wave
+  FROM documents
+),
+hidx AS (
+  SELECT host, CAST(ROW_NUMBER() OVER (ORDER BY host) AS BIGINT) AS host_idx
+  FROM (SELECT DISTINCT source AS host FROM documents)
+),
+nh AS (SELECT MAX(host_idx) AS n_hosts FROM hidx)
+SELECT r.host, r.doc_id, r.n_chars, r.wave,
+       CAST((r.wave - 1) * nh.n_hosts + h.host_idx - 1 AS BIGINT)
+         AS fetch_slot
+FROM ranked r JOIN hidx h ON r.host = h.host CROSS JOIN nh
+WHERE r.wave <= {per_host}
+"""

@@ -1,0 +1,265 @@
+"""Round-3 additions, third batch: TransE ranking, predicate signatures,
+N-Triples export, k-truss peel, TPC-H Q2/Q21 shapes, compaction planning,
+crawl-frontier scheduling.  Oracle-value parity runs in the driver gate;
+these pin brute-force equality and algorithmic invariants."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from sparkmedkg import corpusops, graphalgo, kgembed, relations, relops, webclean
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# TransE ranking
+# ---------------------------------------------------------------------------
+
+def _emb(x: str, kind: str, i: int) -> int:
+    h = hashlib.md5(f"{x}|{kind}|{i}".encode()).hexdigest()
+    return int(h[:15], 16) % kgembed.EMB_MOD
+
+
+def _score2(s: str, p: str, o: str) -> int:
+    return sum(
+        (_emb(s, "e", i) + _emb(p, "r", i) - _emb(o, "e", i)) ** 2
+        for i in range(kgembed.EMB_DIM)
+    )
+
+
+def test_transe_rank_scores_and_bounds(spark):
+    rows = kgembed.q_transe_rank(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["pos_score2"] == _score2(r["subj_cui"], r["pred"], r["obj_cui"])
+        assert 1 <= r["pos_rank"] <= r["n_neg"] + 1
+        assert 1 <= r["n_neg"] <= relations.NEG_K
+
+
+def test_transe_rank_against_bruteforce_negatives(spark):
+    neg = relations.q_negative_triples(spark, SF).collect()
+    by_pos = defaultdict(list)
+    for r in neg:
+        by_pos[(r["subj_cui"], r["pred"], r["obj_cui"])].append(r["neg_obj_cui"])
+    got = {
+        (r["subj_cui"], r["pred"], r["obj_cui"]): (r["n_neg"], r["pos_rank"])
+        for r in kgembed.q_transe_rank(spark, SF).collect()
+    }
+    assert set(got) == set(by_pos)
+    for key, negs in by_pos.items():
+        s, p, o = key
+        pos = _score2(s, p, o)
+        rank = 1 + sum(1 for n in negs if _score2(s, p, n) < pos)
+        assert got[key] == (len(negs), rank)
+
+
+# ---------------------------------------------------------------------------
+# Predicate signatures
+# ---------------------------------------------------------------------------
+
+def test_pred_signature_topk_ordering(spark):
+    rel = relations.q_relations(spark, SF).collect()
+    mass = defaultdict(int)
+    for r in rel:
+        mass[(r["pred"], "subj", r["subj_cui"])] += r["n_occ"]
+        mass[(r["pred"], "obj", r["obj_cui"])] += r["n_occ"]
+    want = defaultdict(list)
+    for (pred, side, cui), m in mass.items():
+        want[(pred, side)].append((-m, cui))
+    expect = set()
+    for (pred, side), lst in want.items():
+        for rk, (negm, cui) in enumerate(sorted(lst)[: kgembed.SIG_TOPK], 1):
+            expect.add((pred, side, cui, -negm, rk))
+    got = {
+        (r["pred"], r["side"], r["cui"], r["occ_sum"], r["rk"])
+        for r in kgembed.q_pred_signature(spark, SF).collect()
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# N-Triples export
+# ---------------------------------------------------------------------------
+
+def test_export_ntriples_shape(spark):
+    rel = relations.q_relations(spark, SF).collect()
+    rows = kgembed.q_export_ntriples(spark, SF).collect()
+    assert len(rows) == 2 * len(rel)
+    by_stmt = defaultdict(list)
+    for r in rows:
+        assert r["line"].endswith(" .")
+        assert r["n_chars"] == len(r["line"])
+        by_stmt[r["stmt_id"]].append(r["line"])
+    for r in rel:
+        stmt = f"{r['subj_cui']}|{r['pred']}|{r['obj_cui']}"
+        lines = by_stmt[stmt]
+        assert len(lines) == 2
+        edge = (
+            f"<urn:cui:{r['subj_cui']}> <urn:kg:{r['pred']}> "
+            f"<urn:cui:{r['obj_cui']}> ."
+        )
+        assert edge in lines
+        prov = [l for l in lines if l != edge][0]
+        assert f'"{r["n_docs"]}"^^<{kgembed.XSD_INT}>' in prov
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel
+# ---------------------------------------------------------------------------
+
+def test_truss_edges_matches_bruteforce_peel(spark):
+    sym = relations._cooccur_edges(spark, SF, graphalgo.TRUSS_MIN_DOCS).collect()
+    edges = {(min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in sym}
+
+    def supports(es):
+        adj = defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        return {(u, v): len(adj[u] & adj[v]) for (u, v) in es}
+
+    t = graphalgo.TRUSS_SUPPORT
+    s1 = supports(edges)
+    e1 = {e for e in edges if s1[e] >= t}
+    s2 = supports(e1)
+    want = {e: s2[e] for e in e1 if s2[e] >= t}
+    got = {
+        (r["src"], r["dst"]): r["support"]
+        for r in graphalgo.q_truss_edges(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # non-degenerate on the fixture graph
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q21 shapes
+# ---------------------------------------------------------------------------
+
+def test_min_cost_supplier_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    supp = {r["s_suppkey"]: r for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()}
+    nat = {r["n_nationkey"]: r for r in spark.read.parquet(f"{SF}/nation.parquet").collect()}
+    reg = {r["r_regionkey"]: r["r_name"] for r in spark.read.parquet(f"{SF}/region.parquet").collect()}
+    part = {
+        r["p_partkey"]: r["p_name"]
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+        if r["p_type"] == relops.MINCOST_PTYPE
+    }
+    eur = {
+        k: v["s_name"]
+        for k, v in supp.items()
+        if reg[nat[v["s_nationkey"]]["n_regionkey"]] == relops.MINCOST_REGION
+    }
+    by_part = defaultdict(list)
+    for r in li:
+        if r["l_suppkey"] in eur and r["l_partkey"] in part:
+            by_part[r["l_partkey"]].append(r)
+    want = set()
+    for pk, rows in by_part.items():
+        mn = min(r["l_extendedprice"] for r in rows)
+        for r in rows:
+            if r["l_extendedprice"] == mn:
+                want.add((pk, part[pk], eur[r["l_suppkey"]], mn))
+    got = {
+        (r["p_partkey"], r["p_name"], r["s_name"], r["min_price"])
+        for r in relops.tpch_min_cost_supplier(spark, SF).collect()
+    }
+    assert got == want and want
+
+
+def test_waiting_orders_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    odate = {
+        r["o_orderkey"]: r["o_orderdate"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    sname = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    per = defaultdict(lambda: (set(), set()))
+    for r in li:
+        supp_set, late_set = per[r["l_orderkey"]]
+        supp_set.add(r["l_suppkey"])
+        if r["l_shipdate"] > odate[r["l_orderkey"]] + timedelta(
+            days=relops.WAIT_LATE_DAYS
+        ):
+            late_set.add(r["l_suppkey"])
+    numwait = defaultdict(int)
+    for supp_set, late_set in per.values():
+        if len(supp_set) >= 2 and len(late_set) == 1:
+            numwait[sname[next(iter(late_set))]] += 1
+    want = sorted(
+        ((n, s) for s, n in numwait.items()), key=lambda t: (-t[0], t[1])
+    )[: relops.WAIT_TOPK]
+    got = [
+        (r["numwait"], r["s_name"])
+        for r in relops.tpch_waiting_orders(spark, SF).collect()
+    ]
+    assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# Compaction plan
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    groups = defaultdict(list)
+    for r in docs:
+        groups[(r["lang"], r["doc_id"] % corpusops.COMPACT_SHARDS)].append(r)
+    want = defaultdict(lambda: [0, 0, None, None])
+    for (lang, shard), rows in groups.items():
+        cum = 0
+        for r in sorted(rows, key=lambda x: x["doc_id"]):
+            bucket = cum // corpusops.COMPACT_TARGET_BYTES
+            cum += r["n_chars"]
+            acc = want[(lang, shard, bucket)]
+            acc[0] += 1
+            acc[1] += r["n_chars"]
+            acc[2] = r["doc_id"] if acc[2] is None else min(acc[2], r["doc_id"])
+            acc[3] = r["doc_id"] if acc[3] is None else max(acc[3], r["doc_id"])
+    got = {
+        (r["lang"], r["shard"], r["bucket"]): [
+            r["n_docs"], r["total_bytes"], r["min_doc"], r["max_doc"]
+        ]
+        for r in corpusops.compaction_plan(spark, SF).collect()
+    }
+    assert got == dict(want)
+    # no bucket (except possibly the last per group) ends undersized with
+    # a successor: buckets are contiguous from 0
+    for (lang, shard, bucket) in got:
+        if bucket > 0:
+            assert (lang, shard, bucket - 1) in got
+
+
+# ---------------------------------------------------------------------------
+# Crawl frontier
+# ---------------------------------------------------------------------------
+
+def test_crawl_frontier_schedule(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    hosts = sorted({r["source"] for r in docs})
+    hidx = {h: i + 1 for i, h in enumerate(hosts)}
+    by_host = defaultdict(list)
+    for r in docs:
+        by_host[r["source"]].append(r)
+    want = set()
+    for h, rows in by_host.items():
+        ordered = sorted(rows, key=lambda x: (-x["n_chars"], x["doc_id"]))
+        for wave, r in enumerate(ordered[: webclean.FRONTIER_PER_HOST], 1):
+            slot = (wave - 1) * len(hosts) + hidx[h] - 1
+            want.add((h, r["doc_id"], r["n_chars"], wave, slot))
+    got = {
+        (r["host"], r["doc_id"], r["n_chars"], r["wave"], r["fetch_slot"])
+        for r in webclean.crawl_frontier(spark, SF).collect()
+    }
+    assert got == want
+    # politeness: within a wave, each host appears exactly once
+    slots = sorted(r[4] for r in got)
+    assert len(slots) == len(set(slots))
