@@ -31,7 +31,7 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    from sparkmedkg import corpusops, dedup, graphalgo, relations, relops, simsearch, textstats
+    from sparkmedkg import corpusops, dedup, graphalgo, kgembed, relations, relops, simsearch, textstats
     from sparkmedkg import multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
 
@@ -305,6 +305,45 @@ def main() -> None:
             lambda: relops.events_attribution(spark, SF),
             ["Window", "!SortMergeJoin", "!BroadcastHashJoin",
              "!CartesianProduct"],
+        ),
+        "kg_transe_rank": (
+            # map-only integer-hash scoring over the checkpointed negative
+            # set, one groupBy on the triple key — no extra joins
+            lambda: kgembed.q_transe_rank(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+        ),
+        "kg_pred_signature": (
+            # per-(pred, side) argmax window rides the groupBy prefix
+            lambda: kgembed.q_pred_signature(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_export_ntriples": (
+            # serialization is a map-only union over the triple set
+            lambda: kgembed.q_export_ntriples(spark, SF),
+            ["Union", "!CartesianProduct"],
+        ),
+        "tpch_min_cost_supplier": (
+            # dims broadcast; min agg + join-back share l_partkey hashing
+            lambda: relops.tpch_min_cost_supplier(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "tpch_waiting_orders": (
+            # one orderkey join + groupBy, broadcast supplier dim, top-k
+            lambda: relops.tpch_waiting_orders(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate",
+             "TakeOrderedAndProject", "!CartesianProduct"],
+        ),
+        "corpus_compaction_plan": (
+            # per-(lang, shard) prefix-sum window + one groupBy; no joins
+            lambda: corpusops.compaction_plan(spark, SF),
+            ["Window", "HashAggregate", "!SortMergeJoin",
+             "!BroadcastHashJoin", "!CartesianProduct"],
+        ),
+        "web_crawl_frontier": (
+            # per-host top-k window; host index windows the DISTINCT host
+            # dim and broadcasts back — fact table never globally sorted
+            lambda: webclean.crawl_frontier(spark, SF),
+            ["Window", "BroadcastHashJoin", "!SortMergeJoin"],
         ),
         "tpch_bloom_prune": (
             # W-row bitset broadcast onto the probe side; membership is a
