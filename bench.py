@@ -124,6 +124,9 @@ BENCH_QUERIES = {
     "tpch_waiting_orders": relops.tpch_waiting_orders,
     "corpus_compaction_plan": corpusops.compaction_plan,
     "web_crawl_frontier": webclean.crawl_frontier,
+    "events_markov_transitions": relops.events_markov_transitions,
+    "corpus_bigram_lm": corpusops.bigram_lm,
+    "corpus_kmv_intersect": webgraph.kmv_intersect,
 }
 
 

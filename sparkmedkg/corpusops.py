@@ -1066,3 +1066,79 @@ SELECT lang, shard,
 FROM placed
 GROUP BY lang, shard, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model training counts (add-one smoothed).
+# ---------------------------------------------------------------------------
+
+LM_TOPK = 100
+LM_PPM = 1_000_000
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str, topk: int = LM_TOPK) -> DataFrame:
+    """(w1, w2, n, p_ppm): the top-k corpus bigrams with their add-one
+    smoothed conditional probability P(w2|w1) = (n+1)/(total_w1 + V),
+    integer-quantized to parts-per-million — the count table an n-gram LM
+    trainer materializes (text_lm_perplexity is the matching scorer).
+
+    Scale: bigram enumeration is arrays_zip over two slices of the token
+    array (row-local, no index-loop HOF re-evaluation); the corpus is
+    scanned ONCE — V and the per-w1 normalizer both derive from the
+    persisted (w1, w2) count table (vocab-bounded, orders of magnitude
+    below the corpus), V as a broadcast 1-row count and the normalizer as
+    a window whose exchange moves only aggregated rows.  Top-k via
+    TakeOrdered, ties broken (w1, w2)."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    d = _docs(spark, sf_dir).select(ws.alias("ws"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    # distinct w2 over the aggregated table == distinct w2 over raw pairs,
+    # but costs a vocab-sized scan instead of a second corpus pass
+    vocab = counts.agg(F.countDistinct("w2").alias("v"))
+    return (
+        counts.join(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.expr(
+                f"(n + 1) * {LM_PPM} div "
+                "(sum(n) over (partition by w1) + v)"
+            )
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(topk)
+    )
+
+
+def sql_bigram_lm(topk: int = LM_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM toks
+),
+pairs AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+counts AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs GROUP BY w1, w2
+),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM pairs)
+SELECT w1, w2, n,
+       CAST((n + 1) * {LM_PPM} //
+            (SUM(n) OVER (PARTITION BY w1) + v) AS BIGINT) AS p_ppm
+FROM counts CROSS JOIN vocab
+ORDER BY n DESC, w1, w2
+LIMIT {topk}
+"""

@@ -1803,3 +1803,60 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT {WAIT_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Markov transition model over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+MKV_PPM = 1_000_000
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, event_type, n, p_ppm): first-order Markov transition
+    counts over each user's time-ordered event stream, with the row
+    probability integer-quantized to parts-per-million (n * 1e6 div
+    row_total) so the result is exact cross-engine — the transition
+    matrix behind next-event prediction and funnel simulation.
+
+    Scale: one per-user window (lag) on the event shuffle and one
+    map-side-combinable pair count touch the full stream; the normalizer
+    window then exchanges only the aggregated |types|^2 count table —
+    negligible next to the stream shuffles.  Ties at equal timestamps
+    break by event_id."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).where(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.expr(f"n * {MKV_PPM} div sum(n) over (partition by prev_type)")
+        .cast("bigint")
+        .alias("p_ppm"),
+    )
+
+
+def sql_events_markov_transitions() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST(n * {MKV_PPM} // SUM(n) OVER (PARTITION BY prev_type)
+            AS BIGINT) AS p_ppm
+FROM counts
+"""

@@ -825,3 +825,137 @@ SELECT n_sources, sum_exact, n_exact_global,
        round(est, 2) AS hll_union_est
 FROM stats CROSS JOIN est
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV set-intersection estimate between crawl sources.
+# ---------------------------------------------------------------------------
+
+KMVI_K = 64
+KMVI_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_KMVI_C = float((KMVI_K - 1) * (1 << 60))  # (k-1) * 2^60, shared constant
+
+
+def kmv_intersect(
+    spark: SparkSession, sf_dir: str, k: int = KMVI_K
+) -> DataFrame:
+    """(src_a, src_b, n_exact, kmv_est): for each ordered source pair, the
+    exact count of shared distinct text shingles next to its KMV-sketch
+    estimate — the set-INTERSECTION counterpart of kmv_distinct, using the
+    standard estimator: keep the k smallest hashes of the UNION, count how
+    many of those belong to both sides (ints), and scale
+    est = ints/k * union_est.  Pairs whose union carries fewer than k
+    hashes report the exact intersection (sketch degenerates to the set).
+
+    Scale: per-pair state is the k-row union sketch, so comparing S
+    sources costs O(S^2 * k) rows after the window — never a re-scan of
+    the corpus per pair; the same WindowGroupLimit map-side pruning as
+    kmv_distinct keeps the exchange at O(parts * k) per pair.  Exact
+    counts are computed here only as the estimator's scorecard."""
+    import itertools
+
+    from sparkmedkg import dedup
+    from sparkmedkg.session import widen_scan
+
+    docs = (
+        widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .where(F.col("source").isin(list(KMVI_SOURCES)))
+        .select("source", "text")
+    )
+    hashes = (
+        docs.select(
+            "source", F.explode(dedup._shingles_col()).alias("s")
+        )
+        .select("source", _h60(F.col("s")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    pair_rows = [
+        (a, b) for a, b in itertools.combinations(KMVI_SOURCES, 2)
+    ]
+    pairs = spark.createDataFrame(pair_rows, "src_a string, src_b string")
+    side_a = pairs.join(
+        hashes, pairs["src_a"] == hashes["source"]
+    ).select("src_a", "src_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    side_b = pairs.join(
+        hashes, pairs["src_b"] == hashes["source"]
+    ).select("src_a", "src_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    ph = (
+        side_a.unionByName(side_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    exact = ph.groupBy("src_a", "src_b").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_exact")
+    )
+    w = Window.partitionBy("src_a", "src_b").orderBy("h")
+    sk = (
+        ph.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.max("h").alias("hk"),
+            F.count(F.lit(1)).alias("n_sk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("ints"),
+        )
+    )
+    est = F.when(F.col("n_sk") < k, F.col("n_exact").cast("double")).otherwise(
+        (F.col("ints") / F.lit(float(k)))
+        * (F.lit(_KMVI_C) / F.col("hk"))
+    )
+    out = exact.join(sk, ["src_a", "src_b"]).select(
+        "src_a", "src_b", "n_exact", F.round(est, 2).alias("kmv_est")
+    )
+    hashes.unpersist()
+    return out
+
+
+def sql_kmv_intersect(k: int = KMVI_K) -> str:
+    import itertools
+
+    from sparkmedkg.dedup import _sql_shingles
+
+    vals = ", ".join(
+        f"('{a}', '{b}')" for a, b in itertools.combinations(KMVI_SOURCES, 2)
+    )
+    srcs = ", ".join(f"'{s}'" for s in KMVI_SOURCES)
+    return f"""
+WITH hashes AS MATERIALIZED (
+  SELECT DISTINCT source, {_sql_h60('s')} AS h
+  FROM (
+    SELECT source, unnest({_sql_shingles('text')}) AS s
+    FROM documents WHERE source IN ({srcs})
+  )
+),
+pairs AS (SELECT * FROM (VALUES {vals}) AS t(src_a, src_b)),
+ph AS MATERIALIZED (
+  SELECT src_a, src_b, h, MAX(ia) AS in_a, MAX(ib) AS in_b
+  FROM (
+    SELECT p.src_a, p.src_b, x.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN hashes x ON x.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, x.h, 0, 1
+    FROM pairs p JOIN hashes x ON x.source = p.src_b
+  )
+  GROUP BY src_a, src_b, h
+),
+exact AS (
+  SELECT src_a, src_b, CAST(SUM(in_a * in_b) AS BIGINT) AS n_exact
+  FROM ph GROUP BY src_a, src_b
+),
+ranked AS (
+  SELECT src_a, src_b, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+  FROM ph
+),
+sk AS (
+  SELECT src_a, src_b, MAX(h) AS hk, COUNT(*) AS n_sk,
+         SUM(in_a * in_b) AS ints
+  FROM ranked WHERE rn <= {k} GROUP BY src_a, src_b
+)
+SELECT e.src_a, e.src_b, e.n_exact,
+       round(CASE WHEN s.n_sk < {k} THEN CAST(e.n_exact AS DOUBLE)
+                  ELSE (s.ints / CAST({k} AS DOUBLE))
+                       * ({_KMVI_C!r} / s.hk) END, 2) AS kmv_est
+FROM exact e JOIN sk s USING (src_a, src_b)
+"""

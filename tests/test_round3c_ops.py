@@ -263,3 +263,98 @@ def test_crawl_frontier_schedule(spark):
     # politeness: within a wave, each host appears exactly once
     slots = sorted(r[4] for r in got)
     assert len(slots) == len(set(slots))
+
+
+# ---------------------------------------------------------------------------
+# Markov transitions / bigram LM / KMV intersection (batch 4)
+# ---------------------------------------------------------------------------
+
+def test_markov_transitions_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    counts = defaultdict(int)
+    for rows in by_user.values():
+        ordered = sorted(rows, key=lambda x: (x["ts"], x["event_id"]))
+        for prev, cur in zip(ordered, ordered[1:]):
+            counts[(prev["event_type"], cur["event_type"])] += 1
+    totals = defaultdict(int)
+    for (p, _), n in counts.items():
+        totals[p] += n
+    want = {
+        (p, c, n, n * relops.MKV_PPM // totals[p])
+        for (p, c), n in counts.items()
+    }
+    got = {
+        (r["prev_type"], r["event_type"], r["n"], r["p_ppm"])
+        for r in relops.events_markov_transitions(spark, SF).collect()
+    }
+    assert got == want and want
+
+
+def test_bigram_lm_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    counts = defaultdict(int)
+    for r in docs:
+        ws = r["text"].lower().split(" ")
+        for a, b in zip(ws, ws[1:]):
+            counts[(a, b)] += 1
+    totals = defaultdict(int)
+    vocab = set()
+    for (a, b), n in counts.items():
+        totals[a] += n
+        vocab.add(b)
+    v = len(vocab)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = {
+        (a, b, n, (n + 1) * corpusops.LM_PPM // (totals[a] + v))
+        for (a, b), n in ranked[: corpusops.LM_TOPK]
+    }
+    got = {
+        (r["w1"], r["w2"], r["n"], r["p_ppm"])
+        for r in corpusops.bigram_lm(spark, SF).collect()
+    }
+    assert got == want and len(got) == corpusops.LM_TOPK
+
+
+def test_kmv_intersect_bruteforce(spark):
+    import itertools
+
+    from sparkmedkg import webgraph
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("source").isin(list(webgraph.KMVI_SOURCES)))
+        .collect()
+    )
+    k = webgraph.KMVI_K
+
+    def shingles(text):
+        ws = text.split()
+        if len(ws) <= 3:
+            return {" ".join(ws[:3])}
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    sets = defaultdict(set)
+    for r in docs:
+        sets[r["source"]] |= {h60(s) for s in shingles(r["text"])}
+    want = {}
+    for a, b in itertools.combinations(webgraph.KMVI_SOURCES, 2):
+        union = sorted(sets[a] | sets[b])
+        inter = sets[a] & sets[b]
+        if len(union) < k:
+            est = round(float(len(inter)), 2)
+        else:
+            sk = union[:k]
+            ints = sum(1 for h in sk if h in inter)
+            est = round((ints / float(k)) * (webgraph._KMVI_C / sk[-1]), 2)
+        want[(a, b)] = (len(inter), est)
+    got = {
+        (r["src_a"], r["src_b"]): (r["n_exact"], r["kmv_est"])
+        for r in webgraph.kmv_intersect(spark, SF).collect()
+    }
+    assert got == want and len(got) == 10

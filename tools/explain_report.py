@@ -345,6 +345,26 @@ def main() -> None:
             lambda: webclean.crawl_frontier(spark, SF),
             ["Window", "BroadcastHashJoin", "!SortMergeJoin"],
         ),
+        "events_markov_transitions": (
+            # lag window + pair count on the stream; the normalizer window
+            # exchanges only the aggregated |types|^2 table
+            lambda: relops.events_markov_transitions(spark, SF),
+            ["Window", "HashAggregate", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
+        "corpus_bigram_lm": (
+            # one corpus scan: vocab + normalizer derive from the persisted
+            # count table (InMemoryTableScan), V broadcast as 1 row
+            lambda: corpusops.bigram_lm(spark, SF),
+            ["InMemoryTableScan", "TakeOrderedAndProject",
+             "!SortMergeJoin", "!CartesianProduct"],
+        ),
+        "corpus_kmv_intersect": (
+            # per-pair union sketch via WindowGroupLimit; pair table is a
+            # 10-row broadcast, never a corpus self-join
+            lambda: webgraph.kmv_intersect(spark, SF),
+            ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+        ),
         "tpch_bloom_prune": (
             # W-row bitset broadcast onto the probe side; membership is a
             # map-side bitwise AND — never a product
