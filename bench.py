@@ -127,6 +127,8 @@ BENCH_QUERIES = {
     "events_markov_transitions": relops.events_markov_transitions,
     "corpus_bigram_lm": corpusops.bigram_lm,
     "corpus_kmv_intersect": webgraph.kmv_intersect,
+    "dedup_simhash_pairs": dedup.simhash_pairs,
+    "tpch_small_qty_revenue": relops.tpch_small_qty_revenue,
 }
 
 

@@ -870,3 +870,132 @@ FROM newd n CROSS JOIN oldd o
 WHERE CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
       / (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup PAIRS: banded candidates + Hamming-distance verify.
+# ---------------------------------------------------------------------------
+
+SIMHAM_MAX = 3          # max Hamming distance (bits) to call a near-dup
+SIMHAM_BANDS = 4        # 4 bands x 16 bits over the 64-bit signature
+SIMHAM_MAX_DF = 256     # drop band values shared by more docs than this
+
+_POP4 = "array(0,1,1,2,1,2,2,3,1,2,2,3,2,3,3,4)"
+_POP4_SQL = "[0,1,1,2,1,2,2,3,1,2,2,3,2,3,3,4]"
+
+
+def _hamming_expr(a: str, b: str) -> str:
+    """Spark SQL expression: Hamming distance between two 16-hex-char
+    signatures, summed nibble-wise via a 4-bit popcount table."""
+    terms = []
+    for p in range(1, 17):
+        va = f"(instr('0123456789abcdef', substring({a}, {p}, 1)) - 1)"
+        vb = f"(instr('0123456789abcdef', substring({b}, {p}, 1)) - 1)"
+        terms.append(f"element_at({_POP4}, ({va} ^ {vb}) + 1)")
+    return " + ".join(terms)
+
+
+def simhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_ham: int = SIMHAM_MAX,
+    max_df: int = SIMHAM_MAX_DF,
+) -> DataFrame:
+    """(a, b, hamming): document pairs whose 64-bit SimHash signatures
+    differ in at most ``max_ham`` bits — the Google-crawl near-dup
+    detector, completing the simhash family (``simhash`` computes
+    signatures; this finds the duplicates).
+
+    Candidates come from 4 bands of 16 bits: any pair within Hamming
+    distance 3 differs in at most 3 bands, so at least one band matches
+    exactly (pigeonhole) — banding has NO false negatives at max_ham <= 3.
+    Band values shared by more than ``max_df`` docs are dropped from
+    candidate generation (same observable-cap contract as
+    containment_pairs; a degenerate band common to 10^9 docs would
+    otherwise go quadratic — production simhash dedup handles those
+    buckets out of band).
+
+    Scale: one signature pass (map-side-combinable conditional sums), one
+    band-key equi-join bounded by max_df^2 per value, Hamming verify as a
+    pure projection (popcount table lookup, no UDF)."""
+    sig = simhash(spark, sf_dir).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", 1 + 4 * i, 4).alias("val"),
+                    )
+                    for i in range(SIMHAM_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    hot = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("band", "val")
+    )
+    kept = bands.join(F.broadcast(hot), ["band", "val"], "left_anti")
+    cand = (
+        kept.select(F.col("doc_id").alias("a"), "band", "val")
+        .join(kept.select(F.col("doc_id").alias("b"), "band", "val"), ["band", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    out = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.expr(_hamming_expr("sa", "sb")).cast("bigint"))
+        .where(F.col("hamming") <= max_ham)
+        .select("a", "b", "hamming")
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return out
+
+
+def sql_simhash_pairs(
+    max_ham: int = SIMHAM_MAX, max_df: int = SIMHAM_MAX_DF
+) -> str:
+    def ham(a: str, b: str) -> str:
+        terms = []
+        for p in range(1, 17):
+            va = f"(strpos('0123456789abcdef', substring({a}, {p}, 1)) - 1)"
+            vb = f"(strpos('0123456789abcdef', substring({b}, {p}, 1)) - 1)"
+            terms.append(f"({_POP4_SQL})[xor({va}, {vb}) + 1]")
+        return " + ".join(terms)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, substring(simhash, {1 + 4 * i}, 4) AS val"
+        " FROM sigs"
+        for i in range(SIMHAM_BANDS)
+    )
+    return f"""
+WITH sigs AS MATERIALIZED ({sql_simhash()}),
+bands AS MATERIALIZED ({band_rows}),
+hot AS (
+  SELECT band, val FROM bands GROUP BY band, val HAVING COUNT(*) > {max_df}
+),
+kept AS MATERIALIZED (
+  SELECT b.* FROM bands b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.val = b.val)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM kept x JOIN kept y ON x.band = y.band AND x.val = y.val
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.a, c.b, CAST({ham('p.simhash', 'q.simhash')} AS BIGINT) AS hamming
+FROM cand c
+JOIN sigs p ON p.doc_id = c.a
+JOIN sigs q ON q.doc_id = c.b
+WHERE {ham('p.simhash', 'q.simhash')} <= {max_ham}
+"""

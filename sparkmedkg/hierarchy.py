@@ -167,3 +167,90 @@ JOIN alias_cui ac ON ac.alias = m.mention
 JOIN closure c ON c.cui = ac.cui
 GROUP BY c.ancestor
 """
+
+
+# ---------------------------------------------------------------------------
+# Lowest common ancestor per concept pair (subsumption similarity).
+# ---------------------------------------------------------------------------
+
+def lca_pairs(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(a, b, lca, da, db): for each unordered pair of child concepts in
+    the IS_A DAG, the lowest common ancestor — the common self-or-ancestor
+    minimizing combined depth da + db, ties broken by ancestor id.
+    Depths count IS_A hops (0 = the concept itself), so (da, db) feed
+    Wu-Palmer-style subsumption similarity directly.  Pairs with no
+    common ancestor are absent.
+
+    Scale: everything here is ontology-sized (closure, pair self-join,
+    per-pair argmin window) — a broadcastable universe at UMLS scale
+    (~4M concepts), never touching the corpus.  sf_dir is unused
+    (engine-constant data) but kept for the queries() convention."""
+    from pyspark.sql import Window
+
+    closure = ontology_closure(spark)
+    members = (
+        _edges_df(spark).select("cui")
+        .unionByName(_edges_df(spark).select(F.col("ancestor").alias("cui")))
+        .distinct()
+    )
+    selfrows = members.select(
+        "cui", F.col("cui").alias("ancestor"), F.lit(0).alias("min_depth")
+    )
+    anc = closure.unionByName(selfrows)
+    leaves = _edges_df(spark).select("cui").distinct()
+    pairs = leaves.select(F.col("cui").alias("a")).join(
+        leaves.select(F.col("cui").alias("b")), F.col("a") < F.col("b")
+    )
+    j = pairs.join(
+        anc.select(F.col("cui").alias("a"), "ancestor",
+                   F.col("min_depth").alias("da")),
+        "a",
+    ).join(
+        anc.select(F.col("cui").alias("b"), "ancestor",
+                   F.col("min_depth").alias("db")),
+        ["b", "ancestor"],
+    )
+    w = Window.partitionBy("a", "b").orderBy(
+        (F.col("da") + F.col("db")).asc(), F.col("ancestor")
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("a", "b", F.col("ancestor").alias("lca"), "da", "db")
+    )
+
+
+def sql_lca_pairs() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+closure AS (SELECT cui, ancestor, MIN(d) AS d FROM reach GROUP BY cui, ancestor),
+members AS (
+  SELECT DISTINCT cui FROM (SELECT cui FROM hier UNION ALL SELECT ancestor FROM hier)
+),
+anc AS (
+  SELECT cui, ancestor, d FROM closure
+  UNION ALL SELECT cui, cui, 0 FROM members
+),
+leaves AS (SELECT DISTINCT cui FROM hier),
+pairs AS (
+  SELECT x.cui AS a, y.cui AS b FROM leaves x JOIN leaves y ON x.cui < y.cui
+),
+j AS (
+  SELECT p.a, p.b, ca.ancestor, ca.d AS da, cb.d AS db
+  FROM pairs p
+  JOIN anc ca ON ca.cui = p.a
+  JOIN anc cb ON cb.cui = p.b AND cb.ancestor = ca.ancestor
+),
+r AS (
+  SELECT a, b, ancestor, da, db,
+         ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY da + db, ancestor) AS rk
+  FROM j
+)
+SELECT a, b, ancestor AS lca, da, db FROM r WHERE rk = 1
+"""

@@ -1860,3 +1860,75 @@ SELECT prev_type, event_type, n,
             AS BIGINT) AS p_ppm
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue lost to small-quantity orders.
+# ---------------------------------------------------------------------------
+
+Q17_BRANDS = ("Brand#1", "Brand#2")
+
+
+def tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, n_small, avg_yearly): for each tracked brand, the yearly
+    average revenue of lineitems whose quantity is below 20% of that
+    part's average order quantity — the Q17 correlated-AVG shape,
+    decorrelated as a per-part aggregate + join-back.  The 20% threshold
+    compares in integer micros (5 * qty_u * cnt < sum_qty_u), so the
+    predicate is exact and engine-identical; only the final reporting
+    average goes through (deterministic) decimal-then-double math.
+
+    Scale: part dim broadcast; the per-part aggregate and the join-back
+    reuse the same l_partkey partitioning — one fact-table exchange."""
+    qty_u = F.round(F.col("l_quantity") * 1_000_000).cast("bigint")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_extendedprice", qty_u.alias("qty_u"))
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part")
+                .where(F.col("p_brand").isin(list(Q17_BRANDS)))
+                .select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty_u").alias("sum_qty_u"), F.count(F.lit(1)).alias("cnt")
+    )
+    small = li.join(stats, li["l_partkey"] == stats["pk"]).where(
+        F.lit(5) * F.col("qty_u") * F.col("cnt") < F.col("sum_qty_u")
+    )
+    return small.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / 7.0,
+            4,
+        ).alias("avg_yearly"),
+    )
+
+
+def sql_tpch_small_qty_revenue() -> str:
+    brands = ", ".join(f"'{b}'" for b in Q17_BRANDS)
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey, l.l_extendedprice, p.p_brand,
+         CAST(round(l.l_quantity * 1000000) AS BIGINT) AS qty_u
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand IN ({brands})
+),
+stats AS (
+  SELECT l_partkey AS pk, CAST(SUM(qty_u) AS BIGINT) AS sum_qty_u,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_small,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM li JOIN stats ON li.l_partkey = stats.pk
+WHERE 5 * qty_u * cnt < sum_qty_u
+GROUP BY p_brand
+"""

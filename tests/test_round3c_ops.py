@@ -358,3 +358,132 @@ def test_kmv_intersect_bruteforce(spark):
         for r in webgraph.kmv_intersect(spark, SF).collect()
     }
     assert got == want and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# SimHash pairs / LCA / Q17 (batch 5)
+# ---------------------------------------------------------------------------
+
+def test_simhash_pairs_bruteforce(spark):
+    from sparkmedkg import dedup
+
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(spark, SF).collect()}
+    hexv = {c: i for i, c in enumerate("0123456789abcdef")}
+    pop = [bin(i).count("1") for i in range(16)]
+
+    def ham(x, y):
+        return sum(pop[hexv[a] ^ hexv[b]] for a, b in zip(x, y))
+
+    # brute force: all pairs with hamming <= max, minus hot-band-only pairs
+    bands = defaultdict(list)
+    for d, s in sigs.items():
+        for i in range(dedup.SIMHAM_BANDS):
+            bands[(i, s[4 * i:4 * i + 4])].append(d)
+    kept = {k: v for k, v in bands.items() if len(v) <= dedup.SIMHAM_MAX_DF}
+    cand = set()
+    for docs in kept.values():
+        docs = sorted(docs)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                cand.add((a, b))
+    want = {
+        (a, b): ham(sigs[a], sigs[b])
+        for (a, b) in cand
+        if ham(sigs[a], sigs[b]) <= dedup.SIMHAM_MAX
+    }
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_pairs(spark, SF).collect()
+    }
+    assert got == want and want
+
+
+def test_simhash_banding_recall_guarantee(spark):
+    # pigeonhole: any pair at hamming <= 3 over 4x16-bit bands shares a
+    # band; with no hot-band drops the banded pairs == all close pairs
+    from sparkmedkg import dedup
+
+    sigs = sorted(dedup.simhash(spark, SF).collect(), key=lambda r: r["doc_id"])
+    hexv = {c: i for i, c in enumerate("0123456789abcdef")}
+    pop = [bin(i).count("1") for i in range(16)]
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_pairs(spark, SF, max_df=10**9).collect()
+    }
+    for i, ra in enumerate(sigs):
+        for rb in sigs[i + 1:]:
+            d = sum(
+                pop[hexv[x] ^ hexv[y]]
+                for x, y in zip(ra["simhash"], rb["simhash"])
+            )
+            if d <= dedup.SIMHAM_MAX:
+                assert (ra["doc_id"], rb["doc_id"]) in got
+
+
+def test_lca_pairs_bruteforce(spark):
+    from sparkmedkg import hierarchy
+
+    kids = defaultdict(set)
+    for c, p in hierarchy.WEB_HIERARCHY:
+        kids[c].add(p)
+
+    def ancs(c):
+        out = {c: 0}
+        frontier = {c: 0}
+        while frontier:
+            nxt = {}
+            for node, d in frontier.items():
+                for p in kids.get(node, ()):
+                    if p not in out or out[p] > d + 1:
+                        out[p] = d + 1
+                        nxt[p] = d + 1
+            frontier = nxt
+        return out
+
+    leaves = sorted({c for c, _ in hierarchy.WEB_HIERARCHY})
+    want = {}
+    for i, a in enumerate(leaves):
+        for b in leaves[i + 1:]:
+            aa, ab = ancs(a), ancs(b)
+            common = set(aa) & set(ab)
+            if common:
+                lca = min(common, key=lambda c: (aa[c] + ab[c], c))
+                want[(a, b)] = (lca, aa[lca], ab[lca])
+    got = {
+        (r["a"], r["b"]): (r["lca"], r["da"], r["db"])
+        for r in hierarchy.lca_pairs(spark).collect()
+    }
+    assert got == want and want
+
+
+def test_small_qty_revenue_bruteforce(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+        if r["p_brand"] in relops.Q17_BRANDS
+    }
+    per_part = defaultdict(list)
+    for r in li:
+        if r["l_partkey"] in brand:
+            per_part[r["l_partkey"]].append(r)
+    agg = defaultdict(lambda: [0, 0.0])
+    for pk, rows in per_part.items():
+        sum_qty_u = sum(int(round(r["l_quantity"] * 1_000_000)) for r in rows)
+        cnt = len(rows)
+        for r in rows:
+            if 5 * int(round(r["l_quantity"] * 1_000_000)) * cnt < sum_qty_u:
+                a = agg[brand[pk]]
+                a[0] += 1
+                a[1] += r["l_extendedprice"]
+    want = {
+        b: (n, round(total / 7.0, 4)) for b, (n, total) in agg.items()
+    }
+    got = {
+        r["p_brand"]: (r["n_small"], r["avg_yearly"])
+        for r in relops.tpch_small_qty_revenue(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for b in got:
+        assert got[b][0] == want[b][0]
+        assert abs(got[b][1] - want[b][1]) < 1e-6

@@ -31,7 +31,7 @@ def plan_of(df) -> str:
 
 
 def main() -> None:
-    from sparkmedkg import corpusops, dedup, graphalgo, kgembed, relations, relops, simsearch, textstats
+    from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
     from sparkmedkg import multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
 
@@ -364,6 +364,23 @@ def main() -> None:
             # 10-row broadcast, never a corpus self-join
             lambda: webgraph.kmv_intersect(spark, SF),
             ["Window", "BroadcastHashJoin", "!CartesianProduct"],
+        ),
+        "dedup_simhash_pairs": (
+            # banded candidates (equi-join, hot-band cap) + popcount-table
+            # Hamming verify as a projection; returned DF is checkpointed
+            # so assert on the signature+band stage upstream via cand
+            lambda: dedup.simhash_pairs(spark, SF),
+            ["!CartesianProduct"],
+        ),
+        "tpch_small_qty_revenue": (
+            # part dim broadcast; per-part agg + join-back co-partitioned
+            lambda: relops.tpch_small_qty_revenue(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_lca": (
+            # ontology-sized: closure loop + pair join + argmin window
+            lambda: hierarchy.lca_pairs(spark),
+            ["Window", "HashAggregate"],
         ),
         "tpch_bloom_prune": (
             # W-row bitset broadcast onto the probe side; membership is a
