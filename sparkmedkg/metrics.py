@@ -157,3 +157,36 @@ SELECT n_docs, n_exact_dup_docs, n_near_dup_docs,
              / n_docs * 100.0, 6) AS pct_unique
 FROM base
 """
+
+
+def ann_pq_recall(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """(k, n_hits, recall): overlap of the product-quantization ADC top-k
+    with the brute-force cosine top-k for the standard query vector —
+    completes the approximation scorecard family (LSH recall, dedup
+    report) for the PQ index, quantifying what the 16x-compressed
+    codebook shortlist costs in answer quality."""
+    from sparkmedkg import simsearch
+
+    exact_ids = simsearch.cosine_topk(spark, sf_dir, k=k).select("vec_id")
+    approx_ids = simsearch.pq_topk(spark, sf_dir, k=k).select("vec_id")
+    hits = approx_ids.join(exact_ids, "vec_id")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k).alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall"),
+    )
+
+
+def sql_ann_pq_recall(k: int = 10) -> str:
+    from sparkmedkg import simsearch
+
+    return f"""
+WITH exact_ids AS (SELECT vec_id FROM ({simsearch.sql_cosine_topk(k=k)}) e),
+approx_ids AS (SELECT vec_id FROM ({simsearch.sql_pq_topk(k=k)}) a),
+hits AS (SELECT * FROM approx_ids INTERSECT SELECT * FROM exact_ids)
+SELECT {k} AS k,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
+"""

@@ -487,3 +487,13 @@ def test_small_qty_revenue_bruteforce(spark):
     for b in got:
         assert got[b][0] == want[b][0]
         assert abs(got[b][1] - want[b][1]) < 1e-6
+
+
+def test_ann_pq_recall_bounds(spark):
+    from sparkmedkg import metrics
+
+    r = metrics.ann_pq_recall(spark, SF).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert 0 <= row["n_hits"] <= row["k"] == 10
+    assert abs(row["recall"] - row["n_hits"] / 10.0) < 1e-9
