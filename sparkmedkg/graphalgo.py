@@ -812,3 +812,79 @@ sup2 AS ({_sup('tris2_m')}
 )
 SELECT src, dst, CAST(support AS BIGINT) AS support FROM sup2
 """
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity coefficient.
+# ---------------------------------------------------------------------------
+
+def q_assortativity(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(n_edges, assortativity): Pearson correlation of endpoint degrees
+    over the symmetric edge list — the one-number summary of whether hubs
+    attach to hubs (assortative, > 0) or to leaves (disassortative, < 0);
+    the signal that decides whether hot-key salting targets hub-hub edges.
+    Both degree joins broadcast (node-sized table); the five moment sums
+    accumulate in exact BIGINT in a single partial-agg pass, so the only
+    float ops are the final division and sqrts — deterministic cross-
+    engine, no order-dependent double summation.  (At 10^12-edge scale
+    the BIGINT products approach int64 range; the production variant
+    recenters degrees first or sums in DECIMAL(38,0) — same plan.)"""
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    dx = deg.select(F.col("src"), F.col("deg").alias("deg_x"))
+    dy = deg.select(
+        F.col("src").alias("dst"), F.col("deg").alias("deg_y")
+    )
+    m = (
+        edges.join(F.broadcast(dx), "src")
+        .join(F.broadcast(dy), "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("deg_x").alias("sx"),
+            F.sum("deg_y").alias("sy"),
+            F.sum(F.col("deg_x") * F.col("deg_x")).alias("sxx"),
+            F.sum(F.col("deg_y") * F.col("deg_y")).alias("syy"),
+            F.sum(F.col("deg_x") * F.col("deg_y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(num.cast("double") / den, 6).alias("assortativity"),
+    )
+
+
+def sql_assortativity(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx.deg) AS BIGINT) AS sx,
+         CAST(SUM(dy.deg) AS BIGINT) AS sy,
+         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
+         CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy,
+         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy
+  FROM e
+  JOIN deg dx ON dx.src = e.src
+  JOIN deg dy ON dy.src = e.dst
+)
+SELECT n AS n_edges,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity
+FROM m
+"""

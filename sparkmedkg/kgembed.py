@@ -266,3 +266,84 @@ lines AS (
 )
 SELECT stmt_id, line, CAST(length(line) AS BIGINT) AS n_chars FROM lines
 """
+
+
+# ---------------------------------------------------------------------------
+# DistMult link-prediction ranking (bilinear-diagonal twin of TransE).
+# ---------------------------------------------------------------------------
+
+def _distmult_score(subj: str, pred: str, obj: str) -> Column:
+    """Exact bilinear-diagonal score sum_i h_i * r_i * t_i in BIGINT
+    (components < EMB_MOD, so each term < 2001^3 ~ 8e9 and the 8-term sum
+    stays far inside int64)."""
+    total = F.lit(0).cast("bigint")
+    for i in range(EMB_DIM):
+        total = total + (
+            _emb_component(subj, "e", i)
+            * _emb_component(pred, "r", i)
+            * _emb_component(obj, "e", i)
+        )
+    return total
+
+
+def q_distmult_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(subj_cui, pred, obj_cui, pos_score, n_neg, pos_rank): DistMult
+    twin of q_transe_rank — each positive triple's exact bilinear score
+    and its optimistic rank (1 + #negatives scoring strictly HIGHER;
+    DistMult is a similarity, so higher is better) among its k
+    tail-corruption negatives.  Same plan as TransE: map-only scoring +
+    one partial-agg-combinable groupBy on the triple key; a trained model
+    swaps the hash embedding for a broadcast lookup with the plan
+    unchanged."""
+    neg = relations.q_negative_triples(spark, sf_dir, k=k, max_gap=max_gap)
+    scored = neg.select(
+        "subj_cui",
+        "pred",
+        "obj_cui",
+        _distmult_score("subj_cui", "pred", "obj_cui").alias("pos_score"),
+        _distmult_score("subj_cui", "pred", "neg_obj_cui").alias("neg_score"),
+    )
+    return scored.groupBy("subj_cui", "pred", "obj_cui", "pos_score").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("neg_score") > F.col("pos_score"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pos_rank"),
+    )
+
+
+def _sql_distmult(subj: str, pred: str, obj: str) -> str:
+    terms = [
+        f"({_sql_emb(subj, 'e', str(i))} * {_sql_emb(pred, 'r', str(i))}"
+        f" * {_sql_emb(obj, 'e', str(i))})"
+        for i in range(EMB_DIM)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_distmult_rank(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH neg AS ({relations.sql_negative_triples(k, max_gap)}),
+scored AS (
+  SELECT subj_cui, pred, obj_cui,
+         {_sql_distmult('subj_cui', 'pred', 'obj_cui')} AS pos_score,
+         {_sql_distmult('subj_cui', 'pred', 'neg_obj_cui')} AS neg_score
+  FROM neg
+)
+SELECT subj_cui, pred, obj_cui,
+       CAST(pos_score AS BIGINT) AS pos_score,
+       CAST(COUNT(*) AS BIGINT) AS n_neg,
+       CAST(1 + SUM(CASE WHEN neg_score > pos_score THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos_rank
+FROM scored
+GROUP BY subj_cui, pred, obj_cui, pos_score
+"""

@@ -1932,3 +1932,152 @@ FROM li JOIN stats ON li.l_partkey = stats.pk
 WHERE 5 * qty_u * cnt < sum_qty_u
 GROUP BY p_brand
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: volume shipping between nation pairs.
+# ---------------------------------------------------------------------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+Q7_YEARS = (1996, 1997)
+
+
+def tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue): cross-border revenue
+    between tracked nation pairs over a two-year window — the Q7 shape.
+    Two independent dimension chains (supplier->nation, orders->customer->
+    nation) hang off the fact table; all four dims broadcast, so the only
+    exchanges are the two fact-side equi-joins' and the final
+    (supp, cust, year)-group shuffle.  The nation filter is applied INSIDE
+    each broadcast dim (before the join), so ineligible lineitems are
+    dropped at the join, never aggregated.  Revenue sums in DECIMAL
+    (exact, order-independent) and reports as double."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(list(Q7_YEARS))
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin(list(Q7_NATIONS)))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin(list(Q7_NATIONS)))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders_c = _t(spark, sf_dir, "orders").join(
+        F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey")
+    )
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def sql_tpch_volume_shipping() -> str:
+    nations = ", ".join(f"'{n}'" for n in Q7_NATIONS)
+    years = ", ".join(str(y) for y in Q7_YEARS)
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE year(l_shipdate) IN ({years})
+  AND sn.n_name IN ({nations}) AND cn.n_name IN ({nations})
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no orders.
+# ---------------------------------------------------------------------------
+
+Q22_PRIORITY = "1-URGENT"
+
+
+def tpch_above_avg_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_custs, total_acctbal): per nation, the count and balance
+    mass of customers whose account balance exceeds the positive-balance
+    global mean AND who have never placed an urgent-priority order — the
+    Q22 shape (scalar subquery + anti join over a filtered order subset).
+    The global mean is one broadcast row; the threshold compares in
+    integer micros (bal_u * cnt > sum_u), so the cut is exact and
+    engine-identical with no double-average drift.  The priority filter
+    pushes into the orders scan and the anti join shuffles only the
+    surviving o_custkey column; the nation dim broadcasts."""
+    bal_u = F.round(F.col("c_acctbal") * 1_000_000).cast("bigint")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", bal_u.alias("bal_u")
+    )
+    stats = cust.where(F.col("bal_u") > 0).agg(
+        F.sum("bal_u").alias("sum_u"), F.count(F.lit(1)).alias("cnt")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == Q22_PRIORITY)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("bal_u") * F.col("cnt") > F.col("sum_u"))
+        .join(orders, "c_custkey", "left_anti")
+    )
+    return (
+        rich.join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+def sql_tpch_above_avg_no_orders() -> str:
+    return f"""
+WITH cust AS (
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         CAST(round(c_acctbal * 1000000) AS BIGINT) AS bal_u
+  FROM customer
+),
+stats AS (
+  SELECT CAST(SUM(bal_u) AS BIGINT) AS sum_u, COUNT(*) AS cnt
+  FROM cust WHERE bal_u > 0
+),
+rich AS (
+  SELECT c.* FROM cust c, stats s
+  WHERE c.bal_u * s.cnt > s.sum_u
+    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '{Q22_PRIORITY}')
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+FROM rich JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -409,3 +409,72 @@ SELECT d.doc_id, len({toks}) AS n_tokens,
          for t in {toks}]) / len({toks})::DOUBLE), 4) AS ppl
 FROM documents d CROSS JOIN lm
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch reading ease + Flesch-Kincaid grade).
+# ---------------------------------------------------------------------------
+
+SYLL_RE = "[aeiouy]+"
+SENT_RE = "[.!?]+"
+
+
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, n_sents, n_syllables, fre, fk_grade): Flesch
+    reading ease and Flesch-Kincaid grade level with the standard
+    vowel-group syllable approximation — the classic readability signals a
+    training-mix curator bins corpora by.  Counts are exact integers; the
+    two formulas are a fixed left-to-right chain of IEEE double ops over
+    those integers, so the result is engine-identical before the final
+    round.  Map-only: rides the scan, no shuffle at any scale.  The
+    synthetic corpus has no sentence punctuation, so n_sents floors at 1
+    (the same guard a real pipeline needs for fragments)."""
+    n_words = F.size(F.split(F.col("text"), " +")).cast("bigint")
+    n_sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(SENT_RE), F.lit(0)))
+        .cast("bigint"),
+    )
+    n_syll = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(SYLL_RE), F.lit(0))
+        ).cast("bigint"),
+    )
+    wps = n_words.cast("double") / n_sents.cast("double")
+    spw = n_syll.cast("double") / n_words.cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "fre"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    )
+
+
+def sql_readability() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(text, ' +')) AS BIGINT) AS n_words,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(text, '{SENT_RE}')) AS BIGINT))
+           AS n_sents,
+         greatest(CAST(1 AS BIGINT),
+                  CAST(len(regexp_extract_all(lower(text), '{SYLL_RE}'))
+                       AS BIGINT)) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sents, n_syllables,
+       round(206.835 - 1.015 * (n_words::DOUBLE / n_sents::DOUBLE)
+             - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 4) AS fre,
+       round(0.39 * (n_words::DOUBLE / n_sents::DOUBLE)
+             + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 4)
+         AS fk_grade
+FROM t
+"""

@@ -785,3 +785,100 @@ SELECT r.host, r.doc_id, r.n_chars, r.wave,
 FROM ranked r JOIN hidx h ON r.host = h.host CROSS JOIN nh
 WHERE r.wave <= {per_host}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules.
+# ---------------------------------------------------------------------------
+# The rule battery from the Gopher corpus paper (word-count window, mean
+# word length window, symbol ratio, alpha-word ratio, stopword presence),
+# with thresholds calibrated to the synthetic corpus so each rule actually
+# discriminates.  Every ratio compares in cross-multiplied integer form
+# (5*n_alpha >= 4*n_words instead of n_alpha/n_words >= 0.8), so the gate
+# is exact and engine-identical — no float thresholds anywhere.
+
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 90
+GOPHER_MIN_WLEN_X1 = 3      # mean word length lower bound (chars/word)
+GOPHER_MAX_WLEN_X1 = 10     # upper bound
+GOPHER_MIN_STOP = 2         # distinct stopword markers required
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, ok_word_count, ok_word_len, ok_symbols,
+    ok_alpha_words, ok_stopwords, gopher_pass): per-document booleans for
+    the five Gopher repetition-free quality rules plus the conjunction —
+    the rule-battery gate a production crawl-cleaning pipeline applies
+    before dedup.  Map-only (one pass over the scan, all built-in array
+    expressions); downstream consumers filter on gopher_pass, so at scale
+    the gate fuses into the same codegen stage as the scan."""
+    from sparkmedkg.textstats import STOPWORDS
+
+    toks = F.split(F.col("text"), " +")
+    n_words = F.size(toks).cast("bigint")
+    sum_wlen = (
+        F.length("text") - (F.size(toks) - F.lit(1))
+    ).cast("bigint")  # total chars minus the single-space separators
+    n_sym = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("#+|\\.\\.\\."), F.lit(0)))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("bigint")
+    stop = F.array(*[F.lit(m) for m in STOPWORDS])
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ).cast("bigint")
+    ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = (sum_wlen >= F.lit(GOPHER_MIN_WLEN_X1) * n_words) & (
+        sum_wlen <= F.lit(GOPHER_MAX_WLEN_X1) * n_words
+    )
+    ok_sym = F.lit(10) * n_sym <= n_words          # <= 10% symbol runs
+    ok_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words   # >= 80% alpha words
+    ok_stop = n_stop >= GOPHER_MIN_STOP
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )
+
+
+def sql_gopher_rules() -> str:
+    from sparkmedkg.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{m}'" for m in STOPWORDS)
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({toks}) AS BIGINT) AS n_words,
+         CAST(length(text) - (len({toks}) - 1) AS BIGINT) AS sum_wlen,
+         CAST(len(regexp_extract_all(text, '#+|\\.\\.\\.')) AS BIGINT) AS n_sym,
+         CAST(len(list_filter({toks}, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_distinct(list_filter({toks},
+              x -> list_contains([{stop}], x)))) AS BIGINT) AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_words,
+         n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+           AS ok_word_count,
+         sum_wlen >= {GOPHER_MIN_WLEN_X1} * n_words
+           AND sum_wlen <= {GOPHER_MAX_WLEN_X1} * n_words AS ok_word_len,
+         10 * n_sym <= n_words AS ok_symbols,
+         5 * n_alpha >= 4 * n_words AS ok_alpha_words,
+         n_stop >= {GOPHER_MIN_STOP} AS ok_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, ok_word_count, ok_word_len, ok_symbols,
+       ok_alpha_words, ok_stopwords,
+       ok_word_count AND ok_word_len AND ok_symbols AND ok_alpha_words
+         AND ok_stopwords AS gopher_pass
+FROM r
+"""

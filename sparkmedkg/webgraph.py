@@ -959,3 +959,91 @@ SELECT e.src_a, e.src_b, e.n_exact,
                        * ({_KMVI_C!r} / s.hk) END, 2) AS kmv_est
 FROM exact e JOIN sk s USING (src_a, src_b)
 """
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation + preferential-attachment link prediction.
+# ---------------------------------------------------------------------------
+
+LP_MIN_COMMON = 2       # emit pairs sharing at least this many neighbors
+
+
+def q_link_pred_scores(
+    spark: SparkSession,
+    sf_dir: str,
+    min_common: int = LP_MIN_COMMON,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(a, b, n_common, ra_score, pa_score): the other two classical
+    common-neighbor link-prediction measures next to q_adamic_adar —
+    resource allocation sum(1/deg(u)) over shared neighbors u, and
+    preferential attachment deg(a)*deg(b) — for node pairs sharing at
+    least ``min_common`` neighbors.  Same bounded wedge enumeration as
+    Adamic-Adar (equi-join on the shared-neighbor key, never a node-pair
+    cross join); the endpoint degrees join in AFTER the grouped wedge agg,
+    so the two deg joins touch only the surviving pair set, with the
+    node-sized degree table broadcast."""
+    edges = graphalgo._edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    wt = deg.select(
+        F.col("src").alias("u"), (1.0 / F.col("deg")).alias("w")
+    )
+    x = edges.select(F.col("dst").alias("u"), F.col("src").alias("a"))
+    y = edges.select(F.col("dst").alias("u"), F.col("src").alias("b"))
+    pairs = (
+        x.join(y, "u")
+        .where(F.col("a") < F.col("b"))
+        .join(wt, "u")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w").alias("ra"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    deg_a = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    deg_b = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(deg_a), "a")
+        .join(F.broadcast(deg_b), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round("ra", 6).alias("ra_score"),
+            (F.col("deg_a") * F.col("deg_b")).alias("pa_score"),
+        )
+    )
+
+
+def sql_link_pred_scores(
+    min_common: int = LP_MIN_COMMON, min_docs: int = PR_MIN_DOCS
+) -> str:
+    # e is MATERIALIZED: edges embeds the whole NER chain and is referenced
+    # four times here (x, y, and the two degree joins) — without it DuckDB
+    # re-expands the chain per reference (the kg_truss_edges lesson).
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+deg AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+pairs AS (
+  SELECT x.src AS a, y.src AS b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(1.0 / w.deg) AS ra
+  FROM e x
+  JOIN e y ON x.dst = y.dst AND x.src < y.src
+  JOIN deg w ON w.src = x.dst
+  GROUP BY x.src, y.src
+  HAVING COUNT(*) >= {min_common}
+)
+SELECT p.a, p.b, p.n_common,
+       round(p.ra, 6) AS ra_score,
+       da.deg * db.deg AS pa_score
+FROM pairs p
+JOIN deg da ON da.src = p.a
+JOIN deg db ON db.src = p.b
+"""

@@ -1,0 +1,241 @@
+"""Round-3 additions, fourth batch: TPC-H Q7/Q22 shapes, DistMult ranking,
+resource-allocation / preferential-attachment link prediction, degree
+assortativity, Flesch readability, Gopher-style quality rules.
+Oracle-value parity runs in the driver gate; these pin brute-force
+equality and algorithmic invariants."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from sparkmedkg import graphalgo, kgembed, relations, relops, textstats, webclean, webgraph
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping
+# ---------------------------------------------------------------------------
+
+def test_volume_shipping_bruteforce(spark):
+    got = {
+        (r["supp_nation"], r["cust_nation"], r["l_year"]): r["revenue"]
+        for r in relops.tpch_volume_shipping(spark, SF).collect()
+    }
+    assert got
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    supp_n = {
+        r["s_suppkey"]: nation[r["s_nationkey"]]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    cust_n = {
+        r["c_custkey"]: nation[r["c_nationkey"]]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    want = defaultdict(float)
+    tracked = set(relops.Q7_NATIONS)
+    for r in li:
+        y = r["l_shipdate"].year
+        if y not in relops.Q7_YEARS:
+            continue
+        sn = supp_n[r["l_suppkey"]]
+        cn = cust_n[orders[r["l_orderkey"]]]
+        if sn in tracked and cn in tracked and sn != cn:
+            want[(sn, cn, y)] += r["l_extendedprice"] * (1.0 - r["l_discount"])
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22: above-average balance, no urgent orders
+# ---------------------------------------------------------------------------
+
+def test_above_avg_no_orders_bruteforce(spark):
+    got = {
+        r["n_name"]: (r["n_custs"], r["total_acctbal"])
+        for r in relops.tpch_above_avg_no_orders(spark, SF).collect()
+    }
+    assert got  # non-degenerate at sf0.001 (5 customers survive)
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    urgent = {
+        r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+        if r["o_orderpriority"] == relops.Q22_PRIORITY
+    }
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    pos = [round(r["c_acctbal"] * 1_000_000) for r in cust if r["c_acctbal"] > 0]
+    sum_u, cnt = sum(pos), len(pos)
+    want = defaultdict(lambda: [0, 0.0])
+    for r in cust:
+        if (
+            round(r["c_acctbal"] * 1_000_000) * cnt > sum_u
+            and r["c_custkey"] not in urgent
+        ):
+            w = want[nation[r["c_nationkey"]]]
+            w[0] += 1
+            w[1] += r["c_acctbal"]
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# DistMult ranking
+# ---------------------------------------------------------------------------
+
+def _emb(x: str, kind: str, i: int) -> int:
+    h = hashlib.md5(f"{x}|{kind}|{i}".encode()).hexdigest()
+    return int(h[:15], 16) % kgembed.EMB_MOD
+
+
+def _dm_score(s: str, p: str, o: str) -> int:
+    return sum(
+        _emb(s, "e", i) * _emb(p, "r", i) * _emb(o, "e", i)
+        for i in range(kgembed.EMB_DIM)
+    )
+
+
+def test_distmult_rank_bruteforce(spark):
+    neg = relations.q_negative_triples(spark, SF).collect()
+    by_pos = defaultdict(list)
+    for r in neg:
+        by_pos[(r["subj_cui"], r["pred"], r["obj_cui"])].append(r["neg_obj_cui"])
+    got = {
+        (r["subj_cui"], r["pred"], r["obj_cui"]): (
+            r["pos_score"], r["n_neg"], r["pos_rank"]
+        )
+        for r in kgembed.q_distmult_rank(spark, SF).collect()
+    }
+    assert set(got) == set(by_pos)
+    for key, negs in by_pos.items():
+        s, p, o = key
+        pos = _dm_score(s, p, o)
+        rank = 1 + sum(1 for n in negs if _dm_score(s, p, n) > pos)
+        assert got[key] == (pos, len(negs), rank)
+
+
+# ---------------------------------------------------------------------------
+# Link-prediction scores (RA + PA) and assortativity
+# ---------------------------------------------------------------------------
+
+def _edge_set(spark):
+    return [
+        (r["src"], r["dst"])
+        for r in graphalgo._edges(spark, SF, relations.PR_MIN_DOCS).collect()
+    ]
+
+
+def test_link_pred_scores_bruteforce(spark):
+    edges = _edge_set(spark)
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    got = {
+        (r["a"], r["b"]): (r["n_common"], r["ra_score"], r["pa_score"])
+        for r in webgraph.q_link_pred_scores(spark, SF).collect()
+    }
+    assert got
+    nodes = sorted(adj)
+    want = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = adj[a] & adj[b]
+            if len(common) >= webgraph.LP_MIN_COMMON:
+                ra = round(sum(1.0 / len(adj[u]) for u in common), 6)
+                want[(a, b)] = (len(common), ra, len(adj[a]) * len(adj[b]))
+    assert got == want
+
+
+def test_assortativity_bruteforce(spark):
+    edges = _edge_set(spark)
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    xs = [deg[s] for s, _ in edges]
+    ys = [deg[d] for _, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    row = graphalgo.q_assortativity(spark, SF).collect()[0]
+    assert row["n_edges"] == n
+    assert abs(row["assortativity"] - want) < 1e-6
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Readability
+# ---------------------------------------------------------------------------
+
+def test_readability_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {r["doc_id"]: r for r in textstats.readability(spark, SF).collect()}
+    assert len(got) == len(docs)
+    for d in docs[:100]:
+        w = len(re.split(" +", d["text"]))
+        s = max(1, len(re.findall(r"[.!?]+", d["text"])))
+        syl = max(1, len(re.findall(r"[aeiouy]+", d["text"].lower())))
+        r = got[d["doc_id"]]
+        assert (r["n_words"], r["n_sents"], r["n_syllables"]) == (w, s, syl)
+        assert abs(r["fre"] - (206.835 - 1.015 * w / s - 84.6 * syl / w)) < 5e-4
+        assert abs(r["fk_grade"] - (0.39 * w / s + 11.8 * syl / w - 15.59)) < 5e-4
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_bruteforce_and_discriminative(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {r["doc_id"]: r for r in webclean.gopher_rules(spark, SF).collect()}
+    assert len(got) == len(docs)
+    stop = set(textstats.STOPWORDS)
+    n_pass = 0
+    for d in docs:
+        toks = re.split(" +", d["text"])
+        nw = len(toks)
+        sum_wlen = len(d["text"]) - (nw - 1)
+        n_sym = len(re.findall(r"#+|\.\.\.", d["text"]))
+        n_alpha = sum(1 for t in toks if re.search("[a-z]", t))
+        n_stop = len({t for t in toks if t in stop})
+        r = got[d["doc_id"]]
+        assert r["ok_word_count"] == (
+            webclean.GOPHER_MIN_WORDS <= nw <= webclean.GOPHER_MAX_WORDS
+        )
+        assert r["ok_word_len"] == (
+            webclean.GOPHER_MIN_WLEN_X1 * nw
+            <= sum_wlen
+            <= webclean.GOPHER_MAX_WLEN_X1 * nw
+        )
+        assert r["ok_symbols"] == (10 * n_sym <= nw)
+        assert r["ok_alpha_words"] == (5 * n_alpha >= 4 * nw)
+        assert r["ok_stopwords"] == (n_stop >= webclean.GOPHER_MIN_STOP)
+        assert r["gopher_pass"] == all(
+            [r["ok_word_count"], r["ok_word_len"], r["ok_symbols"],
+             r["ok_alpha_words"], r["ok_stopwords"]]
+        )
+        n_pass += r["gopher_pass"]
+    # the gate must actually discriminate on this corpus
+    assert 0 < n_pass < len(docs)
