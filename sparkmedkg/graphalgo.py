@@ -888,3 +888,104 @@ SELECT n AS n_edges,
          AS assortativity
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Landmark closeness centrality.
+# ---------------------------------------------------------------------------
+
+CLOSENESS_LANDMARKS = 4
+
+
+def q_closeness(
+    spark: SparkSession,
+    sf_dir: str,
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, n_lm, sum_dist, closeness): landmark-estimated closeness
+    centrality — multi-source BFS from the ``n_landmarks`` smallest node
+    ids (deterministic without configuration), then per node the count of
+    landmarks reaching it within ``max_hops`` and closeness =
+    n_lm / sum_dist over those landmarks (self-distances excluded).  The
+    standard exact-closeness replacement when all-pairs BFS is off the
+    table: cost is n_landmarks BFS frontiers run as ONE keyed frontier
+    (lm, node), so the per-round join is a single equi-join whatever the
+    landmark count.  The landmark pick sorts only the distinct-node table
+    (node-sized, far below the corpus); each round joins the frontier —
+    not the closure — against the persisted edge set, with eager
+    localCheckpoints keeping lineage O(1) deep."""
+    edges = _edges(spark, sf_dir, min_docs)
+    w = Window.orderBy("src")
+    landmarks = (
+        edges.select("src")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_landmarks)
+        .select(F.col("src").alias("lm"))
+    )
+    visited = landmarks.select(
+        "lm", F.col("lm").alias("CUI"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["CUI"] == edges["src"])
+            .select("lm", F.col("dst").alias("CUI"))
+            .distinct()
+            .join(visited.select("lm", "CUI"), ["lm", "CUI"], "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    reach = visited.where(F.col("dist") > 0)
+    return reach.groupBy("CUI").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lm"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    ).select(
+        "CUI",
+        "n_lm",
+        "sum_dist",
+        F.round(
+            F.col("n_lm").cast("double") / F.col("sum_dist").cast("double"), 6
+        ).alias("closeness"),
+    )
+
+
+def sql_closeness(
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT lm, cui, MIN(dist) AS dist FROM (
+    SELECT lm, cui, dist FROM r{k - 1}
+    UNION ALL
+    SELECT p.lm, e.dst AS cui, p.dist + 1 AS dist
+    FROM r{k - 1} p JOIN e ON e.src = p.cui
+  ) GROUP BY lm, cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM e
+                               ORDER BY src LIMIT {n_landmarks})),
+r0 AS (SELECT lm, lm AS cui, 0 AS dist FROM lms),
+{unrolled}
+SELECT cui AS CUI,
+       CAST(COUNT(*) AS BIGINT) AS n_lm,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE), 6)
+         AS closeness
+FROM r{max_hops}
+WHERE dist > 0
+GROUP BY cui
+"""

@@ -2081,3 +2081,96 @@ SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
 FROM rich JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region.
+# ---------------------------------------------------------------------------
+
+Q8_TARGET_NATION = "NATION_1"
+Q8_REGION = "ASIA"
+
+
+def tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_year, total_rev, target_rev, mkt_share): per order year, the
+    revenue share supplied by Q8_TARGET_NATION among all lineitems sold
+    to customers in Q8_REGION — the Q8 conditional-aggregate-ratio shape.
+    Supplier nation rides a broadcast dim into a CASE inside the same
+    grouped aggregate (one pass, no second join-back); both revenue sums
+    are DECIMAL (exact, order-independent), so the final share is one
+    deterministic double division."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    cust_r = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders_r = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust_r), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    )
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_r, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(rev).alias("tot"),
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_TARGET_NATION, rev).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias("tgt"),
+        )
+        .select(
+            "o_year",
+            F.col("tot").cast("double").alias("total_rev"),
+            F.col("tgt").cast("double").alias("target_rev"),
+            F.round(
+                F.col("tgt").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def sql_tpch_market_share() -> str:
+    return f"""
+WITH cust_r AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q8_REGION}'
+),
+base AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)) AS rev,
+         n_name AS supp_nation
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust_r ON o_custkey = c_custkey
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(SUM(rev) AS DOUBLE) AS total_rev,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_TARGET_NATION}' THEN rev
+                     ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+         AS target_rev,
+       round(CAST(SUM(CASE WHEN supp_nation = '{Q8_TARGET_NATION}' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM base
+GROUP BY o_year
+"""

@@ -466,3 +466,106 @@ def sql_stream_error_click_replay() -> str:
     from sparkmedkg import relops
 
     return relops.sql_events_range_join()
+
+
+def q_stream_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_start_us, event_type, n_events, sum_value): the watermarked
+    tumbling-window aggregation (the same built-in ``F.window`` +
+    watermark operator as windowed_mention_counts) replayed availableNow
+    over the events table, complete-mode memory sink — a driver-green row
+    for the windowed-aggregation streaming lane.  A generous watermark
+    means the full replay drops nothing, so the oracle is exactly the
+    batch tumbling SQL (relops.events_tumbling_counts' twin).  In
+    production the watermark bounds state to live windows; the operator
+    and plan are identical."""
+    import uuid
+
+    in_dir, _ = _replay_dirs()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+    )
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"tumb_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def sql_stream_tumbling_replay() -> str:
+    from sparkmedkg import relops
+
+    return relops.sql_events_tumbling_counts()
+
+
+def q_stream_first_seen_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, first_seen_us): the custom stateful first-seen URL dedup
+    (applyInPandasWithState, stream_first_seen_urls) replayed availableNow
+    over a synthetic crawl stream derived from the events table
+    (url = 'u<user_id>/<event_type>', warc_ts = ts) — a driver-green row
+    for the custom-stateful-operator lane.  All files land in one
+    availableNow batch, so each key's emitted timestamp is its global
+    minimum and the oracle is a plain GROUP BY MIN; the cross-batch state
+    semantics (and the event-time TTL expiry) stay pinned by
+    tests/test_streaming.py's multi-batch replays."""
+    import uuid
+
+    in_dir, _ = _replay_dirs()
+    crawl = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.concat(
+                F.lit("u"), F.col("user_id").cast("string"),
+                F.lit("/"), F.col("event_type"),
+            ).alias("url"),
+            F.col("ts").cast("timestamp").alias("warc_ts"),
+        )
+    )
+    crawl.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(crawl.schema).parquet(in_dir)
+    name = f"fs_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_first_seen_urls(stream)
+        .select("url", F.unix_micros("warc_ts").alias("first_seen_us"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def sql_stream_first_seen_replay() -> str:
+    return """
+SELECT 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS url,
+       epoch_us(MIN(ts)) AS first_seen_us
+FROM events
+GROUP BY 1
+"""

@@ -8,7 +8,7 @@ Everything is built-in pyspark.sql.functions — JVM-side, whole-stage-codegen
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 EN_MARKERS = ["the", "a", "of", "and", "is", "to"]
@@ -477,4 +477,76 @@ SELECT doc_id, n_words, n_sents, n_syllables,
              + 11.8 * (n_syllables::DOUBLE / n_words::DOUBLE) - 15.59, 4)
          AS fk_grade
 FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: rank-frequency power-law slope of the corpus vocabulary.
+# ---------------------------------------------------------------------------
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_types, n_tokens, zipf_slope): OLS slope of ln(frequency) on
+    ln(rank) over the corpus token-frequency table — the classic corpus
+    health check (natural text sits near -1; boilerplate-heavy or
+    templated crawls drift shallow).  One corpus pass builds the
+    vocab-sized count table; ranking sorts ONLY that table (single
+    partition is fine for a vocabulary, and deterministic: count desc,
+    token asc); the five OLS moments reduce in one agg.  The ln() sums
+    are double accumulations over vocab-sized input — the one float
+    reduction here — rounded to 6, far above double associativity noise
+    at any realistic vocabulary size."""
+    counts = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = counts.withColumn("rk", F.row_number().over(w)).select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.col("n"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (
+        F.col("k").cast("double") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.col("k").cast("double") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("n_types"),
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+def sql_zipf_fit() -> str:
+    return """
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(n AS DOUBLE)) AS y, n
+  FROM counts
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT k AS n_types, n_tokens,
+       round((CAST(k AS DOUBLE) * sxy - sx * sy)
+             / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
+FROM m
 """

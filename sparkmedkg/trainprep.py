@@ -434,3 +434,123 @@ SELECT d.doc_id, d.tier, d.bucket, r.thr
 FROM d JOIN rates r USING (tier)
 WHERE d.bucket < r.thr
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram domain resampling scores).
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al., 2023): score every
+# corpus document by how target-domain-like its hashed bigram features are,
+# weight = sum over doc features of the target/corpus probability ratio.
+# The target here is the deterministic "long documents" slice (a real run
+# swaps in any labeled in-domain sample; the plan is unchanged).  The
+# classic formulation sums log-ratios; this one sums the Laplace-smoothed
+# ratios integer-quantized to ppm, so every arithmetic step is exact
+# BIGINT and engine-identical — no cross-row float accumulation at all.
+
+DSIR_BUCKETS = 256
+DSIR_PPM = 1_000_000
+DSIR_TARGET_MIN_WORDS = 60
+
+
+def dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(doc_id, is_target, n_feats, dsir_score_ppm): per-document DSIR
+    importance score — the sum over the doc's hashed-bigram features of
+    ppm((n_target_b + 1) * (C + B) / ((n_corpus_b + 1) * (T + B))), the
+    add-one-smoothed target/corpus bucket-probability ratio.
+
+    Plan: ONE corpus pass builds the exploded (doc, bucket) feature table
+    (arrays_zip over two token-array slices — row-local, no index-loop
+    HOF); bucket stats AND their totals both derive from the
+    B-row aggregate (B = 256), which broadcasts back over the feature
+    table for scoring — so the corpus shuffles once (the per-doc score
+    groupBy) and the ratio table never shuffles at all.  The feature
+    table is persisted across its two consumers (stats pass + scoring
+    pass) via the corpus-query cache registry.  BIGINT headroom: the
+    ppm numerator is bounded by (T+1)*(C+B)*1e6 — fine through ~1e9
+    bigrams; past that, pre-divide the ratio's constant factor or score
+    in DECIMAL(38,0), same plan."""
+    from sparkmedkg import webkg
+    from sparkmedkg.webgraph import _h60
+
+    toks = F.split(F.lower(F.col("text")), " ")
+    feats = webkg._track(
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("ws"))
+        .select(
+            "doc_id",
+            (F.size("ws") >= DSIR_TARGET_MIN_WORDS).alias("is_target"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (_h60(F.concat_ws(" ", "bg.w1", "bg.w2")) % n_buckets).alias("b"),
+        )
+    )
+    stats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    totals = stats.agg(
+        F.sum("n_c").alias("tot_c"), F.sum("n_t").alias("tot_t")
+    )
+    term = F.expr(
+        f"(n_t + 1) * (tot_c + {n_buckets}) * {DSIR_PPM}"
+        f" div ((n_c + 1) * (tot_t + {n_buckets}))"
+    )
+    return (
+        feats.join(F.broadcast(stats), "b")
+        .join(F.broadcast(totals))
+        .select("doc_id", "is_target", term.alias("term_ppm"))
+        .groupBy("doc_id", "is_target")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("term_ppm").cast("bigint").alias("dsir_score_ppm"),
+        )
+    )
+
+
+def sql_dsir_weights(n_buckets: int = DSIR_BUCKETS) -> str:
+    from sparkmedkg.webgraph import _sql_h60
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+pos AS (
+  SELECT doc_id, len(ws) >= {DSIR_TARGET_MIN_WORDS} AS is_target, ws,
+         unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM toks
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, is_target,
+         {_sql_h60("ws[i] || ' ' || ws[i + 1]")} % {n_buckets} AS b
+  FROM pos
+),
+stats AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM feats GROUP BY b
+),
+tot AS (
+  SELECT CAST(SUM(n_c) AS BIGINT) AS tot_c,
+         CAST(SUM(n_t) AS BIGINT) AS tot_t
+  FROM stats
+)
+SELECT doc_id, is_target, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM((n_t + 1) * (tot_c + {n_buckets}) * {DSIR_PPM}
+                // ((n_c + 1) * (tot_t + {n_buckets}))) AS BIGINT)
+         AS dsir_score_ppm
+FROM feats JOIN stats USING (b) CROSS JOIN tot
+GROUP BY doc_id, is_target
+"""

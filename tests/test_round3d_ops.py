@@ -239,3 +239,203 @@ def test_gopher_rules_bruteforce_and_discriminative(spark):
         n_pass += r["gopher_pass"]
     # the gate must actually discriminate on this corpus
     assert 0 < n_pass < len(docs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: market share
+# ---------------------------------------------------------------------------
+
+def test_market_share_bruteforce(spark):
+    got = {
+        r["o_year"]: (r["total_rev"], r["target_rev"], r["mkt_share"])
+        for r in relops.tpch_market_share(spark, SF).collect()
+    }
+    assert got
+    nation = {
+        r["n_nationkey"]: (r["n_name"], r["n_regionkey"])
+        for r in spark.read.parquet(f"{SF}/nation.parquet").collect()
+    }
+    region = {
+        r["r_regionkey"]: r["r_name"]
+        for r in spark.read.parquet(f"{SF}/region.parquet").collect()
+    }
+    cust_r = {
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+        if region[nation[r["c_nationkey"]][1]] == relops.Q8_REGION
+    }
+    supp_n = {
+        r["s_suppkey"]: nation[r["s_nationkey"]][0]
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    orders = {
+        r["o_orderkey"]: (r["o_custkey"], r["o_orderdate"].year)
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    tot, tgt = defaultdict(float), defaultdict(float)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        cust, year = orders[r["l_orderkey"]]
+        if cust not in cust_r:
+            continue
+        rev = r["l_extendedprice"] * (1.0 - r["l_discount"])
+        tot[year] += rev
+        if supp_n[r["l_suppkey"]] == relops.Q8_TARGET_NATION:
+            tgt[year] += rev
+    assert set(got) == set(tot)
+    for y in tot:
+        assert abs(got[y][0] - tot[y]) < 1e-4
+        assert abs(got[y][1] - tgt[y]) < 1e-4
+        assert abs(got[y][2] - tgt[y] / tot[y]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_bruteforce(spark):
+    from sparkmedkg import trainprep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    B, PPM = trainprep.DSIR_BUCKETS, trainprep.DSIR_PPM
+
+    def bucket(bg: str) -> int:
+        return int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % B
+
+    feats, is_t = {}, {}
+    for d in docs:
+        ws = d["text"].lower().split(" ")
+        is_t[d["doc_id"]] = len(ws) >= trainprep.DSIR_TARGET_MIN_WORDS
+        feats[d["doc_id"]] = [
+            bucket(f"{ws[i]} {ws[i + 1]}") for i in range(len(ws) - 1)
+        ]
+    n_c, n_t = defaultdict(int), defaultdict(int)
+    for did, bs in feats.items():
+        for b in bs:
+            n_c[b] += 1
+            if is_t[did]:
+                n_t[b] += 1
+    tot_c, tot_t = sum(n_c.values()), sum(n_t.values())
+    got = {
+        r["doc_id"]: (r["is_target"], r["n_feats"], r["dsir_score_ppm"])
+        for r in trainprep.dsir_weights(spark, SF).collect()
+    }
+    assert set(got) == set(feats)
+    n_targets = sum(is_t.values())
+    assert 0 < n_targets < len(docs)  # target slice is non-degenerate
+    for did, bs in feats.items():
+        score = sum(
+            (n_t[b] + 1) * (tot_c + B) * PPM // ((n_c[b] + 1) * (tot_t + B))
+            for b in bs
+        )
+        assert got[did] == (is_t[did], len(bs), score)
+
+
+def test_dsir_target_docs_score_higher_on_average(spark):
+    from sparkmedkg import trainprep
+
+    rows = trainprep.dsir_weights(spark, SF).collect()
+    t = [r["dsir_score_ppm"] / r["n_feats"] for r in rows if r["is_target"]]
+    o = [r["dsir_score_ppm"] / r["n_feats"] for r in rows if not r["is_target"]]
+    assert sum(t) / len(t) > sum(o) / len(o)
+
+
+# ---------------------------------------------------------------------------
+# Landmark closeness
+# ---------------------------------------------------------------------------
+
+def test_closeness_bruteforce(spark):
+    edges = _edge_set(spark)
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    lms = sorted(adj)[: graphalgo.CLOSENESS_LANDMARKS]
+    dist = {}
+    for lm in lms:
+        seen = {lm: 0}
+        frontier = [lm]
+        for k in range(1, graphalgo.BFS_MAX_HOPS + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        seen[v] = k
+                        nxt.append(v)
+            frontier = nxt
+        for v, dd in seen.items():
+            if dd > 0:
+                dist[(lm, v)] = dd
+    want = defaultdict(lambda: [0, 0])
+    for (lm, v), dd in dist.items():
+        want[v][0] += 1
+        want[v][1] += dd
+    got = {
+        r["CUI"]: (r["n_lm"], r["sum_dist"], r["closeness"])
+        for r in graphalgo.q_closeness(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for v, (n_lm, sd) in want.items():
+        assert got[v][0] == n_lm and got[v][1] == sd
+        assert abs(got[v][2] - round(n_lm / sd, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_bruteforce(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    counts = defaultdict(int)
+    for d in docs:
+        for t in re.split(" +", d["text"].lower()):
+            counts[t] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ranked))]
+    ys = [math.log(n) for _, n in ranked]
+    k = len(ranked)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    row = textstats.zipf_fit(spark, SF).collect()[0]
+    assert row["n_types"] == k
+    assert row["n_tokens"] == sum(counts.values())
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert row["zipf_slope"] < 0  # frequency falls with rank
+
+
+# ---------------------------------------------------------------------------
+# Streaming replays vs batch twins
+# ---------------------------------------------------------------------------
+
+def test_stream_tumbling_replay_matches_batch(spark):
+    from sparkmedkg import streaming
+
+    got = sorted(
+        tuple(r) for r in streaming.q_stream_tumbling_replay(spark, SF).collect()
+    )
+    want = sorted(
+        tuple(r) for r in relops.events_tumbling_counts(spark, SF).collect()
+    )
+    assert got == want
+
+
+def test_stream_first_seen_replay_matches_groupby_min(spark):
+    from sparkmedkg import streaming
+
+    got = sorted(
+        tuple(r)
+        for r in streaming.q_stream_first_seen_replay(spark, SF).collect()
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = sorted(
+        tuple(r)
+        for r in ev.groupBy(
+            F.concat(
+                F.lit("u"), F.col("user_id").cast("string"),
+                F.lit("/"), F.col("event_type"),
+            ).alias("url")
+        )
+        .agg(F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("first_seen_us"))
+        .collect()
+    )
+    assert got == want
