@@ -989,3 +989,118 @@ FROM r{max_hops}
 WHERE dist > 0
 GROUP BY cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Community modularity (scoring the label-propagation partition).
+# ---------------------------------------------------------------------------
+
+def q_modularity(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = LPA_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(n_comms, m_edges, modularity): Newman modularity of the
+    label-propagation partition over the symmetric edge list —
+    Q = sum_c (e_c/m - (deg_c/m)^2) with m the directed edge count,
+    e_c the within-community directed edges and deg_c the community's
+    degree mass.  The quality number a community detector reports next
+    to its labels.  Computed as one exact BIGINT numerator
+    sum_c (e_c*m - deg_c^2) over the community-sized aggregate, divided
+    once by m^2 — no per-community float accumulation.  The label table
+    is localCheckpointed so its LPA loop runs once across the three
+    consumers (src join, dst join, degree join).  (deg_c^2 wants
+    DECIMAL(38,0) past ~10^9 directed edges; same plan.)"""
+    edges = _edges(spark, sf_dir, min_docs)
+    labels = q_label_propagation(spark, sf_dir, iters, min_docs).localCheckpoint(
+        eager=True
+    )
+    la = labels.select(F.col("CUI").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("CUI").alias("dst"), F.col("label").alias("lb"))
+    e_c = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg_c = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .join(F.broadcast(la), "src")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.sum("deg").cast("bigint").alias("deg_c"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    comm = deg_c.join(e_c, "label", "left").na.fill({"e_c": 0})
+    return (
+        comm.crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_comms"),
+            F.first("m").alias("m_edges"),
+            F.sum(
+                F.col("e_c") * F.col("m") - F.col("deg_c") * F.col("deg_c")
+            ).alias("num"),
+        )
+        .select(
+            "n_comms",
+            "m_edges",
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("m_edges") * F.col("m_edges")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )
+
+
+def sql_modularity(
+    iters: int = LPA_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT dst AS cui, label FROM (
+    SELECT e.dst, p.label,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM e JOIN l{k - 1} p ON e.src = p.cui
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+l0 AS (SELECT DISTINCT src AS cui, src AS label FROM e),
+{unrolled},
+lab AS MATERIALIZED (SELECT cui, label FROM l{iters}),
+e_c AS (
+  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS e_c
+  FROM e
+  JOIN lab la ON la.cui = e.src
+  JOIN lab lb ON lb.cui = e.dst
+  WHERE la.label = lb.label
+  GROUP BY la.label
+),
+deg_c AS (
+  SELECT la.label, CAST(SUM(d.deg) AS BIGINT) AS deg_c
+  FROM (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src) d
+  JOIN lab la ON la.cui = d.src
+  GROUP BY la.label
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+comm AS (
+  SELECT deg_c.label, COALESCE(e_c.e_c, 0) AS e_c, deg_c.deg_c
+  FROM deg_c LEFT JOIN e_c ON e_c.label = deg_c.label
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_comms,
+       CAST(m.m AS BIGINT) AS m_edges,
+       round(CAST(SUM(e_c * m.m - deg_c * deg_c) AS DOUBLE)
+             / CAST(m.m * m.m AS DOUBLE), 6) AS modularity
+FROM comm CROSS JOIN m
+GROUP BY m.m
+"""

@@ -190,3 +190,54 @@ SELECT {k} AS k,
        (SELECT COUNT(*) FROM hits) AS n_hits,
        round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
 """
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, total_tokens, n_seqs, capacity, fill_ppm): how full the
+    packed fixed-block training sequences are — the utilization number a
+    sequence-packing stage reports (wasted capacity = padding tokens the
+    trainer burns compute on).  One aggregate over corpusops.pack_sequences'
+    per-doc placement rows; fill is integer-quantized to ppm (exact
+    cross-engine).  Scale: the input is the packing table itself (one row
+    per doc), so this is a single partial-agg pass."""
+    from sparkmedkg import corpusops
+
+    placed = corpusops.pack_sequences(spark, sf_dir)
+    return (
+        placed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("last_seq") + 1).cast("bigint").alias("n_seqs"),
+        )
+        .select(
+            "n_docs",
+            "total_tokens",
+            "n_seqs",
+            (F.col("n_seqs") * corpusops.PACK_BLOCK).cast("bigint").alias("capacity"),
+            F.expr(
+                f"total_tokens * 1000000 div (n_seqs * {corpusops.PACK_BLOCK})"
+            )
+            .cast("bigint")
+            .alias("fill_ppm"),
+        )
+    )
+
+
+def sql_packing_efficiency() -> str:
+    from sparkmedkg import corpusops
+
+    block = corpusops.PACK_BLOCK
+    return f"""
+WITH placed AS ({corpusops.sql_pack_sequences()}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(last_seq) + 1 AS BIGINT) AS n_seqs
+  FROM placed
+)
+SELECT n_docs, total_tokens, n_seqs,
+       CAST(n_seqs * {block} AS BIGINT) AS capacity,
+       CAST(total_tokens * 1000000 // (n_seqs * {block}) AS BIGINT)
+         AS fill_ppm
+FROM agg
+"""

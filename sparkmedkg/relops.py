@@ -2174,3 +2174,73 @@ SELECT CAST(o_year AS INT) AS o_year,
 FROM base
 GROUP BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item revenue by customer.
+# ---------------------------------------------------------------------------
+
+Q10_TOPK = 20
+
+
+def tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_name, n_name, lost_revenue): the top customers by
+    revenue on RETURNED lineitems — the Q10 shape (fact filter ->
+    customer rollup -> top-k).  The returnflag predicate pushes into the
+    lineitem scan; the orders join hydrates only returned lineitems; the
+    customer/nation dims broadcast onto the aggregated per-customer rows.
+    Top-k is TakeOrdered (revenue desc, custkey asc — deterministic),
+    DECIMAL revenue sums reported as double."""
+    rev = (
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("rev"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("lost"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("lost").cast("double").alias("lost_revenue"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+def sql_tpch_returned_items() -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+           AS lost
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name, CAST(lost AS DOUBLE) AS lost_revenue
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT {Q10_TOPK}
+"""

@@ -1016,3 +1016,72 @@ SELECT label, CAST(predicted AS INTEGER) AS predicted,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation: recall of dim-truncated cosine vs full-dim.
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 32
+
+
+def matryoshka_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    dims: int = MRL_DIM,
+) -> DataFrame:
+    """(k, dims, n_hits, recall): recall@k of cosine search over the first
+    ``dims`` embedding components against the full-dimension answer — the
+    evaluation behind Matryoshka-style dimension truncation (serve a
+    prefix of the vector, keep most of the answer quality at a fraction
+    of the memory/bandwidth).  Both searches are the brute-force
+    TakeOrdered plan; truncation is F.slice in the projection, so the
+    scan reads the same column and the truncated path moves half the
+    bytes through the fold.  (These synthetic embeddings have no
+    MRL-trained prefix structure, so recall here exercises the harness,
+    not a quality claim.)"""
+    full_ids = cosine_topk(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.slice("v", 1, dims).alias("v")
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    trunc_ids = (
+        emb.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+    hits = trunc_ids.join(full_ids, "vec_id")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k).alias("k"),
+        F.lit(dims).alias("dims"),
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall"),
+    )
+
+
+def sql_matryoshka_recall(
+    query_id: int = 0, k: int = 10, dims: int = MRL_DIM
+) -> str:
+    dot = _SQL_DOT.format(a="e.v", b="q.qv")
+    cos = f"({dot}) / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='q.qv')})"
+    return f"""
+WITH full_ids AS (SELECT vec_id FROM ({sql_cosine_topk(query_id, k)}) f),
+e AS (SELECT vec_id, list_slice(embedding, 1, {dims}) AS v FROM embeddings),
+q AS (SELECT list_slice(embedding, 1, {dims}) AS qv
+      FROM embeddings WHERE vec_id = {query_id}),
+trunc_ids AS (
+  SELECT vec_id FROM e, q
+  WHERE e.vec_id <> {query_id}
+  ORDER BY {cos} DESC, vec_id ASC
+  LIMIT {k}
+),
+hits AS (SELECT * FROM trunc_ids INTERSECT SELECT * FROM full_ids)
+SELECT {k} AS k, {dims} AS dims,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
+"""

@@ -439,3 +439,108 @@ def test_stream_first_seen_replay_matches_groupby_min(spark):
         .collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned items
+# ---------------------------------------------------------------------------
+
+def test_returned_items_bruteforce(spark):
+    got = [
+        (r["c_custkey"], r["n_name"], r["lost_revenue"])
+        for r in relops.tpch_returned_items(spark, SF).collect()
+    ]
+    assert len(got) == relops.Q10_TOPK
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in spark.read.parquet(f"{SF}/orders.parquet").collect()
+    }
+    lost = defaultdict(float)
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        if r["l_returnflag"] == "R":
+            lost[orders[r["l_orderkey"]]] += r["l_extendedprice"] * (
+                1.0 - r["l_discount"]
+            )
+    ranked = sorted(lost.items(), key=lambda kv: (-kv[1], kv[0]))
+    for (ck, _, lr), (wck, wlr) in zip(got, ranked[: relops.Q10_TOPK]):
+        assert ck == wck
+        assert abs(lr - wlr) < 1e-4
+    # revenue descending
+    assert all(got[i][2] >= got[i + 1][2] for i in range(len(got) - 1))
+
+
+# ---------------------------------------------------------------------------
+# Modularity
+# ---------------------------------------------------------------------------
+
+def test_modularity_bruteforce(spark):
+    edges = _edge_set(spark)
+    labels = {
+        r["CUI"]: r["label"]
+        for r in graphalgo.q_label_propagation(spark, SF).collect()
+    }
+    m = len(edges)
+    e_c, deg_c = defaultdict(int), defaultdict(int)
+    for s, d in edges:
+        deg_c[labels[s]] += 1
+        if labels[s] == labels[d]:
+            e_c[labels[s]] += 1
+    comms = set(deg_c)
+    num = sum(e_c[c] * m - deg_c[c] * deg_c[c] for c in comms)
+    row = graphalgo.q_modularity(spark, SF).collect()[0]
+    assert row["n_comms"] == len(comms)
+    assert row["m_edges"] == m
+    assert abs(row["modularity"] - num / (m * m)) < 1e-6
+    assert -0.5 <= row["modularity"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency
+# ---------------------------------------------------------------------------
+
+def test_packing_efficiency_consistent_with_placement(spark):
+    from sparkmedkg import corpusops, metrics
+
+    placed = corpusops.pack_sequences(spark, SF).collect()
+    total = sum(r["n_tokens"] for r in placed)
+    n_seqs = max(r["last_seq"] for r in placed) + 1
+    row = metrics.packing_efficiency(spark, SF).collect()[0]
+    assert row["n_docs"] == len(placed)
+    assert row["total_tokens"] == total
+    assert row["n_seqs"] == n_seqs
+    assert row["capacity"] == n_seqs * corpusops.PACK_BLOCK
+    assert row["fill_ppm"] == total * 1_000_000 // (n_seqs * corpusops.PACK_BLOCK)
+    assert 0 < row["fill_ppm"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka recall
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_recall_bruteforce(spark):
+    from sparkmedkg import simsearch
+
+    embs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    def topk(d):
+        qv = embs[0][:d]
+        def cos(v):
+            v = v[:d]
+            num = sum(a * b for a, b in zip(v, qv))
+            den = math.sqrt(sum(a * a for a in v)) * math.sqrt(
+                sum(b * b for b in qv)
+            )
+            return num / den
+        scored = sorted(
+            ((vid, cos(v)) for vid, v in embs.items() if vid != 0),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return {vid for vid, _ in scored[:10]}
+
+    want_hits = len(topk(simsearch.MRL_DIM) & topk(simsearch.DIM))
+    row = simsearch.matryoshka_recall(spark, SF).collect()[0]
+    assert (row["k"], row["dims"]) == (10, simsearch.MRL_DIM)
+    assert row["n_hits"] == want_hits
+    assert abs(row["recall"] - want_hits / 10.0) < 1e-9
