@@ -129,6 +129,20 @@ BENCH_QUERIES = {
     "corpus_kmv_intersect": webgraph.kmv_intersect,
     "dedup_simhash_pairs": dedup.simhash_pairs,
     "tpch_small_qty_revenue": relops.tpch_small_qty_revenue,
+    # round-3 fourth/fifth batch: Q7/Q8/Q10/Q22 shapes, link prediction,
+    # community scoring, centrality, corpus stats, DSIR, truncation eval
+    "tpch_volume_shipping": relops.tpch_volume_shipping,
+    "tpch_market_share": relops.tpch_market_share,
+    "tpch_returned_items": relops.tpch_returned_items,
+    "corpus_gopher_rules": webclean.gopher_rules,
+    "text_readability": textstats.readability,
+    "text_zipf_fit": textstats.zipf_fit,
+    "corpus_dsir_weights": trainprep.dsir_weights,
+    "kg_link_pred_scores": webgraph.q_link_pred_scores,
+    "kg_modularity": graphalgo.q_modularity,
+    "kg_closeness": graphalgo.q_closeness,
+    "kg_distmult_rank": kgembed.q_distmult_rank,
+    "emb_matryoshka_recall": simsearch.matryoshka_recall,
 }
 
 
