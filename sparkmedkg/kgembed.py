@@ -347,3 +347,50 @@ SELECT subj_cui, pred, obj_cui,
 FROM scored
 GROUP BY subj_cui, pred, obj_cui, pos_score
 """
+
+
+# ---------------------------------------------------------------------------
+# KG schema statistics (VoID-style dataset description).
+# ---------------------------------------------------------------------------
+
+def q_schema_stats(
+    spark: SparkSession, sf_dir: str, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """(pred, n_triples, n_subj, n_obj, occ_mass, avg_fanout_ppm): the
+    per-predicate cardinality profile (VoID-style dataset description) a
+    KG consumer reads before writing queries — triple count, distinct
+    subject/object counts, total occurrence mass, and the mean
+    objects-per-subject fan-out integer-quantized to ppm.  One groupBy
+    over the canonical relations table (triple-set-sized, far below the
+    corpus); distinct counts are exact per-pred aggregates."""
+    rel = relations.q_relations(spark, sf_dir, max_gap=max_gap)
+    return rel.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+        F.countDistinct("subj_cui").cast("bigint").alias("n_subj"),
+        F.countDistinct("obj_cui").cast("bigint").alias("n_obj"),
+        F.sum("n_occ").cast("bigint").alias("occ_mass"),
+    ).select(
+        "pred",
+        "n_triples",
+        "n_subj",
+        "n_obj",
+        "occ_mass",
+        F.expr("n_triples * 1000000 div n_subj").cast("bigint").alias(
+            "avg_fanout_ppm"
+        ),
+    )
+
+
+def sql_schema_stats(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH rel AS ({relations.sql_relations(max_gap)})
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj_cui) AS BIGINT) AS n_subj,
+       CAST(COUNT(DISTINCT obj_cui) AS BIGINT) AS n_obj,
+       CAST(SUM(n_occ) AS BIGINT) AS occ_mass,
+       CAST(COUNT(*) * 1000000 // COUNT(DISTINCT subj_cui) AS BIGINT)
+         AS avg_fanout_ppm
+FROM rel
+GROUP BY pred
+"""

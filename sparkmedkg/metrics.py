@@ -241,3 +241,85 @@ SELECT n_docs, total_tokens, n_seqs,
          AS fill_ppm
 FROM agg
 """
+
+
+def er_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_true_pairs, n_candidates, n_hits, recall): pair completeness of
+    the sorted-neighborhood window — candidates emitted by
+    er.sorted_neighborhood vs the full within-block match set (all
+    same-block pairs at edit distance <= LEV_MAX, enumerable because
+    blocks are bounded) — the scorecard that tells an ER pipeline whether
+    its window is wide enough.  Completes the approximation-scorecard
+    family (LSH dedup P/R, ANN/PQ recall, dedup report).  The truth join
+    is a block-key equi-join, never a corpus cross join; candidates are
+    verified-true by construction, so precision is 1 and the one number
+    that matters is recall."""
+    from sparkmedkg import er
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", er._norm(F.col("text")).alias("norm")
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.substring("norm", 1, er.SN_PREFIX).alias("block"),
+        F.substring("norm", 1, er.LEV_PREFIX).alias("sig"),
+    )
+    x = keyed.select("block", F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    y = keyed.select("block", F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    true_pairs = (
+        x.join(y, "block")
+        .where(F.col("a") < F.col("b"))
+        .where(F.levenshtein("sig_a", "sig_b") <= er.LEV_MAX)
+        .select("a", "b")
+    )
+    cand = er.sorted_neighborhood(spark, sf_dir).select("a", "b")
+    hits = cand.join(true_pairs, ["a", "b"])
+    n_true = true_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def sql_er_blocking_recall() -> str:
+    from sparkmedkg import er
+
+    norm = er._sql_norm("text")
+    return f"""
+WITH kb AS MATERIALIZED (
+  -- outer CTE deliberately NOT named 'keyed': the embedded
+  -- sorted-neighborhood SQL defines its own 'keyed' and DuckDB resolves
+  -- the collision to the outer one, breaking the inner query
+  SELECT doc_id,
+         substring({norm}, 1, {er.SN_PREFIX}) AS block,
+         substring({norm}, 1, {er.LEV_PREFIX}) AS sig
+  FROM documents
+),
+true_pairs AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM kb x JOIN kb y ON x.block = y.block AND x.doc_id < y.doc_id
+  WHERE levenshtein(x.sig, y.sig) <= {er.LEV_MAX}
+),
+cand AS MATERIALIZED (
+  SELECT a, b FROM ({er.sql_sorted_neighborhood()}) c
+),
+hits AS (SELECT c.a, c.b FROM cand c JOIN true_pairs t
+         ON t.a = c.a AND t.b = c.b)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE
+             / (SELECT COUNT(*) FROM true_pairs)::DOUBLE, 6) AS recall
+"""

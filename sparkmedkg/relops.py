@@ -2244,3 +2244,74 @@ JOIN nation ON c_nationkey = n_nationkey
 ORDER BY lost_revenue DESC, c_custkey ASC
 LIMIT {Q10_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive predicate revenue.
+# ---------------------------------------------------------------------------
+
+Q19_CLAUSES = (
+    # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#13", 1, 15, 0.0, 25.0),
+    ("Brand#19", 5, 30, 10.0, 40.0),
+)
+
+
+def tpch_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_items, revenue): revenue from lineitems matching EITHER of two
+    brand/size/quantity clause conjunctions — the Q19 OR-of-ANDs shape.
+    The part-side conjuncts (brand, size) evaluate inside the broadcast
+    dim BEFORE the join, so only possibly-qualifying parts ship; the
+    mixed part+lineitem disjunction evaluates as one JVM boolean
+    expression post-join (Catalyst additionally pushes the derived
+    brand-IN superset into both scans).  DECIMAL revenue sum; quantity
+    bounds compare in integer micros (exact)."""
+    part_pred = None
+    for b, slo, shi, _, _ in Q19_CLAUSES:
+        c = (F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+        part_pred = c if part_pred is None else (part_pred | c)
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(part_pred)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    qty_u = F.round(F.col("l_quantity") * 1_000_000).cast("bigint")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        qty_u.alias("qty_u"),
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        .cast("decimal(18,6)")
+        .alias("rev"),
+    )
+    full = None
+    for b, slo, shi, qlo, qhi in Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("qty_u").between(int(qlo * 1e6), int(qhi * 1e6))
+        )
+        full = c if full is None else (full | c)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(full)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+def sql_tpch_disjunctive_revenue() -> str:
+    ors = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND CAST(round(l_quantity * 1000000) AS BIGINT)"
+        f" BETWEEN {int(qlo * 1e6)} AND {int(qhi * 1e6)})"
+        for b, slo, shi, qlo, qhi in Q19_CLAUSES
+    )
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {ors}
+"""

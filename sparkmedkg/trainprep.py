@@ -554,3 +554,58 @@ SELECT doc_id, is_target, CAST(COUNT(*) AS BIGINT) AS n_feats,
 FROM feats JOIN stats USING (b) CROSS JOIN tot
 GROUP BY doc_id, is_target
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split manifest (growth-stable assignment).
+# ---------------------------------------------------------------------------
+
+SPLIT_BOUNDS_BP = (9800, 9900)   # train < 9800 <= val < 9900 <= test (of 10k)
+
+
+def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_docs, n_tokens): corpus partitioned into train/val/test
+    by the deterministic md5 bucket of doc_id alone — so a document's
+    split NEVER changes as the corpus grows (the property that prevents
+    eval contamination across dataset refreshes; date- or
+    position-based splits lack it).  Map-only bucket + one 3-row
+    aggregate; the per-doc assignment is the same
+    md5-mod-10000 primitive as stratified_sample, reusable as a column
+    anywhere."""
+    lo, hi = SPLIT_BOUNDS_BP
+    split = (
+        F.when(_bucket_col() < lo, F.lit("train"))
+        .when(_bucket_col() < hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    toks = F.split(F.lower(F.col("text")), " +")
+    return (
+        _docs(spark, sf_dir)
+        .select(split.alias("split"), F.size(toks).cast("bigint").alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def sql_split_manifest() -> str:
+    lo, hi = SPLIT_BOUNDS_BP
+    bucket = (
+        "(CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) "
+        f"% {SAMPLE_MOD})"
+    )
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {bucket} < {lo} THEN 'train'
+              WHEN {bucket} < {hi} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(regexp_split_to_array(lower(text), ' +')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM t GROUP BY split
+"""

@@ -544,3 +544,135 @@ def test_matryoshka_recall_bruteforce(spark):
     assert (row["k"], row["dims"]) == (10, simsearch.MRL_DIM)
     assert row["n_hits"] == want_hits
     assert abs(row["recall"] - want_hits / 10.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: disjunctive revenue
+# ---------------------------------------------------------------------------
+
+def test_disjunctive_revenue_bruteforce(spark):
+    parts = {
+        r["p_partkey"]: (r["p_brand"], r["p_size"])
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    }
+    n, rev = 0, 0.0
+    for r in spark.read.parquet(f"{SF}/lineitem.parquet").collect():
+        brand, size = parts[r["l_partkey"]]
+        q = r["l_quantity"]
+        if any(
+            brand == b and slo <= size <= shi and qlo <= q <= qhi
+            for b, slo, shi, qlo, qhi in relops.Q19_CLAUSES
+        ):
+            n += 1
+            rev += r["l_extendedprice"] * (1.0 - r["l_discount"])
+    row = relops.tpch_disjunctive_revenue(spark, SF).collect()[0]
+    assert row["n_items"] == n and n > 0
+    assert abs(row["revenue"] - rev) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# KG schema stats
+# ---------------------------------------------------------------------------
+
+def test_schema_stats_bruteforce(spark):
+    rel = relations.q_relations(spark, SF).collect()
+    want = defaultdict(lambda: [0, set(), set(), 0])
+    for r in rel:
+        w = want[r["pred"]]
+        w[0] += 1
+        w[1].add(r["subj_cui"])
+        w[2].add(r["obj_cui"])
+        w[3] += r["n_occ"]
+    got = {r["pred"]: r for r in kgembed.q_schema_stats(spark, SF).collect()}
+    assert set(got) == set(want)
+    for p, (nt, subj, obj, occ) in want.items():
+        g = got[p]
+        assert (g["n_triples"], g["n_subj"], g["n_obj"], g["occ_mass"]) == (
+            nt, len(subj), len(obj), occ
+        )
+        assert g["avg_fanout_ppm"] == nt * 1_000_000 // len(subj)
+
+
+# ---------------------------------------------------------------------------
+# ER blocking recall
+# ---------------------------------------------------------------------------
+
+def test_er_blocking_recall_bruteforce(spark):
+    from sparkmedkg import er, metrics
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    import re as _re
+
+    def norm(t):
+        return _re.sub("[^a-z0-9 ]", "", t.lower())
+
+    by_block = defaultdict(list)
+    for d in docs:
+        n = norm(d["text"])
+        by_block[n[: er.SN_PREFIX]].append((d["doc_id"], n[: er.LEV_PREFIX]))
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    true_pairs = set()
+    for block, rows in by_block.items():
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, sa = rows[i]
+                b, sb = rows[j]
+                if lev(sa, sb) <= er.LEV_MAX:
+                    true_pairs.add((min(a, b), max(a, b)))
+    cand = {
+        (r["a"], r["b"])
+        for r in er.sorted_neighborhood(spark, SF).collect()
+    }
+    row = metrics.er_blocking_recall(spark, SF).collect()[0]
+    assert row["n_true_pairs"] == len(true_pairs)
+    assert row["n_candidates"] == len(cand)
+    assert row["n_hits"] == len(cand & true_pairs)
+    assert cand <= true_pairs  # candidates are verified-true by construction
+    assert 0 < row["recall"] <= 1.0
+    assert abs(row["recall"] - len(cand & true_pairs) / len(true_pairs)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Split manifest
+# ---------------------------------------------------------------------------
+
+def test_split_manifest_bruteforce_and_growth_stable(spark):
+    from sparkmedkg import trainprep
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    lo, hi = trainprep.SPLIT_BOUNDS_BP
+    want = defaultdict(lambda: [0, 0])
+    assign = {}
+    for d in docs:
+        b = int(
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:15], 16
+        ) % trainprep.SAMPLE_MOD
+        split = "train" if b < lo else ("val" if b < hi else "test")
+        assign[d["doc_id"]] = split
+        want[split][0] += 1
+        want[split][1] += len(re.split(" +", d["text"].lower()))
+    got = {
+        r["split"]: (r["n_docs"], r["n_tokens"])
+        for r in trainprep.split_manifest(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert set(got) == {"train", "val", "test"}
+    # growth stability: assignment depends on doc_id only — recompute on a
+    # half corpus, every shared doc keeps its split
+    for d in docs[: len(docs) // 2]:
+        b = int(
+            hashlib.md5(str(d["doc_id"]).encode()).hexdigest()[:15], 16
+        ) % trainprep.SAMPLE_MOD
+        split = "train" if b < lo else ("val" if b < hi else "test")
+        assert split == assign[d["doc_id"]]
