@@ -1142,3 +1142,55 @@ FROM counts CROSS JOIN vocab
 ORDER BY n DESC, w1, w2
 LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# JSONL training-data export.
+# ---------------------------------------------------------------------------
+
+def export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, line, n_chars): each document serialized as one JSON-Lines
+    training record {"id":..,"lang":"..","text":".."} — the interchange
+    format a tokenizer/trainer ingests (the text twin of
+    kgembed.q_export_ntriples).  Escaping is explicit string math
+    (backslash then quote) so the byte layout is deterministic and
+    engine-identical — engine-native JSON serializers disagree on key
+    order and whitespace, which would break verification.  Map-only:
+    lines serialize partition-local, no shuffle at any scale."""
+
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(c, F.lit(r"\\"), F.lit(r"\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        )
+
+    line = F.concat(
+        F.lit('{"id":'), F.col("doc_id").cast("string"),
+        F.lit(',"lang":"'), esc(F.col("lang")),
+        F.lit('","text":"'), esc(F.col("text")),
+        F.lit('"}'),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        line.alias("line"),
+        F.length(line).cast("bigint").alias("n_chars"),
+    )
+
+
+def sql_export_jsonl() -> str:
+    esc = (
+        "replace(replace({c}, '\\', '\\\\'), '\"', '\\\"')"
+    )
+    line = (
+        "'{{\"id\":' || CAST(doc_id AS VARCHAR) || ',\"lang\":\"' || "
+        + esc.format(c="lang")
+        + " || '\",\"text\":\"' || "
+        + esc.format(c="text")
+        + " || '\"}}'"
+    ).format()
+    return f"""
+SELECT doc_id, {line} AS line,
+       CAST(length({line}) AS BIGINT) AS n_chars
+FROM documents
+"""

@@ -2315,3 +2315,132 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE {ors}
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (percentile-capped outlier cleaning).
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, n_capped_lo, n_capped_hi, sum_winsorized): per-type
+    value winsorization at the exact [p01, p99] — the standard outlier
+    clamp a metrics pipeline applies before averaging.  The per-type cut
+    points are one grouped exact-percentile aggregate (group-count-sized)
+    broadcast back over the events; the clamp is a row-local
+    least/greatest, and the winsorized sum accumulates in DECIMAL
+    (order-independent).  At unbounded type cardinality swap in
+    approx_percentile; plan unchanged."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") < F.col("lo")).cast("int").alias("c_lo"),
+            (F.col("value") > F.col("hi")).cast("int").alias("c_hi"),
+            w.cast("decimal(18,6)").alias("wv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("c_lo").cast("bigint").alias("n_capped_lo"),
+            F.sum("c_hi").cast("bigint").alias("n_capped_hi"),
+            F.round(F.sum("wv").cast("double"), 4).alias("sum_winsorized"),
+        )
+    )
+
+
+def sql_events_winsorize() -> str:
+    return f"""
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_lo,
+       CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_capped_hi,
+       round(CAST(SUM(CAST(least(greatest(e.value, c.lo), c.hi)
+                           AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_winsorized
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) anomaly detection.
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0
+
+
+def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, median, mad, n_anomalies): per-type robust outlier
+    count — |value - median| > K * MAD (median absolute deviation).
+    Unlike the mean/stddev z-score (events_zscore), one extreme value
+    cannot drag the threshold, so it survives heavy-tailed telemetry.
+    Two grouped exact-percentile passes (median, then MAD over the
+    residuals), each group-count-sized and broadcast back; the flag is a
+    row-local comparison of identically-computed doubles."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    resid = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("r"),
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.percentile("r", F.lit(0.5)).alias("mad")
+    )
+    return (
+        resid.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("r") > F.lit(MAD_K) * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+def sql_events_robust_zscore() -> str:
+    return f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+resid AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS r
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(r, 0.5) AS mad
+  FROM resid GROUP BY event_type
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(ANY_VALUE(r.med), 6) AS median,
+       round(ANY_VALUE(d.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN r.r > {MAD_K} * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies
+FROM resid r JOIN mad d USING (event_type)
+GROUP BY r.event_type
+"""

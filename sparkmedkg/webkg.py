@@ -25,7 +25,7 @@ gate can verify the Spark result value-for-value:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkmedkg import link, ner, select
@@ -459,16 +459,17 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY mention
                                ORDER BY kb_score DESC, cui ASC) AS rk
-  FROM scored WHERE kb_score >= 0.7
+  FROM scored WHERE kb_score >= {threshold}
 ),
 links AS (SELECT * FROM ranked WHERE rk <= 5)
 """
 
 
-def _links_cte(label_filter: str = "") -> str:
+def _links_cte(label_filter: str = "", threshold: float = 0.7) -> str:
     return _SQL_LINKS_CTE.format(
         mention_from=_MENTION_FROM,
         label_filter=label_filter,
+        threshold=threshold,
         ga=_sql_trigrams("mention"),
         gb=_sql_trigrams("canonical_name"),
     )
@@ -574,4 +575,62 @@ SELECT a.term AS e1, b.term AS e2, COUNT(*) AS n_common
 FROM reach a JOIN reach b ON a.node = b.node
 GROUP BY a.term, b.term
 ORDER BY e1, e2
+"""
+
+
+def q_link_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_cands, top1_score, top2_score, margin, ambiguous): the
+    linker-confidence report — per mention, its surviving candidate count
+    and the score margin between the best and second-best CUI (small
+    margin = genuinely ambiguous surface form, the rows a curator
+    reviews first).  Built on the same windowed top-5 candidate set as
+    q_links: the per-mention window partitions by the subsequent groupBy
+    key, so ranking and the conditional aggregate share one exchange.
+    Tie order inside the window matches the links CTE (raw score desc,
+    CUI asc); emitted scores are rounded AFTER ranking, so rounding can
+    never reorder."""
+    mentions = ner.detect_mentions(docs_df(spark, sf_dir), alias_bc(spark), mode="all")
+    raw = link.link_mentions(
+        mentions, aliases_df(spark), concepts_df(spark), threshold=0.0
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("kb_score").desc(), F.col("CUI").asc()
+    )
+    ranked = raw.withColumn("rk", F.row_number().over(w))
+    top1 = F.max(F.when(F.col("rk") == 1, F.round("kb_score", 6)))
+    top2 = F.max(F.when(F.col("rk") == 2, F.round("kb_score", 6)))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cands"),
+            top1.alias("t1"),
+            F.coalesce(top2, F.lit(0.0)).alias("t2"),
+        )
+        .select(
+            "source",
+            "n_cands",
+            F.col("t1").alias("top1_score"),
+            F.col("t2").alias("top2_score"),
+            F.round(F.col("t1") - F.col("t2"), 6).alias("margin"),
+            (F.col("n_cands") > 1).alias("ambiguous"),
+        )
+    )
+
+
+def sql_link_ambiguity() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte(threshold=0.0).lstrip()},
+agg AS (
+  SELECT mention AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_cands,
+         MAX(CASE WHEN rk = 1 THEN round(kb_score, 6) END) AS t1,
+         COALESCE(MAX(CASE WHEN rk = 2 THEN round(kb_score, 6) END), 0.0)
+           AS t2
+  FROM links GROUP BY mention
+)
+SELECT source, n_cands, t1 AS top1_score, t2 AS top2_score,
+       round(t1 - t2, 6) AS margin, n_cands > 1 AS ambiguous
+FROM agg
 """

@@ -676,3 +676,123 @@ def test_split_manifest_bruteforce_and_growth_stable(spark):
         ) % trainprep.SAMPLE_MOD
         split = "train" if b < lo else ("val" if b < hi else "test")
         assert split == assign[d["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# Winsorization and robust z-score
+# ---------------------------------------------------------------------------
+
+def _pctl(vals, p):
+    vals = sorted(vals)
+    idx = p * (len(vals) - 1)
+    lo = int(math.floor(idx))
+    hi = int(math.ceil(idx))
+    return vals[lo] + (vals[hi] - vals[lo]) * (idx - lo)
+
+
+def test_winsorize_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(r["value"])
+    got = {r["event_type"]: r for r in relops.events_winsorize(spark, SF).collect()}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        lo = _pctl(vals, relops.WINSOR_LO)
+        hi = _pctl(vals, relops.WINSOR_HI)
+        g = got[t]
+        assert g["n"] == len(vals)
+        assert g["n_capped_lo"] == sum(1 for v in vals if v < lo)
+        assert g["n_capped_hi"] == sum(1 for v in vals if v > hi)
+        assert g["n_capped_lo"] > 0 or g["n_capped_hi"] > 0  # clamp is live
+        want_sum = sum(min(max(v, lo), hi) for v in vals)
+        assert abs(g["sum_winsorized"] - want_sum) < 1e-3
+
+
+def test_robust_zscore_bruteforce(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for r in ev:
+        by_type[r["event_type"]].append(r["value"])
+    got = {
+        r["event_type"]: r
+        for r in relops.events_robust_zscore(spark, SF).collect()
+    }
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        med = _pctl(vals, 0.5)
+        mad = _pctl([abs(v - med) for v in vals], 0.5)
+        g = got[t]
+        assert g["n"] == len(vals)
+        assert abs(g["median"] - med) < 1e-6
+        assert abs(g["mad"] - mad) < 1e-6
+        assert g["n_anomalies"] == sum(
+            1 for v in vals if abs(v - med) > relops.MAD_K * mad
+        )
+
+
+# ---------------------------------------------------------------------------
+# Link ambiguity
+# ---------------------------------------------------------------------------
+
+def test_link_ambiguity_bruteforce(spark):
+    from sparkmedkg import link, ner, webkg
+
+    # Expected: aggregate the threshold-0.0 top-5 candidate set by hand.
+    mentions = ner.detect_mentions(
+        webkg.docs_df(spark, SF), webkg.alias_bc(spark), mode="all"
+    )
+    raw = link.link_mentions(
+        mentions,
+        webkg.aliases_df(spark),
+        webkg.concepts_df(spark),
+        threshold=0.0,
+    ).collect()
+    by_src = defaultdict(list)
+    for r in raw:
+        by_src[r["source"]].append((round(r["kb_score"], 6), r["CUI"]))
+    got = {r["source"]: r for r in webkg.q_link_ambiguity(spark, SF).collect()}
+    assert set(got) == set(by_src)
+    for s, cands in by_src.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        g = got[s]
+        assert g["n_cands"] == len(cands)
+        assert abs(g["top1_score"] - cands[0][0]) < 1e-9
+        t2 = cands[1][0] if len(cands) > 1 else 0.0
+        assert abs(g["top2_score"] - t2) < 1e-9
+        assert abs(g["margin"] - round(cands[0][0] - t2, 6)) < 1e-9
+        assert g["ambiguous"] == (len(cands) > 1)
+    assert any(g["ambiguous"] for g in got.values())
+
+    # Cross-check: for every source q_links (threshold 0.7) emits, the
+    # ambiguity report's best score must be that source's best link score.
+    links = webkg.q_links(spark, SF).collect()
+    best_link = {}
+    for r in links:
+        best_link[r["source"]] = max(
+            best_link.get(r["source"], 0.0), r["kb_score"]
+        )
+    for s, sc in best_link.items():
+        assert abs(got[s]["top1_score"] - round(sc, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# JSONL export
+# ---------------------------------------------------------------------------
+
+def test_export_jsonl_parses_and_round_trips(spark):
+    import json
+
+    from sparkmedkg import corpusops
+
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    rows = corpusops.export_jsonl(spark, SF).collect()
+    assert len(rows) == len(docs)
+    for r in rows[:200]:
+        obj = json.loads(r["line"])  # every line is valid JSON
+        d = docs[r["doc_id"]]
+        assert obj == {"id": d["doc_id"], "lang": d["lang"], "text": d["text"]}
+        assert r["n_chars"] == len(r["line"])
