@@ -2444,3 +2444,224 @@ SELECT r.event_type,
 FROM resid r JOIN mad d USING (event_type)
 GROUP BY r.event_type
 """
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking (EXISTS semi-join).
+# ---------------------------------------------------------------------------
+
+Q4_YEAR = 1996
+Q4_LATE_DAYS = 30
+
+
+def tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, order_count): orders placed in Q4_YEAR that had at
+    least one lineitem shipped more than Q4_LATE_DAYS after the order date
+    (the testdata has no l_commitdate/l_receiptdate, so ship-lateness vs
+    o_orderdate stands in for the reference predicate) — the Q4
+    EXISTS-correlated-subquery shape, decorrelated as a LEFT SEMI join.
+
+    Scale: the year filter is a min/max-prunable pushed predicate on the
+    orders scan; the semi join is an equi-join on l_orderkey with the
+    lateness conjunct evaluated as a join residual, so lineitem rows are
+    never materialized past the first match per order.  The final
+    aggregate groups 5 priority values — map-side partial agg collapses it
+    before the shuffle."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == Q4_YEAR)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def sql_tpch_order_priority() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE year(o_orderdate) = {Q4_YEAR}
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue (single-scan pushed-predicate agg).
+# ---------------------------------------------------------------------------
+
+Q6_YEAR = 1997
+Q6_DISC_LO = 0.03
+Q6_DISC_HI = 0.05
+Q6_QTY_LT = 24.0
+
+
+def tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (revenue, n_items): what revenue would appear if the tracked
+    discount band were dropped — the Q6 shape.  The whole query is one
+    parquet scan: every predicate (shipdate year, discount band, quantity
+    cap) is a pushed filter visible under PushedFilters, the projection
+    reads 4 columns, and the global aggregate is a map-side partial sum
+    into a single-row final — no join, one exchange of ~32 partial rows.
+    The revenue product sums in DECIMAL (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.year("l_shipdate") == Q6_YEAR)
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY_LT)
+    )
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast(
+        "decimal(18,6)"
+    )
+    return li.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def sql_tpch_forecast_revenue() -> str:
+    return f"""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = {Q6_YEAR}
+  AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY_LT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority split by return flag.
+# ---------------------------------------------------------------------------
+
+Q12_YEARS = (1996, 1997)
+Q12_LATE_DAYS = 60
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, high_line_count, low_line_count): among lineitems
+    shipped more than Q12_LATE_DAYS after their order date in the tracked
+    years, how many belonged to high-priority orders vs the rest — the Q12
+    conditional-count shape with l_returnflag standing in for the absent
+    l_shipmode column.
+
+    Scale: one fact-side equi-join on the orderkey (orders projected to
+    3 columns), lateness as a join residual, then CASE-sum conditional
+    aggregation over 3 groups — partial aggregation collapses the shuffle
+    to 3 rows per task."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(list(Q12_YEARS))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(list(Q12_HIGH))
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def sql_tpch_shipmode_priority() -> str:
+    years = ", ".join(str(y) for y in Q12_YEARS)
+    high = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({high}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ({high}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+  AND year(l_shipdate) IN ({years})
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important parts vs a global-total scalar threshold.
+# ---------------------------------------------------------------------------
+
+Q11_AVG_MULT = 1.2
+
+
+def tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, part_value): parts whose total lineitem extended price
+    exceeds Q11_AVG_MULT x the AVERAGE per-part total — the Q11
+    scalar-subquery-threshold shape (the testdata has no partsupp, so
+    lineitem revenue stands in for supplycost*availqty; the reference's
+    fixed global fraction is replaced by an average-relative threshold so
+    the selectivity is scale-invariant as the part count grows).
+
+    Scale: one scan feeds one partkey-grouped DECIMAL sum; the global
+    total is a second aggregate REUSING the per-part aggregate (k rows,
+    not the fact table) folded to a 1-row DataFrame and broadcast — the
+    classic decorrelation of Q11's scalar subquery.  No per-row driver
+    work; the threshold comparison is a broadcast nested loop over 1 row."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("val")
+    )
+    # exact DECIMAL sum / exact count -> a deterministic double average
+    # (a double-accumulated avg would be partial-order-dependent and could
+    # flip boundary rows between engines)
+    total = per_part.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("avg_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .where(
+            F.col("val").cast("double")
+            > F.lit(Q11_AVG_MULT) * F.col("avg_value")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 6).alias("part_value"),
+        )
+    )
+
+
+def sql_tpch_important_parts() -> str:
+    return f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS val
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 6) AS part_value
+FROM per_part,
+     (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) AS avg_value FROM per_part)
+WHERE CAST(val AS DOUBLE) > {Q11_AVG_MULT} * avg_value
+"""
