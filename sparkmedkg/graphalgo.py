@@ -1104,3 +1104,216 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_comms,
 FROM comm CROSS JOIN m
 GROUP BY m.m
 """
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (truncated, exact integer path counts).
+# ---------------------------------------------------------------------------
+
+KATZ_LEVELS = 3
+KATZ_INV_ALPHA = 8  # attenuation alpha = 1/8 per hop
+
+
+def q_katz(
+    spark: SparkSession,
+    sf_dir: str,
+    levels: int = KATZ_LEVELS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, katz_num, katz): truncated Katz centrality
+    sum_{k=1..levels} alpha^k * paths_k(v) with alpha = 1/KATZ_INV_ALPHA.
+
+    paths_k(v) (walks of length k ending at v) is an exact BIGINT at every
+    level — each level is ONE groupBy(dst) SUM of the previous level's
+    counts pushed across edges, so partial/final aggregation order cannot
+    change it (the float-Katz order-dependence trap never appears).  The
+    attenuated total is assembled over the common denominator
+    KATZ_INV_ALPHA^levels as an integer numerator (katz_num) and only
+    converted to double at the end — engine-identical by construction.
+
+    Scale: `levels` shuffles on dst (the natural key), each map-side
+    combinable; the final union-aggregate reuses the same key.  Walk
+    counts grow like (avg_degree)^k — BIGINT holds k=3 beyond any web
+    graph's degree, and the numerator stays < 2^53 so the double is exact."""
+    edges = _edges(spark, sf_dir, min_docs)
+    per_level = []
+    p = edges.groupBy(F.col("dst").alias("CUI")).agg(
+        F.count(F.lit(1)).alias("p")
+    )
+    per_level.append(p)
+    for _ in range(levels - 1):
+        p = (
+            edges.join(p, edges["src"] == p["CUI"])
+            .groupBy(edges["dst"].alias("CUI"))
+            .agg(F.sum("p").alias("p"))
+        )
+        per_level.append(p)
+    weighted = None
+    for k, pk in enumerate(per_level, start=1):
+        w = pk.select(
+            "CUI",
+            (F.col("p") * (KATZ_INV_ALPHA ** (levels - k))).alias("w"),
+        )
+        weighted = w if weighted is None else weighted.unionByName(w)
+    denom = float(KATZ_INV_ALPHA**levels)
+    return weighted.groupBy("CUI").agg(
+        F.sum("w").alias("katz_num"),
+        F.round(F.sum("w").cast("double") / denom, 6).alias("katz"),
+    )
+
+
+def sql_katz(
+    levels: int = KATZ_LEVELS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    lvl = ["p1 AS (SELECT dst AS cui, CAST(COUNT(*) AS BIGINT) AS p"
+           " FROM e GROUP BY dst)"]
+    for k in range(2, levels + 1):
+        lvl.append(
+            f"""p{k} AS (
+  SELECT e.dst AS cui, CAST(SUM(p.p) AS BIGINT) AS p
+  FROM e JOIN p{k - 1} p ON p.cui = e.src GROUP BY e.dst
+)"""
+        )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT cui, p * {KATZ_INV_ALPHA ** (levels - k)} AS w FROM p{k}"
+        for k in range(1, levels + 1)
+    )
+    denom = KATZ_INV_ALPHA**levels
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+{",".join(lvl)},
+u AS (
+  {unions}
+)
+SELECT cui AS CUI, CAST(SUM(w) AS BIGINT) AS katz_num,
+       round(CAST(SUM(w) AS DOUBLE) / {denom}, 6) AS katz
+FROM u GROUP BY cui
+"""
+
+
+# ---------------------------------------------------------------------------
+# Luby's maximal independent set (deterministic md5 priorities).
+# ---------------------------------------------------------------------------
+
+MIS_ROUNDS = 4
+
+
+def q_luby_mis(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = MIS_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, mis_round): the maximal independent set chosen by Luby's
+    algorithm with md5-derived 60-bit priorities — each round, every
+    still-undecided node whose priority is strictly below ALL undecided
+    neighbors' joins the MIS, then it and its neighbors leave the game.
+    Deterministic: priorities are content hashes (the webgraph._h60
+    bridge), identical in both engines; a rare 60-bit tie just defers both
+    nodes to a later round.
+
+    Scale: the textbook O(log n)-round distributed MIS.  Per round: one
+    groupBy(dst) MIN over the surviving edge set (map-side combinable) +
+    two anti-joins to shrink the vertex set; surviving-edge filtering is
+    two semi-joins against the shrinking vertex set, so per-round cost
+    tracks the UNDECIDED subgraph, not the input.  localCheckpoint keeps
+    lineage O(1) across rounds (the BFS/k-core idiom)."""
+    from sparkmedkg.webgraph import _h60
+
+    edges = _edges(spark, sf_dir, min_docs)
+    undecided = (
+        edges.select(F.col("src").alias("CUI"))
+        .distinct()
+        .withColumn("h", _h60(F.col("CUI")))
+        .localCheckpoint(eager=True)
+    )
+    mis = None
+    for r in range(1, rounds + 1):
+        live = (
+            edges.join(
+                undecided.select(F.col("CUI").alias("src")), "src", "left_semi"
+            ).join(
+                undecided.select(F.col("CUI").alias("dst")), "dst", "left_semi"
+            )
+        )
+        nbr_min = (
+            live.join(
+                undecided.select(
+                    F.col("CUI").alias("src"), F.col("h").alias("h_src")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("CUI"))
+            .agg(F.min("h_src").alias("nbr_min"))
+        )
+        winners = (
+            undecided.join(nbr_min, "CUI", "left")
+            .where(F.col("nbr_min").isNull() | (F.col("h") < F.col("nbr_min")))
+            .select("CUI")
+            .withColumn("mis_round", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        mis = winners if mis is None else mis.unionByName(winners)
+        killed = (
+            edges.join(
+                winners.select(F.col("CUI").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("CUI"))
+            .distinct()
+        )
+        undecided = (
+            undecided.join(winners.select("CUI"), "CUI", "left_anti")
+            .join(killed, "CUI", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if undecided.isEmpty():
+            break
+    return mis
+
+
+def sql_luby_mis(
+    rounds: int = MIS_ROUNDS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    from sparkmedkg.webgraph import _sql_h60
+
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""live{r} AS (
+  SELECT e.src, e.dst FROM e
+  WHERE e.src IN (SELECT cui FROM u{r - 1})
+    AND e.dst IN (SELECT cui FROM u{r - 1})
+),
+nbrmin{r} AS (
+  SELECT l.dst AS cui, MIN(u.h) AS nbr_min
+  FROM live{r} l JOIN u{r - 1} u ON u.cui = l.src
+  GROUP BY l.dst
+),
+win{r} AS MATERIALIZED (
+  SELECT u.cui, u.h FROM u{r - 1} u
+  LEFT JOIN nbrmin{r} n ON n.cui = u.cui
+  WHERE n.nbr_min IS NULL OR u.h < n.nbr_min
+),
+u{r} AS MATERIALIZED (
+  SELECT u.cui, u.h FROM u{r - 1} u
+  WHERE u.cui NOT IN (SELECT cui FROM win{r})
+    AND u.cui NOT IN (
+      SELECT e.dst FROM e WHERE e.src IN (SELECT cui FROM win{r}))
+)"""
+        )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT cui, {r} AS mis_round FROM win{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+u0 AS MATERIALIZED (
+  SELECT DISTINCT src AS cui, {_sql_h60("src")} AS h FROM e
+),
+{",".join(steps)}
+SELECT cui AS CUI, mis_round FROM (
+  {unions}
+)
+"""

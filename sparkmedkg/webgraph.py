@@ -1047,3 +1047,106 @@ FROM pairs p
 JOIN deg da ON da.src = p.a
 JOIN deg db ON db.src = p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution via pointer jumping (path doubling).
+# ---------------------------------------------------------------------------
+
+REDIRECT_ROOT_MOD = 5   # host-ids divisible by 5 are canonical roots
+REDIRECT_DOUBLINGS = 3  # resolves chains up to 2^3 = 8 hops
+
+
+def _redirect_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, parent, hops): the synthetic per-host redirect function —
+    host-id h redirects to h-1 unless h % REDIRECT_ROOT_MOD == 0 OR h-1 is
+    not a crawled host (either way h is a canonical root: parent = self,
+    hops = 0 — the function is TOTAL over the observed host set, so no
+    chain can dangle off the table).  Derived from the same
+    doc_id % N_SRC_HOSTS universe as link_graph, so it is a pure function
+    of the documents table (no external data)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hid = (F.col("doc_id") % N_SRC_HOSTS).alias("hid")
+    hosts = docs.select(hid).distinct()
+    host_str = lambda c: F.concat(  # noqa: E731
+        F.lit("site"), c.cast("string"), F.lit(".example")
+    )
+    prev = hosts.select((F.col("hid") + 1).alias("hid")).withColumn(
+        "has_prev", F.lit(True)
+    )
+    is_root = (
+        ((F.col("hid") % REDIRECT_ROOT_MOD) == 0)
+        | F.col("has_prev").isNull()
+    )
+    return hosts.join(prev, "hid", "left").select(
+        host_str(F.col("hid")).alias("host"),
+        host_str(
+            F.when(is_root, F.col("hid")).otherwise(F.col("hid") - 1)
+        ).alias("parent"),
+        F.when(is_root, 0).otherwise(1).cast("bigint").alias("hops"),
+    )
+
+
+def redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(host, canonical_host, n_hops): every crawl host resolved to its
+    canonical root through the redirect chain, by POINTER JUMPING — each
+    round rewrites parent(v) <- parent(parent(v)) and adds the two hop
+    counts, so chains of length L resolve in ceil(log2 L) self-joins
+    instead of L sequential ones.
+
+    Scale: this is THE pattern for chain-chasing at 10^9 hosts (alias
+    chains, URL redirects, union-find grafting): O(log L) shuffles on the
+    parent key, each a self-equi-join of the (host, parent) table; no
+    driver iteration over rows, and already-resolved roots (parent = self)
+    are fixed points that cost nothing extra.  hops is an exact BIGINT
+    sum."""
+    cur = _redirect_hosts(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(REDIRECT_DOUBLINGS):
+        nxt = cur.alias("a").join(
+            cur.select(
+                F.col("host").alias("p_host"),
+                F.col("parent").alias("p_parent"),
+                F.col("hops").alias("p_hops"),
+            ),
+            F.col("a.parent") == F.col("p_host"),
+        ).select(
+            F.col("a.host").alias("host"),
+            F.col("p_parent").alias("parent"),
+            (F.col("a.hops") + F.col("p_hops")).alias("hops"),
+        )
+        cur = nxt.localCheckpoint(eager=True)
+    return cur.select(
+        "host",
+        F.col("parent").alias("canonical_host"),
+        F.col("hops").alias("n_hops"),
+    )
+
+
+def sql_redirect_resolve() -> str:
+    steps = []
+    for k in range(1, REDIRECT_DOUBLINGS + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT a.host, b.parent, a.hops + b.hops AS hops
+  FROM r{k - 1} a JOIN r{k - 1} b ON a.parent = b.host
+)"""
+        )
+    return f"""
+WITH hids AS (
+  SELECT DISTINCT doc_id % {N_SRC_HOSTS} AS hid FROM documents
+),
+r0 AS MATERIALIZED (
+  SELECT 'site' || h.hid || '.example' AS host,
+         'site' || (CASE WHEN h.hid % {REDIRECT_ROOT_MOD} = 0
+                           OR p.hid IS NULL
+                         THEN h.hid ELSE h.hid - 1 END)
+                || '.example' AS parent,
+         CAST(CASE WHEN h.hid % {REDIRECT_ROOT_MOD} = 0
+                     OR p.hid IS NULL
+                   THEN 0 ELSE 1 END AS BIGINT) AS hops
+  FROM hids h LEFT JOIN hids p ON p.hid = h.hid - 1
+),
+{",".join(steps)}
+SELECT host, parent AS canonical_host, hops AS n_hops
+FROM r{REDIRECT_DOUBLINGS}
+"""
