@@ -1317,3 +1317,122 @@ SELECT cui AS CUI, mis_round FROM (
   {unions}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# SimRank (2 iterations, ppm fixed-point, wedge-bounded pair space).
+# ---------------------------------------------------------------------------
+
+SIMRANK_C_PPM = 800_000  # decay C = 0.8 in parts-per-million
+PPM = 1_000_000
+
+
+def q_simrank(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(a, b, c_common, s1_ppm, s2_ppm): SimRank similarity after 1 and 2
+    iterations for every unordered node pair sharing >=1 neighbor (the
+    wedge-adjacent candidate set — the standard sparse truncation; pairs
+    with no common neighbor have s1 = 0 and are the classic prune).
+
+    All scores are parts-per-million BIGINTs: with s0 = identity,
+    s1(a,b) = C*|I(a) ^ I(b)| / (|I(a)||I(b)|) and
+    s2(a,b) = C * sum_{i in I(a), j in I(b)} s1_full(i,j) / (|I(a)||I(b)|)
+    — every division is a positive-integer floor-div, so both engines
+    produce bit-identical scores (the ppm discipline from
+    relations.q_pmi_edges).
+
+    Scale: candidate generation is the degree-bounded wedge join (same
+    shape as q_neighbor_jaccard); the s2 pass expands each s1 pair (i,j)
+    through its endpoints' adjacency — cost sum deg(i)*deg(j) over s1
+    pairs, the documented hub-cap point at web scale."""
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = edges.select(F.col("dst").alias("a"), F.col("src").alias("i"))
+    e2 = edges.select(F.col("dst").alias("b"), F.col("src").alias("j"))
+    cand = (
+        e1.join(e2, (F.col("i") == F.col("j")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_common"))
+        .join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .withColumn(
+            "s1_ppm",
+            F.expr(f"CAST({SIMRANK_C_PPM} * c_common AS BIGINT)"
+                   " div (da * db)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    s1sym = cand.select("a", "b", "s1_ppm").unionByName(
+        cand.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "s1_ppm"
+        )
+    ).select(F.col("a").alias("i"), F.col("b").alias("j"), "s1_ppm")
+    off = (
+        edges.select(F.col("dst").alias("a"), F.col("src").alias("i"))
+        .join(s1sym, "i")
+        .join(
+            edges.select(F.col("dst").alias("b"), F.col("src").alias("j")),
+            "j",
+        )
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("s1_ppm").alias("off_sum"))
+    )
+    return (
+        cand.join(off, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "c_common",
+            "s1_ppm",
+            F.expr(
+                f"CAST({SIMRANK_C_PPM} * "
+                f"(coalesce(off_sum, CAST(0 AS BIGINT))"
+                f" + CAST({PPM} AS BIGINT) * c_common) AS BIGINT)"
+                f" div (CAST({PPM} AS BIGINT) * da * db)"
+            ).alias("s2_ppm"),
+        )
+    )
+
+
+def sql_simrank(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+                     FROM e GROUP BY src),
+cand AS MATERIALIZED (
+  SELECT w.a, w.b, w.c_common, da.deg AS da, db.deg AS db,
+         CAST({SIMRANK_C_PPM} * w.c_common AS BIGINT)
+           // (da.deg * db.deg) AS s1_ppm
+  FROM (
+    SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS c_common
+    FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    GROUP BY e1.dst, e2.dst
+  ) w
+  JOIN deg da ON da.v = w.a
+  JOIN deg db ON db.v = w.b
+),
+s1sym AS MATERIALIZED (
+  SELECT a AS i, b AS j, s1_ppm FROM cand
+  UNION ALL
+  SELECT b AS i, a AS j, s1_ppm FROM cand
+),
+off AS (
+  SELECT ea.dst AS a, eb.dst AS b, CAST(SUM(s.s1_ppm) AS BIGINT) AS off_sum
+  FROM e ea
+  JOIN s1sym s ON s.i = ea.src
+  JOIN e eb ON eb.src = s.j
+  WHERE ea.dst < eb.dst
+  GROUP BY ea.dst, eb.dst
+)
+SELECT c.a, c.b, c.c_common, c.s1_ppm,
+       CAST({SIMRANK_C_PPM} *
+            (COALESCE(o.off_sum, 0) + CAST({PPM} AS BIGINT) * c.c_common)
+            AS BIGINT)
+         // (CAST({PPM} AS BIGINT) * c.da * c.db) AS s2_ppm
+FROM cand c LEFT JOIN off o ON o.a = c.a AND o.b = c.b
+"""

@@ -2665,3 +2665,182 @@ FROM per_part,
      (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) AS avg_value FROM per_part)
 WHERE CAST(val AS DOUBLE) > {Q11_AVG_MULT} * avg_value
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year.
+# ---------------------------------------------------------------------------
+
+Q9_PTYPE = "PROMO"
+Q9_COST_FRAC = 0.6  # supplycost stand-in: 0.6 * p_retailprice
+
+
+def tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(nation, o_year, profit): per-nation-per-year profit on one part
+    type — the Q9 shape.  profit = extendedprice*(1-discount)
+    - Q9_COST_FRAC*retailprice*quantity (the testdata has no partsupp, so
+    supplycost is a deterministic function of the part's retail price).
+
+    Scale: part (type-filtered) and supplier⋈nation broadcast; the fact
+    table joins orders on the orderkey for the year — one fact-side
+    shuffle join + the final small group.  Both profit terms sum in
+    DECIMAL, so partial-aggregation order cannot move the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q9_PTYPE)
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_n = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(Q9_COST_FRAC) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+def sql_tpch_product_profit() -> str:
+    return f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     - {Q9_COST_FRAC} * p_retailprice * l_quantity
+                AS DECIMAL(18,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_type = '{Q9_PTYPE}'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: supplier-relationship counts per part attribute.
+# ---------------------------------------------------------------------------
+
+Q16_EXCL_BRAND = "Brand#1"
+Q16_MIN_ACCTBAL = 1000.0  # "complaints" stand-in: exclude low-balance supps
+
+
+def tpch_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt): DISTINCT suppliers that
+    ever shipped each part profile, excluding one brand and the
+    "complained-about" suppliers — the Q16 shape (the observed
+    lineitem (part, supp) pairs stand in for partsupp; the s_acctbal
+    floor stands in for the LIKE '%Complaints%' exclusion).
+
+    Scale: the distinct (partkey, suppkey) projection collapses the fact
+    table BEFORE the dims attach (one pre-aggregating exchange); the
+    excluded-supplier set is a broadcast anti-join; count(DISTINCT) then
+    runs per small group.  No row ever carries more than 4 columns."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < Q16_MIN_ACCTBAL)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") != Q16_EXCL_BRAND)
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        pairs.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def sql_tpch_parts_supplier() -> str:
+    return f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_EXCL_BRAND}'
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_ACCTBAL})
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: potential part promotion (nested semi-join chain).
+# ---------------------------------------------------------------------------
+
+Q20_PTYPE = "PROMO"
+Q20_YEAR = 1997
+Q20_QTY = 60.0
+
+
+def tpch_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s_name, nation): suppliers who shipped more than Q20_QTY units of
+    at least one Q20_PTYPE part during Q20_YEAR — the Q20 nested-subquery
+    shape (part-filter inside a quantity-threshold aggregate inside a
+    supplier semi-join).
+
+    Scale: the type-filtered part list broadcasts into the fact scan
+    (year filter pushed); the (suppkey, partkey) aggregate is the only
+    fact-sized shuffle; the HAVING threshold reduces it to a short
+    supplier id list that semi-joins (broadcast) against supplier."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == Q20_PTYPE)
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == Q20_YEAR
+    )
+    qualified = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .where(F.col("qty").cast("double") > Q20_QTY)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(qualified, "s_suppkey", "left_semi")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def sql_tpch_potential_promotion() -> str:
+    return f"""
+SELECT s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q20_PTYPE}' AND year(l_shipdate) = {Q20_YEAR}
+  GROUP BY l_suppkey, l_partkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > {Q20_QTY})
+"""

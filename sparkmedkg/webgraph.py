@@ -1150,3 +1150,71 @@ r0 AS MATERIALIZED (
 SELECT host, parent AS canonical_host, hops AS n_hops
 FROM r{REDIRECT_DOUBLINGS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-anchor -> KG-entity bridge (anchor text named-entity evidence).
+# ---------------------------------------------------------------------------
+
+def anchor_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dst_host, CUI, n_anchors): for each link-target host, which KG
+    concepts the web's anchor text names, with evidence counts — the
+    web-to-KG bridging signal (anchor text is the classic external
+    description of a page; matching it against the entity lexicon yields
+    'this host is about hash joins' edges for the construction pipeline).
+
+    Scale: anchors are extracted in the scan projection (same JVM
+    regexp lane as link_graph), the alias index is a broadcast dim
+    (ner.py's broadcast-lexicon guard bounds it), and the only shuffle is
+    the final (dst_host, CUI) count — map-side combinable."""
+    from sparkmedkg import webkg
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    tags = F.regexp_extract_all(
+        F.col("html"), F.lit("(<a [^>]*>[^<]*</a>)"), 1
+    )
+    pairs = F.transform(
+        tags,
+        lambda a: F.struct(
+            F.regexp_extract(a, 'href="https://([^"/]+)', 1).alias(
+                "dst_host"
+            ),
+            F.regexp_extract(a, ">([^<]*)</a>", 1).alias("term"),
+        ),
+    )
+    anchors = (
+        docs.select(_page_html().alias("html"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.dst_host", F.lower(F.col("p.term")).alias("term"))
+    )
+    aliases = webkg.aliases_df(spark).select(
+        F.col("alias").alias("term"), "CUI"
+    )
+    return (
+        anchors.join(F.broadcast(aliases), "term")
+        .groupBy("dst_host", "CUI")
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+
+
+def sql_anchor_entity_links() -> str:
+    from sparkmedkg import webkg
+
+    return f"""
+WITH {webkg.sql_aliases_cte()},
+pages AS (SELECT {_sql_page_html()} AS html FROM documents),
+tags AS (
+  SELECT unnest(regexp_extract_all(html, '(<a [^>]*>[^<]*</a>)', 1)) AS tag
+  FROM pages
+),
+anchors AS (
+  SELECT regexp_extract(tag, 'href="https://([^"/]+)', 1) AS dst_host,
+         lower(regexp_extract(tag, '>([^<]*)</a>', 1)) AS term
+  FROM tags
+)
+SELECT an.dst_host, al.cui AS CUI, CAST(COUNT(*) AS BIGINT) AS n_anchors
+FROM anchors an JOIN (SELECT DISTINCT alias, cui FROM aliases) al
+  ON al.alias = an.term
+GROUP BY an.dst_host, al.cui
+"""
