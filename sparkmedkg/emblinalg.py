@@ -170,3 +170,252 @@ v0 AS (SELECT DISTINCT i AS vi, CAST({QUANT} AS BIGINT) AS v FROM ghat),
 {",".join(steps)}
 SELECT vi AS i, v FROM v{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dimension-correlation matrix (one-pass moments, exact integer sums).
+# ---------------------------------------------------------------------------
+
+CORR_TOP_K = 20
+
+
+def dim_corr_top(
+    spark: SparkSession, sf_dir: str, k: int = CORR_TOP_K
+) -> DataFrame:
+    """(i, j, corr): the k most-correlated embedding-dimension pairs
+    (i < j, Pearson, 6dp) — the feature-redundancy report a training
+    pipeline runs before deciding whether dimensions can be truncated
+    (cheap complement to the Matryoshka recall probe).
+
+    All moments (n, per-dim sums, cross sums) are exact BIGINT
+    aggregates, so both engines see bit-identical integers; corr is then
+    ONE double expression over those exact integers (no accumulation
+    order), identical in Spark and DuckDB.  Scale: same single-scan
+    d^2-bounded shuffle as the gram (module docstring); everything after
+    the scan is d^2 = 4096 rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    q = F.expr(
+        f"transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+    ).alias("q")
+    sums = (
+        emb.select(q)
+        .select(F.posexplode("q").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").alias("s"), F.sum(F.col("qi") * F.col("qi")).alias("ss"))
+    )
+    g = _gram(spark, sf_dir).where(F.col("i") < F.col("j"))
+    si = sums.select(F.col("i").alias("gi"), F.col("s").alias("si"),
+                     F.col("ss").alias("sii"))
+    sj = sums.select(F.col("i").alias("gj"), F.col("s").alias("sj"),
+                     F.col("ss").alias("sjj"))
+    vi = (F.col("n") * F.col("sii") - F.col("si") * F.col("si")).cast("double")
+    vj = (F.col("n") * F.col("sjj") - F.col("sj") * F.col("sj")).cast("double")
+    num = (F.col("n") * F.col("g") - F.col("si") * F.col("sj")).cast("double")
+    return (
+        g.join(F.broadcast(si), F.col("i") == F.col("gi"))
+        .join(F.broadcast(sj), F.col("j") == F.col("gj"))
+        .join(F.broadcast(n))
+        .where((vi > 0) & (vj > 0))
+        .select("i", "j",
+                F.round(num / F.sqrt(vi * vj), 6).alias("corr"))
+        .orderBy(F.abs(F.col("corr")).desc(), "i", "j")
+        .limit(k)
+    )
+
+
+def sql_dim_corr_top(k: int = CORR_TOP_K) -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+expl AS (
+  SELECT generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi, q FROM q
+),
+sums AS MATERIALIZED (
+  SELECT i, CAST(SUM(qi) AS BIGINT) AS s,
+         CAST(SUM(qi * qi) AS BIGINT) AS ss
+  FROM expl GROUP BY i
+),
+gram AS (
+  SELECT e.i, r.j, CAST(SUM(e.qi * e.q[r.j + 1]) AS BIGINT) AS g
+  FROM expl e, (SELECT unnest(range(len((SELECT q FROM q LIMIT 1)))) AS j) r
+  WHERE e.i < r.j
+  GROUP BY e.i, r.j
+)
+SELECT gram.i, gram.j,
+       round(CAST(n.n * gram.g - si.s * sj.s AS DOUBLE)
+             / sqrt(CAST(n.n * si.ss - si.s * si.s AS DOUBLE)
+                    * CAST(n.n * sj.ss - sj.s * sj.s AS DOUBLE)), 6) AS corr
+FROM gram
+JOIN sums si ON si.i = gram.i
+JOIN sums sj ON sj.i = gram.j
+CROSS JOIN n
+WHERE n.n * si.ss - si.s * si.s > 0
+  AND n.n * sj.ss - sj.s * sj.s > 0
+ORDER BY abs(round(CAST(n.n * gram.g - si.s * sj.s AS DOUBLE)
+             / sqrt(CAST(n.n * si.ss - si.s * si.s AS DOUBLE)
+                    * CAST(n.n * sj.ss - sj.s * sj.s AS DOUBLE)), 6)) DESC,
+         gram.i, gram.j
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear probe: integer gradient descent on the normal equations.
+# ---------------------------------------------------------------------------
+
+PROBE_ITERS = 2       # unrolled GD steps
+PROBE_W = 1 << 20     # fixed-point scale of the weight vector
+
+
+def linear_probe(
+    spark: SparkSession, sf_dir: str, iters: int = PROBE_ITERS
+) -> DataFrame:
+    """(i, w): weights of a least-squares linear probe label ~ X after
+    ``iters`` full-batch gradient-descent steps from w = 0, PROBE_W-scaled
+    fixed-point integers — the standard "is this signal linearly
+    decodable from the embeddings" diagnostic, run the tall-skinny way:
+    the corpus is scanned ONCE (gram G = X^T X and moment b = X^T y are
+    one distributed aggregate each); every GD step then touches only the
+    4096-row G and two 64-row vectors.
+
+    The step size is 1/R with R = max row-sum of |G_hat| (Gershgorin
+    bound on the top eigenvalue), so the iteration is non-divergent by
+    construction; every multiply/divide is exact BIGINT with sign-split
+    truncating division — bit-identical across engines, same discipline
+    as pca_power."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.expr(
+        f"transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+    ).alias("q")
+    g = _gram(spark, sf_dir)
+    b = (
+        emb.select(q, F.col("label").cast("bigint").alias("y"))
+        .select(F.posexplode("q").alias("i", "qi"), "y")
+        .groupBy("i")
+        .agg(F.sum(F.col("qi") * F.col("y")).alias("b"))
+    )
+    gmax = g.agg(F.max(F.abs(F.col("g"))).alias("gmax"))
+    shift_pow = F.pow(
+        F.lit(2.0),
+        F.greatest(
+            F.lit(0.0),
+            F.floor(F.log2(F.col("gmax").cast("double")))
+            - F.lit(GRAM_BITS - 1),
+        ),
+    ).cast("bigint")
+    tdiv = lambda x, d: (  # noqa: E731 — sign-split truncating division
+        F.signum(x).cast("bigint")
+        * F.floor(F.abs(x) / d).cast("bigint")
+    )
+    g = (
+        g.join(F.broadcast(gmax))
+        .select("i", "j", tdiv(F.col("g"), shift_pow).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        b.join(F.broadcast(gmax))
+        .select(F.col("i").alias("bi"), tdiv(F.col("b"), shift_pow).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    r_row = g.groupBy("i").agg(
+        F.sum(F.abs(F.col("g"))).alias("rs")
+    ).agg(F.greatest(F.max("rs"), F.lit(1).cast("bigint")).alias("r"))
+    w = b.select(F.col("bi").alias("wi"), F.lit(0).cast("bigint").alias("w"))
+    for _ in range(iters):
+        gw = (
+            g.join(w, g["j"] == w["wi"])
+            .groupBy(g["i"].alias("gi"))
+            .agg(F.sum(F.col("g") * F.col("w")).alias("gw"))
+        )
+        resid = (
+            b.join(gw, F.col("bi") == F.col("gi"))
+            .select(
+                "bi",
+                (F.col("b") * F.lit(PROBE_W).cast("bigint")
+                 - F.col("gw")).alias("res"),
+            )
+        )
+        w = (
+            w.join(resid, F.col("wi") == F.col("bi"))
+            .join(F.broadcast(r_row))
+            .select(
+                "wi",
+                (F.col("w") + tdiv(F.col("res"), F.col("r"))).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.select(F.col("wi").alias("i"), "w")
+
+
+def sql_linear_probe(iters: int = PROBE_ITERS) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""gw{k} AS (
+  SELECT g.i AS gi, CAST(SUM(g.g * w.w) AS BIGINT) AS gw
+  FROM ghat g JOIN w{k - 1} w ON w.wi = g.j
+  GROUP BY g.i
+),
+w{k} AS MATERIALIZED (
+  SELECT w.wi,
+         CAST(w.w + CASE WHEN b.b * {PROBE_W} - gw.gw < 0 THEN -1
+                         WHEN b.b * {PROBE_W} - gw.gw > 0 THEN 1
+                         ELSE 0 END
+                    * FLOOR(ABS(b.b * {PROBE_W} - gw.gw) / r.r)
+              AS BIGINT) AS w
+  FROM w{k - 1} w
+  JOIN bhat b ON b.bi = w.wi
+  JOIN gw{k} gw ON gw.gi = w.wi
+  CROSS JOIN rbound r
+)"""
+        )
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        x -> CAST(round(x * {QUANT}) AS BIGINT)) AS q,
+         CAST(label AS BIGINT) AS y
+  FROM embeddings
+),
+expl AS (
+  SELECT generate_subscripts(q, 1) - 1 AS i, unnest(q) AS qi, q, y FROM q
+),
+gram AS MATERIALIZED (
+  SELECT e.i, r.j, CAST(SUM(e.qi * e.q[r.j + 1]) AS BIGINT) AS g
+  FROM expl e, (SELECT unnest(range(len((SELECT q FROM q LIMIT 1)))) AS j) r
+  GROUP BY e.i, r.j
+),
+braw AS (
+  SELECT i, CAST(SUM(qi * y) AS BIGINT) AS b FROM expl GROUP BY i
+),
+gmax AS (SELECT MAX(ABS(g)) AS gmax FROM gram),
+shift AS (
+  SELECT CAST(pow(2.0, GREATEST(0.0,
+              FLOOR(log2(CAST(gmax AS DOUBLE))) - {GRAM_BITS - 1}))
+         AS BIGINT) AS s
+  FROM gmax
+),
+ghat AS MATERIALIZED (
+  SELECT i, j,
+         CAST(CASE WHEN g < 0 THEN -1 WHEN g > 0 THEN 1 ELSE 0 END
+              * FLOOR(ABS(g) / s) AS BIGINT) AS g
+  FROM gram, shift
+),
+bhat AS MATERIALIZED (
+  SELECT i AS bi,
+         CAST(CASE WHEN b < 0 THEN -1 WHEN b > 0 THEN 1 ELSE 0 END
+              * FLOOR(ABS(b) / s) AS BIGINT) AS b
+  FROM braw, shift
+),
+rbound AS (
+  SELECT CAST(GREATEST(MAX(rs), 1) AS BIGINT) AS r
+  FROM (SELECT i, SUM(ABS(g)) AS rs FROM ghat GROUP BY i)
+),
+w0 AS (SELECT bi AS wi, CAST(0 AS BIGINT) AS w FROM bhat),
+{",".join(steps)}
+SELECT wi AS i, w FROM w{iters}
+"""
