@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, graphalgo, kgembed, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, emblinalg, graphalgo, kgembed, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -143,6 +143,18 @@ BENCH_QUERIES = {
     "kg_closeness": graphalgo.q_closeness,
     "kg_distmult_rank": kgembed.q_distmult_rank,
     "emb_matryoshka_recall": simsearch.matryoshka_recall,
+    # round-3 sixth-eighth batch: Katz/MIS/SimRank centrality + similarity,
+    # Q9/Q16/Q20 shapes, web->KG anchor bridge, gram-matrix linear algebra
+    "kg_katz": graphalgo.q_katz,
+    "kg_simrank": graphalgo.q_simrank,
+    "web_redirect_resolve": webgraph.redirect_resolve,
+    "web_anchor_entity_links": webgraph.anchor_entity_links,
+    "emb_pca_power": emblinalg.pca_power,
+    "emb_dim_corr_top": emblinalg.dim_corr_top,
+    "emb_linear_probe": emblinalg.linear_probe,
+    "tpch_product_profit": relops.tpch_product_profit,
+    "tpch_parts_supplier": relops.tpch_parts_supplier,
+    "tpch_potential_promotion": relops.tpch_potential_promotion,
 }
 
 

@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
-    from sparkmedkg import multimodal, trainprep, webclean, webgraph, webkg
+    from sparkmedkg import emblinalg, multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -429,6 +429,44 @@ def main() -> None:
             # then one map-side-combinable pair count — no product
             lambda: graphalgo.q_walk_skipgrams(spark, SF),
             ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "kg_simrank": (
+            # wedge equi-join candidates; the s2 expansion is two more
+            # equi-joins over the checkpointed s1 pairs — never a product
+            lambda: graphalgo.q_simrank(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "web_anchor_entity_links": (
+            # anchors extracted in the scan projection (Generate), alias
+            # lexicon broadcast, one map-side-combinable (host, CUI) count
+            lambda: webgraph.anchor_entity_links(spark, SF),
+            ["Generate", "BroadcastHashJoin", "HashAggregate",
+             "!SortMergeJoin", "!CartesianProduct"],
+        ),
+        "emb_dim_corr_top": (
+            # d^2-bounded gram + broadcast moment joins + TakeOrdered top-k
+            lambda: emblinalg.dim_corr_top(spark, SF),
+            ["TakeOrderedAndProject", "BroadcastHashJoin",
+             "!SortMergeJoin"],
+        ),
+        "tpch_product_profit": (
+            # part + supplier⋈nation broadcast onto the fact scan; one
+            # orderkey join + the small (nation, year) aggregate
+            lambda: relops.tpch_product_profit(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "tpch_parts_supplier": (
+            # fact collapsed to DISTINCT (part, supp) before dims attach;
+            # anti-join + dim join both broadcast
+            lambda: relops.tpch_parts_supplier(spark, SF),
+            ["HashAggregate", "BroadcastHashJoin", "!SortMergeJoin",
+             "!CartesianProduct"],
+        ),
+        "tpch_potential_promotion": (
+            # type-filtered part list broadcast into the year-pruned fact
+            # scan; HAVING threshold shrinks to a broadcast semi-join
+            lambda: relops.tpch_potential_promotion(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
         ),
     }
 
