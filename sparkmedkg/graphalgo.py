@@ -1436,3 +1436,171 @@ SELECT c.a, c.b, c.c_common, c.s1_ppm,
          // (CAST({PPM} AS BIGINT) * c.da * c.db) AS s2_ppm
 FROM cand c LEFT JOIN off o ON o.a = c.a AND o.b = c.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Landmark betweenness centrality (Brandes dependency, ppm fixed-point).
+# ---------------------------------------------------------------------------
+
+BTW_LANDMARKS = 4
+BTW_HOPS = 3
+
+
+def q_betweenness(
+    spark: SparkSession,
+    sf_dir: str,
+    n_landmarks: int = BTW_LANDMARKS,
+    max_hops: int = BTW_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, bc_ppm): landmark-estimated betweenness centrality — Brandes'
+    algorithm from the ``n_landmarks`` smallest node ids, truncated at
+    ``max_hops`` BFS levels (the standard sampling estimator when
+    all-sources Brandes is off the table).  Forward sweep: keyed
+    multi-source BFS carrying EXACT BIGINT shortest-path counts
+    sigma(lm, v) (the same one-equi-join-per-round frontier as
+    q_closeness).  Backward sweep, unrolled deepest-level-first:
+    delta(v) = sum over DAG successors w (edges with depth(w) =
+    depth(v)+1) of floor(sigma(v) * (PPM + delta(w)) / sigma(w)) — every
+    term a positive-integer floor-div of exact BIGINTs, so both engines
+    produce bit-identical ppm scores (sigma(v) <= sigma(w) on DAG edges
+    bounds each term by PPM + delta(w); at web scale sigma within 3 hops
+    is degree^2-bounded, far inside BIGINT).
+
+    Scale: each forward round joins the frontier (not the closure)
+    against the persisted edge set; each backward level is one
+    (lm, node) equi-join + grouped sum over level-(k+1) rows only.
+    Landmarks are a constant, so total cost is O(hops) bounded joins."""
+    edges = _edges(spark, sf_dir, min_docs)
+    w = Window.orderBy("src")
+    landmarks = (
+        edges.select("src")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_landmarks)
+        .select(F.col("src").alias("lm"))
+    )
+    lvl = {
+        0: landmarks.select(
+            "lm", F.col("lm").alias("CUI"),
+            F.lit(1).cast("bigint").alias("sig"),
+        ).localCheckpoint(eager=True)
+    }
+    visited = lvl[0].select("lm", "CUI").localCheckpoint(eager=True)
+    for k in range(1, max_hops + 1):
+        cand = (
+            lvl[k - 1].join(edges, lvl[k - 1]["CUI"] == edges["src"])
+            .groupBy("lm", F.col("dst").alias("CUI"))
+            .agg(F.sum("sig").alias("sig"))
+        )
+        lvl[k] = cand.join(
+            visited, ["lm", "CUI"], "left_anti"
+        ).localCheckpoint(eager=True)
+        visited = visited.unionByName(
+            lvl[k].select("lm", "CUI")
+        ).localCheckpoint(eager=True)
+    delta = lvl[max_hops].select(
+        "lm", "CUI", "sig", F.lit(0).cast("bigint").alias("delta")
+    )
+    deltas = [delta]
+    for k in range(max_hops - 1, 0, -1):
+        child = delta.select(
+            F.col("lm").alias("c_lm"), F.col("CUI").alias("c_cui"),
+            F.col("sig").alias("c_sig"), F.col("delta").alias("c_delta"),
+        )
+        terms = (
+            lvl[k].join(edges, lvl[k]["CUI"] == edges["src"])
+            .join(
+                child,
+                (F.col("c_lm") == F.col("lm"))
+                & (F.col("c_cui") == F.col("dst")),
+            )
+            .groupBy("lm", "CUI")
+            .agg(
+                F.sum(
+                    F.expr(f"(sig * (CAST({PPM} AS BIGINT) + c_delta))"
+                           " div c_sig")
+                ).alias("dsum")
+            )
+        )
+        delta = (
+            lvl[k].join(terms, ["lm", "CUI"], "left")
+            .select(
+                "lm", "CUI", "sig",
+                F.coalesce(F.col("dsum"), F.lit(0).cast("bigint"))
+                .alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        deltas.append(delta)
+    all_delta = deltas[0]
+    for d in deltas[1:]:
+        all_delta = all_delta.unionByName(d)
+    return (
+        all_delta.groupBy("CUI")
+        .agg(F.sum("delta").alias("bc_ppm"))
+        .where(F.col("bc_ppm") > 0)
+    )
+
+
+def sql_betweenness(
+    n_landmarks: int = BTW_LANDMARKS,
+    max_hops: int = BTW_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    fwd = []
+    for k in range(1, max_hops + 1):
+        fwd.append(
+            f"""l{k} AS MATERIALIZED (
+  SELECT x.lm, x.cui, x.sig FROM (
+    SELECT p.lm, e.dst AS cui, CAST(SUM(p.sig) AS BIGINT) AS sig
+    FROM l{k - 1} p JOIN e ON e.src = p.cui
+    GROUP BY p.lm, e.dst
+  ) x
+  WHERE NOT EXISTS (SELECT 1 FROM v{k - 1} s
+                    WHERE s.lm = x.lm AND s.cui = x.cui)
+),
+v{k} AS MATERIALIZED (
+  SELECT lm, cui FROM v{k - 1} UNION ALL SELECT lm, cui FROM l{k}
+)"""
+        )
+    bwd = [
+        f"d{max_hops} AS MATERIALIZED (SELECT lm, cui, sig,"
+        f" CAST(0 AS BIGINT) AS delta FROM l{max_hops})"
+    ]
+    for k in range(max_hops - 1, 0, -1):
+        bwd.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT p.lm, p.cui, p.sig, COALESCE(t.dsum, 0) AS delta
+  FROM l{k} p
+  LEFT JOIN (
+    SELECT p2.lm, p2.cui,
+           CAST(SUM((p2.sig * ({PPM} + c.delta)) // c.sig) AS BIGINT)
+             AS dsum
+    FROM l{k} p2
+    JOIN e ON e.src = p2.cui
+    JOIN d{k + 1} c ON c.lm = p2.lm AND c.cui = e.dst
+    GROUP BY p2.lm, p2.cui
+  ) t ON t.lm = p.lm AND t.cui = p.cui
+)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT cui, delta FROM d{k}" for k in range(1, max_hops + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+l0 AS MATERIALIZED (
+  SELECT lm, lm AS cui, CAST(1 AS BIGINT) AS sig FROM (
+    SELECT src AS lm, row_number() OVER (ORDER BY src) AS rk
+    FROM (SELECT DISTINCT src FROM e)
+  ) WHERE rk <= {n_landmarks}
+),
+v0 AS MATERIALIZED (SELECT lm, cui FROM l0),
+{",".join(fwd)},
+{",".join(bwd)}
+SELECT cui AS CUI, CAST(SUM(delta) AS BIGINT) AS bc_ppm
+FROM ({unions})
+GROUP BY cui
+HAVING SUM(delta) > 0
+"""

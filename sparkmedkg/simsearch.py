@@ -1085,3 +1085,113 @@ SELECT {k} AS k, {dims} AS dims,
        (SELECT COUNT(*) FROM hits) AS n_hits,
        round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction (IVF-cell-blocked, mutual-edge flag).
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """(src, dst, cos, rk, mutual): the k-nearest-neighbor graph over the
+    embedding corpus, restricted to each vector's IVF cell — the standard
+    first step of graph-based ANN index builds (HNSW/NSG ground layers),
+    dedup clustering, and label propagation over similarity edges.
+    ``mutual`` marks edges whose reverse is also a kNN edge (the
+    mutual-kNN filter that prunes hub-induced false neighbors).
+
+    Scale: every vector is assigned to its max-cosine cell by the same
+    zero-shuffle expression argmax as ivf_topk; candidates come from ONE
+    cell-keyed self-equi-join (cells partition the corpus, so the join is
+    |cell|^2 per cell, never corpus^2 — at 10^12 rows you bound cell size
+    by splitting hot cells, the IVF list-length cap); the per-source
+    top-k is a WindowGroupLimit-eligible rank over the join output, and
+    the mutual flag is a self-equi-join of the k*n-row kNN edge set.
+
+    Approximation contract (same as ivf_topk): neighbors outside the
+    source's own cell are not candidates; the oracle replicates the exact
+    same cell assignment, so the gate checks the algorithm, and
+    metrics.ann_recall-style scorecards quantify the recall loss."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents_local = [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows]
+    sim_structs = F.array(
+        *[
+            F.struct(
+                (_dot("v", _plane_lit(cv)) / (_norm("v") * _norm(_plane_lit(cv))))
+                .alias("sim"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents_local
+        ]
+    )
+    best = F.array_max(sim_structs)
+    assigned = emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
+    a = assigned.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("av"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("bv"), "cid"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    knn = (
+        a.join(b, "cid")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cos", _dot("av", "bv") / (_norm("av") * _norm("bv")))
+        .select("src", "dst", "cos")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("m"),
+    )
+    return knn.join(rev, ["src", "dst"], "left").select(
+        "src", "dst", F.round("cos", 6).alias("cos"), "rk",
+        F.col("m").isNotNull().alias("mutual"),
+    )
+
+
+def sql_knn_graph(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
+    sim_ec = (
+        f"({_SQL_DOT.format(a='e.v', b='c.cv')}) / "
+        f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    )
+    cos_ab = (
+        f"({_SQL_DOT.format(a='a.v', b='b.v')}) / "
+        f"({_SQL_NORM.format(a='a.v')} * {_SQL_NORM.format(a='b.v')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {n_cells}),
+sims AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {sim_ec} DESC, c.cid ASC) AS rk
+  FROM e, c
+),
+assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM sims WHERE rk = 1),
+knn AS MATERIALIZED (
+  SELECT src, dst, cos, rk FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst, {cos_ab} AS cos,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {cos_ab} DESC, b.vec_id ASC) AS rk
+    FROM assigned a JOIN assigned b USING (cid)
+    WHERE a.vec_id <> b.vec_id
+  ) WHERE rk <= {k}
+)
+SELECT t.src, t.dst, round(t.cos, 6) AS cos, t.rk,
+       (r.src IS NOT NULL) AS mutual
+FROM knn t LEFT JOIN knn r ON r.src = t.dst AND r.dst = t.src
+"""

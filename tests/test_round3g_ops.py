@@ -195,3 +195,98 @@ def test_linear_probe_descends(spark):
     for r_ in got:
         w[r_["i"]] = r_["w"] / emblinalg.PROBE_W
     assert np.linalg.norm(g @ w - b) < np.linalg.norm(b)
+
+
+# ---------------------------------------------------------------------------
+# Landmark betweenness
+# ---------------------------------------------------------------------------
+
+def test_betweenness_bruteforce(spark):
+    edges = _edge_set(spark)
+    adj = defaultdict(set)
+    for (u, v) in edges:
+        adj[u].add(v)
+    nodes = sorted({u for e in edges for u in e} & {e[0] for e in edges})
+    landmarks = sorted({e[0] for e in edges})[: graphalgo.BTW_LANDMARKS]
+    PPM = graphalgo.PPM
+    want = defaultdict(int)
+    for lm in landmarks:
+        level = {lm: 0}
+        sig = {lm: 1}
+        levels = [[lm]]
+        for k in range(1, graphalgo.BTW_HOPS + 1):
+            nxt = defaultdict(int)
+            for u in levels[k - 1]:
+                for v in adj[u]:
+                    if v not in level:
+                        nxt[v] += sig[u]
+            for v, s in nxt.items():
+                level[v] = k
+                sig[v] = s
+            levels.append(sorted(nxt))
+        delta = {v: 0 for v in level}
+        for k in range(graphalgo.BTW_HOPS - 1, 0, -1):
+            for v in levels[k]:
+                d = 0
+                for w_ in adj[v]:
+                    if level.get(w_) == k + 1:
+                        d += (sig[v] * (PPM + delta[w_])) // sig[w_]
+                delta[v] = d
+        for k in range(1, graphalgo.BTW_HOPS + 1):
+            for v in levels[k]:
+                want[v] += delta[v]
+    want = {v: d for v, d in want.items() if d > 0}
+    got = {
+        r["CUI"]: r["bc_ppm"]
+        for r in graphalgo.q_betweenness(spark, SF).collect()
+    }
+    assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# kNN graph
+# ---------------------------------------------------------------------------
+
+def test_knn_graph_bruteforce(spark):
+    from sparkmedkg import simsearch
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    x = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(x, axis=1)
+    cents = {
+        int(i): x[ids == i][0] for i in range(1, simsearch.N_CELLS + 1)
+    }
+    # cell assignment: argmax cosine, tie-break lowest cid
+    cid = {}
+    for vid, v in zip(ids, x):
+        sims = sorted(
+            ((float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)), -k)
+             for k, c in cents.items()),
+            reverse=True,
+        )
+        cid[int(vid)] = -sims[0][1]
+    cells = defaultdict(list)
+    for vid in ids:
+        cells[cid[int(vid)]].append(int(vid))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    want = {}
+    for c, members in cells.items():
+        for s in members:
+            scored = sorted(
+                (
+                    (-float(x[idx[s]] @ x[idx[d]])
+                     / (norm[idx[s]] * norm[idx[d]]), d)
+                    for d in members if d != s
+                ),
+            )[: simsearch.KNN_K]
+            for rk, (negcos, d) in enumerate(scored, start=1):
+                want[(s, d)] = (round(-negcos, 6), rk)
+    got = {}
+    mutual_got = {}
+    for r in simsearch.knn_graph(spark, SF).collect():
+        got[(r["src"], r["dst"])] = (r["cos"], r["rk"])
+        mutual_got[(r["src"], r["dst"])] = r["mutual"]
+    assert got == want
+    for (s, d), m in mutual_got.items():
+        assert m == ((d, s) in want)
