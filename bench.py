@@ -155,6 +155,8 @@ BENCH_QUERIES = {
     "tpch_product_profit": relops.tpch_product_profit,
     "tpch_parts_supplier": relops.tpch_parts_supplier,
     "tpch_potential_promotion": relops.tpch_potential_promotion,
+    "kg_betweenness": graphalgo.q_betweenness,
+    "emb_knn_graph": simsearch.knn_graph,
 }
 
 

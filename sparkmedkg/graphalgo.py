@@ -44,9 +44,10 @@ NJ_TAU = 0.25
 
 
 def _edges(spark: SparkSession, sf_dir: str, min_docs: int) -> DataFrame:
-    """Symmetric (src, dst) co-occurrence edges, persisted (tracked in
-    webkg's cache registry — released on the next corpus-query call)."""
-    return webkg._track(relations._cooccur_edges(spark, sf_dir, min_docs))
+    """Symmetric (src, dst) co-occurrence edges — served from
+    relations._EDGE_CACHE (materialized once per session), so a suite of
+    graph queries pays the NER scan once instead of per algorithm."""
+    return relations._cooccur_edges(spark, sf_dir, min_docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1092,6 +1092,7 @@ SELECT {k} AS k, {dims} AS dims,
 # ---------------------------------------------------------------------------
 
 KNN_K = 5
+KNN_QK = 1 << 15  # per-element quantization of the unit vector
 
 
 def knn_graph(
@@ -1108,11 +1109,10 @@ def knn_graph(
     mutual-kNN filter that prunes hub-induced false neighbors).
 
     Scale: every vector is assigned to its max-cosine cell by the same
-    zero-shuffle expression argmax as ivf_topk; candidates come from ONE
-    cell-keyed self-equi-join (cells partition the corpus, so the join is
-    |cell|^2 per cell, never corpus^2 — at 10^12 rows you bound cell size
-    by splitting hot cells, the IVF list-length cap); the per-source
-    top-k is a WindowGroupLimit-eligible rank over the join output, and
+    zero-shuffle expression argmax as ivf_topk; pair scoring runs
+    per-cell inside ONE applyInPandas (cells partition the corpus, so
+    the work is |cell|^2 per cell, never corpus^2 — at 10^12 rows you
+    bound cell size by splitting hot cells, the IVF list-length cap);
     the mutual flag is a self-equi-join of the k*n-row kNN edge set.
 
     Approximation contract (same as ivf_topk): neighbors outside the
@@ -1137,28 +1137,74 @@ def knn_graph(
         ]
     )
     best = F.array_max(sim_structs)
-    assigned = emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
-    a = assigned.select(
-        F.col("vec_id").alias("src"), F.col("v").alias("av"), "cid"
+    # Normalize + quantize in the scan projection (JVM expressions, so the
+    # integers are bit-identical to the oracle's): uq = round(v/|v| * 2^15)
+    # per element.  The |cell|^2 pair scoring then runs as an EXACT int64
+    # numpy matmul per cell inside applyInPandas — the prescribed Arrow
+    # lane for dense vectorizable math (a per-pair HOF fold is interpreted
+    # element-at-a-time and measured ~10x slower here).  Exact integers
+    # mean the rank order is bit-identical across Spark / DuckDB / numpy —
+    # no float accumulation-order hazard at the top-k boundary.
+    unit_q = F.expr(
+        f"transform(v, x -> CAST(round(CAST(x AS DOUBLE) / n * {KNN_QK})"
+        " AS BIGINT))"
     )
-    b = assigned.select(
-        F.col("vec_id").alias("dst"), F.col("v").alias("bv"), "cid"
+    cells = (
+        emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
+        .withColumn("n", _norm("v"))
+        .select("vec_id", unit_q.alias("q"), "cid")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    knn = (
-        a.join(b, "cid")
-        .where(F.col("src") != F.col("dst"))
-        .withColumn("cos", _dot("av", "bv") / (_norm("av") * _norm("bv")))
-        .select("src", "dst", "cos")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+    kk = int(k)
+
+    def _cell_knn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                    "dot_q": pd.Series(dtype="int64"),
+                    "rk": pd.Series(dtype="int32"),
+                }
+            )
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        s = q @ q.T  # exact: 64 * (2^15)^2 = 2^36 per entry, no overflow
+        out_src, out_dst, out_dot, out_rk = [], [], [], []
+        for r in range(len(ids)):
+            # deterministic (-dot, id) order; lexsort keys are reversed
+            order = np.lexsort((ids, -s[r]))
+            order = order[ids[order] != ids[r]][:kk]
+            for rk_, i in enumerate(order, start=1):
+                out_src.append(ids[r])
+                out_dst.append(ids[i])
+                out_dot.append(s[r, i])
+                out_rk.append(rk_)
+        return pd.DataFrame(
+            {
+                "src": np.array(out_src, dtype=np.int64),
+                "dst": np.array(out_dst, dtype=np.int64),
+                "dot_q": np.array(out_dot, dtype=np.int64),
+                "rk": np.array(out_rk, dtype=np.int32),
+            }
+        )
+
+    knn = cells.groupBy("cid").applyInPandas(
+        _cell_knn, "src bigint, dst bigint, dot_q bigint, rk int"
     )
     rev = knn.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"),
         F.lit(1).alias("m"),
     )
     return knn.join(rev, ["src", "dst"], "left").select(
-        "src", "dst", F.round("cos", 6).alias("cos"), "rk",
+        "src",
+        "dst",
+        "dot_q",
+        F.round(F.col("dot_q").cast("double") / F.lit(float(KNN_QK * KNN_QK)), 6)
+        .alias("cos"),
+        "rk",
         F.col("m").isNotNull().alias("mutual"),
     )
 
@@ -1168,9 +1214,15 @@ def sql_knn_graph(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
         f"({_SQL_DOT.format(a='e.v', b='c.cv')}) / "
         f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
     )
-    cos_ab = (
-        f"({_SQL_DOT.format(a='a.v', b='b.v')}) / "
-        f"({_SQL_NORM.format(a='a.v')} * {_SQL_NORM.format(a='b.v')})"
+    unit_q = (
+        "list_transform(v, x -> CAST(round(x::DOUBLE / "
+        + _SQL_NORM.format(a="v")
+        + f" * {KNN_QK}) AS BIGINT))"
+    )
+    dot_ab = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, len(a.q)), "
+        "i -> a.q[i] * b.q[i])), (acc, e) -> acc + e)"
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -1181,17 +1233,22 @@ sims AS (
                             ORDER BY {sim_ec} DESC, c.cid ASC) AS rk
   FROM e, c
 ),
-assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM sims WHERE rk = 1),
+assigned AS MATERIALIZED (
+  SELECT vec_id, {unit_q} AS q, cid FROM sims WHERE rk = 1),
 knn AS MATERIALIZED (
-  SELECT src, dst, cos, rk FROM (
-    SELECT a.vec_id AS src, b.vec_id AS dst, {cos_ab} AS cos,
+  SELECT src, dst, dot_q, rk FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST({dot_ab} AS BIGINT) AS dot_q,
            row_number() OVER (PARTITION BY a.vec_id
-                              ORDER BY {cos_ab} DESC, b.vec_id ASC) AS rk
+                              ORDER BY CAST({dot_ab} AS BIGINT) DESC,
+                                       b.vec_id ASC) AS rk
     FROM assigned a JOIN assigned b USING (cid)
     WHERE a.vec_id <> b.vec_id
   ) WHERE rk <= {k}
 )
-SELECT t.src, t.dst, round(t.cos, 6) AS cos, t.rk,
+SELECT t.src, t.dst, t.dot_q,
+       round(CAST(t.dot_q AS DOUBLE) / {KNN_QK * KNN_QK}, 6) AS cos,
+       CAST(t.rk AS INT) AS rk,
        (r.src IS NOT NULL) AS mutual
 FROM knn t LEFT JOIN knn r ON r.src = t.dst AND r.dst = t.src
 """

@@ -270,23 +270,28 @@ def test_knn_graph_bruteforce(spark):
     for vid in ids:
         cells[cid[int(vid)]].append(int(vid))
     idx = {int(v): i for i, v in enumerate(ids)}
+    # quantized unit vectors, half-away-from-zero like Spark/DuckDB round
+    u = x / norm[:, None] * simsearch.KNN_QK
+    qv = np.where(u >= 0, np.floor(u + 0.5), -np.floor(-u + 0.5)).astype(
+        np.int64
+    )
     want = {}
     for c, members in cells.items():
         for s in members:
             scored = sorted(
                 (
-                    (-float(x[idx[s]] @ x[idx[d]])
-                     / (norm[idx[s]] * norm[idx[d]]), d)
+                    (-int(qv[idx[s]] @ qv[idx[d]]), d)
                     for d in members if d != s
                 ),
             )[: simsearch.KNN_K]
-            for rk, (negcos, d) in enumerate(scored, start=1):
-                want[(s, d)] = (round(-negcos, 6), rk)
+            for rk, (negdot, d) in enumerate(scored, start=1):
+                want[(s, d)] = (-negdot, rk)
     got = {}
     mutual_got = {}
     for r in simsearch.knn_graph(spark, SF).collect():
-        got[(r["src"], r["dst"])] = (r["cos"], r["rk"])
+        got[(r["src"], r["dst"])] = (r["dot_q"], r["rk"])
         mutual_got[(r["src"], r["dst"])] = r["mutual"]
+        assert r["cos"] == round(r["dot_q"] / simsearch.KNN_QK**2, 6)
     assert got == want
     for (s, d), m in mutual_got.items():
         assert m == ((d, s) in want)

@@ -468,6 +468,21 @@ def main() -> None:
             lambda: relops.tpch_potential_promotion(spark, SF),
             ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
         ),
+        "kg_betweenness": (
+            # forward/backward sweeps are checkpointed per level; the
+            # returned plan is the delta union + grouped sum — no product
+            lambda: graphalgo.q_betweenness(spark, SF),
+            ["HashAggregate", "Union", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "emb_knn_graph": (
+            # per-cell exact-int64 pair scoring in ONE Arrow-grouped
+            # applyInPandas (never corpus^2); mutual flag is an equi-join
+            # of the k*n kNN edge set
+            lambda: simsearch.knn_graph(spark, SF),
+            ["FlatMapGroupsInPandas", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
     }
 
     lines = [
