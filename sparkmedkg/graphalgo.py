@@ -1605,3 +1605,198 @@ FROM ({unions})
 GROUP BY cui
 HAVING SUM(delta) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components over a deterministic orientation of the
+# co-occurrence backbone.
+# ---------------------------------------------------------------------------
+
+SCC_MAX_ROUNDS = 32       # outer peel rounds (>= #SCC layers actually needed)
+SCC_MAX_PROP = 64         # inner min-label propagation bound (>= diameter)
+
+
+def _h60(col) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — the shared
+    Spark<->DuckDB hash bridge (same as webgraph._h60 / dedup._mh_params;
+    duplicated here to keep webgraph -> graphalgo imports acyclic)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _scc_directed_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int
+) -> DataFrame:
+    """Directed (src, dst) edges: each canonical co-occurrence pair x<y
+    keeps direction x->y iff h60(x>y) % 3 != 0 and y->x iff h60(y>x) % 3
+    != 0 (independent coin flips, both engines use the md5 bridge), so
+    ~4/9 of pairs are bidirectional — a directed graph with genuine
+    non-trivial SCCs derived purely from the corpus."""
+    pairs = (
+        _edges(spark, sf_dir, min_docs)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    fwd = pairs.where(
+        _h60(F.concat(F.col("x"), F.lit(">"), F.col("y"))) % 3 != 0
+    ).select(F.col("x").alias("src"), F.col("y").alias("dst"))
+    bwd = pairs.where(
+        _h60(F.concat(F.col("y"), F.lit(">"), F.col("x"))) % 3 != 0
+    ).select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    return fwd.unionByName(bwd).localCheckpoint(eager=True)
+
+
+def _min_reach_labels(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(cui, lbl): lbl = MIN id over {ancestors of cui along ``edges``}
+    UNION {cui} — synchronous min-label propagation run to convergence
+    (change-count detection, lineage truncated per sweep).  Per sweep the
+    only shuffle is one groupBy(dst) with map-side partial min; sweeps =
+    graph diameter, the textbook frontier bound."""
+    lbl = nodes.select("cui", F.col("cui").alias("lbl")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(SCC_MAX_PROP):
+        cand = (
+            edges.select(F.col("src").alias("j"), F.col("dst").alias("cui"))
+            .join(
+                lbl.select(F.col("cui").alias("j"), F.col("lbl").alias("src_lbl")),
+                "j",
+            )
+            .groupBy("cui")
+            .agg(F.min("src_lbl").alias("in_lbl"))
+        )
+        nxt = (
+            lbl.join(cand, "cui", "left")
+            .select(
+                "cui",
+                F.col("lbl").alias("old_lbl"),
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("in_lbl"), F.col("lbl"))
+                ).alias("new_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = nxt.where(F.col("new_lbl") != F.col("old_lbl")).isEmpty()
+        lbl = nxt.select("cui", F.col("new_lbl").alias("lbl")).localCheckpoint(
+            eager=True
+        )
+        if converged:
+            break
+    return lbl
+
+
+def q_scc(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(cui, scc_id): strongly connected components of the directed
+    co-occurrence orientation (``_scc_directed_edges``), scc_id = the
+    minimum member id.  The classic distributed label-peel: per round,
+    (1) TRIM nodes with no in- or no out-edges in the live subgraph
+    (singleton SCCs, peeled en masse — the step that makes real web
+    graphs converge in a handful of rounds), (2) compute forward and
+    backward min-reach labels; nodes where fwd == bwd == L are exactly
+    SCC(L) for every L that is its component's min-reachable witness —
+    at least the live minimum's SCC peels every round, so the loop
+    terminates.  All per-round work is frontier joins + partial-agg
+    shuffles over the LIVE subgraph only; at web scale the trim step
+    removes the long singleton tail first, exactly like FW-BW-Trim
+    (Slota et al.), leaving the small cyclic core for the label rounds.
+
+    Extends the reference's single fixed /intersection graph query
+    (neo4jconnector.py:267-316) with the component structure a KG
+    curation service reports."""
+    dedges = _scc_directed_edges(spark, sf_dir, min_docs)
+    nodes = (
+        dedges.select(F.col("src").alias("cui"))
+        .unionByName(dedges.select(F.col("dst").alias("cui")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    done: DataFrame | None = None
+    edges = dedges
+    for _ in range(SCC_MAX_ROUNDS):
+        if nodes.isEmpty():
+            break
+        # trim: no out-edges or no in-edges among live nodes -> singleton
+        has_out = nodes.join(
+            edges.select(F.col("src").alias("cui")).distinct(), "cui", "left_semi"
+        )
+        has_in = nodes.join(
+            edges.select(F.col("dst").alias("cui")).distinct(), "cui", "left_semi"
+        )
+        core = has_out.join(has_in, "cui", "left_semi").localCheckpoint(eager=True)
+        trimmed = nodes.join(core, "cui", "left_anti").select(
+            "cui", F.col("cui").alias("scc_id")
+        )
+        done = trimmed if done is None else done.unionByName(trimmed)
+        if core.isEmpty():
+            nodes = core
+            break
+        live_edges = (
+            edges.join(core.select(F.col("cui").alias("src")), "src", "left_semi")
+            .join(core.select(F.col("cui").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        fwd = _min_reach_labels(core, live_edges).select(
+            "cui", F.col("lbl").alias("flbl")
+        )
+        rev = live_edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        bwd = _min_reach_labels(core, rev).select(
+            F.col("cui").alias("cui_b"), F.col("lbl").alias("blbl")
+        )
+        peel = (
+            fwd.join(bwd, F.col("cui") == F.col("cui_b"))
+            .where(F.col("flbl") == F.col("blbl"))
+            .select("cui", F.col("flbl").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(peel).localCheckpoint(eager=True)
+        nodes = core.join(peel.select("cui"), "cui", "left_anti").localCheckpoint(
+            eager=True
+        )
+        edges = (
+            live_edges.join(
+                nodes.select(F.col("cui").alias("src")), "src", "left_semi"
+            )
+            .join(nodes.select(F.col("cui").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    assert nodes.isEmpty(), "SCC peel did not converge within SCC_MAX_ROUNDS"
+    if done is None:  # degenerate empty graph
+        return dedges.select(
+            F.col("src").alias("cui"), F.col("src").alias("scc_id")
+        ).limit(0)
+    return done
+
+
+def sql_scc(min_docs: int = PR_MIN_DOCS) -> str:
+    """Exact SCC via recursive transitive closure (tractable at oracle
+    scale): scc_id(v) = MIN({v} U {u : v ~> u AND u ~> v})."""
+    h = "CAST('0x' || substring(md5({e}), 1, 15) AS BIGINT)"
+    hf = h.format(e="x || '>' || y")
+    hb = h.format(e="y || '>' || x")
+    return f"""
+WITH RECURSIVE {sql_cooccur_edges_cte(min_docs)},
+pairs AS (SELECT x, y FROM und),
+dedges AS (
+  SELECT x AS src, y AS dst FROM pairs WHERE {hf} % 3 <> 0
+  UNION ALL
+  SELECT y AS src, x AS dst FROM pairs WHERE {hb} % 3 <> 0
+),
+vs AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges),
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+)
+SELECT vs.v AS cui,
+       LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc_id
+FROM vs LEFT JOIN mutual m ON m.v = vs.v
+GROUP BY vs.v
+"""

@@ -550,3 +550,58 @@ SELECT k AS n_types, n_tokens,
              / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity buckets per language.
+# ---------------------------------------------------------------------------
+
+CCNET_N_BUCKETS = 3
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, bucket, n_docs, min_ppl, max_ppl): the CCNet recipe's
+    per-language perplexity terciles — 'head' (lowest-ppl third), 'middle',
+    'tail' — the buckets Wenzek et al. publish Common Crawl under and the
+    knob LLM data mixes tune (train on head+middle, drop tail).  Bucketing
+    is ntile(3) over the deterministic total order (ppl, doc_id), so ties
+    are engine-stable; the summary reports each bucket's size and ppl range.
+
+    Plan: the LM fit + scoring is ``lm_perplexity``'s single explode
+    shuffle + broadcast map (no second corpus pass); the ntile is one
+    per-language sort — at 100 TB you'd replace the exact per-lang sort
+    with sampled tercile thresholds (trainprep.stratified_sample feeding
+    percentile estimates) and a map-only bucket assign; the exact window
+    here is the oracle-checkable small-scale form of the same contract."""
+    ppl = lm_perplexity(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    wnd = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(CCNET_N_BUCKETS).over(wnd),
+    )
+    return (
+        ppl.join(langs, "doc_id")
+        .select("lang", "ppl", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        )
+    )
+
+
+def sql_ccnet_buckets() -> str:
+    return f"""
+WITH scored AS (
+  SELECT d.lang, p.ppl,
+         (['head', 'middle', 'tail'])[
+           ntile({CCNET_N_BUCKETS}) OVER (PARTITION BY d.lang
+                                          ORDER BY p.ppl, p.doc_id)] AS bucket
+  FROM ({sql_lm_perplexity()}) p JOIN documents d ON d.doc_id = p.doc_id
+)
+SELECT lang, bucket, COUNT(*) AS n_docs,
+       MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
+FROM scored GROUP BY lang, bucket
+"""

@@ -882,3 +882,113 @@ SELECT doc_id, n_words, ok_word_count, ok_word_len, ok_symbols,
          AND ok_stopwords AS gopher_pass
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-host boilerplate-span removal (RefinedWeb/CCNet host-level cleanup).
+# ---------------------------------------------------------------------------
+
+BP_MIN_DF = 2        # a chunk on >= this many of a host's pages is boilerplate
+BP_N_HOSTS = 97      # matches webgraph.N_SRC_HOSTS / the fixtures url scheme
+
+
+def boilerplate_strip(
+    spark: SparkSession,
+    sf_dir: str,
+    w: int = CHUNK_W,
+    min_df: int = BP_MIN_DF,
+) -> DataFrame:
+    """(doc_id, n_chunks, n_kept, clean_text): remove HOST-LEVEL
+    boilerplate — ``w``-token chunks that appear on >= ``min_df`` distinct
+    pages of the same host (nav bars, cookie banners, footers) — keeping
+    each page's residual chunks in order.  This is the per-host half of
+    the C4/RefinedWeb recipe (``chunk_dedup`` is the corpus-global half;
+    ``line_dedup`` the intra-page half): a template shared by one site's
+    pages is boilerplate even though it never repeats off-site.
+
+    Plan: explode once; the boiler set is one (host, chunk) partial-agg
+    shuffle with countDistinct(doc_id) — map-side combinable, and the
+    surviving boiler rows are a tiny fraction of distinct chunks (only
+    templates cross min_df), so the removal join is a left_anti against a
+    small side that AQE broadcasts; reassembly is the same one doc_id
+    shuffle as chunk_dedup.  A hot template repeated on 10^8 pages of one
+    host collapses map-side to one row per partition before the exchange."""
+    from sparkmedkg.session import widen_scan
+
+    def _chunks_of(ws):
+        n_chunks = (F.size(ws) + F.lit(w - 1)) / F.lit(w)
+        return F.transform(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(ws, i * w + 1, w)),
+        )
+
+    chunks = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), " +")), _chunks_of), 1
+    )
+    host = F.concat(
+        F.lit("site"),
+        (F.col("doc_id") % BP_N_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    ex = (
+        widen_scan(_docs(spark, sf_dir))
+        .select("doc_id", host.alias("host"), F.posexplode(chunks).alias("pos", "chunk"))
+    )
+    boiler = (
+        ex.groupBy("host", "chunk")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("host", "chunk")
+    )
+    kept = ex.join(boiler, ["host", "chunk"], "left_anti")
+    totals = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(
+        kept.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def sql_boilerplate_strip(w: int = CHUNK_W, min_df: int = BP_MIN_DF) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH ex AS (
+  SELECT doc_id, 'site' || (doc_id % {BP_N_HOSTS}) || '.example' AS host,
+         unnest([{{'pos': i,
+                   'chunk': array_to_string(list_slice({toks}, i*{w}+1, i*{w}+{w}), ' ')}}
+                 for i in generate_series(0, (len({toks})+{w - 1})//{w} - 1)]) AS u
+  FROM documents
+),
+flat AS (SELECT doc_id, host, u.pos AS pos, u.chunk AS chunk FROM ex),
+boiler AS (
+  SELECT host, chunk FROM flat
+  GROUP BY host, chunk HAVING COUNT(DISTINCT doc_id) >= {min_df}
+),
+kept AS (
+  SELECT f.* FROM flat f ANTI JOIN boiler b
+    ON f.host = b.host AND f.chunk = b.chunk
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_chunks FROM flat GROUP BY doc_id)
+SELECT t.doc_id, t.n_chunks,
+       COALESCE(k.n_kept, 0) AS n_kept,
+       COALESCE(k.clean_text, '') AS clean_text
+FROM totals t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+) k ON t.doc_id = k.doc_id
+"""

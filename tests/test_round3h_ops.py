@@ -1,0 +1,122 @@
+"""Round-3 eighth-batch operators: SCC, host boilerplate strip, CCNet
+perplexity buckets — brute-force Python twins over the sf0.001 tables."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pandas as pd
+
+from sparkmedkg import graphalgo, textstats, webclean
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _directed_edges(spark):
+    sym = graphalgo._edges(spark, SF, graphalgo.PR_MIN_DOCS).collect()
+    pairs = sorted({(r["src"], r["dst"]) for r in sym if r["src"] < r["dst"]})
+    out = set()
+    for x, y in pairs:
+        if _h60(f"{x}>{y}") % 3 != 0:
+            out.add((x, y))
+        if _h60(f"{y}>{x}") % 3 != 0:
+            out.add((y, x))
+    return out
+
+
+def test_scc_bruteforce(spark):
+    dedges = _directed_edges(spark)
+    nodes = sorted({v for e in dedges for v in e})
+    adj = defaultdict(set)
+    for s, d in dedges:
+        adj[s].add(d)
+
+    def reach(v):
+        seen, stack = {v}, [v]
+        while stack:
+            for n in adj[stack.pop()]:
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return seen
+
+    fwd = {v: reach(v) for v in nodes}
+    want = {
+        v: min([v] + [u for u in fwd[v] if v in fwd[u]]) for v in nodes
+    }
+    got = {
+        r["cui"]: r["scc_id"] for r in graphalgo.q_scc(spark, SF).collect()
+    }
+    assert got == want
+    assert set(got) == set(nodes)
+
+
+def test_scc_has_nontrivial_component(spark):
+    # the 2/3-coin orientation keeps ~4/9 of pairs bidirectional, so the
+    # backbone should yield at least one multi-node SCC (guards against a
+    # degenerate all-singleton test graph proving nothing)
+    rows = graphalgo.q_scc(spark, SF).collect()
+    sizes = defaultdict(int)
+    for r in rows:
+        sizes[r["scc_id"]] += 1
+    assert max(sizes.values()) >= 2
+
+
+def test_boilerplate_strip_bruteforce(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    w = webclean.CHUNK_W
+    chunks_of = {}
+    host_df = defaultdict(set)
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.split()
+        cs = [
+            " ".join(toks[i * w : i * w + w])
+            for i in range((len(toks) + w - 1) // w)
+        ]
+        chunks_of[doc_id] = cs
+        host = f"site{doc_id % webclean.BP_N_HOSTS}.example"
+        for c in set(cs):
+            host_df[host].add((c, doc_id))
+    boiler = defaultdict(set)
+    for host, pairs in host_df.items():
+        df = defaultdict(int)
+        for c, _ in pairs:
+            df[c] += 1
+        boiler[host] = {c for c, n in df.items() if n >= webclean.BP_MIN_DF}
+    want = {}
+    for doc_id, cs in chunks_of.items():
+        host = f"site{doc_id % webclean.BP_N_HOSTS}.example"
+        kept = [c for c in cs if c not in boiler[host]]
+        want[doc_id] = (len(cs), len(kept), " ".join(kept))
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in webclean.boilerplate_strip(spark, SF).collect()
+    }
+    assert got == want
+    # the operator must actually strip something on this corpus
+    assert any(g[1] < g[0] for g in got.values())
+
+
+def test_ccnet_buckets_properties(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    lang_n = docs.groupby("lang").size().to_dict()
+    rows = textstats.ccnet_buckets(spark, SF).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]] = r
+    for lang, buckets in by_lang.items():
+        ns = [buckets[b]["n_docs"] for b in ("head", "middle", "tail") if b in buckets]
+        assert sum(ns) == lang_n[lang]
+        # ntile: earlier buckets are >= later ones and differ by <= 1
+        assert max(ns) - min(ns) <= 1
+        assert ns == sorted(ns, reverse=True)
+        # ppl ranges are ordered head <= middle <= tail
+        order = [b for b in ("head", "middle", "tail") if b in buckets]
+        for a, b in zip(order, order[1:]):
+            assert buckets[a]["max_ppl"] <= buckets[b]["min_ppl"]
+            assert buckets[a]["min_ppl"] <= buckets[a]["max_ppl"]
