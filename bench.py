@@ -157,6 +157,14 @@ BENCH_QUERIES = {
     "tpch_potential_promotion": relops.tpch_potential_promotion,
     "kg_betweenness": graphalgo.q_betweenness,
     "emb_knn_graph": simsearch.knn_graph,
+    # round-3 ninth batch: component structure, per-host boilerplate,
+    # CCNet perplexity buckets
+    "kg_scc": graphalgo.q_scc,
+    "web_boilerplate_strip": webclean.boilerplate_strip,
+    "text_ccnet_buckets": textstats.ccnet_buckets,
+    "corpus_dup_spans": webclean.dup_spans,
+    "kg_edge_history": relations.q_edge_history,
+    "kg_neighborhood_func": graphalgo.q_neighborhood_func,
 }
 
 

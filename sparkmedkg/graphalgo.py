@@ -1800,3 +1800,80 @@ SELECT vs.v AS cui,
 FROM vs LEFT JOIN mutual m ON m.v = vs.v
 GROUP BY vs.v
 """
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function (distance distribution).
+# ---------------------------------------------------------------------------
+
+NF_MAX_D = 3
+
+
+def q_neighborhood_func(
+    spark: SparkSession,
+    sf_dir: str,
+    max_d: int = NF_MAX_D,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(d, n_pairs): number of ordered node pairs at shortest-path distance
+    exactly d, d = 1..max_d — the neighborhood function N(d) behind
+    effective-diameter and average-distance reports.  Layered all-source
+    BFS: layer d is (layer d-1 join edges) minus everything already
+    reached, so each pair is counted at its true minimum distance.
+
+    Scale note: exact pair sets grow toward O(n * ball(d)); at web scale
+    the published answer is HyperBall (Boldi & Vigna) — one HLL register
+    array per node, unioned along edges per round, which this repo's
+    register-level HLL primitives (webgraph.hll_distinct / hll_union)
+    already implement; the exact layered form here is the oracle-checkable
+    contract at validation scale, and the counts-only output (max_d rows)
+    is what either implementation emits."""
+    edges = _edges(spark, sf_dir, min_docs).select("src", "dst").distinct()
+    edges = edges.localCheckpoint(eager=True)
+    cur = edges
+    reached = edges
+    counts = [(1, cur.count())]
+    for d in range(2, max_d + 1):
+        step = (
+            cur.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(
+                edges.select(F.col("src").alias("mid"), F.col("dst")), "mid"
+            )
+            .select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(reached, ["src", "dst"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        counts.append((d, step.count()))
+        reached = reached.unionByName(step).localCheckpoint(eager=True)
+        cur = step
+    return spark.createDataFrame(counts, "d int, n_pairs long")
+
+
+def sql_neighborhood_func(
+    max_d: int = NF_MAX_D, min_docs: int = PR_MIN_DOCS
+) -> str:
+    layers = ["p1 AS (SELECT DISTINCT src, dst FROM edges)"]
+    for d in range(2, max_d + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT src, dst FROM p{k}" for k in range(1, d)
+        )
+        layers.append(
+            f"""p{d} AS (
+  SELECT DISTINCT a.src, e.dst
+  FROM p{d - 1} a JOIN edges e ON e.src = a.dst
+  WHERE a.src <> e.dst
+  EXCEPT
+  SELECT src, dst FROM ({prior})
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {d} AS d, COUNT(*) AS n_pairs FROM p{d}"
+        for d in range(1, max_d + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+{",".join(layers)}
+{unions}
+"""

@@ -828,3 +828,68 @@ JOIN ok ON a.obj_cui = ok.mid
 JOIN rel b ON b.subj_cui = a.obj_cui
 WHERE a.subj_cui <> b.obj_cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal edge history (snapshot validity intervals).
+# ---------------------------------------------------------------------------
+
+KG_N_SNAPSHOTS = 4   # synthetic crawl snapshots: snap = doc_id % 4
+
+
+def q_edge_history(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(src, dst, n_docs, first_seen, last_seen, n_snaps): the temporal-KG
+    view of the co-occurrence edge set — each edge annotated with the first
+    and last crawl snapshot it was observed in and how many distinct
+    snapshots support it.  In production snap comes from the page's
+    warc_ts; the synthetic convention is doc_id % KG_N_SNAPSHOTS (the same
+    scheme snapshot_diff uses).  An as-of query is then a plain filter
+    (first_seen <= t), and edge churn between crawls is last_seen < t —
+    the provenance dimension the reference's one-shot Neo4j load discards.
+
+    Plan: the pair self-join is the SAME one the static edge builder runs
+    (doc-keyed equi-join); the snapshot annotations ride the existing
+    groupBy(x, y) as three extra partial aggregates — temporal lineage
+    costs zero additional shuffles over the static graph build."""
+    doc_cui = _doc_cui(spark, sf_dir)
+    snap = (F.col("url").cast("bigint") % KG_N_SNAPSHOTS).alias("snap")
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"), snap)
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
+    return (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("snap").alias("first_seen"),
+            F.max("snap").alias("last_seen"),
+            F.countDistinct("snap").alias("n_snaps"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            F.col("x").alias("src"), F.col("y").alias("dst"),
+            "n_docs", "first_seen", "last_seen", "n_snaps",
+        )
+    )
+
+
+def sql_edge_history(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+pairs AS (
+  SELECT a.cui AS x, b.cui AS y, a.doc_id % {KG_N_SNAPSHOTS} AS snap
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+)
+SELECT x AS src, y AS dst, COUNT(*) AS n_docs,
+       MIN(snap) AS first_seen, MAX(snap) AS last_seen,
+       COUNT(DISTINCT snap) AS n_snaps
+FROM pairs GROUP BY x, y HAVING COUNT(*) >= {min_docs}
+"""

@@ -992,3 +992,101 @@ FROM totals t LEFT JOIN (
   FROM kept GROUP BY doc_id
 ) k ON t.doc_id = k.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate SPANS via sliding windows (substring dedup).
+# ---------------------------------------------------------------------------
+
+DUP_W = 8   # sliding window width (tokens)
+
+
+def dup_spans(spark: SparkSession, sf_dir: str, w: int = DUP_W) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal token spans
+    covered by sliding ``w``-token windows that also appear in at least one
+    OTHER document — the exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"), which
+    catches UNALIGNED duplicates that chunk-boundary dedup (chunk_dedup)
+    structurally misses.  span_start is the 0-based first duplicated token,
+    span_end the exclusive end; adjacent/overlapping duplicate windows are
+    merged gaps-and-islands style.
+
+    Plan: one posexplode (fan-out = n_tokens rows per doc), ONE window-key
+    partial-agg shuffle for the cross-doc frequency (map-side combine
+    collapses within-partition repeats of hot boilerplate windows), a
+    semi-join back, then a per-document sort window for the island merge —
+    partitioned by doc_id, so no global sort.  At 10^12 docs the window
+    string key is replaced by its 60-bit rolling hash (same join shape,
+    8x narrower shuffle); the string form here keeps the oracle exact."""
+    from sparkmedkg.session import widen_scan
+
+    def _wins_of(ws):
+        return F.when(
+            F.size(ws) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - w),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, w)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wins = F.element_at(
+        F.transform(F.array(F.split(F.col("text"), " +")), _wins_of), 1
+    )
+    ex = widen_scan(_docs(spark, sf_dir)).select(
+        "doc_id", F.posexplode(wins).alias("pos", "win")
+    )
+    dup = (
+        ex.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= 2)
+        .select("win")
+    )
+    hits = ex.join(dup, "win", "left_semi").select("doc_id", "pos")
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    new_island = F.when(
+        F.col("pos") > F.lag("pos").over(wnd) + w, 1
+    ).otherwise(0)
+    islands = hits.select(
+        "doc_id",
+        "pos",
+        F.sum(F.coalesce(new_island, F.lit(0)))
+        .over(wnd.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + w).alias("span_end"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")
+
+
+def sql_dup_spans(w: int = DUP_W) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'win': array_to_string(list_slice({toks}, i+1, i+{w}), ' ')}}
+                 for i in generate_series(0, len({toks}) - {w})]) AS u
+  FROM documents
+  WHERE len({toks}) >= {w}
+),
+flat AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM ex),
+dup AS (SELECT win FROM flat GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT f.doc_id, f.pos FROM flat f SEMI JOIN dup d ON f.win = d.win),
+lagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) + {w}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM lagged
+)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {w} AS span_end,
+       COUNT(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""

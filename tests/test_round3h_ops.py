@@ -120,3 +120,92 @@ def test_ccnet_buckets_properties(spark):
         for a, b in zip(order, order[1:]):
             assert buckets[a]["max_ppl"] <= buckets[b]["min_ppl"]
             assert buckets[a]["min_ppl"] <= buckets[a]["max_ppl"]
+
+
+def test_dup_spans_bruteforce(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    w = webclean.DUP_W
+    wins_of = {}
+    owners = defaultdict(set)
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.split()
+        ws = [
+            " ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)
+        ]
+        wins_of[doc_id] = ws
+        for win in set(ws):
+            owners[win].add(doc_id)
+    dup = {win for win, ds in owners.items() if len(ds) >= 2}
+    want = set()
+    for doc_id, ws in wins_of.items():
+        hits = [i for i, win in enumerate(ws) if win in dup]
+        if not hits:
+            continue
+        start, prev, n = hits[0], hits[0], 1
+        for p in hits[1:]:
+            if p > prev + w:
+                want.add((doc_id, start, prev + w, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        want.add((doc_id, start, prev + w, n))
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in webclean.dup_spans(spark, SF).collect()
+    }
+    assert got == want
+    assert got, "corpus should contain at least one cross-doc duplicate span"
+
+
+def test_edge_history_bruteforce(spark):
+    from sparkmedkg import relations
+
+    doc_cui = relations._doc_cui(spark, SF).collect()
+    by_doc = defaultdict(set)
+    for r in doc_cui:
+        by_doc[int(r["url"])].add(r["CUI"])
+    agg = {}
+    for doc, cuis in by_doc.items():
+        snap = doc % relations.KG_N_SNAPSHOTS
+        for x in cuis:
+            for y in cuis:
+                if x < y:
+                    e = agg.setdefault((x, y), [0, set()])
+                    e[0] += 1
+                    e[1].add(snap)
+    want = {
+        (x, y, n, min(s), max(s), len(s))
+        for (x, y), (n, s) in agg.items()
+        if n >= relations.PR_MIN_DOCS
+    }
+    got = {
+        tuple(r)
+        for r in relations.q_edge_history(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_neighborhood_func_bruteforce(spark):
+    adj = defaultdict(set)
+    for r in graphalgo._edges(spark, SF, graphalgo.PR_MIN_DOCS).collect():
+        adj[r["src"]].add(r["dst"])
+    want = defaultdict(int)
+    for s in adj:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier and d < graphalgo.NF_MAX_D:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            want[d] += len(nxt)
+            frontier = nxt
+    got = {
+        r["d"]: r["n_pairs"]
+        for r in graphalgo.q_neighborhood_func(spark, SF).collect()
+    }
+    assert got == {d: want.get(d, 0) for d in range(1, graphalgo.NF_MAX_D + 1)}
