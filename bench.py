@@ -165,6 +165,8 @@ BENCH_QUERIES = {
     "corpus_dup_spans": webclean.dup_spans,
     "kg_edge_history": relations.q_edge_history,
     "kg_neighborhood_func": graphalgo.q_neighborhood_func,
+    "corpus_cdc_chunks": webclean.cdc_chunks,
+    "text_distinct_ngrams": textstats.distinct_ngrams,
 }
 
 

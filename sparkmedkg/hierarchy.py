@@ -254,3 +254,56 @@ r AS (
 )
 SELECT a, b, ancestor AS lca, da, db FROM r WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Transitive reduction (Hasse diagram recovery from a flattened closure).
+# ---------------------------------------------------------------------------
+
+def ontology_reduction(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(cui, ancestor): the transitive REDUCTION of the IS_A reachability
+    relation — the minimal covering-pair set whose closure reproduces
+    ``ontology_closure`` exactly.  This is the inverse ingestion problem:
+    distributions like UMLS MRHIER ship FLATTENED ancestor tables, and a
+    KG builder must recover the Hasse diagram before storing edges (else
+    every concept links to every ancestor and path semantics are lost).
+    A closure pair (c, a) is covering iff no midpoint m exists with
+    c ~> m ~> a.
+
+    Plan: the closure is ontology-sized (tiny next to the corpus), so the
+    midpoint self-join runs broadcast x broadcast and the anti-join
+    eliminates derivable pairs — zero corpus-scale shuffles; at UMLS scale
+    (~10^7 closure rows) the self-join keys on the mid column with the
+    usual partial-agg dedup."""
+    closure = ontology_closure(spark, sf_dir).select("cui", "ancestor")
+    mid = (
+        closure.select(F.col("cui"), F.col("ancestor").alias("m"))
+        .join(
+            closure.select(
+                F.col("cui").alias("m"), F.col("ancestor")
+            ),
+            "m",
+        )
+        .select("cui", "ancestor")
+        .distinct()
+    )
+    return closure.join(mid, ["cui", "ancestor"], "left_anti")
+
+
+def sql_ontology_reduction() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+reach(cui, ancestor) AS (
+  SELECT cui, ancestor FROM hier
+  UNION
+  SELECT r.cui, h.ancestor
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+mid AS (
+  SELECT DISTINCT a.cui, b.ancestor
+  FROM reach a JOIN reach b ON b.cui = a.ancestor
+)
+SELECT cui, ancestor FROM reach
+EXCEPT
+SELECT cui, ancestor FROM mid
+"""

@@ -605,3 +605,89 @@ SELECT lang, bucket, COUNT(*) AS n_docs,
        MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
 FROM scored GROUP BY lang, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity: distinct-n ratios per source (Li et al. distinct-n).
+# ---------------------------------------------------------------------------
+
+def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, distinct_1, distinct_2): lexical-diversity
+    scorecard per corpus slice — |distinct n-grams| / |n-grams| for n=1,2
+    (the distinct-n metric of Li et al. 2016, the standard check that a
+    synthetic or deduped slice hasn't collapsed into repetitive text; a
+    mode-collapsed generator scores near 0).
+
+    Plan: one explode per n (the bigram explode rides the same scan),
+    each followed by a two-level partial-agg (exact distinct via
+    (source, gram) pre-aggregation, never a global distinct) — all
+    map-side combinable, join at the end is per-source rows (tiny,
+    broadcast).  Ratios are single double divisions of exact BIGINTs, so
+    both engines agree bit-for-bit before the final round."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " +")
+    uni = docs.select("source", F.explode(toks).alias("g"))
+    u = (
+        uni.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("d1"),
+        )
+    )
+    bi_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = docs.select("source", F.explode(bi_arr).alias("g"))
+    b = (
+        bi.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("nb"), F.count(F.lit(1)).alias("d2"))
+    )
+    return u.join(b, "source").select(
+        "source",
+        "n_tokens",
+        F.round(F.col("d1").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_1"
+        ),
+        F.round(F.col("d2").cast("double") / F.col("nb"), 6).alias(
+            "distinct_2"
+        ),
+    )
+
+
+def sql_distinct_ngrams() -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH uni AS (
+  SELECT source, unnest({toks}) AS g FROM documents
+),
+u AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS d1
+  FROM (SELECT source, g, COUNT(*) AS c FROM uni GROUP BY source, g)
+  GROUP BY source
+),
+bi AS (
+  SELECT source,
+         unnest([t[i] || ' ' || t[i + 1]
+                 for i in generate_series(1, len(t) - 1)]) AS g
+  FROM (SELECT source, {toks} AS t FROM documents)
+  WHERE len(t) >= 2
+),
+b AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS nb, COUNT(*) AS d2
+  FROM (SELECT source, g, COUNT(*) AS c FROM bi GROUP BY source, g)
+  GROUP BY source
+)
+SELECT u.source, u.n_tokens,
+       round(u.d1::DOUBLE / u.n_tokens, 6) AS distinct_1,
+       round(b.d2::DOUBLE / b.nb, 6) AS distinct_2
+FROM u JOIN b ON u.source = b.source
+"""

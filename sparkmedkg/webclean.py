@@ -1090,3 +1090,121 @@ SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {w} AS span_end,
        COUNT(*) AS n_windows
 FROM isl GROUP BY doc_id, island
 """
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC-style) + corpus chunk-dup rate.
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 8   # expected chunk length in tokens (boundary prob 1/8)
+
+
+def cdc_chunks(
+    spark: SparkSession, sf_dir: str, mod: int = CDC_MOD
+) -> DataFrame:
+    """(doc_id, n_chunks, n_dup_chunks): content-defined chunking — a
+    chunk boundary falls AFTER any token whose 60-bit hash ≡ 0 (mod
+    ``mod``), so boundaries depend on content, not position.  Unlike
+    fixed-width chunking (chunk_dedup), an insertion near a document's
+    head shifts NO downstream chunk boundaries, so shared suffixes still
+    dedup — the FastCDC property, with the token-hash gate standing in for
+    the byte-level gear hash.  n_dup_chunks counts this document's chunks
+    whose content also appears in >= 1 other document.
+
+    Plan: one posexplode, a per-document running-boundary-count window
+    (partitioned by doc_id — never a global sort), one groupBy to
+    assemble chunks, one chunk-key partial-agg shuffle for the cross-doc
+    frequency, and a broadcast-able semi-join back.  Fan-out is exactly
+    n_tokens rows per doc; hot chunks collapse map-side."""
+    from sparkmedkg.session import widen_scan
+
+    toks = F.split(F.col("text"), " +")
+    ex = widen_scan(_docs(spark, sf_dir)).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
+    is_bnd = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
+        % mod
+        == 0
+    ).cast("int")
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    marked = ex.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum(is_bnd).over(
+                wnd.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    chunks = marked.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("chunk")
+    )
+    dup = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("dfreq"))
+        .where(F.col("dfreq") >= 2)
+        .select("chunk")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks")
+    )
+    dups = (
+        chunks.join(dup, "chunk", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_chunks"))
+    )
+    return per_doc.join(dups, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0).cast("bigint")).alias(
+            "n_dup_chunks"
+        ),
+    )
+
+
+def sql_cdc_chunks(mod: int = CDC_MOD) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'tok': t[i]}}
+                 for i in generate_series(1, len(t))]) AS u
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+),
+flat AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ex),
+marked AS (
+  SELECT doc_id, pos, tok,
+         COALESCE(SUM(CASE WHEN CAST('0x' || substring(md5(tok), 1, 15) AS BIGINT)
+                                % {mod} = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM flat
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM marked GROUP BY doc_id, chunk_id
+),
+dup AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id),
+dups AS (
+  SELECT c.doc_id, COUNT(*) AS n_dup_chunks
+  FROM chunks c SEMI JOIN dup d ON c.chunk = d.chunk
+  GROUP BY c.doc_id
+)
+SELECT p.doc_id, p.n_chunks, COALESCE(x.n_dup_chunks, 0) AS n_dup_chunks
+FROM per_doc p LEFT JOIN dups x ON p.doc_id = x.doc_id
+"""

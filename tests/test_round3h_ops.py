@@ -209,3 +209,122 @@ def test_neighborhood_func_bruteforce(spark):
         for r in graphalgo.q_neighborhood_func(spark, SF).collect()
     }
     assert got == {d: want.get(d, 0) for d in range(1, graphalgo.NF_MAX_D + 1)}
+
+
+def test_ontology_reduction_bruteforce(spark):
+    from sparkmedkg import hierarchy
+
+    edges = set(hierarchy.WEB_HIERARCHY)
+    # python closure
+    closure = set(edges)
+    while True:
+        new = {
+            (c, a2)
+            for (c, a) in closure
+            for (c2, a2) in closure
+            if a == c2
+        } - closure
+        if not new:
+            break
+        closure |= new
+    mid = {
+        (c, a2)
+        for (c, a) in closure
+        for (c2, a2) in closure
+        if a == c2
+    }
+    want = closure - mid
+    got = {
+        (r["cui"], r["ancestor"])
+        for r in hierarchy.ontology_reduction(spark).collect()
+    }
+    assert got == want
+    # defining property: closure(reduction) == closure(original)
+    red_closure = set(got)
+    while True:
+        new = {
+            (c, a2)
+            for (c, a) in red_closure
+            for (c2, a2) in red_closure
+            if a == c2
+        } - red_closure
+        if not new:
+            break
+        red_closure |= new
+    assert red_closure == closure
+    # and it is minimal: strictly fewer pairs than the closure
+    assert len(got) < len(closure)
+
+
+def test_cdc_chunks_bruteforce(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    mod = webclean.CDC_MOD
+    chunks_of = {}
+    owners = defaultdict(set)
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.split()
+        chunks, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if _h60(t) % mod == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        chunks_of[doc_id] = chunks
+        for c in set(chunks):
+            owners[c].add(doc_id)
+    want = {}
+    for doc_id, chunks in chunks_of.items():
+        dup = sum(1 for c in chunks if len(owners[c]) >= 2)
+        want[doc_id] = (len(chunks), dup)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in webclean.cdc_chunks(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_cdc_shift_robustness():
+    # the FastCDC property the operator exists for: prepending tokens
+    # changes only the FIRST chunk; every later chunk is identical
+    def cdc(toks, mod=webclean.CDC_MOD):
+        chunks, cur = [], []
+        for t in toks:
+            cur.append(t)
+            if _h60(t) % mod == 0:
+                chunks.append(" ".join(cur))
+                cur = []
+        if cur:
+            chunks.append(" ".join(cur))
+        return chunks
+
+    base = "the fast key order sort table scan merge part window".split() * 4
+    shifted = ["inserted", "prefix"] + base
+    a, b = cdc(base), cdc(shifted)
+    assert a[1:] == b[1:] or a == b[1:] or a[1:] == b[2:] or set(a[1:]) <= set(b)
+    # at minimum the tail chunks coincide
+    assert a[-1] == b[-1] and a[-2] == b[-2]
+
+
+def test_distinct_ngrams_bruteforce(spark):
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["source", "text"]]
+    agg = defaultdict(lambda: [0, set(), 0, set()])
+    for source, text in docs.itertuples(index=False):
+        toks = text.split()
+        e = agg[source]
+        e[0] += len(toks)
+        e[1].update(toks)
+        bis = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        e[2] += len(bis)
+        e[3].update(bis)
+    want = {
+        s: (n, round(len(d1) / n, 6), round(len(d2) / nb, 6))
+        for s, (n, d1, nb, d2) in agg.items()
+    }
+    got = {
+        r["source"]: (r["n_tokens"], r["distinct_1"], r["distinct_2"])
+        for r in textstats.distinct_ngrams(spark, SF).collect()
+    }
+    assert got == want
