@@ -167,6 +167,9 @@ BENCH_QUERIES = {
     "kg_neighborhood_func": graphalgo.q_neighborhood_func,
     "corpus_cdc_chunks": webclean.cdc_chunks,
     "text_distinct_ngrams": textstats.distinct_ngrams,
+    "web_trustrank": webgraph.q_trustrank,
+    "kg_shortest_path_tree": graphalgo.q_shortest_path_tree,
+    "events_decay_topk": relops.events_decay_topk,
 }
 
 

@@ -1877,3 +1877,79 @@ WITH {sql_cooccur_edges_cte(min_docs)},
 {",".join(layers)}
 {unions}
 """
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest-path TREE (dist + parent) — Cypher shortestPath
+# parity for the Neo4j-replacement story.
+# ---------------------------------------------------------------------------
+
+def q_shortest_path_tree(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(cui, dist, parent): BFS tree from the deterministic seed (minimum
+    CUI) with parent pointers — parent(v) = the MINIMUM-id neighbor of v at
+    dist-1, so the tree (and thus every reconstructed path) is unique and
+    engine-stable.  This is the bulk form of Cypher's shortestPath(): the
+    reference's Neo4j store answers one (a, b) pair per call
+    (neo4jconnector.py), while one pass here yields the whole tree and any
+    path is a parent-chain walk over |path| lookups.
+
+    Plan: the frontier iteration is q_bfs_reach's (per-round cost tracks
+    the frontier); the parent assignment is ONE extra edge join against the
+    final visited table with a min() partial agg — no per-round overhead."""
+    edges = _edges(spark, sf_dir, min_docs)
+    visited = q_bfs_reach(spark, sf_dir, max_hops=max_hops, min_docs=min_docs)
+    prev = visited.select(
+        F.col("CUI").alias("src"), F.col("dist").alias("pd")
+    )
+    parents = (
+        visited.where(F.col("dist") > 0)
+        .join(edges, visited["CUI"] == edges["dst"])
+        .join(prev, "src")
+        .where(F.col("pd") == F.col("dist") - 1)
+        .groupBy("CUI", "dist")
+        .agg(F.min("src").alias("parent"))
+    )
+    root = visited.where(F.col("dist") == 0).select(
+        "CUI", "dist", F.lit(None).cast("string").alias("parent")
+    )
+    return root.unionByName(
+        parents.select("CUI", "dist", "parent")
+    ).select(F.col("CUI").alias("cui"), "dist", "parent")
+
+
+def sql_shortest_path_tree(
+    max_hops: int = BFS_MAX_HOPS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT cui, MIN(dist) AS dist FROM (
+    SELECT cui, dist FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS cui, p.dist + 1 AS dist
+    FROM r{k - 1} p JOIN e ON e.src = p.cui
+  ) GROUP BY cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT src, dst FROM edges),
+r0 AS (SELECT (SELECT MIN(src) FROM e) AS cui, 0 AS dist),
+{unrolled},
+vis AS MATERIALIZED (SELECT cui, dist FROM r{max_hops})
+SELECT v.cui, v.dist, NULL AS parent FROM vis v WHERE v.dist = 0
+UNION ALL
+SELECT v.cui, v.dist, MIN(e.src) AS parent
+FROM vis v
+JOIN e ON e.dst = v.cui
+JOIN vis p ON p.cui = e.src AND p.dist = v.dist - 1
+WHERE v.dist > 0
+GROUP BY v.cui, v.dist
+"""

@@ -2844,3 +2844,84 @@ WHERE s_suppkey IN (
   GROUP BY l_suppkey, l_partkey
   HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > {Q20_QTY})
 """
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed trending score (half-life counters).
+# ---------------------------------------------------------------------------
+
+DECAY_HALF_LIFE_SEC = 3600   # one-hour half-life
+
+# integer PPM weights for the fractional eighth-half-life steps: the j-th
+# entry is round(1e6 * 0.5**(j/8)) computed ONCE here, so both engines use
+# the identical literal table and the whole operator is integer arithmetic
+# (pow() ULP differences between JVM and DuckDB can flip a rounded weight,
+# which an earlier float formulation actually hit).
+DECAY_LUT_PPM = [round(1_000_000 * 0.5 ** (j / 8)) for j in range(8)]
+
+
+def events_decay_topk(
+    spark: SparkSession, sf_dir: str, half_life: int = DECAY_HALF_LIFE_SEC
+) -> DataFrame:
+    """(event_type, n_events, decayed_ppm): trending score per event type —
+    each event contributes ~0.5^(age / half_life) in integer PPM, aged
+    against the corpus-max timestamp, so recent activity dominates and
+    stale volume fades.  The leaderboard rule behind 'trending now' panels
+    and decayed frequency caps in feature stores.
+
+    Determinism: age is quantized to eighth-half-life steps; the weight is
+    DECAY_LUT_PPM[step % 8] >> (step / 8) — table lookup + integer shift,
+    NO runtime pow() — so the aggregate is an exact BIGINT sum, immune to
+    both float-addition ordering and libm ULP skew across engines.
+
+    Plan: the reference timestamp is a 1-row broadcast; weighting is
+    map-only expression work riding the scan; ONE event_type partial-agg
+    shuffle.  At 10^12 events nothing else moves."""
+    ev = _t(spark, sf_dir, "events")
+    # epoch MICROSECOND longs (the events_scd2 convention): ts carries
+    # sub-second precision, and second-truncated ages would disagree with
+    # the oracle's epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    tmax = ev.agg(F.max(us).alias("tm"))
+    age = F.col("tm") - us
+    hl_us = half_life * 1_000_000
+    step = (((age * 8) - (age * 8) % F.lit(hl_us)) / F.lit(hl_us)).cast(
+        "bigint"
+    )
+    lut = ", ".join(f"{v}L" for v in DECAY_LUT_PPM)
+    w_ppm = F.when(F.col("step") >= 8 * 21, F.lit(0).cast("bigint")).otherwise(
+        F.expr(
+            f"shiftright(element_at(array({lut}), "
+            "cast(step % 8 as int) + 1), cast(step div 8 as int))"
+        )
+    ).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(tmax))
+        .select("event_type", step.alias("step"))
+        .select("event_type", w_ppm.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").alias("decayed_ppm"),
+        )
+    )
+
+
+def sql_events_decay_topk(half_life: int = DECAY_HALF_LIFE_SEC) -> str:
+    lut = ", ".join(str(v) for v in DECAY_LUT_PPM)
+    return f"""
+WITH tm AS (SELECT MAX(epoch_us(ts)) AS tm FROM events),
+st AS (
+  SELECT event_type,
+         CAST(((tm - epoch_us(ts)) * 8) // {half_life * 1_000_000} AS BIGINT)
+           AS step
+  FROM events CROSS JOIN tm
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN step >= 8 * 21 THEN 0
+                     ELSE ([{lut}])[CAST(step % 8 AS INTEGER) + 1]
+                          >> CAST(step // 8 AS INTEGER) END) AS BIGINT)
+         AS decayed_ppm
+FROM st
+GROUP BY event_type
+"""

@@ -1218,3 +1218,143 @@ FROM anchors an JOIN (SELECT DISTINCT alias, cui FROM aliases) al
   ON al.alias = an.term
 GROUP BY an.dst_host, al.cui
 """
+
+
+# ---------------------------------------------------------------------------
+# TrustRank over the intra-site-namespace link graph (web-spam triage).
+# ---------------------------------------------------------------------------
+
+TRUST_ALPHA = 0.85
+TRUST_ITERS = 2
+TRUST_SEEDS = ("site0.example", "site1.example", "site2.example")
+
+
+def _intra_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src, dst) host edges where anchor targets live in the SAME
+    site* namespace as sources (md5(token) % N_SRC_HOSTS), so the graph has
+    cycles and real propagation depth — the deterministic synthesis twin of
+    link_graph's cross-namespace anchors."""
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    src = F.concat(
+        F.lit("site"), (F.col("doc_id") % N_SRC_HOSTS).cast("string"),
+        F.lit(".example"),
+    )
+    toks = F.slice(F.split(F.col("text"), " +"), 1, MAX_ANCHORS)
+    dsts = F.transform(
+        toks,
+        lambda t: F.concat(
+            F.lit("site"), (_h60(t) % N_SRC_HOSTS).cast("string"),
+            F.lit(".example"),
+        ),
+    )
+    return (
+        docs.select(src.alias("src"), F.explode(dsts).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def q_trustrank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = TRUST_ITERS,
+    alpha: float = TRUST_ALPHA,
+) -> DataFrame:
+    """(host, trust): TrustRank (Gyongyi et al. 2004) — PageRank with
+    restart mass pinned to a hand-vetted seed whitelist, so trust decays
+    with link distance from the seeds and spam farms (unreachable from
+    good hosts) score ~0.  The curation signal a crawl pipeline uses to
+    downweight link-spam neighborhoods before corpus admission.
+
+    Plan: identical iteration shape to relations.q_ppr — edges + out-degree
+    persisted once, per round one rank join + grouped sum; the seed
+    indicator is a literal isin() expression (the whitelist is by
+    definition tiny).  t <- (1-alpha)*e_S + alpha * W^T t."""
+    edges = _intra_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ed = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    e_s = F.when(
+        F.col("host").isin(*TRUST_SEEDS), 1.0 / len(TRUST_SEEDS)
+    ).otherwise(0.0)
+    trust = nodes.select("host", e_s.alias("t"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(trust.select(F.col("host").alias("src"), "t"), "src")
+            .select("dst", (F.col("t") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        trust = nodes.join(
+            contrib.select(F.col("dst").alias("host"), "s"), "host", "left"
+        ).select(
+            "host",
+            (
+                F.lit(1.0 - alpha) * e_s
+                + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("t"),
+        )
+    out = trust.select("host", F.round("t", 6).alias("trust")).localCheckpoint(
+        eager=True
+    )
+    for df in (edges, ed, nodes):
+        df.unpersist()
+    return out
+
+
+def sql_trustrank(
+    iters: int = TRUST_ITERS, alpha: float = TRUST_ALPHA
+) -> str:
+    seeds = ", ".join(f"'{s}'" for s in TRUST_SEEDS)
+
+    def e_s(q: str) -> str:
+        return (
+            f"CASE WHEN {q}host IN ({seeds}) "
+            f"THEN 1.0/{len(TRUST_SEEDS)} ELSE 0.0 END"
+        )
+
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""t{k} AS (
+  SELECT n.host,
+         (1 - {alpha}) * {e_s('n.')}
+         + {alpha} * COALESCE(c.s, 0) AS t
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, SUM(p.t / dg.deg) AS s
+    FROM edges e JOIN t{k - 1} p ON e.src = p.host
+                 JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON n.host = c.host
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS src,
+         unnest(list_slice(regexp_split_to_array(text, ' +'), 1,
+                           {MAX_ANCHORS})) AS tok
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src,
+         'site' || ({_sql_h60('tok')} % {N_SRC_HOSTS}) || '.example' AS dst
+  FROM pages
+  WHERE src <> 'site' || ({_sql_h60('tok')} % {N_SRC_HOSTS}) || '.example'
+),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+t0 AS (SELECT host, {e_s('')} AS t FROM nodes),
+{unrolled}
+SELECT host, round(t, 6) AS trust FROM t{iters}
+"""

@@ -328,3 +328,99 @@ def test_distinct_ngrams_bruteforce(spark):
         for r in textstats.distinct_ngrams(spark, SF).collect()
     }
     assert got == want
+
+
+def test_trustrank_bruteforce(spark):
+    from sparkmedkg import webgraph
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in webgraph._intra_edges(spark, SF).collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    e_s = {
+        v: (1.0 / len(webgraph.TRUST_SEEDS) if v in webgraph.TRUST_SEEDS else 0.0)
+        for v in nodes
+    }
+    t = dict(e_s)
+    a = webgraph.TRUST_ALPHA
+    for _ in range(webgraph.TRUST_ITERS):
+        nxt = {}
+        inc = defaultdict(float)
+        for s, d in edges:
+            inc[d] += t[s] / outdeg[s]
+        for v in nodes:
+            nxt[v] = (1 - a) * e_s[v] + a * inc[v]
+        t = nxt
+    got = {r["host"]: r["trust"] for r in webgraph.q_trustrank(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - t[v]) < 1e-6
+    # seeds hold trust; a host unreachable from seeds scores ~0 restart-only
+    assert max(got[s] for s in webgraph.TRUST_SEEDS if s in got) > 0
+
+
+def test_shortest_path_tree_bruteforce(spark):
+    adj = defaultdict(set)
+    for r in graphalgo._edges(spark, SF, graphalgo.PR_MIN_DOCS).collect():
+        adj[r["src"]].add(r["dst"])
+    seed = min(adj)
+    dist = {seed: 0}
+    frontier = [seed]
+    d = 0
+    while frontier and d < graphalgo.BFS_MAX_HOPS:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    want = {}
+    for v, dv in dist.items():
+        if dv == 0:
+            want[v] = (0, None)
+        else:
+            want[v] = (
+                dv,
+                min(u for u in adj if v in adj[u] and dist.get(u) == dv - 1),
+            )
+    got = {
+        r["cui"]: (r["dist"], r["parent"])
+        for r in graphalgo.q_shortest_path_tree(spark, SF).collect()
+    }
+    assert got == want
+    # every parent chain terminates at the seed
+    for v in got:
+        cur, seen = v, set()
+        while got[cur][1] is not None:
+            assert cur not in seen
+            seen.add(cur)
+            cur = got[cur][1]
+        assert cur == seed
+
+
+def test_decay_topk_bruteforce(spark):
+    from sparkmedkg import relops
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["ts", "event_type"]]
+    us = ev["ts"].astype("int64")  # epoch micros
+    tm = int(us.max())
+    hl = relops.DECAY_HALF_LIFE_SEC * 1_000_000
+    want = defaultdict(lambda: [0, 0])
+    for t_us, et in zip(us, ev["event_type"]):
+        step = ((tm - int(t_us)) * 8) // hl
+        w = 0 if step >= 8 * 21 else relops.DECAY_LUT_PPM[step % 8] >> (step // 8)
+        want[et][0] += 1
+        want[et][1] += w
+    got = {
+        r["event_type"]: (r["n_events"], r["decayed_ppm"])
+        for r in relops.events_decay_topk(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # a fully-aged synthetic event set would make the op vacuous
+    assert any(v[1] > 0 for v in got.values())
