@@ -170,6 +170,8 @@ BENCH_QUERIES = {
     "web_trustrank": webgraph.q_trustrank,
     "kg_shortest_path_tree": graphalgo.q_shortest_path_tree,
     "events_decay_topk": relops.events_decay_topk,
+    "corpus_inverted_index": corpusops.inverted_index,
+    "events_item_similarity": relops.events_item_similarity,
 }
 
 

@@ -2925,3 +2925,86 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM st
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative co-occurrence similarity (events -> CF model).
+# ---------------------------------------------------------------------------
+
+ITEM_SIM_MIN_CO = 3   # emit pairs co-visited by >= this many users
+
+
+def events_item_similarity(
+    spark: SparkSession, sf_dir: str, min_co: int = ITEM_SIM_MIN_CO
+) -> DataFrame:
+    """(item_a, item_b, n_co, cosine): item-item collaborative similarity —
+    for every item pair, how many distinct users touched both, normalized
+    by sqrt(n_a * n_b) (the Amazon item-to-item CF formulation).  Items are
+    the integer ``props.k`` payload of the event stream.
+
+    Plan: distinct (user, item) once, then the pair candidates come from a
+    per-user self-join — the classic skew point: a power user with u items
+    contributes u^2 pairs, so at web scale the hot-user tail is capped or
+    salted (the same wedge-cap contract as kg_triangles; AQE skew-split
+    handles moderate skew here).  Co-counts and per-item counts are
+    map-side-combinable aggregates; the final cosine is one exact-integer
+    division rounded at emit."""
+    ui = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = ui.select(F.col("user_id").alias("u"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("user_id").alias("u"), F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= min_co)
+    )
+    return (
+        co.join(
+            cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na")),
+            "item_a",
+        )
+        .join(
+            cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            F.round(
+                F.col("n_co")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def sql_events_item_similarity(min_co: int = ITEM_SIM_MIN_CO) -> str:
+    return f"""
+WITH ui AS (
+  SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+),
+cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {min_co}
+)
+SELECT co.item_a, co.item_b, co.n_co,
+       round(co.n_co / sqrt(ca.n::DOUBLE * cb.n), 6) AS cosine
+FROM co JOIN cnt ca ON co.item_a = ca.item
+        JOIN cnt cb ON co.item_b = cb.item
+"""

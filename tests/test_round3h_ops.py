@@ -424,3 +424,76 @@ def test_decay_topk_bruteforce(spark):
     assert got == {k: tuple(v) for k, v in want.items()}
     # a fully-aged synthetic event set would make the op vacuous
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_inverted_index_and_phrase_bruteforce(spark):
+    from sparkmedkg import corpusops
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    postings = defaultdict(dict)
+    for doc_id, text in docs.itertuples(index=False):
+        for i, t in enumerate(text.split()):
+            postings[t].setdefault(doc_id, []).append(i)
+    want_idx = {
+        (t, len(ds), d, tuple(ps))
+        for t, ds in postings.items()
+        if len(ds) >= corpusops.INV_MIN_DF
+        for d, ps in ds.items()
+    }
+    got_idx = {
+        (r["term"], r["df"], r["doc_id"], tuple(r["positions"]))
+        for r in corpusops.inverted_index(spark, SF).collect()
+    }
+    assert got_idx == want_idx
+
+    t1, t2 = corpusops.PHRASE
+    want_ph = {}
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.split()
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == t1 and toks[i + 1] == t2
+        )
+        if n:
+            want_ph[doc_id] = n
+    got_ph = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in corpusops.phrase_search(spark, SF).collect()
+    }
+    assert got_ph == want_ph
+    assert got_ph, "fixture corpus should contain the demo phrase"
+
+
+def test_item_similarity_bruteforce(spark):
+    import json as _json
+    from sparkmedkg import relops
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "props"]]
+    ui = {
+        (u, _json.loads(p)["k"])
+        for u, p in ev.itertuples(index=False)
+        if _json.loads(p).get("k") is not None
+    }
+    items = defaultdict(set)
+    for u, k in ui:
+        items[k].add(u)
+    by_user = defaultdict(set)
+    for u, k in ui:
+        by_user[u].add(k)
+    co = defaultdict(int)
+    for u, ks in by_user.items():
+        ks = sorted(ks)
+        for i, x in enumerate(ks):
+            for y in ks[i + 1 :]:
+                co[(x, y)] += 1
+    want = {
+        (a, b, n, round(n / (len(items[a]) * len(items[b])) ** 0.5, 6))
+        for (a, b), n in co.items()
+        if n >= relops.ITEM_SIM_MIN_CO
+    }
+    got = {
+        (r["item_a"], r["item_b"], r["n_co"], r["cosine"])
+        for r in relops.events_item_similarity(spark, SF).collect()
+    }
+    assert got == want
