@@ -172,6 +172,10 @@ BENCH_QUERIES = {
     "events_decay_topk": relops.events_decay_topk,
     "corpus_inverted_index": corpusops.inverted_index,
     "events_item_similarity": relops.events_item_similarity,
+    "kg_metapath_counts": webkg.q_metapath_counts,
+    "text_code_switch": textstats.code_switch,
+    "events_ab_test": relops.events_ab_test,
+    "kg_rich_club": graphalgo.q_rich_club,
 }
 
 

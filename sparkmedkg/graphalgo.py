@@ -1953,3 +1953,98 @@ JOIN vis p ON p.cui = e.src AND p.dist = v.dist - 1
 WHERE v.dist > 0
 GROUP BY v.cui, v.dist
 """
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (hub interconnection density).
+# ---------------------------------------------------------------------------
+
+RC_MAX_K = 4
+
+
+def q_rich_club(
+    spark: SparkSession,
+    sf_dir: str,
+    max_k: int = RC_MAX_K,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(k, n_nodes, n_edges, phi): rich-club coefficient for k = 1..max_k —
+    among nodes of degree > k, the fraction of possible edges actually
+    present (phi = E_k / (N_k choose 2)).  High phi at high k means hubs
+    wire to each other (the web's rich-club ordering); the structural
+    summary used to sanity-check synthetic graphs against real crawls.
+
+    Plan: one degree aggregate; the per-k membership tests are an
+    explode over the k grid joined against the (node-pair-sized) canonical
+    edge list with both endpoint degrees attached — two broadcast-able
+    joins and one (k) rollup; nothing corpus-scale moves."""
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ks = spark.range(1, max_k + 1).select(F.col("id").cast("int").alias("k"))
+    nodes_k = (
+        ks.join(deg.select("deg"))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    pairs = (
+        edges.where(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("src"), F.col("deg").alias("da")), "src")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("db")),
+            "dst",
+        )
+    )
+    edges_k = (
+        ks.join(pairs.select("da", "db"))
+        .where((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        nodes_k.join(edges_k, "k", "left")
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0).cast("bigint")).alias(
+                "n_edges"
+            ),
+            F.round(
+                F.coalesce(F.col("n_edges"), F.lit(0)).cast("double")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1) / 2.0),
+                6,
+            ).alias("phi"),
+        )
+        .where(F.col("n_nodes") >= 2)
+    )
+
+
+def sql_rich_club(
+    max_k: int = RC_MAX_K, min_docs: int = PR_MIN_DOCS
+) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+ks AS (SELECT unnest(generate_series(1, {max_k})) AS k),
+nodes_k AS (
+  SELECT k, COUNT(*) AS n_nodes
+  FROM ks JOIN deg ON deg.deg > ks.k
+  GROUP BY k
+),
+pairs AS (
+  SELECT e.src, e.dst, da.deg AS da, db.deg AS db
+  FROM edges e JOIN deg da ON da.src = e.src
+               JOIN deg db ON db.src = e.dst
+  WHERE e.src < e.dst
+),
+edges_k AS (
+  SELECT k, COUNT(*) AS n_edges
+  FROM ks JOIN pairs ON pairs.da > ks.k AND pairs.db > ks.k
+  GROUP BY k
+)
+SELECT n.k, n.n_nodes, COALESCE(e.n_edges, 0) AS n_edges,
+       round(COALESCE(e.n_edges, 0)::DOUBLE
+             / (n.n_nodes * (n.n_nodes - 1) / 2.0), 6) AS phi
+FROM nodes_k n LEFT JOIN edges_k e ON n.k = e.k
+WHERE n.n_nodes >= 2
+"""

@@ -3008,3 +3008,99 @@ SELECT co.item_a, co.item_b, co.n_co,
 FROM co JOIN cnt ca ON co.item_a = ca.item
         JOIN cnt cb ON co.item_b = cb.item
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion A/B test (conversion-rate z-score).
+# ---------------------------------------------------------------------------
+
+AB_CONV_EVENT = "purchase"
+AB_CONV_MIN = 14   # conversions per user to count (median-split: every
+                   # synthetic user purchases, so >=1 would be degenerate)
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score): the two-
+    proportion z-test an experimentation platform computes per metric —
+    users split into deterministic arms (user_id parity standing in for
+    the assignment hash), conversion = did the user ever fire the target
+    event, z = (p_b - p_a) / sqrt(p_pool (1-p_pool) (1/n_a + 1/n_b)).
+
+    Determinism: the four inputs are exact BIGINT counts; the z formula is
+    one fixed left-to-right double expression over them, so both engines
+    agree bit-for-bit before the final round.
+
+    Plan: ONE user-key partial-agg shuffle (per-user conversion flag),
+    then a 1-row conditional aggregate — at 10^12 events nothing else
+    moves; the final row is driver-sized by construction."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == AB_CONV_EVENT, 1).otherwise(0)
+            )
+            >= AB_CONV_MIN,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv")
+    )
+    stats = per_user.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a")
+    pb = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = F.when(se > 0, F.round((pb - pa) / se, 6))
+    return stats.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+def sql_events_ab_test() -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = '{AB_CONV_EVENT}'
+                            THEN 1 ELSE 0 END) >= {AB_CONV_MIN}
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a::DOUBLE / n_a, 6) AS rate_a,
+       round(conv_b::DOUBLE / n_b, 6) AS rate_b,
+       CASE WHEN sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) > 0
+            THEN round((conv_b::DOUBLE / n_b - conv_a::DOUBLE / n_a)
+                 / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6)
+            END AS z_score
+FROM s
+"""

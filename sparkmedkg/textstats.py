@@ -691,3 +691,79 @@ SELECT u.source, u.n_tokens,
        round(b.d2::DOUBLE / b.nb, 6) AS distinct_2
 FROM u JOIN b ON u.source = b.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Code-switching / language-mixture detection (chunk-level marker mixing).
+# ---------------------------------------------------------------------------
+
+CS_W = 16   # chunk width (tokens) for the chunk-level lang signal
+
+
+def code_switch(spark: SparkSession, sf_dir: str, w: int = CS_W) -> DataFrame:
+    """(doc_id, n_chunks, n_en_chunks, mix_entropy): chunk-level language
+    mixing — each ``w``-token chunk is classified by the same marker
+    heuristic as ``lang_id`` and the document scored by the binary entropy
+    of its chunk-class mixture.  Pure single-language pages score 0;
+    half-and-half code-switched pages score 1.0 — the filter signal CCNet
+    and multilingual curation pipelines use to route mixed pages away from
+    monolingual training mixes.  (Synthetic-corpus caveat as lang_id: the
+    heuristic exercises marker density; the operator SHAPE is what scales.)
+
+    Plan: chunking and per-chunk classification are higher-order array
+    expressions on the row — the whole operator is map-only, rides the
+    scan, zero exchanges at any corpus size; entropy is a row-local
+    closed-form over two integers (no float-sum ordering anywhere)."""
+    toks = F.split(F.lower(F.col("text")), " +")
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+
+    def _chunks_of(ws):
+        n_chunks = (F.size(ws) + F.lit(w - 1)) / F.lit(w)
+        return F.transform(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int") - 1),
+            lambda i: F.slice(ws, i * w + 1, w),
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks), _chunks_of), 1)
+    is_en = lambda c: F.size(  # noqa: E731
+        F.filter(c, lambda t: F.array_contains(markers, t))
+    ) > 0
+    n_chunks = F.size(chunks)
+    n_en = F.size(F.filter(chunks, is_en))
+    p = n_en.cast("double") / n_chunks.cast("double")
+    q = 1.0 - p
+    ent = -(
+        F.when(p > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log2(q)).otherwise(F.lit(0.0))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        n_en.alias("n_en_chunks"),
+        F.round(ent, 6).alias("mix_entropy"),
+    )
+
+
+def sql_code_switch(w: int = CS_W) -> str:
+    markers = ", ".join(f"'{m}'" for m in EN_MARKERS)
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    chunks = (
+        f"[list_slice({toks}, i*{w}+1, i*{w}+{w}) "
+        f"for i in generate_series(0, (len({toks})+{w - 1})//{w} - 1)]"
+    )
+    n_en = (
+        f"len(list_filter({chunks}, "
+        f"c -> len(list_filter(c, t -> list_contains([{markers}], t))) > 0))"
+    )
+    n_chunks = f"len({chunks})"
+    p = f"({n_en}::DOUBLE / {n_chunks})"
+    q = f"(1.0 - {p})"
+    ent = (
+        f"-(CASE WHEN {p} > 0 THEN {p} * log2({p}) ELSE 0.0 END"
+        f" + CASE WHEN {q} > 0 THEN {q} * log2({q}) ELSE 0.0 END)"
+    )
+    return f"""
+SELECT doc_id, {n_chunks} AS n_chunks, {n_en} AS n_en_chunks,
+       round({ent}, 6) AS mix_entropy
+FROM documents
+"""

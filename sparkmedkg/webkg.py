@@ -634,3 +634,50 @@ SELECT source, n_cands, t1 AS top1_score, t2 AS top2_score,
        round(t1 - t2, 6) AS margin, n_cands > 1 AS ambiguous
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Metapath statistics over the heterogeneous triple graph.
+# ---------------------------------------------------------------------------
+
+def q_metapath_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_label, pred_1, mid_label, pred_2, dst_label, n_paths): counts of
+    every 2-hop typed path (metapath) through the triple graph — the schema
+    profile heterogeneous-graph pipelines (metapath2vec walk design, GNN
+    relation sampling) read before choosing which paths to traverse, and a
+    drift check on the KG's shape between builds.
+
+    Plan: the triple table is built once (q_triples' cached lineage) and
+    self-joined on the typed midpoint (dst_id = src_id AND dst_label =
+    src_label) — an equi-join on the id column that AQE broadcast-sizes;
+    the rollup is by five low-cardinality label columns, so map-side
+    combine collapses it to schema-sized rows before the exchange."""
+    tr = q_triples(spark, sf_dir)
+    a = tr.select(
+        F.col("src_label").alias("src_label"),
+        F.col("pred").alias("pred_1"),
+        F.col("dst_label").alias("mid_label"),
+        F.col("dst_id").alias("mid_id"),
+    )
+    b = tr.select(
+        F.col("src_label").alias("mid_label"),
+        F.col("src_id").alias("mid_id"),
+        F.col("pred").alias("pred_2"),
+        F.col("dst_label").alias("dst_label"),
+    )
+    return (
+        a.join(b, ["mid_label", "mid_id"])
+        .groupBy("src_label", "pred_1", "mid_label", "pred_2", "dst_label")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+
+
+def sql_metapath_counts() -> str:
+    return f"""
+WITH tr AS MATERIALIZED (SELECT * FROM ({sql_triples()}))
+SELECT a.src_label, a.pred AS pred_1, a.dst_label AS mid_label,
+       b.pred AS pred_2, b.dst_label, COUNT(*) AS n_paths
+FROM tr a JOIN tr b
+  ON a.dst_id = b.src_id AND a.dst_label = b.src_label
+GROUP BY a.src_label, a.pred, a.dst_label, b.pred, b.dst_label
+"""

@@ -497,3 +497,108 @@ def test_item_similarity_bruteforce(spark):
         for r in relops.events_item_similarity(spark, SF).collect()
     }
     assert got == want
+
+
+def test_code_switch_bruteforce(spark):
+    import math
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    w = textstats.CS_W
+    markers = set(textstats.EN_MARKERS)
+    want = {}
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.lower().split()
+        chunks = [
+            toks[i * w : i * w + w]
+            for i in range((len(toks) + w - 1) // w)
+        ]
+        n_en = sum(1 for c in chunks if any(t in markers for t in c))
+        n = len(chunks)
+        p = n_en / n
+        q = 1 - p
+        ent = -(
+            (p * math.log2(p) if p > 0 else 0.0)
+            + (q * math.log2(q) if q > 0 else 0.0)
+        )
+        want[doc_id] = (n, n_en, round(ent, 6))
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_en_chunks"], r["mix_entropy"])
+        for r in textstats.code_switch(spark, SF).collect()
+    }
+    assert got == want
+    # the signal must actually vary on this corpus
+    assert len({v[2] for v in got.values()}) > 1
+
+
+def test_metapath_counts_consistency(spark):
+    from sparkmedkg import webkg
+
+    triples = [tuple(r) for r in webkg.q_triples(spark, SF).collect()]
+    paths = defaultdict(int)
+    by_src = defaultdict(list)
+    for sl, si, p, dl, di in triples:
+        by_src[(sl, si)].append((p, dl, di))
+    for sl, si, p, dl, di in triples:
+        for p2, dl2, _ in by_src.get((dl, di), ()):
+            paths[(sl, p, dl, p2, dl2)] += 1
+    got = {
+        (r["src_label"], r["pred_1"], r["mid_label"], r["pred_2"], r["dst_label"]): r["n_paths"]
+        for r in webkg.q_metapath_counts(spark, SF).collect()
+    }
+    assert got == dict(paths)
+    assert got, "triple graph should contain 2-hop paths"
+
+
+def test_ab_test_bruteforce(spark):
+    import math
+    from sparkmedkg import relops
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["user_id", "event_type"]]
+    per_user = defaultdict(int)
+    for u, et in ev.itertuples(index=False):
+        if et == relops.AB_CONV_EVENT:
+            per_user[u] += 1
+    users = sorted(set(ev["user_id"]))
+    conv = {u: int(per_user.get(u, 0) >= relops.AB_CONV_MIN) for u in users}
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    c_a = sum(conv[u] for u in users if u % 2 == 0)
+    c_b = sum(conv[u] for u in users if u % 2 == 1)
+    row = relops.events_ab_test(spark, SF).collect()[0]
+    assert (row["n_a"], row["n_b"], row["conv_a"], row["conv_b"]) == (
+        n_a, n_b, c_a, c_b,
+    )
+    pool = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    if se > 0:
+        assert abs(row["z_score"] - (c_b / n_b - c_a / n_a) / se) < 1e-5
+    # conversion split must be non-degenerate for the stat to mean anything
+    assert 0 < c_a + c_b < n_a + n_b
+
+
+def test_rich_club_bruteforce(spark):
+    edges = {
+        (r["src"], r["dst"])
+        for r in graphalgo._edges(spark, SF, graphalgo.PR_MIN_DOCS).collect()
+    }
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    want = {}
+    for k in range(1, graphalgo.RC_MAX_K + 1):
+        club = {v for v, d in deg.items() if d > k}
+        if len(club) < 2:
+            continue
+        e_k = sum(
+            1 for (s, d) in edges if s < d and s in club and d in club
+        )
+        want[k] = (
+            len(club),
+            e_k,
+            round(e_k / (len(club) * (len(club) - 1) / 2), 6),
+        )
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in graphalgo.q_rich_club(spark, SF).collect()
+    }
+    assert got == want
