@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, emblinalg, graphalgo, kgembed, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, emblinalg, graphalgo, kgembed, metrics, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -176,6 +176,8 @@ BENCH_QUERIES = {
     "text_code_switch": textstats.code_switch,
     "events_ab_test": relops.events_ab_test,
     "kg_rich_club": graphalgo.q_rich_club,
+    "kg_edge_provenance": relations.q_edge_provenance,
+    "metric_ann_ivf_curve": metrics.ann_ivf_curve,
 }
 
 

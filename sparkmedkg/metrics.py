@@ -323,3 +323,66 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM true_pairs) AS n_true_pairs,
        round((SELECT COUNT(*) FROM hits)::DOUBLE
              / (SELECT COUNT(*) FROM true_pairs)::DOUBLE, 6) AS recall
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-tuning curve (recall@k as a function of n_probe).
+# ---------------------------------------------------------------------------
+
+IVF_CURVE_PROBES = (1, 2, 3)
+
+
+def ann_ivf_curve(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """(n_probe, n_hits, recall): recall@k of IVF ANN against brute-force
+    cosine at each probe width — THE tuning curve an ANN deployment reads
+    to pick its latency/recall operating point (probe more cells, recall
+    more, pay more).  Completes the approximation scorecard family
+    (LSH recall, PQ recall) with the IVF knob.
+
+    Plan: the brute-force top-k runs once and persists; each probe level
+    touches only n_probe cells of the corpus (ivf_topk's pruned scan).
+    The curve is |probes| tiny joins over k-row sets."""
+    exact_ids = simsearch.cosine_topk(spark, sf_dir, k=k).select("vec_id")
+    exact_ids = exact_ids.localCheckpoint(eager=True)
+    out = None
+    for p in IVF_CURVE_PROBES:
+        hits = (
+            simsearch.ivf_topk(spark, sf_dir, k=k, n_probe=p)
+            .select("vec_id")
+            .join(exact_ids, "vec_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(p).alias("n_probe"),
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / k, 6).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
+
+
+def sql_ann_ivf_curve(k: int = 10) -> str:
+    parts = []
+    for p in IVF_CURVE_PROBES:
+        parts.append(
+            f"""SELECT {p} AS n_probe,
+       (SELECT COUNT(*) FROM (
+          SELECT vec_id FROM ({simsearch.sql_ivf_topk(k=k, n_probe=p)})
+          INTERSECT
+          SELECT vec_id FROM ex)) AS n_hits,
+       round((SELECT COUNT(*) FROM (
+          SELECT vec_id FROM ({simsearch.sql_ivf_topk(k=k, n_probe=p)})
+          INTERSECT
+          SELECT vec_id FROM ex))::DOUBLE / {k}, 6) AS recall"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT vec_id FROM ({simsearch.sql_cosine_topk(k=k)})
+)
+{body}
+"""

@@ -602,3 +602,46 @@ def test_rich_club_bruteforce(spark):
         for r in graphalgo.q_rich_club(spark, SF).collect()
     }
     assert got == want
+
+
+def test_edge_provenance_bruteforce(spark):
+    from sparkmedkg import relations
+
+    doc_cui = relations._doc_cui(spark, SF).collect()
+    by_doc = defaultdict(set)
+    for r in doc_cui:
+        by_doc[int(r["url"])].add(r["CUI"])
+    agg = defaultdict(list)
+    for doc, cuis in by_doc.items():
+        for x in cuis:
+            for y in cuis:
+                if x < y:
+                    agg[(x, y)].append(doc)
+    want = {
+        (x, y): (len(ds), tuple(sorted(ds)[: relations.PROV_MAX_DOCS]))
+        for (x, y), ds in agg.items()
+        if len(ds) >= relations.PR_MIN_DOCS
+    }
+    got = {
+        (r["src"], r["dst"]): (r["n_docs"], tuple(r["doc_ids"]))
+        for r in relations.q_edge_provenance(spark, SF).collect()
+    }
+    assert got == want
+    # at least one edge's exemplar list is capped below its exact count
+    # OR all edges fit — either way counts must exceed list length never
+    for (n, ds) in got.values():
+        assert len(ds) == min(n, relations.PROV_MAX_DOCS)
+
+
+def test_ivf_curve_monotone(spark):
+    from sparkmedkg import metrics, simsearch
+
+    rows = {r["n_probe"]: r for r in metrics.ann_ivf_curve(spark, SF).collect()}
+    assert set(rows) == set(metrics.IVF_CURVE_PROBES)
+    recalls = [rows[p]["recall"] for p in metrics.IVF_CURVE_PROBES]
+    # probing more cells can only add candidates -> recall is monotone
+    assert recalls == sorted(recalls)
+    for p, r in rows.items():
+        assert r["n_hits"] == round(r["recall"] * 10)
+    # and the widest probe should be doing better than nothing
+    assert recalls[-1] > 0
