@@ -178,6 +178,7 @@ BENCH_QUERIES = {
     "kg_rich_club": graphalgo.q_rich_club,
     "kg_edge_provenance": relations.q_edge_provenance,
     "metric_ann_ivf_curve": metrics.ann_ivf_curve,
+    "kg_hyperball": graphalgo.q_hyperball,
 }
 
 

@@ -2048,3 +2048,140 @@ SELECT n.k, n.n_nodes, COALESCE(e.n_edges, 0) AS n_edges,
 FROM nodes_k n LEFT JOIN edges_k e ON n.k = e.k
 WHERE n.n_nodes >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperBall (Boldi & Vigna): HLL-register neighborhood-function estimation.
+# ---------------------------------------------------------------------------
+
+HB_P = 6                     # 2^6 = 64 registers per node
+HB_M = 1 << HB_P
+_HB_ALPHA = f"0.7213 / (1.0 + 1.079 / {HB_M})"
+
+
+def _hb_rho(h):
+    """HLL rank of the 60-bit hash's upper bits — the exact integer
+    bit-length construction of webgraph.hll_distinct (bit-identical across
+    engines; duplicated to keep webgraph -> graphalgo imports acyclic)."""
+    rem = F.shiftright(h, HB_P)
+    bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
+    return F.when(rem == 0, F.lit(61 - HB_P)).otherwise(
+        F.lit(60 - HB_P) - bitlen + 1
+    )
+
+
+def q_hyperball(
+    spark: SparkSession,
+    sf_dir: str,
+    max_d: int = NF_MAX_D,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(d, n_nodes, est_total): HyperBall — per-node HLL register arrays
+    unioned along edges per round, so after round d each node's sketch
+    estimates |ball(v, d)|; est_total is the summed estimate (the sketched
+    neighborhood function N^(d) that kg_neighborhood_func computes
+    exactly).  THIS is the web-scale path the exact operator's docstring
+    promises: state is |V| x 64 register ROWS, each round is one edge join
+    + one (node, register) partial-agg MAX — mergeable, skew-free, and
+    at 10^9 nodes the whole iteration is two shuffles per round against
+    the exact operator's O(n * ball) pair materialization.
+
+    Determinism: registers are exact integers; each node's estimate is a
+    fixed closed form over its own 64 registers rounded to centi-units
+    BEFORE the cross-node sum, which is therefore an exact BIGINT sum."""
+    edges = _edges(spark, sf_dir, min_docs)
+    nodes = edges.select(F.col("src").alias("cui")).distinct()
+    h = _h60(F.col("cui"))
+    regs = nodes.select(
+        "cui", (h % HB_M).alias("reg"), _hb_rho(h).alias("mx")
+    ).localCheckpoint(eager=True)
+
+    def _estimate(r: DataFrame, d: int) -> DataFrame:
+        per_node = r.groupBy("cui").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+        v = F.lit(HB_M) - F.col("n_regs")
+        s = F.col("s_present") + v.cast("double")
+        raw = F.expr(_HB_ALPHA) * F.lit(float(HB_M * HB_M)) / s
+        est = F.when(
+            (raw <= 2.5 * HB_M) & (v > 0),
+            F.lit(float(HB_M)) * F.log(F.lit(float(HB_M)) / v.cast("double")),
+        ).otherwise(raw)
+        cents = F.round(est * 100).cast("bigint")
+        return per_node.select(cents.alias("c")).agg(
+            F.lit(d).alias("d"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.sum("c") / 100.0, 2).alias("est_total"),
+        )
+
+    out = None
+    for d in range(1, max_d + 1):
+        grown = (
+            edges.select(F.col("src").alias("j"), F.col("dst").alias("cui"))
+            .join(
+                regs.select(
+                    F.col("cui").alias("j"), F.col("reg"), F.col("mx")
+                ),
+                "j",
+            )
+            .select("cui", "reg", "mx")
+            .unionByName(regs)
+            .groupBy("cui", "reg")
+            .agg(F.max("mx").alias("mx"))
+            .localCheckpoint(eager=True)
+        )
+        regs = grown
+        row = _estimate(regs, d)
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_hyperball(
+    max_d: int = NF_MAX_D, min_docs: int = PR_MIN_DOCS
+) -> str:
+    h = "CAST('0x' || substring(md5(cui), 1, 15) AS BIGINT)"
+    rho = (
+        f"CASE WHEN {h} // {HB_M} = 0 THEN {61 - HB_P} "
+        f"ELSE {60 - HB_P} - length(to_base({h} // {HB_M}, 2)) + 1 END"
+    )
+    steps = []
+    for d in range(1, max_d + 1):
+        steps.append(
+            f"""r{d} AS MATERIALIZED (
+  SELECT cui, reg, MAX(mx) AS mx FROM (
+    SELECT e.dst AS cui, p.reg, p.mx
+    FROM e JOIN r{d - 1} p ON e.src = p.cui
+    UNION ALL
+    SELECT cui, reg, mx FROM r{d - 1}
+  ) GROUP BY cui, reg
+)"""
+        )
+    ests = []
+    for d in range(1, max_d + 1):
+        ests.append(
+            f"""SELECT {d} AS d, COUNT(*) AS n_nodes,
+       round(SUM(c) / 100.0, 2) AS est_total
+FROM (
+  SELECT cui,
+         CAST(round(CASE WHEN {_HB_ALPHA} * {HB_M * HB_M}
+                              / (SUM(power(2.0, -mx)) + ({HB_M} - COUNT(*)))
+                          <= 2.5 * {HB_M}
+                      AND {HB_M} - COUNT(*) > 0
+                     THEN {HB_M} * ln({HB_M}::DOUBLE / ({HB_M} - COUNT(*)))
+                     ELSE {_HB_ALPHA} * {HB_M * HB_M}
+                          / (SUM(power(2.0, -mx)) + ({HB_M} - COUNT(*)))
+                END * 100) AS BIGINT) AS c
+  FROM r{d} GROUP BY cui
+)"""
+        )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT src, dst FROM edges),
+r0 AS (
+  SELECT cui, {h} % {HB_M} AS reg, {rho} AS mx
+  FROM (SELECT DISTINCT src AS cui FROM e)
+),
+{",".join(steps)}
+{" UNION ALL ".join(ests)}
+"""

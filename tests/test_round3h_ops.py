@@ -645,3 +645,62 @@ def test_ivf_curve_monotone(spark):
         assert r["n_hits"] == round(r["recall"] * 10)
     # and the widest probe should be doing better than nothing
     assert recalls[-1] > 0
+
+
+def test_hyperball_bruteforce(spark):
+    """Replicate the register iteration in Python and pin exact equality,
+    then sanity-check the estimate against the exact ball sizes."""
+    adj = defaultdict(set)
+    for r in graphalgo._edges(spark, SF, graphalgo.PR_MIN_DOCS).collect():
+        adj[r["src"]].add(r["dst"])
+    nodes = sorted(adj)
+    M, P = graphalgo.HB_M, graphalgo.HB_P
+
+    def rho(h):
+        rem = h >> P
+        return (61 - P) if rem == 0 else (60 - P) - rem.bit_length() + 1
+
+    regs = {
+        v: {(_h60(v) % M): rho(_h60(v))} for v in nodes
+    }
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+
+    def estimate(r):
+        s = sum(2.0 ** -mx for mx in r.values()) + (M - len(r))
+        raw = alpha * M * M / s
+        zeros = M - len(r)
+        if raw <= 2.5 * M and zeros > 0:
+            import math
+            return M * math.log(M / zeros)
+        return raw
+
+    want = {}
+    cur = regs
+    for d in range(1, graphalgo.NF_MAX_D + 1):
+        nxt = {v: dict(cur[v]) for v in nodes}
+        for u in nodes:
+            for v in adj[u]:
+                for reg, mx in cur[u].items():
+                    if nxt[v].get(reg, -1) < mx:
+                        nxt[v][reg] = mx
+        cur = nxt
+        cents = sum(round(estimate(cur[v]) * 100) for v in nodes)
+        want[d] = (len(nodes), round(cents / 100.0, 2))
+    got = {
+        r["d"]: (r["n_nodes"], r["est_total"])
+        for r in graphalgo.q_hyperball(spark, SF).collect()
+    }
+    assert got == want
+    # the sketch should land within HLL error of the exact ball sums
+    exact_pairs = {
+        r["d"]: r["n_pairs"]
+        for r in graphalgo.q_neighborhood_func(spark, SF).collect()
+    }
+    n = len(nodes)
+    exact_balls = {}
+    run = n  # ball(v,0) summed = n
+    for d in range(1, graphalgo.NF_MAX_D + 1):
+        run += exact_pairs[d]
+        exact_balls[d] = run
+    for d in range(1, graphalgo.NF_MAX_D + 1):
+        assert abs(got[d][1] - exact_balls[d]) / exact_balls[d] < 0.35
