@@ -179,6 +179,9 @@ BENCH_QUERIES = {
     "kg_edge_provenance": relations.q_edge_provenance,
     "metric_ann_ivf_curve": metrics.ann_ivf_curve,
     "kg_hyperball": graphalgo.q_hyperball,
+    "text_domain_similarity": textstats.domain_similarity,
+    "metric_split_leakage": metrics.split_leakage,
+    "emb_centroid_drift": emblinalg.centroid_drift,
 }
 
 

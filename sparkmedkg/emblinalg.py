@@ -419,3 +419,101 @@ w0 AS (SELECT bi AS wi, CAST(0 AS BIGINT) AS w FROM bhat),
 {",".join(steps)}
 SELECT wi AS i, w FROM w{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift between two cohorts (centroid shift).
+# ---------------------------------------------------------------------------
+
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, cosine, top_dim, top_drift): drift check between two
+    embedding cohorts (vec_id parity standing in for old-batch vs
+    new-batch) — the cosine between cohort centroids plus the single most
+    drifted dimension.  The canary a feature store runs when the upstream
+    encoder is re-deployed: cosine ~1 means distributionally stable,
+    and the top-drift dimension localizes a regression.
+
+    All per-dimension sums are exact BIGINT aggregates over quantized
+    elements (the dim_corr_top idiom); the centroid cosine is ONE double
+    expression over those integers, and the drift argmax compares the
+    cross-multiplied integers sa*n_b - sb*n_a so ties and ordering are
+    exact.  Scale: one scan, one d-bounded shuffle; everything after is
+    64 rows."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.expr(
+        f"transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+    ).alias("q")
+    grp = (F.col("vec_id") % 2).alias("grp")
+    ex = emb.select(grp, q).select(
+        "grp", F.posexplode("q").alias("dim", "qv")
+    )
+    sums = ex.groupBy("grp", "dim").agg(F.sum("qv").alias("s"))
+    counts = emb.groupBy((F.col("vec_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = sums.where(F.col("grp") == 0).select("dim", F.col("s").alias("sa"))
+    b = sums.where(F.col("grp") == 1).select("dim", F.col("s").alias("sb"))
+    na = counts.where(F.col("grp") == 0).select(F.col("n").alias("n_a"))
+    nb = counts.where(F.col("grp") == 1).select(F.col("n").alias("n_b"))
+    j = (
+        a.join(b, "dim")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+    )
+    # integer cross-multiplied drift: |sa/n_a - sb/n_b| ~ |sa*n_b - sb*n_a|
+    drift = F.abs(F.col("sa") * F.col("n_b") - F.col("sb") * F.col("n_a"))
+    # single-BIGINT argmax key: drift * 64 + (63 - dim) — exact integer
+    # ordering with deterministic smallest-dim tie-break (DuckDB's max_by
+    # takes scalar keys only, so both engines use the same encoding)
+    key_sql = "abs(sa * n_b - sb * n_a) * 64 + (63 - dim)"
+    agg = j.agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dot"),
+        F.sum(F.col("sa") * F.col("sa")).alias("aa"),
+        F.sum(F.col("sb") * F.col("sb")).alias("bb"),
+        F.expr(f"max_by(dim, {key_sql})").alias("top_dim"),
+        F.max(drift).alias("top_drift"),
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(F.col("aa").cast("double"))
+            * F.sqrt(F.col("bb").cast("double"))
+        ),
+        6,
+    )
+    return agg.select(
+        "n_a", "n_b", cos.alias("cosine"), "top_dim", "top_drift"
+    )
+
+
+def sql_centroid_drift() -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id % 2 AS grp,
+         unnest(list_transform(embedding,
+                               x -> CAST(round(x * {QUANT}) AS BIGINT)))
+           AS qv,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+sums AS (SELECT grp, dim, CAST(SUM(qv) AS BIGINT) AS s
+         FROM q GROUP BY grp, dim),
+counts AS (SELECT vec_id % 2 AS grp, COUNT(*) AS n
+           FROM embeddings GROUP BY vec_id % 2),
+j AS (
+  SELECT a.dim, a.s AS sa, b.s AS sb,
+         (SELECT n FROM counts WHERE grp = 0) AS n_a,
+         (SELECT n FROM counts WHERE grp = 1) AS n_b
+  FROM sums a JOIN sums b ON a.dim = b.dim AND a.grp = 0 AND b.grp = 1
+)
+SELECT MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+       round(CAST(SUM(sa * sb) AS DOUBLE)
+             / (sqrt(CAST(SUM(sa * sa) AS DOUBLE))
+                * sqrt(CAST(SUM(sb * sb) AS DOUBLE))), 6) AS cosine,
+       CAST(max_by(dim, abs(sa * n_b - sb * n_a) * 64 + (63 - dim))
+            AS INTEGER) AS top_dim,
+       CAST(MAX(abs(sa * n_b - sb * n_a)) AS BIGINT) AS top_drift
+FROM j
+"""

@@ -386,3 +386,80 @@ WITH ex AS MATERIALIZED (
 )
 {body}
 """
+
+
+# ---------------------------------------------------------------------------
+# Split leakage audit: near-dup pairs crossing train/val/test boundaries.
+# ---------------------------------------------------------------------------
+
+def split_leakage(
+    spark: SparkSession, sf_dir: str, tau: float = None
+) -> DataFrame:
+    """(split_a, split_b, n_pairs): near-duplicate pairs whose members fall
+    in DIFFERENT splits of the md5-bucket manifest — the leakage a
+    held-out eval silently inherits when dedup runs before splitting but
+    not across the boundary (the 'train-test overlap' audit every LLM
+    eval paper now reports).  Zero rows off the diagonal is the release
+    gate; the diagonal rows report benign within-split duplication.
+
+    Composes two already-gated operators: the prefix-filtered exact
+    near-dup pairs (corpus-scale work, one prefix join) and the map-only
+    split assignment — the audit itself joins only the sparse pair set."""
+    from sparkmedkg import dedup as _d
+    from sparkmedkg import trainprep as _t
+
+    if tau is None:
+        tau = _d.JACCARD_TAU
+    pairs = _d.jaccard_pairs_prefix(spark, sf_dir, tau=tau).select("a", "b")
+    lo, hi = _t.SPLIT_BOUNDS_BP
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % _t.SAMPLE_MOD
+    split = (
+        F.when(bucket < lo, F.lit("train"))
+        .when(bucket < hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sdf = docs.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(sdf.select(F.col("doc_id").alias("a"), F.col("split").alias("sa")), "a")
+        .join(sdf.select(F.col("doc_id").alias("b"), F.col("split").alias("sb")), "b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def sql_split_leakage(tau: float = None) -> str:
+    from sparkmedkg import dedup as _d
+    from sparkmedkg import trainprep as _t
+
+    if tau is None:
+        tau = _d.JACCARD_TAU
+    lo, hi = _t.SPLIT_BOUNDS_BP
+    bucket = (
+        "(CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) "
+        f"% {_t.SAMPLE_MOD})"
+    )
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT a, b FROM ({_d.sql_jaccard_pairs(tau=tau)})
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {bucket} < {lo} THEN 'train'
+              WHEN {bucket} < {hi} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT least(sa.split, sb.split) AS split_a,
+       greatest(sa.split, sb.split) AS split_b,
+       COUNT(*) AS n_pairs
+FROM pr JOIN sp sa ON pr.a = sa.doc_id
+        JOIN sp sb ON pr.b = sb.doc_id
+GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
+"""

@@ -635,15 +635,21 @@ def distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("d1"),
         )
     )
-    bi_arr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+    # bind the token array as a lambda variable so split() evaluates once
+    # per row — element_at over the raw split() re-evaluates it per bigram
+    # (the O(n^2) pitfall the BPE operators hit)
+    def _bis_of(ws):
+        return F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bi_arr = F.element_at(F.transform(F.array(toks), _bis_of), 1)
     bi = docs.select("source", F.explode(bi_arr).alias("g"))
     b = (
         bi.groupBy("source", "g").agg(F.count(F.lit(1)).alias("c"))
@@ -766,4 +772,104 @@ def sql_code_switch(w: int = CS_W) -> str:
 SELECT doc_id, {n_chunks} AS n_chunks, {n_en} AS n_en_chunks,
        round({ent}, 6) AS mix_entropy
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-similarity matrix: pairwise Jensen-Shannon divergence per source.
+# ---------------------------------------------------------------------------
+
+JSD_SCALE = 1_000_000_000   # per-token contributions integerized to nano
+
+
+def domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, jsd): pairwise Jensen-Shannon divergence between the
+    unigram distributions of every source pair (src_a < src_b) — the
+    domain-similarity matrix data-mixing work (DoReMi-style reweighting,
+    curriculum grouping) consults to decide which corpus slices are
+    near-duplicates of each other distributionally.  0 = identical
+    distributions; 1 (log2) = disjoint vocabularies.
+
+    Determinism: tokens shared by a pair contribute
+    0.5 p log2(p/m) + 0.5 q log2(q/m) each, integerized to nano-units
+    BEFORE the per-pair sum (exact BIGINT); tokens private to one side
+    contribute 0.5 of their mass in closed form from the same integer
+    sums — so no float accumulation order anywhere.
+
+    Plan: per-source profiles are one (source, token) partial agg;
+    the pair join keys on token (never a profile cross-join), and at
+    10^5 sources x 10^6 vocab the shuffle is the profile table, not the
+    corpus."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " +")
+    prof = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = prof.groupBy("source").agg(F.sum("c").alias("tot"))
+    pa = prof.join(tot, "source").select(
+        F.col("source").alias("src_a"),
+        "tok",
+        (F.col("c").cast("double") / F.col("tot")).alias("p"),
+    )
+    pb = prof.join(tot, "source").select(
+        F.col("source").alias("src_b"),
+        "tok",
+        (F.col("c").cast("double") / F.col("tot")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    contrib = (
+        0.5 * F.col("p") * F.log2(F.col("p") / m)
+        + 0.5 * F.col("q") * F.log2(F.col("q") / m)
+    )
+    shared = (
+        pa.join(pb, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.round(contrib * JSD_SCALE).cast("bigint")).alias("cn"),
+            F.sum(F.round(F.col("p") * JSD_SCALE).cast("bigint")).alias("pn"),
+            F.sum(F.round(F.col("q") * JSD_SCALE).cast("bigint")).alias("qn"),
+        )
+    )
+    # private tokens: each contributes 0.5 * mass * log2(2) = 0.5 * mass;
+    # total private mass per side = 1 - (shared mass), exact from the sums
+    jsd = (
+        F.col("cn").cast("double")
+        + 0.5 * (JSD_SCALE - F.col("pn"))
+        + 0.5 * (JSD_SCALE - F.col("qn"))
+    ) / JSD_SCALE
+    return shared.select(
+        "src_a", "src_b", F.round(jsd, 6).alias("jsd")
+    )
+
+
+def sql_domain_similarity() -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    S = JSD_SCALE
+    return f"""
+WITH prof AS (
+  SELECT source, unnest({toks}) AS tok FROM documents
+),
+cnt AS (SELECT source, tok, COUNT(*) AS c FROM prof GROUP BY source, tok),
+tot AS (SELECT source, SUM(c) AS tot FROM cnt GROUP BY source),
+p AS (
+  SELECT c.source, c.tok, c.c::DOUBLE / t.tot AS p
+  FROM cnt c JOIN tot t ON c.source = t.source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CAST(round((0.5 * a.p * log2(a.p / ((a.p + b.p) / 2.0))
+                              + 0.5 * b.p * log2(b.p / ((a.p + b.p) / 2.0)))
+                             * {S}) AS BIGINT)) AS BIGINT) AS cn,
+         CAST(SUM(CAST(round(a.p * {S}) AS BIGINT)) AS BIGINT) AS pn,
+         CAST(SUM(CAST(round(b.p * {S}) AS BIGINT)) AS BIGINT) AS qn
+  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b,
+       round((cn::DOUBLE + 0.5 * ({S} - pn) + 0.5 * ({S} - qn)) / {S}, 6)
+         AS jsd
+FROM shared
 """

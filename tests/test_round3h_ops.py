@@ -704,3 +704,92 @@ def test_hyperball_bruteforce(spark):
         exact_balls[d] = run
     for d in range(1, graphalgo.NF_MAX_D + 1):
         assert abs(got[d][1] - exact_balls[d]) / exact_balls[d] < 0.35
+
+
+def test_domain_similarity_bruteforce(spark):
+    import math
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["source", "text"]]
+    prof = defaultdict(lambda: defaultdict(int))
+    for source, text in docs.itertuples(index=False):
+        for t in text.split():
+            prof[source][t] += 1
+    S = textstats.JSD_SCALE
+    srcs = sorted(prof)
+    want = {}
+    for i, a in enumerate(srcs):
+        ta = sum(prof[a].values())
+        for b in srcs[i + 1 :]:
+            tb = sum(prof[b].values())
+            cn = pn = qn = 0
+            for t in set(prof[a]) & set(prof[b]):
+                p, q = prof[a][t] / ta, prof[b][t] / tb
+                m = (p + q) / 2
+                cn += round(
+                    (0.5 * p * math.log2(p / m) + 0.5 * q * math.log2(q / m))
+                    * S
+                )
+                pn += round(p * S)
+                qn += round(q * S)
+            want[(a, b)] = round(
+                (cn + 0.5 * (S - pn) + 0.5 * (S - qn)) / S, 6
+            )
+    got = {
+        (r["src_a"], r["src_b"]): r["jsd"]
+        for r in textstats.domain_similarity(spark, SF).collect()
+    }
+    assert got == want
+    assert all(-1e-9 <= v <= 1.0 + 1e-9 for v in got.values())
+
+
+def test_split_leakage_consistency(spark):
+    from sparkmedkg import dedup, metrics, trainprep
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs_prefix(
+            spark, SF, tau=dedup.JACCARD_TAU
+        ).collect()
+    }
+    lo, hi = trainprep.SPLIT_BOUNDS_BP
+
+    def split(doc_id):
+        b = _h60(str(doc_id)) % trainprep.SAMPLE_MOD
+        return "train" if b < lo else ("val" if b < hi else "test")
+
+    want = defaultdict(int)
+    for a, b in pairs:
+        sa, sb = sorted((split(a), split(b)))
+        want[(sa, sb)] += 1
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in metrics.split_leakage(spark, SF).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(pairs)
+
+
+def test_centroid_drift_bruteforce(spark):
+    import numpy as np
+    from sparkmedkg import emblinalg
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    x = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    qx = np.where(
+        x * emblinalg.QUANT >= 0,
+        np.floor(x * emblinalg.QUANT + 0.5),
+        -np.floor(-x * emblinalg.QUANT + 0.5),
+    ).astype(np.int64)
+    sa = qx[ids % 2 == 0].sum(axis=0)
+    sb = qx[ids % 2 == 1].sum(axis=0)
+    n_a, n_b = int((ids % 2 == 0).sum()), int((ids % 2 == 1).sum())
+    dot = int((sa * sb).sum())
+    cos = round(dot / (np.sqrt(float((sa * sa).sum())) * np.sqrt(float((sb * sb).sum()))), 6)
+    drift = np.abs(sa * n_b - sb * n_a)
+    top = int(np.max(drift))
+    top_dim = int(np.min(np.where(drift == top)[0]))
+    row = emblinalg.centroid_drift(spark, SF).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (n_a, n_b)
+    assert row["cosine"] == cos
+    assert (row["top_dim"], row["top_drift"]) == (top_dim, top)

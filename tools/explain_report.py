@@ -483,6 +483,108 @@ def main() -> None:
             ["FlatMapGroupsInPandas", "!CartesianProduct",
              "!BroadcastNestedLoop"],
         ),
+        # --- round-3 ninth-batch additions ---
+        "web_boilerplate_strip": (
+            # explode once; boiler set via (host, chunk) partial agg; the
+            # removal is an anti-join, never a product
+            lambda: webclean.boilerplate_strip(spark, SF),
+            ["Generate", "HashAggregate", "!CartesianProduct"],
+        ),
+        "text_ccnet_buckets": (
+            lambda: textstats.ccnet_buckets(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "corpus_dup_spans": (
+            # sliding windows explode + ONE window-key agg + per-doc island
+            # merge window (partitioned by doc_id, never a global sort)
+            lambda: webclean.dup_spans(spark, SF),
+            ["Generate", "Window", "!CartesianProduct", "!Sort [", ],
+        ),
+        "kg_edge_history": (
+            # temporal annotations ride the SAME pair-join groupBy as the
+            # static edge build
+            lambda: relations.q_edge_history(spark, SF),
+            ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]",
+             "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_edge_provenance": (
+            lambda: relations.q_edge_provenance(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "corpus_cdc_chunks": (
+            # content-defined boundaries via per-doc running window; chunk
+            # dup-rate via one chunk-key partial agg
+            lambda: webclean.cdc_chunks(spark, SF),
+            ["Generate", "Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "text_distinct_ngrams": (
+            lambda: textstats.distinct_ngrams(spark, SF),
+            ["Generate", "HashAggregate",
+             "ReadSchema: struct<text:string,source:string>"],
+        ),
+        "kg_ontology_reduction": (
+            # ontology-sized closure self-join: broadcast joins + anti-join
+            lambda: hierarchy.ontology_reduction(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "web_trustrank_edges": (
+            # the trust iteration's edge build: anchor synthesis explode +
+            # distinct — the only corpus-scale stage of q_trustrank
+            lambda: webgraph._intra_edges(spark, SF),
+            ["Generate", "HashAggregate",
+             "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ),
+        "kg_shortest_path_tree": (
+            # parent assignment over the checkpointed BFS table: equi-joins
+            # (checkpoint scans carry no stats, so Catalyst picks SMJ —
+            # the scale-correct side anyway: visited is graph-sized) + one
+            # min() agg, no product
+            lambda: graphalgo.q_shortest_path_tree(spark, SF),
+            ["SortMergeJoin", "Union", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "events_decay_topk": (
+            # scan prunes to (ts, event_type); weights are LUT+shift
+            # expressions; one partial-agg shuffle
+            lambda: relops.events_decay_topk(spark, SF),
+            ["HashAggregate",
+             "ReadSchema: struct<ts:timestamp_ntz,event_type:string>"],
+        ),
+        "corpus_inverted_index": (
+            lambda: corpusops.inverted_index(spark, SF),
+            ["Generate", "HashAggregate",
+             "ReadSchema: struct<doc_id:bigint,text:string>"],
+        ),
+        "corpus_phrase_search": (
+            # two posting lists equi-joined on doc_id; adjacency is a
+            # row-local array intersection
+            lambda: corpusops.phrase_search(spark, SF),
+            ["Generate", "HashAggregate", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "events_item_similarity": (
+            # per-user pair self-join is an equi-join on user_id; counts
+            # partial-agg; cosine normalization via two broadcast joins
+            lambda: relops.events_item_similarity(spark, SF),
+            ["HashAggregate", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "kg_metapath_counts": (
+            # typed-midpoint equi-join over the cached triple build
+            lambda: webkg.q_metapath_counts(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "text_code_switch": (
+            # map-only: chunk classification + row-local entropy MUST ride
+            # the scan with zero exchanges
+            lambda: textstats.code_switch(spark, SF),
+            ["ReadSchema: struct<doc_id:bigint,text:string>", "!Exchange"],
+        ),
+        "events_ab_test": (
+            lambda: relops.events_ab_test(spark, SF),
+            ["HashAggregate",
+             "ReadSchema: struct<user_id:bigint,event_type:string>"],
+        ),
     }
 
     lines = [
