@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, emblinalg, graphalgo, kgembed, metrics, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -182,6 +182,8 @@ BENCH_QUERIES = {
     "text_domain_similarity": textstats.domain_similarity,
     "metric_split_leakage": metrics.split_leakage,
     "emb_centroid_drift": emblinalg.centroid_drift,
+    "kg_coverage_report": hierarchy.coverage_report,
+    "metric_bpe_roundtrip": corpusops.bpe_roundtrip,
 }
 
 

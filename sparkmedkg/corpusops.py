@@ -910,6 +910,37 @@ def _apply_merge(ws, a: str, b: str):
     )
 
 
+def _bpe_encoded(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    """(doc_id, ws, n0, orig): the BPE trainer loop factored out of
+    bpe_encode so the round-trip gate shares the exact same merges; orig
+    carries the pre-merge token stream for the decode comparison."""
+    docs = _docs(spark, sf_dir)
+    cur = docs.select(
+        "doc_id",
+        _toks().alias("ws"),
+        F.size(_toks()).alias("n0"),
+        F.array_join(_toks(), " ").alias("orig"),
+    )
+    for _ in range(m):
+        top = (
+            cur.select(F.explode(_pairs_of(F.col("ws"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(
+                F.element_at(F.split("pair", " "), 1)
+                != F.element_at(F.split("pair", " "), 2)
+            )
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        a, b = top[0]["pair"].split(" ")
+        cur = cur.select(
+            "doc_id", _apply_merge(F.col("ws"), a, b).alias("ws"), "n0", "orig"
+        )
+    return cur
+
+
 def bpe_encode(
     spark: SparkSession, sf_dir: str, m: int = BPE_ENCODE_M
 ) -> DataFrame:
@@ -927,25 +958,7 @@ def bpe_encode(
     scans total + 1 for the output, every shuffle a map-side-combinable
     (pair, count) partial.  Nothing iterative ever shuffles the token
     arrays themselves."""
-    docs = _docs(spark, sf_dir)
-    cur = docs.select("doc_id", _toks().alias("ws"), F.size(_toks()).alias("n0"))
-    for _ in range(m):
-        top = (
-            cur.select(F.explode(_pairs_of(F.col("ws"))).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(
-                F.element_at(F.split("pair", " "), 1)
-                != F.element_at(F.split("pair", " "), 2)
-            )
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        a, b = top[0]["pair"].split(" ")
-        cur = cur.select(
-            "doc_id", _apply_merge(F.col("ws"), a, b).alias("ws"), "n0"
-        )
+    cur = _bpe_encoded(spark, sf_dir, m)
     return cur.select(
         "doc_id",
         F.col("n0").alias("n_tokens_raw"),
@@ -956,36 +969,11 @@ def bpe_encode(
 
 def sql_bpe_encode(m: int = BPE_ENCODE_M) -> str:
     toks = "regexp_split_to_array(text, ' +')"
-    steps = []
-    for k in range(m):
-        steps.append(
-            f"""p{k} AS (
-  SELECT unnest([ws[i] || ' ' || ws[i + 1]
-                 for i in generate_series(1, len(ws) - 1)]) AS pair
-  FROM t{k}
-),
-top{k} AS (
-  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
-  FROM (SELECT pair, COUNT(*) AS n FROM p{k} GROUP BY pair)
-  WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
-  ORDER BY n DESC, pair LIMIT 1
-),
-t{k + 1} AS (
-  SELECT doc_id, n0, list_filter(
-           [CASE WHEN i < len(ws) AND ws[i] = a AND ws[i + 1] = b
-                   THEN a || '_' || b
-                 WHEN i > 1 AND ws[i - 1] = a AND ws[i] = b
-                   THEN NULL
-                 ELSE ws[i] END
-            for i in generate_series(1, len(ws))],
-           x -> x IS NOT NULL) AS ws
-  FROM t{k} CROSS JOIN top{k}
-)"""
-        )
-    unrolled = ",\n".join(steps)
     return f"""
-WITH t0 AS (SELECT doc_id, {toks} AS ws, len({toks}) AS n0 FROM documents),
-{unrolled}
+WITH t0 AS (SELECT doc_id, {toks} AS ws, len({toks}) AS n0,
+                   array_to_string({toks}, ' ') AS orig
+            FROM documents),
+{_sql_bpe_steps(m)}
 SELECT doc_id, n0 AS n_tokens_raw, len(ws) AS n_tokens_bpe,
        n0 - len(ws) AS n_merges_applied
 FROM t{m}
@@ -1316,4 +1304,81 @@ SELECT p1.doc_id,
          AS n_occurrences
 FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
 WHERE len(list_filter(pa, p -> list_contains(pb, p + 1))) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE round-trip gate (encode -> decode identity).
+# ---------------------------------------------------------------------------
+
+def bpe_roundtrip(
+    spark: SparkSession, sf_dir: str, m: int = BPE_ENCODE_M
+) -> DataFrame:
+    """(n_docs, n_roundtrip_ok): the tokenizer-correctness release gate —
+    decode(encode(doc)) must reproduce every document byte-identically
+    (merged pieces carry their boundary as '_', so decode is a per-piece
+    replace).  Any row short of n_docs means the merge rewrite corrupted
+    a document; a production pipeline blocks the tokenizer rollout on
+    this number.
+
+    Plan: shares bpe_encode's composed-projection lineage (m pair-count
+    scans); the decode comparison is one row-local expression and the
+    gate is a 1-row conditional aggregate."""
+    cur = _bpe_encoded(spark, sf_dir, m)
+    decoded = F.array_join(
+        F.transform(F.col("ws"), lambda t: F.replace(t, F.lit("_"), F.lit(" "))),
+        " ",
+    )
+    return cur.select(
+        (decoded == F.col("orig")).cast("int").alias("ok")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("bigint").alias("n_roundtrip_ok"),
+    )
+
+
+def _sql_bpe_steps(m: int) -> str:
+    """The unrolled trainer CTE chain shared by sql_bpe_encode and
+    sql_bpe_roundtrip (t0 .. t{m}, orig carried through)."""
+    steps = []
+    for k in range(m):
+        steps.append(
+            f"""p{k} AS (
+  SELECT unnest([ws[i] || ' ' || ws[i + 1]
+                 for i in generate_series(1, len(ws) - 1)]) AS pair
+  FROM t{k}
+),
+top{k} AS (
+  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+  FROM (SELECT pair, COUNT(*) AS n FROM p{k} GROUP BY pair)
+  WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+  ORDER BY n DESC, pair LIMIT 1
+),
+t{k + 1} AS (
+  SELECT doc_id, n0, orig, list_filter(
+           [CASE WHEN i < len(ws) AND ws[i] = a AND ws[i + 1] = b
+                   THEN a || '_' || b
+                 WHEN i > 1 AND ws[i - 1] = a AND ws[i] = b
+                   THEN NULL
+                 ELSE ws[i] END
+            for i in generate_series(1, len(ws))],
+           x -> x IS NOT NULL) AS ws
+  FROM t{k} CROSS JOIN top{k}
+)"""
+        )
+    return ",\n".join(steps)
+
+
+def sql_bpe_roundtrip(m: int = BPE_ENCODE_M) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH t0 AS (SELECT doc_id, {toks} AS ws, len({toks}) AS n0,
+                   array_to_string({toks}, ' ') AS orig
+            FROM documents),
+{_sql_bpe_steps(m)}
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN array_to_string(
+                list_transform(ws, x -> replace(x, '_', ' ')), ' ') = orig
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+FROM t{m}
 """

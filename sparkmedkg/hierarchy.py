@@ -307,3 +307,97 @@ SELECT cui, ancestor FROM reach
 EXCEPT
 SELECT cui, ancestor FROM mid
 """
+
+
+# ---------------------------------------------------------------------------
+# KG coverage report: observed vs possible concepts per ontology category.
+# ---------------------------------------------------------------------------
+
+def coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ancestor, n_concepts, n_observed, coverage): for every ontology
+    category, how many of its descendant concepts the corpus KG actually
+    observed (mentioned anywhere) vs how many the ontology defines — the
+    completeness audit a KG curator reads to find blind spots ('we ingest
+    join-operator pages but zero data-structure pages') and the drift
+    check between ontology releases and crawl scope.
+
+    Plan: the denominator is pure ontology data (broadcast closure
+    rollup); the numerator joins the DISTINCT observed concept set (a
+    lexicon-sized table after the mention distinct) against the same
+    broadcast closure — the corpus is scanned once by the mention pass,
+    everything downstream is ontology-sized."""
+    mentions = webkg.q_mentions(spark, sf_dir)
+    alias_cui = F.broadcast(
+        spark.createDataFrame(
+            sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"
+        )
+    )
+    closure = F.broadcast(ontology_closure(spark).select("cui", "ancestor"))
+    possible = closure.groupBy("ancestor").agg(
+        F.countDistinct("cui").alias("n_concepts")
+    )
+    observed_cuis = (
+        mentions.join(alias_cui, mentions["mention"] == alias_cui["alias"])
+        .select("cui")
+        .distinct()
+    )
+    observed = (
+        closure.join(observed_cuis, "cui")
+        .groupBy("ancestor")
+        .agg(F.countDistinct("cui").alias("n_observed"))
+    )
+    return (
+        possible.join(observed, "ancestor", "left")
+        .select(
+            "ancestor",
+            "n_concepts",
+            F.coalesce(F.col("n_observed"), F.lit(0).cast("bigint")).alias(
+                "n_observed"
+            ),
+            F.round(
+                F.coalesce(F.col("n_observed"), F.lit(0)).cast("double")
+                / F.col("n_concepts"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
+def sql_coverage_report() -> str:
+    alias_vals = ", ".join(
+        f"('{a}', '{c}')" for a, c in sorted(set(webkg.WEB_ALIASES))
+    )
+    return f"""
+WITH RECURSIVE {webkg.sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {webkg._MENTION_FROM}
+),
+alias_cui(alias, cui) AS (SELECT * FROM (VALUES {alias_vals})),
+{_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+closure AS (SELECT DISTINCT cui, ancestor FROM reach),
+possible AS (
+  SELECT ancestor, COUNT(DISTINCT cui) AS n_concepts
+  FROM closure GROUP BY ancestor
+),
+observed_cuis AS (
+  SELECT DISTINCT ac.cui
+  FROM mentions m JOIN alias_cui ac ON ac.alias = m.mention
+),
+observed AS (
+  SELECT c.ancestor, COUNT(DISTINCT c.cui) AS n_observed
+  FROM closure c JOIN observed_cuis o ON o.cui = c.cui
+  GROUP BY c.ancestor
+)
+SELECT p.ancestor, p.n_concepts, COALESCE(o.n_observed, 0) AS n_observed,
+       round(COALESCE(o.n_observed, 0)::DOUBLE / p.n_concepts, 6)
+         AS coverage
+FROM possible p LEFT JOIN observed o ON p.ancestor = o.ancestor
+"""

@@ -793,3 +793,54 @@ def test_centroid_drift_bruteforce(spark):
     assert (row["n_a"], row["n_b"]) == (n_a, n_b)
     assert row["cosine"] == cos
     assert (row["top_dim"], row["top_drift"]) == (top_dim, top)
+
+
+def test_bpe_roundtrip_all_ok(spark):
+    from sparkmedkg import corpusops
+
+    row = corpusops.bpe_roundtrip(spark, SF).collect()[0]
+    assert row["n_docs"] == 500
+    # merges must be perfectly reversible on every document
+    assert row["n_roundtrip_ok"] == row["n_docs"]
+    # and the gate must be non-vacuous: merges actually applied
+    enc = corpusops.bpe_encode(spark, SF).collect()
+    assert any(r["n_merges_applied"] > 0 for r in enc)
+
+
+def test_coverage_report_bruteforce(spark):
+    from sparkmedkg import hierarchy, webkg
+
+    closure = set()
+    edges = set(hierarchy.WEB_HIERARCHY)
+    closure |= edges
+    while True:
+        new = {
+            (c, a2) for (c, a) in closure for (c2, a2) in closure if a == c2
+        } - closure
+        if not new:
+            break
+        closure |= new
+    alias_cui = dict(webkg.WEB_ALIASES)
+    mentions = {
+        r["mention"] for r in webkg.q_mentions(spark, SF).collect()
+    }
+    observed = {alias_cui[m] for m in mentions if m in alias_cui}
+    per_anc_all = defaultdict(set)
+    per_anc_obs = defaultdict(set)
+    for c, a in closure:
+        per_anc_all[a].add(c)
+        if c in observed:
+            per_anc_obs[a].add(c)
+    want = {
+        a: (
+            len(cs),
+            len(per_anc_obs[a]),
+            round(len(per_anc_obs[a]) / len(cs), 6),
+        )
+        for a, cs in per_anc_all.items()
+    }
+    got = {
+        r["ancestor"]: (r["n_concepts"], r["n_observed"], r["coverage"])
+        for r in hierarchy.coverage_report(spark, SF).collect()
+    }
+    assert got == want
