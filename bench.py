@@ -184,6 +184,7 @@ BENCH_QUERIES = {
     "emb_centroid_drift": emblinalg.centroid_drift,
     "kg_coverage_report": hierarchy.coverage_report,
     "metric_bpe_roundtrip": corpusops.bpe_roundtrip,
+    "dedup_winnowing_pairs": dedup.winnowing_pairs,
 }
 
 

@@ -999,3 +999,132 @@ JOIN sigs p ON p.doc_id = c.a
 JOIN sigs q ON q.doc_id = c.b
 WHERE {ham('p.simhash', 'q.simhash')} <= {max_ham}
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme).
+# ---------------------------------------------------------------------------
+
+WIN_K = 5        # k-gram width (tokens)
+WIN_W = 4        # winnowing window (k-gram hashes per window)
+WIN_MAX_DF = 64  # ignore fingerprints shared by more docs (boilerplate cap)
+
+
+def winnowing_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = WIN_K,
+    w: int = WIN_W,
+    max_df: int = WIN_MAX_DF,
+) -> DataFrame:
+    """(a, b, n_shared): document pairs sharing >= 2 winnowing
+    fingerprints.  Winnowing selects, from every window of ``w``
+    consecutive k-gram hashes, the minimum hash (rightmost on ties) —
+    guaranteeing any shared run of >= w+k-1 tokens yields at least one
+    shared fingerprint while storing ~2/(w+1) of all hashes.  The MOSS
+    plagiarism-detection scheme, and the local-dedup complement to the
+    global-signature family here (minhash: whole-doc similarity; simhash:
+    near-identity; winnowing: LOCALIZED overlap detection with position
+    guarantees).
+
+    Plan: fingerprint selection is pure row-local HOF array work (the
+    60-bit md5 bridge, rightmost-min via index-encoded key); the pair
+    join is an equi-join on the fingerprint hash with a document-frequency
+    cap on the join key (same hot-key contract as containment_pairs) —
+    candidates are bounded per fingerprint, never all-pairs."""
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
+
+    def _fps_of(ws):
+        n_grams = F.size(ws) - k + 1
+        grams = F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        n_wins = n_grams - w + 1
+        # rightmost-min per window: encode (hash, position) as
+        # hash * 2^20 + (2^20 - 1 - pos) and take the array_min — exact
+        # integers, ties broken to the LARGER pos as the paper specifies
+        sel = F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(w - 1)),
+                    # truncate to 40 bits before the position encode so
+                    # the key stays inside int64 (60-bit hash * 2^20 would
+                    # overflow)
+                    lambda o: F.shiftright(F.element_at(grams, j + o + 1), 20)
+                    * F.lit(1 << 20)
+                    + (F.lit((1 << 20) - 1) - (j + o)),
+                )
+            ),
+        )
+        return F.when(n_wins >= 1, F.array_distinct(sel)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    toks = F.split(F.col("text"), " +")
+    fps = docs.select(
+        "doc_id",
+        F.explode(
+            F.element_at(F.transform(F.array(toks), _fps_of), 1)
+        ).alias("fp"),
+    ).distinct()
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    kept = fps.join(hot, "fp", "left_semi")
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
+def sql_winnowing_pairs(
+    k: int = WIN_K, w: int = WIN_W, max_df: int = WIN_MAX_DF
+) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    gram_hash = (
+        "CAST('0x' || substring(md5("
+        f"array_to_string(list_slice(t, i + 1, i + {k}), ' ')), 1, 15) "
+        "AS BIGINT)"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         [{gram_hash} for i in generate_series(0, len(t) - {k})] AS g
+  FROM tok WHERE len(t) >= {k}
+),
+fps AS (
+  SELECT DISTINCT doc_id,
+         unnest([list_min([(g[j + o + 1] // {1 << 20}) * {1 << 20}
+                           + ({(1 << 20) - 1} - (j + o))
+                           for o in generate_series(0, {w - 1})])
+                 for j in generate_series(0, len(g) - {w})]) AS fp
+  FROM grams WHERE len(g) >= {w}
+),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {max_df}),
+kept AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN hot h ON f.fp = h.fp)
+SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""

@@ -844,3 +844,83 @@ def test_coverage_report_bruteforce(spark):
         for r in hierarchy.coverage_report(spark, SF).collect()
     }
     assert got == want
+
+
+def test_winnowing_bruteforce(spark):
+    from sparkmedkg import dedup
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "text"]]
+    k, w = dedup.WIN_K, dedup.WIN_W
+    fps_of = {}
+    for doc_id, text in docs.itertuples(index=False):
+        toks = text.split()
+        grams = [
+            _h60(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        sel = set()
+        for j in range(len(grams) - w + 1):
+            sel.add(
+                min(
+                    (grams[j + o] >> 20) * (1 << 20)
+                    + ((1 << 20) - 1 - (j + o))
+                    for o in range(w)
+                )
+            )
+        fps_of[doc_id] = sel
+    dfreq = defaultdict(int)
+    for ds in fps_of.values():
+        for f in ds:
+            dfreq[f] += 1
+    kept = {
+        d: {f for f in fs if dfreq[f] <= dedup.WIN_MAX_DF}
+        for d, fs in fps_of.items()
+    }
+    want = {}
+    ids = sorted(kept)
+    inv = defaultdict(set)
+    for d, fs in kept.items():
+        for f in fs:
+            inv[f].add(d)
+    pair_counts = defaultdict(int)
+    for f, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                pair_counts[(a, b)] += 1
+    want = {p: n for p, n in pair_counts.items() if n >= 2}
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in dedup.winnowing_pairs(spark, SF).collect()
+    }
+    assert got == want
+    assert got, "corpus should contain winnowing-detectable overlap"
+
+
+def test_winnowing_guarantee():
+    """Any shared run of >= w+k-1 tokens yields >= 1 shared fingerprint."""
+    from sparkmedkg import dedup
+
+    k, w = dedup.WIN_K, dedup.WIN_W
+
+    def fps(toks):
+        grams = [
+            _h60(" ".join(toks[i : i + k]))
+            for i in range(len(toks) - k + 1)
+        ]
+        out = set()
+        for j in range(len(grams) - w + 1):
+            # strip the position encode: fingerprints match on hash only
+            out.add(
+                min(
+                    (grams[j + o] >> 20)
+                    for o in range(w)
+                )
+            )
+        return out
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta".split()
+    assert len(shared) >= w + k - 1
+    a = "one two three".split() + shared + "four five".split()
+    b = "six seven eight nine".split() + shared + "ten".split()
+    assert fps(a) & fps(b)
