@@ -185,6 +185,8 @@ BENCH_QUERIES = {
     "kg_coverage_report": hierarchy.coverage_report,
     "metric_bpe_roundtrip": corpusops.bpe_roundtrip,
     "dedup_winnowing_pairs": dedup.winnowing_pairs,
+    "events_cusum": relops.events_cusum,
+    "kg_collocation_scores": relations.q_collocation_scores,
 }
 
 

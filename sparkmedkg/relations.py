@@ -961,3 +961,110 @@ SELECT x AS src, y AS dst, COUNT(*) AS n_docs,
        list_slice(list(doc_id ORDER BY doc_id), 1, {max_docs}) AS doc_ids
 FROM pairs GROUP BY x, y HAVING COUNT(*) >= {min_docs}
 """
+
+
+# ---------------------------------------------------------------------------
+# Collocation significance scores (chi-square + t-score edge weighting).
+# ---------------------------------------------------------------------------
+
+def q_collocation_scores(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(src, dst, n_ab, chi2, t_score): the two classic collocation
+    significance tests beside PMI (q_pmi_edges) — Pearson chi-square over
+    the 2x2 co-occurrence contingency table and the t-score against the
+    independence expectation.  PMI over-rewards rare pairs; chi-square and
+    t-score penalize low support, so a production edge-weighting pipeline
+    thresholds on a combination (Manning & Schutze's collocation chapter).
+
+    Determinism: both statistics are single closed-form double expressions
+    over the exact BIGINT counts (n_ab, n_a, n_b, N) — no accumulation,
+    rounded at emit.  Plan: identical to q_pmi_edges (one pair groupBy,
+    broadcast marginals); the contingency cells derive from the same four
+    integers row-locally."""
+    doc_cui = _doc_cui(spark, sf_dir)
+    n_docs = doc_cui.select("url").distinct().count()
+    marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("dst"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_docs)
+    )
+    N = F.lit(float(n_docs))
+    o11 = F.col("n_ab").cast("double")
+    o12 = (F.col("n_a") - F.col("n_ab")).cast("double")
+    o21 = (F.col("n_b") - F.col("n_ab")).cast("double")
+    o22 = N - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+    # chi2 = N (o11 o22 - o12 o21)^2 / (n_a n_b (N-n_a) (N-n_b))
+    chi2 = (
+        N
+        * (o11 * o22 - o12 * o21)
+        * (o11 * o22 - o12 * o21)
+        / (
+            F.col("n_a")
+            * F.col("n_b")
+            * (N - F.col("n_a"))
+            * (N - F.col("n_b"))
+        )
+    )
+    expected = F.col("n_a") * F.col("n_b") / N
+    t = (o11 - expected) / F.sqrt(o11)
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("src"), F.col("n_c").alias("n_a"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("dst"), F.col("n_c").alias("n_b"))
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_ab",
+            F.round(chi2, 6).alias("chi2"),
+            F.round(t, 6).alias("t_score"),
+        )
+    )
+
+
+def sql_collocation_scores(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM doc_cui),
+marg AS (SELECT cui, COUNT(*) AS n_c FROM doc_cui GROUP BY cui),
+pairs AS (
+  SELECT a.cui AS src, b.cui AS dst, COUNT(*) AS n_ab
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui HAVING COUNT(*) >= {min_docs}
+),
+j AS (
+  SELECT p.src, p.dst, p.n_ab, ma.n_c AS n_a, mb.n_c AS n_b, nn.n AS N
+  FROM pairs p JOIN marg ma ON p.src = ma.cui
+               JOIN marg mb ON p.dst = mb.cui
+               CROSS JOIN nn
+)
+SELECT src, dst, n_ab,
+       round(N * (n_ab::DOUBLE * (N - n_a - n_b + n_ab)
+                  - (n_a - n_ab)::DOUBLE * (n_b - n_ab))
+               * (n_ab::DOUBLE * (N - n_a - n_b + n_ab)
+                  - (n_a - n_ab)::DOUBLE * (n_b - n_ab))
+             / (n_a * n_b * (N - n_a) * (N - n_b)), 6) AS chi2,
+       round((n_ab::DOUBLE - n_a * n_b / N) / sqrt(n_ab::DOUBLE), 6)
+         AS t_score
+FROM j
+"""

@@ -3104,3 +3104,113 @@ SELECT n_a, n_b, conv_a, conv_b,
             END AS z_score
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over the event value stream.
+# ---------------------------------------------------------------------------
+
+CUSUM_SCALE = 1_000   # values integerized to millis (keeps the n-scaled
+                      # prefix sums far inside int64 even at 100x corpus)
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, max_cusum_milli, at_ts_us, n_events): one-sided CUSUM
+    change-point statistic per event type — the running sum of deviations
+    from the series mean, floored at zero (S_i = max(0, S_{i-1} + x_i -
+    mean)); its maximum and WHERE it peaks localize an upward level shift.
+    The standard sequential drift monitor a metrics platform runs per
+    series.
+
+    Determinism: values are integerized to millis BEFORE any accumulation
+    (per-row round), the mean enters as exact integer cross-multiplication
+    (the scan tracks n*S so everything stays integral), and the scan order
+    (ts_us, event_id) is total — every partial sum is an exact BIGINT in
+    both engines; the peak locator is an exact integer argmax resolved by
+    a max-join (no float, no min_by-on-list portability trap).
+
+    Plan: one per-type mean aggregate broadcast back, then the floored
+    recursion via the prefix-sum identity S_i = P_i - min(0, P_0..P_i) —
+    two stacked window sums over ONE per-series sort (partitioned by
+    event_type, never a global sort); the peak join touches |types| rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * CUSUM_SCALE).cast("bigint").alias("v"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    dev = F.col("v") * F.col("n") - F.col("tot")
+    scan1 = j.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        "n",
+        F.sum(dev).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+    )
+    run_min = F.min(F.least(F.col("p"), F.lit(0).cast("bigint"))).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scan2 = scan1.select(
+        "event_type", "ts_us", "n", (F.col("p") - run_min).alias("s")
+    )
+    agg = scan2.groupBy("event_type").agg(
+        F.max("s").alias("max_s"), F.min("n").alias("n_events")
+    )
+    peak = (
+        scan2.join(
+            agg.select(F.col("event_type"), F.col("max_s")),
+            ["event_type"],
+        )
+        .where(F.col("s") == F.col("max_s"))
+        .groupBy("event_type")
+        .agg(F.min("ts_us").alias("at_ts_us"))
+    )
+    return agg.join(peak, "event_type").select(
+        "event_type",
+        F.expr("div(max_s, n_events)").alias("max_cusum_milli"),
+        "at_ts_us",
+        "n_events",
+    )
+
+
+def sql_events_cusum() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * {CUSUM_SCALE}) AS BIGINT) AS v
+  FROM events
+),
+stats AS (SELECT event_type, CAST(SUM(v) AS BIGINT) AS tot,
+                 COUNT(*) AS n FROM ev GROUP BY event_type),
+j AS (SELECT e.*, s.tot, s.n FROM ev e JOIN stats s USING (event_type)),
+scan1 AS (
+  SELECT event_type, event_id, ts_us, n,
+         CAST(SUM(v * n - tot) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM j
+),
+scan2 AS (
+  SELECT event_type, ts_us, n,
+         p - MIN(LEAST(p, 0)) OVER (
+           PARTITION BY event_type ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM scan1
+),
+agg AS (SELECT event_type, MAX(s) AS max_s, MIN(n) AS n_events
+        FROM scan2 GROUP BY event_type),
+peak AS (
+  SELECT s2.event_type, MIN(s2.ts_us) AS at_ts_us
+  FROM scan2 s2 JOIN agg a
+    ON s2.event_type = a.event_type AND s2.s = a.max_s
+  GROUP BY s2.event_type
+)
+SELECT a.event_type, a.max_s // a.n_events AS max_cusum_milli,
+       p.at_ts_us, a.n_events
+FROM agg a JOIN peak p ON a.event_type = p.event_type
+"""

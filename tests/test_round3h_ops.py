@@ -924,3 +924,68 @@ def test_winnowing_guarantee():
     a = "one two three".split() + shared + "four five".split()
     b = "six seven eight nine".split() + shared + "ten".split()
     assert fps(a) & fps(b)
+
+
+def test_cusum_bruteforce(spark):
+    from sparkmedkg import relops
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_type", "event_id", "ts", "value"]
+    ]
+    ev["ts_us"] = ev["ts"].astype("int64")
+    ev["v"] = (ev["value"] * relops.CUSUM_SCALE).round().astype("int64")
+    want = {}
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["ts_us", "event_id"])
+        n = len(g)
+        tot = int(g["v"].sum())
+        s = 0
+        best, best_ts = -1, None
+        for _, row in g.iterrows():
+            s = max(0, s + int(row["v"]) * n - tot)
+            if s > best:
+                best, best_ts = s, int(row["ts_us"])
+        want[et] = (best // n, best_ts, n)
+    got = {
+        r["event_type"]: (r["max_cusum_milli"], r["at_ts_us"], r["n_events"])
+        for r in relops.events_cusum(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_collocation_bruteforce(spark):
+    import math
+    from sparkmedkg import relations
+
+    doc_cui = relations._doc_cui(spark, SF).collect()
+    by_doc = defaultdict(set)
+    for r in doc_cui:
+        by_doc[r["url"]].add(r["CUI"])
+    N = len(by_doc)
+    marg = defaultdict(int)
+    co = defaultdict(int)
+    for cuis in by_doc.values():
+        for c in cuis:
+            marg[c] += 1
+        cs = sorted(cuis)
+        for i, x in enumerate(cs):
+            for y in cs[i + 1 :]:
+                co[(x, y)] += 1
+    want = {}
+    for (x, y), n_ab in co.items():
+        if n_ab < relations.PR_MIN_DOCS:
+            continue
+        n_a, n_b = marg[x], marg[y]
+        d = n_ab * (N - n_a - n_b + n_ab) - (n_a - n_ab) * (n_b - n_ab)
+        chi2 = N * d * d / (n_a * n_b * (N - n_a) * (N - n_b))
+        t = (n_ab - n_a * n_b / N) / math.sqrt(n_ab)
+        want[(x, y)] = (n_ab, round(chi2, 6), round(t, 6))
+    got = {
+        (r["src"], r["dst"]): (r["n_ab"], r["chi2"], r["t_score"])
+        for r in relations.q_collocation_scores(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-4
+        assert abs(got[k][2] - want[k][2]) < 1e-6
