@@ -2185,3 +2185,146 @@ r0 AS (
 {",".join(steps)}
 {" UNION ALL ".join(ests)}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition of the directed graph (Broder et al. 2000).
+# ---------------------------------------------------------------------------
+
+def _reach_from(seed: DataFrame, edges: DataFrame) -> DataFrame:
+    """(cui): all nodes reachable FROM the seed set along ``edges``
+    (seed included) — frontier BFS to fixpoint, lineage truncated per
+    hop."""
+    visited = seed.select("cui").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(SCC_MAX_PROP):
+        nxt = (
+            frontier.select(F.col("cui").alias("src"))
+            .join(edges, "src")
+            .select(F.col("dst").alias("cui"))
+            .distinct()
+            .join(visited, "cui", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def q_bowtie(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(component, n_nodes): the Broder bow-tie decomposition of the
+    directed co-occurrence orientation — CORE (the largest SCC, ties to
+    the smallest id), IN (reaches the core), OUT (reached from the core),
+    OTHER (tendrils/disconnected).  The macro-structure report crawl
+    planners read: IN is where new-seed discovery pays off, OUT is where
+    crawling deepens without feeding back.
+
+    Plan: reuses q_scc (label peel) for the core, then TWO frontier BFS
+    fixpoints (forward along edges, forward along reversed edges = who
+    reaches the core); membership tests are anti/semi-joins on the node
+    set — everything is node-pair-sized."""
+    dedges = _scc_directed_edges(spark, sf_dir, min_docs)
+    scc = q_scc(spark, sf_dir, min_docs=min_docs).localCheckpoint(eager=True)
+    top = (
+        scc.groupBy("scc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("scc_id"))
+        .limit(1)
+        .collect()
+    )
+    core_id = top[0]["scc_id"]
+    core = scc.where(F.col("scc_id") == core_id).select("cui")
+    rev = dedges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    from_core = _reach_from(core, dedges)
+    to_core = _reach_from(core, rev)
+    nodes = scc.select("cui")
+    in_set = to_core.join(core, "cui", "left_anti")
+    out_set = from_core.join(core, "cui", "left_anti")
+    other = (
+        nodes.join(to_core, "cui", "left_anti")
+        .join(from_core, "cui", "left_anti")
+    )
+    parts = [
+        ("core", core),
+        ("in", in_set),
+        ("out", out_set),
+        ("other", other),
+    ]
+    out = None
+    for name, df in parts:
+        row = df.agg(
+            F.lit(name).alias("component"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def sql_bowtie(min_docs: int = PR_MIN_DOCS) -> str:
+    h = "CAST('0x' || substring(md5({e}), 1, 15) AS BIGINT)"
+    hf = h.format(e="x || '>' || y")
+    hb = h.format(e="y || '>' || x")
+    return f"""
+WITH RECURSIVE {sql_cooccur_edges_cte(min_docs)},
+pairs AS (SELECT x, y FROM und),
+dedges AS (
+  SELECT x AS src, y AS dst FROM pairs WHERE {hf} % 3 <> 0
+  UNION ALL
+  SELECT y AS src, x AS dst FROM pairs WHERE {hb} % 3 <> 0
+),
+vs AS (SELECT src AS v FROM dedges UNION SELECT dst FROM dedges),
+reach(a, b) AS (
+  SELECT src, dst FROM dedges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN dedges e ON e.src = r.b
+),
+rc AS MATERIALIZED (SELECT a, b FROM reach),
+mutual AS (
+  SELECT r1.a AS v, r1.b AS u
+  FROM rc r1 JOIN rc r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+scc AS MATERIALIZED (
+  SELECT vs.v, LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc_id
+  FROM vs LEFT JOIN mutual m ON m.v = vs.v
+  GROUP BY vs.v
+),
+core AS MATERIALIZED (
+  SELECT v FROM scc
+  WHERE scc_id = (SELECT scc_id FROM (
+    SELECT scc_id, COUNT(*) AS c FROM scc GROUP BY scc_id
+    ORDER BY c DESC, scc_id LIMIT 1))
+),
+from_core AS (
+  -- outer DISTINCT: DuckDB 1.0 skips UNION dedup when a branch reads a
+  -- recursive CTE inside a WITH RECURSIVE block
+  SELECT DISTINCT v FROM (
+    SELECT v FROM core
+    UNION ALL SELECT r.b FROM rc r JOIN core c ON r.a = c.v
+  )
+),
+to_core AS (
+  SELECT DISTINCT v FROM (
+    SELECT v FROM core
+    UNION ALL SELECT r.a FROM rc r JOIN core c ON r.b = c.v
+  )
+),
+comp AS (
+  SELECT s.v,
+         CASE WHEN c.v IS NOT NULL THEN 'core'
+              WHEN t.v IS NOT NULL THEN 'in'
+              WHEN f.v IS NOT NULL THEN 'out'
+              ELSE 'other' END AS component
+  FROM scc s
+  LEFT JOIN core c ON s.v = c.v
+  LEFT JOIN to_core t ON s.v = t.v
+  LEFT JOIN from_core f ON s.v = f.v
+),
+grid(component) AS (VALUES ('core'), ('in'), ('out'), ('other'))
+SELECT g.component, COUNT(comp.v) AS n_nodes
+FROM grid g LEFT JOIN comp ON comp.component = g.component
+GROUP BY g.component
+"""

@@ -1358,3 +1358,131 @@ t0 AS (SELECT host, {e_s('')} AS t FROM nodes),
 {unrolled}
 SELECT host, round(t, 6) AS trust FROM t{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank with dangling-mass redistribution.
+# ---------------------------------------------------------------------------
+
+WPR_ITERS = 2
+WPR_DAMPING = 0.85
+
+
+def q_web_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = WPR_ITERS,
+    damping: float = WPR_DAMPING,
+) -> DataFrame:
+    """(host, pagerank): PageRank on the DIRECTED host link graph —
+    unlike the co-occurrence variant (relations.q_pagerank, symmetric so
+    no dangling nodes), the real web graph has sinks (the h*.example
+    anchor targets have no out-links), so each iteration must collect the
+    dangling mass and redistribute it uniformly or rank leaks to zero.
+    That redistribution — one extra 1-row aggregate broadcast per
+    iteration — is THE production PageRank mechanic this pair of
+    operators exists to contrast.
+
+    Plan: per iteration one rank/edge join + grouped sum (as q_pagerank)
+    plus the dangling 1-row agg; mass is conserved each round (test
+    asserts sum == 1)."""
+    edges = (
+        link_graph(spark, sf_dir)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ed = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("pr"))
+    has_out = edges.select("src").distinct()
+    for _ in range(iters):
+        dangling = (
+            ranks.join(
+                has_out.select(F.col("src").alias("host")), "host", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        contrib = (
+            ed.join(ranks.select(F.col("host").alias("src"), "pr"), "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contrib.select(F.col("dst").alias("host"), "s"), "host", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "host",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+    out = ranks.select(
+        "host", F.round("pr", 9).alias("pagerank")
+    ).localCheckpoint(eager=True)
+    for df in (edges, ed, nodes):
+        df.unpersist()
+    return out
+
+
+def sql_web_pagerank(
+    iters: int = WPR_ITERS, damping: float = WPR_DAMPING
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""dm{k - 1} AS (
+  SELECT COALESCE(SUM(p.pr), 0) AS dm
+  FROM r{k - 1} p ANTI JOIN deg d ON p.host = d.src
+),
+r{k} AS (
+  SELECT n.host,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (COALESCE(c.s, 0)
+                        + (SELECT dm FROM dm{k - 1}) / (SELECT n FROM nn))
+           AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, SUM(p.pr / dg.deg) AS s
+    FROM edges e JOIN r{k - 1} p ON e.src = p.host
+                 JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON n.host = c.host
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS src_host,
+         {_sql_page_html()} AS html
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src_host AS src,
+         unnest(regexp_extract_all(html, 'href="https://([^"/]+)', 1)) AS dst
+  FROM pages
+),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+{unrolled}
+SELECT host, round(pr, 9) AS pagerank FROM r{iters}
+"""
