@@ -1209,7 +1209,10 @@ def knn_graph(
     )
 
 
-def sql_knn_graph(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
+def _sql_knn_cte(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
+    """The shared DuckDB CTE chain producing the ``knn`` edge relation
+    (src, dst, dot_q, rk) — used by sql_knn_graph and sql_margin_pairs
+    so the two oracles can never drift apart."""
     sim_ec = (
         f"({_SQL_DOT.format(a='e.v', b='c.cv')}) / "
         f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
@@ -1224,8 +1227,7 @@ def sql_knn_graph(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
         "list_transform(generate_series(1, len(a.q)), "
         "i -> a.q[i] * b.q[i])), (acc, e) -> acc + e)"
     )
-    return f"""
-WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {n_cells}),
 sims AS (
   SELECT e.vec_id, e.v, c.cid,
@@ -1245,10 +1247,114 @@ knn AS MATERIALIZED (
     FROM assigned a JOIN assigned b USING (cid)
     WHERE a.vec_id <> b.vec_id
   ) WHERE rk <= {k}
-)
+)"""
+
+
+def sql_knn_graph(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
+    return f"""
+WITH {_sql_knn_cte(k, n_cells)}
 SELECT t.src, t.dst, t.dot_q,
        round(CAST(t.dot_q AS DOUBLE) / {KNN_QK * KNN_QK}, 6) AS cos,
        CAST(t.rk AS INT) AS rk,
        (r.src IS NOT NULL) AS mutual
 FROM knn t LEFT JOIN knn r ON r.src = t.dst AND r.dst = t.src
+"""
+
+
+# ---------------------------------------------------------------------------
+# Margin-based neighbor mining (Artetxe & Schwenk 2019 ratio criterion).
+# ---------------------------------------------------------------------------
+
+MARGIN_TAU_MILLI = 1050  # accept iff margin >= 1.050 (ratio criterion)
+
+
+def margin_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    n_cells: int = N_CELLS,
+    tau_milli: int = MARGIN_TAU_MILLI,
+) -> DataFrame:
+    """(a, b, cos, margin, accept): the margin (ratio) criterion used to
+    mine aligned pairs from embedding spaces — LASER-style bitext mining,
+    cross-lingual document alignment, semantic near-dup promotion.  Raw
+    cosine over-accepts in dense hubs; the margin rescales each pair's
+    similarity by the mean similarity of the two endpoints' own kNN
+    neighborhoods:  margin(x,y) = cos(x,y) / ((avgk(x) + avgk(y)) / 2),
+    accept iff margin >= tau.  Only mutual-kNN pairs are candidates (the
+    standard forward+backward intersection).
+
+    Scale: rides entirely on the kNN graph (cell-blocked, |cell|^2
+    bounded — see knn_graph); the neighborhood averages are ONE map-side
+    combinable groupBy over the k*n edge set and the pair scoring a
+    self-equi-join of that same edge set.  All decision arithmetic is
+    exact int64 on the quantized dots (accept compares
+    2000*dot*ca*cb >= tau_milli*(sa*cb + sb*ca)), so the accept set is
+    bit-identical across engines; the reported margin is one double
+    division, rounded.  Pairs whose denominator is <= 0 (a neighborhood
+    with net-negative similarity — can't happen for mutual-kNN pairs in
+    practice, but guard anyway) are dropped."""
+    knn = knn_graph(spark, sf_dir, k=k, n_cells=n_cells).persist()
+    stats = knn.groupBy("src").agg(
+        F.sum("dot_q").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    mut = (
+        knn.where(F.col("mutual") & (F.col("src") < F.col("dst")))
+        .select("src", "dst", "dot_q")
+    )
+    sa = stats.select(
+        F.col("src").alias("a"), F.col("s").alias("s_a"),
+        F.col("c").alias("c_a"),
+    )
+    sb = stats.select(
+        F.col("src").alias("b"), F.col("s").alias("s_b"),
+        F.col("c").alias("c_b"),
+    )
+    denom = F.col("s_a") * F.col("c_b") + F.col("s_b") * F.col("c_a")
+    num = F.lit(2) * F.col("dot_q") * F.col("c_a") * F.col("c_b")
+    out = (
+        mut.select(F.col("src").alias("a"), F.col("dst").alias("b"), "dot_q")
+        .join(sa, "a")
+        .join(sb, "b")
+        .where(denom > 0)
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("dot_q").cast("double") / F.lit(float(KNN_QK * KNN_QK)),
+                6,
+            ).alias("cos"),
+            F.round(num.cast("double") / denom.cast("double"), 6)
+            .alias("margin"),
+            (num * 1000 >= F.lit(int(tau_milli)) * denom).alias("accept"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    knn.unpersist()
+    return out
+
+
+def sql_margin_pairs(
+    k: int = KNN_K,
+    n_cells: int = N_CELLS,
+    tau_milli: int = MARGIN_TAU_MILLI,
+) -> str:
+    return f"""
+WITH {_sql_knn_cte(k, n_cells)},
+stats AS (SELECT src, SUM(dot_q) AS s, COUNT(*) AS c FROM knn GROUP BY src),
+mut AS (
+  SELECT t.src, t.dst, t.dot_q
+  FROM knn t JOIN knn r ON r.src = t.dst AND r.dst = t.src
+  WHERE t.src < t.dst
+)
+SELECT m.src AS a, m.dst AS b,
+       round(CAST(m.dot_q AS DOUBLE) / {KNN_QK * KNN_QK}, 6) AS cos,
+       round(CAST(2 * m.dot_q * sa.c * sb.c AS DOUBLE)
+             / CAST(sa.s * sb.c + sb.s * sa.c AS DOUBLE), 6) AS margin,
+       (2000 * m.dot_q * sa.c * sb.c
+          >= {int(tau_milli)} * (sa.s * sb.c + sb.s * sa.c)) AS accept
+FROM mut m
+JOIN stats sa ON sa.src = m.src
+JOIN stats sb ON sb.src = m.dst
+WHERE sa.s * sb.c + sb.s * sa.c > 0
 """

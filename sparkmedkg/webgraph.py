@@ -1486,3 +1486,113 @@ r0 AS (SELECT host, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
 {unrolled}
 SELECT host, round(pr, 9) AS pagerank FROM r{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-citation / bibliographic coupling on the host graph (Small 1973,
+# Kessler 1963 — the classic "related hosts" signals HITS builds on).
+# ---------------------------------------------------------------------------
+
+COCITE_MAX_DEG = 128  # hub cap: an endpoint of degree d creates d^2 pairs
+
+
+def q_cocitation(
+    spark: SparkSession, sf_dir: str, max_deg: int = COCITE_MAX_DEG
+) -> DataFrame:
+    """(a, b, n_cocited, n_coupled): for every unordered host pair, how
+    many common in-linkers cite both (co-citation) and how many common
+    out-targets both link to (bibliographic coupling) — the two
+    structural relatedness signals used for "related sites", mirror
+    candidate seeding, and link-spam farm detection.
+
+    Scale: both counts are a self-equi-join of the distinct edge set on
+    the shared endpoint.  The quadratic hazard is hubs — one src with
+    out-degree d contributes d^2 co-citation pairs — so both joins are
+    capped at degree <= max_deg on the SHARED endpoint (the standard
+    wedge cap, same as the degree-oriented triangle count): super-hub
+    endpoints carry negligible relatedness information (they cite
+    everything) and are excluded from pair generation, keeping fan-out
+    per row <= max_deg.  Full-outer merge of the two sparse pair sets."""
+    edges = (
+        link_graph(spark, sf_dir)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    e_oc = edges.join(
+        outdeg.where(F.col("d") <= max_deg).select("src"), "src"
+    )
+    e_bc = edges.join(
+        indeg.where(F.col("d") <= max_deg).select("dst"), "dst"
+    )
+    l, r = e_oc.alias("l"), e_oc.alias("r")
+    cocite = (
+        l.join(r, F.col("l.src") == F.col("r.src"))
+        .where(F.col("l.dst") < F.col("r.dst"))
+        .groupBy(
+            F.col("l.dst").alias("a"), F.col("r.dst").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cocited"))
+    )
+    lb, rb = e_bc.alias("l"), e_bc.alias("r")
+    couple = (
+        lb.join(rb, F.col("l.dst") == F.col("r.dst"))
+        .where(F.col("l.src") < F.col("r.src"))
+        .groupBy(
+            F.col("l.src").alias("a"), F.col("r.src").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_coupled"))
+    )
+    out = (
+        cocite.join(couple, ["a", "b"], "full_outer")
+        .select(
+            "a",
+            "b",
+            F.coalesce("n_cocited", F.lit(0)).alias("n_cocited"),
+            F.coalesce("n_coupled", F.lit(0)).alias("n_coupled"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+def sql_cocitation(max_deg: int = COCITE_MAX_DEG) -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS src_host,
+         {_sql_page_html()} AS html
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src_host AS src,
+         unnest(regexp_extract_all(html, 'href="https://([^"/]+)', 1)) AS dst
+  FROM pages
+),
+e_oc AS (
+  SELECT * FROM edges
+  WHERE src IN (SELECT src FROM edges GROUP BY src
+                HAVING COUNT(*) <= {max_deg})
+),
+e_bc AS (
+  SELECT * FROM edges
+  WHERE dst IN (SELECT dst FROM edges GROUP BY dst
+                HAVING COUNT(*) <= {max_deg})
+),
+cocite AS (
+  SELECT l.dst AS a, r.dst AS b, COUNT(*) AS n_cocited
+  FROM e_oc l JOIN e_oc r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY l.dst, r.dst
+),
+couple AS (
+  SELECT l.src AS a, r.src AS b, COUNT(*) AS n_coupled
+  FROM e_bc l JOIN e_bc r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY l.src, r.src
+)
+SELECT COALESCE(c.a, p.a) AS a, COALESCE(c.b, p.b) AS b,
+       COALESCE(c.n_cocited, 0) AS n_cocited,
+       COALESCE(p.n_coupled, 0) AS n_coupled
+FROM cocite c FULL OUTER JOIN couple p ON c.a = p.a AND c.b = p.b
+"""

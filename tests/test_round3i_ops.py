@@ -105,3 +105,88 @@ def test_web_pagerank_has_dangling_hosts(spark):
     srcs = {s for s, _ in edges}
     dsts = {t for _, t in edges}
     assert dsts - srcs, "expected at least one dangling (sink) host"
+
+
+def test_margin_pairs_bruteforce(spark):
+    """Margin math checked against the (independently brute-force-tested)
+    kNN edge set: exact integer accept decision + rounded double report."""
+    from sparkmedkg import simsearch
+
+    knn = simsearch.knn_graph(spark, SF).collect()
+    s = defaultdict(int)
+    c = defaultdict(int)
+    edge = {}
+    mutual = set()
+    for r in knn:
+        s[r["src"]] += r["dot_q"]
+        c[r["src"]] += 1
+        edge[(r["src"], r["dst"])] = r["dot_q"]
+        if r["mutual"]:
+            mutual.add((r["src"], r["dst"]))
+    want = {}
+    for (a, b), dot in edge.items():
+        if a >= b or (a, b) not in mutual or (b, a) not in edge:
+            continue
+        den = s[a] * c[b] + s[b] * c[a]
+        if den <= 0:
+            continue
+        num = 2 * dot * c[a] * c[b]
+        want[(a, b)] = (
+            round(dot / simsearch.KNN_QK**2, 6),
+            round(num / den, 6),
+            1000 * num >= simsearch.MARGIN_TAU_MILLI * den,
+        )
+    got = {
+        (r["a"], r["b"]): (r["cos"], r["margin"], r["accept"])
+        for r in simsearch.margin_pairs(spark, SF).collect()
+    }
+    assert got == want
+    accepts = {k for k, v in got.items() if v[2]}
+    assert accepts and accepts != set(got), (
+        "fixture should exercise both sides of the margin threshold"
+    )
+
+
+def test_cocitation_bruteforce(spark):
+    edges = {
+        (r["src_host"], r["dst_host"])
+        for r in webgraph.link_graph(spark, SF).collect()
+    }
+    outdeg = defaultdict(int)
+    indeg = defaultdict(int)
+    for st, dt in edges:
+        outdeg[st] += 1
+        indeg[dt] += 1
+    cap = webgraph.COCITE_MAX_DEG
+    cocite = defaultdict(int)
+    couple = defaultdict(int)
+    by_src = defaultdict(set)
+    by_dst = defaultdict(set)
+    for st, dt in edges:
+        if outdeg[st] <= cap:
+            by_src[st].add(dt)
+        if indeg[dt] <= cap:
+            by_dst[dt].add(st)
+    for targets in by_src.values():
+        ts = sorted(targets)
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                cocite[(a, b)] += 1
+    for srcs in by_dst.values():
+        ss = sorted(srcs)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                couple[(a, b)] += 1
+    want = {
+        p: (cocite.get(p, 0), couple.get(p, 0))
+        for p in set(cocite) | set(couple)
+    }
+    got = {
+        (r["a"], r["b"]): (r["n_cocited"], r["n_coupled"])
+        for r in webgraph.q_cocitation(spark, SF).collect()
+    }
+    assert got == want
+    # src-hosts and anchor-target hosts mostly partition in the fixture,
+    # so demand each signal individually, not jointly on one pair
+    assert any(v[0] for v in got.values())
+    assert any(v[1] for v in got.values())
