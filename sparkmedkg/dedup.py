@@ -1128,3 +1128,76 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Soft deduplication (He et al. 2024, "SoftDedup: an Efficient Data
+# Reweighting Method for Speeding Up Language Model Pre-training"):
+# down-weight common data instead of dropping it.
+# ---------------------------------------------------------------------------
+
+def soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_copies, gm_df, soft_weight): per-document sampling
+    weight that decays smoothly with how duplicated the document's
+    content is, instead of the hard keep/drop of exact or near dedup.
+    ``gm_df`` is the geometric mean of the document's shingles'
+    corpus-wide document frequencies (exp of the mean log-df — the
+    paper's "commonness" signal: 1.0 means every shingle is unique,
+    large means the text is boilerplate); ``n_copies`` the exact-copy
+    multiplicity.  soft_weight = 1 / (n_copies * gm_df), so a unique doc
+    keeps weight 1 and each factor of content duplication halves its
+    sampling mass rather than zeroing it.
+
+    Scale: one shingle doc-frequency count (map-side combinable), one
+    equi-join of the (doc, shingle) pairs back to the df table (skewed
+    stop-phrase shingles are a JOIN key here, not a pair generator — the
+    fan-out per row is 1, so the hot key costs a big partition, handled
+    by AQE skew split, never a candidate explosion), one per-doc mean.
+    The exact-copy count is the dedup_exact digest shuffle joined back by
+    key.  Everything else is scan-projection arithmetic."""
+    docs = _read_docs(spark, sf_dir)
+    sh = doc_shingles(spark, sf_dir)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    gm = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(F.avg(F.log("df")).alias("mlog"))
+    )
+    copies = docs.groupBy(F.md5("text").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("k"))
+        .join(copies, "k")
+        .join(gm, "doc_id")
+        .select(
+            "doc_id",
+            "n_copies",
+            F.round(F.exp("mlog"), 6).alias("gm_df"),
+            F.round(
+                F.lit(1.0) / (F.col("n_copies") * F.exp("mlog")), 6
+            ).alias("soft_weight"),
+        )
+    )
+
+
+def sql_soft_dedup() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_sql_shingles()}) AS shingle FROM documents
+),
+df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+gm AS (
+  SELECT s.doc_id, AVG(ln(f.df)) AS mlog
+  FROM sh s JOIN df f USING (shingle) GROUP BY s.doc_id
+),
+copies AS (
+  SELECT md5(text) AS k, COUNT(*) AS n_copies FROM documents GROUP BY 1
+)
+SELECT d.doc_id, c.n_copies,
+       round(exp(g.mlog), 6) AS gm_df,
+       round(1.0 / (c.n_copies * exp(g.mlog)), 6) AS soft_weight
+FROM documents d
+JOIN copies c ON md5(d.text) = c.k
+JOIN gm g ON g.doc_id = d.doc_id
+"""

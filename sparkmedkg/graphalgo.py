@@ -180,10 +180,12 @@ def q_label_propagation(
     return labels
 
 
-def sql_label_propagation(
-    iters: int = LPA_ITERS, min_docs: int = PR_MIN_DOCS
-) -> str:
-    steps = []
+def _sql_lpa_steps(iters: int = LPA_ITERS) -> str:
+    """The unrolled l0..l{iters} LPA CTE chain over ``edges`` — shared by
+    sql_label_propagation, sql_modularity-style consumers, and
+    sql_conductance so the community assignment can never drift between
+    oracles."""
+    steps = ["l0 AS (SELECT DISTINCT src AS cui, src AS label FROM edges)"]
     for k in range(1, iters + 1):
         steps.append(
             f"""l{k} AS (
@@ -196,11 +198,15 @@ def sql_label_propagation(
   ) WHERE rn = 1
 )"""
         )
-    unrolled = ",\n".join(steps)
+    return ",\n".join(steps)
+
+
+def sql_label_propagation(
+    iters: int = LPA_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
     return f"""
 WITH {sql_cooccur_edges_cte(min_docs)},
-l0 AS (SELECT DISTINCT src AS cui, src AS label FROM edges),
-{unrolled}
+{_sql_lpa_steps(iters)}
 SELECT cui AS CUI, label FROM l{iters}
 """
 
@@ -2327,4 +2333,98 @@ grid(component) AS (VALUES ('core'), ('in'), ('out'), ('other'))
 SELECT g.component, COUNT(comp.v) AS n_nodes
 FROM grid g LEFT JOIN comp ON comp.component = g.component
 GROUP BY g.component
+"""
+
+
+# ---------------------------------------------------------------------------
+# Community conductance (cut quality per LPA community).
+# ---------------------------------------------------------------------------
+
+# Conductance is scored at the FIRST LPA round: at convergence the fixture
+# collapses to one community, where phi is degenerate (no cut) by
+# definition — round 1 is where cut quality is informative.
+CONDUCT_ITERS = 1
+
+
+def q_conductance(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = CONDUCT_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(label, n_nodes, vol, cut, conductance): per-community cut quality
+    phi(S) = cut(S) / min(vol(S), vol(V) - vol(S)) over the LPA
+    communities — the standard audit of whether detected communities are
+    real (low phi) or artifacts of the labeler (phi near 1).  ``vol`` is
+    the sum of member degrees, ``cut`` the number of edge endpoints
+    leaving the community (edges are symmetric, so both are directed-row
+    counts).
+
+    Plan: labels come from the same fixed-iteration deterministic LPA as
+    q_label_propagation; scoring is the edge set joined to labels on BOTH
+    endpoints (two broadcast-joinable label frames) then ONE map-side
+    combinable groupBy on the src label; total volume is a 1-row
+    broadcast.  No per-community loop — all communities score in one
+    pass."""
+    edges = _edges(spark, sf_dir, min_docs)
+    labels = q_label_propagation(spark, sf_dir, iters, min_docs)
+    la = labels.select(F.col("CUI").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("CUI").alias("dst"), F.col("label").alias("lb"))
+    per = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("vol"),
+            F.sum(
+                F.when(F.col("la") != F.col("lb"), 1).otherwise(0)
+            ).alias("cut"),
+        )
+    )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    total = per.agg(F.sum("vol").alias("tv"))
+    return (
+        per.join(sizes, "label")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            "cut",
+            F.when(
+                F.least(F.col("vol"), F.col("tv") - F.col("vol")) > 0,
+                F.round(
+                    F.col("cut").cast("double")
+                    / F.least(F.col("vol"), F.col("tv") - F.col("vol"))
+                    .cast("double"),
+                    6,
+                ),
+            ).alias("conductance"),
+        )
+    )
+
+
+def sql_conductance(
+    iters: int = CONDUCT_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+{_sql_lpa_steps(iters)},
+lab AS (SELECT cui, label FROM l{iters}),
+per AS (
+  SELECT la.label, COUNT(*) AS vol,
+         CAST(SUM(CASE WHEN la.label <> lb.label THEN 1 ELSE 0 END)
+              AS BIGINT) AS cut
+  FROM edges e JOIN lab la ON e.src = la.cui
+               JOIN lab lb ON e.dst = lb.cui
+  GROUP BY la.label
+),
+sizes AS (SELECT label, COUNT(*) AS n_nodes FROM lab GROUP BY label),
+tv AS (SELECT CAST(SUM(vol) AS BIGINT) AS tv FROM per)
+SELECT p.label, s.n_nodes, p.vol, p.cut,
+       CASE WHEN least(p.vol, (SELECT tv FROM tv) - p.vol) > 0
+            THEN round(p.cut::DOUBLE
+                       / least(p.vol, (SELECT tv FROM tv) - p.vol)::DOUBLE, 6)
+       END AS conductance
+FROM per p JOIN sizes s ON p.label = s.label
 """

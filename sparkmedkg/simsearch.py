@@ -1095,6 +1095,47 @@ KNN_K = 5
 KNN_QK = 1 << 15  # per-element quantization of the unit vector
 
 
+def _cells(spark: SparkSession, sf_dir: str, n_cells: int = N_CELLS) -> DataFrame:
+    """(vec_id, q, cid): every vector quantized to a unit-int64 vector and
+    assigned to its max-cosine IVF cell — the shared substrate of
+    knn_graph, margin_pairs, and semdedup.
+
+    Normalize + quantize happen in the scan projection (JVM expressions,
+    so the integers are bit-identical to the oracle's): uq = round(v/|v| *
+    2^15) per element.  Cell assignment is the same zero-shuffle
+    expression-level argmax over broadcast centroid literals as ivf_topk.
+    Exact integers mean every downstream rank/threshold decision is
+    bit-identical across Spark / DuckDB / numpy — no float
+    accumulation-order hazard at decision boundaries."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents_local = [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows]
+    sim_structs = F.array(
+        *[
+            F.struct(
+                (_dot("v", _plane_lit(cv)) / (_norm("v") * _norm(_plane_lit(cv))))
+                .alias("sim"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents_local
+        ]
+    )
+    best = F.array_max(sim_structs)
+    unit_q = F.expr(
+        f"transform(v, x -> CAST(round(CAST(x AS DOUBLE) / n * {KNN_QK})"
+        " AS BIGINT))"
+    )
+    return (
+        emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
+        .withColumn("n", _norm("v"))
+        .select("vec_id", unit_q.alias("q"), "cid")
+    )
+
+
 def knn_graph(
     spark: SparkSession,
     sf_dir: str,
@@ -1119,41 +1160,7 @@ def knn_graph(
     source's own cell are not candidates; the oracle replicates the exact
     same cell assignment, so the gate checks the algorithm, and
     metrics.ann_recall-style scorecards quantify the recall loss."""
-    emb = _emb(spark, sf_dir)
-    cent_rows = (
-        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
-        .orderBy("vec_id")
-        .collect()
-    )
-    cents_local = [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows]
-    sim_structs = F.array(
-        *[
-            F.struct(
-                (_dot("v", _plane_lit(cv)) / (_norm("v") * _norm(_plane_lit(cv))))
-                .alias("sim"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, cv in cents_local
-        ]
-    )
-    best = F.array_max(sim_structs)
-    # Normalize + quantize in the scan projection (JVM expressions, so the
-    # integers are bit-identical to the oracle's): uq = round(v/|v| * 2^15)
-    # per element.  The |cell|^2 pair scoring then runs as an EXACT int64
-    # numpy matmul per cell inside applyInPandas — the prescribed Arrow
-    # lane for dense vectorizable math (a per-pair HOF fold is interpreted
-    # element-at-a-time and measured ~10x slower here).  Exact integers
-    # mean the rank order is bit-identical across Spark / DuckDB / numpy —
-    # no float accumulation-order hazard at the top-k boundary.
-    unit_q = F.expr(
-        f"transform(v, x -> CAST(round(CAST(x AS DOUBLE) / n * {KNN_QK})"
-        " AS BIGINT))"
-    )
-    cells = (
-        emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
-        .withColumn("n", _norm("v"))
-        .select("vec_id", unit_q.alias("q"), "cid")
-    )
+    cells = _cells(spark, sf_dir, n_cells)
     kk = int(k)
 
     def _cell_knn(pdf):
@@ -1209,10 +1216,19 @@ def knn_graph(
     )
 
 
-def _sql_knn_cte(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
-    """The shared DuckDB CTE chain producing the ``knn`` edge relation
-    (src, dst, dot_q, rk) — used by sql_knn_graph and sql_margin_pairs
-    so the two oracles can never drift apart."""
+_SQL_DOT_AB = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, len(a.q)), "
+    "i -> a.q[i] * b.q[i])), (acc, e) -> acc + e)"
+)
+
+
+def _sql_cells_cte(n_cells: int = N_CELLS) -> str:
+    """The shared DuckDB CTE chain producing the ``assigned`` relation
+    (vec_id, q, cid): every vector quantized to a unit-int64 vector and
+    assigned to its max-cosine IVF cell — the cell structure knn_graph,
+    margin_pairs, and semdedup all ride, factored once so the oracles
+    can never drift apart."""
     sim_ec = (
         f"({_SQL_DOT.format(a='e.v', b='c.cv')}) / "
         f"({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
@@ -1221,11 +1237,6 @@ def _sql_knn_cte(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
         "list_transform(v, x -> CAST(round(x::DOUBLE / "
         + _SQL_NORM.format(a="v")
         + f" * {KNN_QK}) AS BIGINT))"
-    )
-    dot_ab = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(generate_series(1, len(a.q)), "
-        "i -> a.q[i] * b.q[i])), (acc, e) -> acc + e)"
     )
     return f"""e AS (SELECT vec_id, embedding AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND {n_cells}),
@@ -1236,7 +1247,14 @@ sims AS (
   FROM e, c
 ),
 assigned AS MATERIALIZED (
-  SELECT vec_id, {unit_q} AS q, cid FROM sims WHERE rk = 1),
+  SELECT vec_id, {unit_q} AS q, cid FROM sims WHERE rk = 1)"""
+
+
+def _sql_knn_cte(k: int = KNN_K, n_cells: int = N_CELLS) -> str:
+    """_sql_cells_cte plus the ``knn`` edge relation (src, dst, dot_q,
+    rk) — used by sql_knn_graph and sql_margin_pairs."""
+    dot_ab = _SQL_DOT_AB
+    return f"""{_sql_cells_cte(n_cells)},
 knn AS MATERIALIZED (
   SELECT src, dst, dot_q, rk FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -1357,4 +1375,117 @@ FROM mut m
 JOIN stats sa ON sa.src = m.src
 JOIN stats sb ON sb.src = m.dst
 WHERE sa.s * sb.c + sb.s * sa.c > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via cluster-blocked cosine (Abbas et
+# al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+# semantic deduplication").
+# ---------------------------------------------------------------------------
+
+# Fixture calibration: the synthetic embeddings are near-isotropic, so
+# real-corpus thresholds (0.95+) select nothing; 0.38 sits at ~p95 of the
+# within-cell cosine distribution and exercises both keep and drop at
+# every SF.  The threshold is exact (integer micro-units), not a float.
+SEMDEDUP_TAU_MICRO = 380_000
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = N_CELLS,
+    tau_micro: int = SEMDEDUP_TAU_MICRO,
+) -> DataFrame:
+    """(vec_id, cid, n_dups, dup_of, keep): SemDeDup — drop items whose
+    embedding is within cosine tau of an already-kept item in the SAME
+    cluster.  ``n_dups`` counts all same-cell neighbors above tau,
+    ``dup_of`` is the smallest smaller-id such neighbor (the kept
+    representative this row is a duplicate of; NULL means this row is
+    kept).  The keep rule (survive iff no smaller-id near neighbor) is
+    the deterministic variant of the paper's random-representative rule.
+
+    Scale: identical blocking contract to knn_graph — vectors are
+    assigned to IVF cells by a zero-shuffle expression argmax, pair
+    scoring is an exact int64 numpy matmul per cell inside ONE
+    applyInPandas (|cell|^2 per cell, never corpus^2; hot cells get
+    split at real scale).  Cross-cell near-dups are by construction not
+    candidates — the paper's own approximation, quantified by the recall
+    scorecards in metrics.py.  The accept decision compares
+    1e6*dot_q >= tau_micro*QK^2 in exact int64, so keep/drop is
+    bit-identical across engines."""
+    cells = _cells(spark, sf_dir, n_cells)
+    tau = int(tau_micro)
+    qk2 = KNN_QK * KNN_QK
+
+    def _cell_dedup(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy().astype(np.int64)
+        cid = pdf["cid"].to_numpy().astype(np.int64)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "cid": cid,
+                    "n_dups": np.zeros(len(ids), dtype=np.int64),
+                    "dup_of": pd.array([None] * len(ids), dtype="Int64"),
+                    "keep": np.ones(len(ids), dtype=bool),
+                }
+            )
+        q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        s = q @ q.T  # exact: 64 * (2^15)^2 = 2^36 per entry
+        near = (1_000_000 * s) >= (tau * qk2)
+        np.fill_diagonal(near, False)
+        n_dups = near.sum(axis=1).astype(np.int64)
+        smaller = near & (ids[None, :] < ids[:, None])
+        big = np.int64(np.iinfo(np.int64).max)
+        cand = np.where(smaller, ids[None, :], big)
+        dup_min = cand.min(axis=1)
+        dup_of = pd.array(
+            [None if d == big else int(d) for d in dup_min], dtype="Int64"
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cid": cid,
+                "n_dups": n_dups,
+                "dup_of": dup_of,
+                "keep": dup_min == big,
+            }
+        )
+
+    return (
+        cells.withColumn("cid", F.col("cid").cast("bigint"))
+        .groupBy("cid")
+        .applyInPandas(
+            _cell_dedup,
+            "vec_id bigint, cid bigint, n_dups bigint, dup_of bigint,"
+            " keep boolean",
+        )
+    )
+
+
+def sql_semdedup(
+    n_cells: int = N_CELLS, tau_micro: int = SEMDEDUP_TAU_MICRO
+) -> str:
+    return f"""
+WITH {_sql_cells_cte(n_cells)},
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM assigned a JOIN assigned b USING (cid)
+  WHERE a.vec_id <> b.vec_id
+    AND 1000000 * ({_SQL_DOT_AB})
+        >= CAST({int(tau_micro)} AS BIGINT) * {KNN_QK * KNN_QK}
+),
+agg AS (
+  SELECT va AS vec_id, COUNT(*) AS n_dups,
+         MIN(CASE WHEN vb < va THEN vb END) AS dup_of
+  FROM pairs GROUP BY va
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+       COALESCE(g.n_dups, 0) AS n_dups, g.dup_of,
+       (g.dup_of IS NULL) AS keep
+FROM assigned a LEFT JOIN agg g USING (vec_id)
 """

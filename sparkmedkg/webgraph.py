@@ -1596,3 +1596,148 @@ SELECT COALESCE(c.a, p.a) AS a, COALESCE(c.b, p.b) AS b,
        COALESCE(p.n_coupled, 0) AS n_coupled
 FROM cocite c FULL OUTER JOIN couple p ON c.a = p.a AND c.b = p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Spam mass (Gyongyi, Berkhin, Garcia-Molina, Pedersen 2006, "Link spam
+# detection based on mass estimation"): how much of a host's PageRank is
+# NOT explainable by trusted-seed reachability.
+# ---------------------------------------------------------------------------
+
+SPAM_MASS_TAU6 = 500_000  # spammy iff round(spam_mass, 6) >= 0.5
+
+
+def q_spam_mass(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = TRUST_ITERS,
+    alpha: float = TRUST_ALPHA,
+    tau6: int = SPAM_MASS_TAU6,
+) -> DataFrame:
+    """(host, pr, trust, spam_mass, spammy): relative spam mass — run
+    PageRank (uniform restart) and TrustRank (seed restart) with the SAME
+    damping and iteration count over the SAME graph, then
+    spam_mass = (pr - trust) / pr.  Hosts whose rank comes mostly from
+    outside the trusted core (spam farms boosting each other) score near
+    1; hosts reachable from the seeds score near 0.  The admission signal
+    crawl pipelines threshold before corpus ingestion.
+
+    Plan: the two rank vectors ride ONE iteration loop — a single
+    (host, t, p) frame, so each round is one edge join + one grouped sum
+    computing both contributions (half the shuffles of running the two
+    algorithms separately).  Same propagation convention as q_trustrank
+    (no dangling redistribution — identical for both vectors, and spam
+    mass is their DIFFERENCE).  The spammy flag thresholds the ROUNDED
+    mass in both engines, so the boolean can't straddle an FP boundary."""
+    edges = _intra_edges(spark, sf_dir).persist()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ed = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    e_t = F.when(
+        F.col("host").isin(*TRUST_SEEDS), 1.0 / len(TRUST_SEEDS)
+    ).otherwise(0.0)
+    e_p = F.lit(1.0 / n)
+    ranks = nodes.select("host", e_t.alias("t"), e_p.alias("p"))
+    for _ in range(iters):
+        contrib = (
+            ed.join(
+                ranks.select(F.col("host").alias("src"), "t", "p"), "src"
+            )
+            .select(
+                "dst",
+                (F.col("t") / F.col("deg")).alias("ct"),
+                (F.col("p") / F.col("deg")).alias("cp"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("ct").alias("st"), F.sum("cp").alias("sp"))
+        )
+        ranks = nodes.join(
+            contrib.select(F.col("dst").alias("host"), "st", "sp"),
+            "host",
+            "left",
+        ).select(
+            "host",
+            (
+                F.lit(1.0 - alpha) * e_t
+                + F.lit(alpha) * F.coalesce(F.col("st"), F.lit(0.0))
+            ).alias("t"),
+            (
+                F.lit(1.0 - alpha) * e_p
+                + F.lit(alpha) * F.coalesce(F.col("sp"), F.lit(0.0))
+            ).alias("p"),
+        )
+    mass6 = F.round((F.col("p") - F.col("t")) / F.col("p"), 6)
+    out = ranks.select(
+        "host",
+        F.round("p", 9).alias("pr"),
+        F.round("t", 9).alias("trust"),
+        mass6.alias("spam_mass"),
+        (mass6 * 1_000_000 >= F.lit(float(tau6))).alias("spammy"),
+    ).localCheckpoint(eager=True)
+    for df in (edges, ed, nodes):
+        df.unpersist()
+    return out
+
+
+def sql_spam_mass(
+    iters: int = TRUST_ITERS,
+    alpha: float = TRUST_ALPHA,
+    tau6: int = SPAM_MASS_TAU6,
+) -> str:
+    seeds = ", ".join(f"'{s}'" for s in TRUST_SEEDS)
+
+    def e_t(q: str) -> str:
+        return (
+            f"CASE WHEN {q}host IN ({seeds}) "
+            f"THEN 1.0/{len(TRUST_SEEDS)} ELSE 0.0 END"
+        )
+
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS (
+  SELECT n.host,
+         (1 - {alpha}) * {e_t('n.')} + {alpha} * COALESCE(c.st, 0) AS t,
+         (1 - {alpha}) / (SELECT n FROM nn)
+           + {alpha} * COALESCE(c.sp, 0) AS p
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS host, SUM(p.t / dg.deg) AS st, SUM(p.p / dg.deg) AS sp
+    FROM edges e JOIN r{k - 1} p ON e.src = p.host
+                 JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) c ON n.host = c.host
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH pages AS (
+  SELECT 'site' || (doc_id % {N_SRC_HOSTS}) || '.example' AS src,
+         unnest(list_slice(regexp_split_to_array(text, ' +'), 1,
+                           {MAX_ANCHORS})) AS tok
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src,
+         'site' || ({_sql_h60('tok')} % {N_SRC_HOSTS}) || '.example' AS dst
+  FROM pages
+  WHERE src <> 'site' || ({_sql_h60('tok')} % {N_SRC_HOSTS}) || '.example'
+),
+nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, COUNT(*)::DOUBLE AS deg FROM edges GROUP BY src),
+r0 AS (SELECT host, {e_t('')} AS t, 1.0 / (SELECT n FROM nn) AS p
+       FROM nodes),
+{unrolled}
+SELECT host, round(p, 9) AS pr, round(t, 9) AS trust,
+       round((p - t) / p, 6) AS spam_mass,
+       (round((p - t) / p, 6) * 1000000 >= {int(tau6)}) AS spammy
+FROM r{iters}
+"""
