@@ -2428,3 +2428,155 @@ SELECT p.label, s.n_nodes, p.vol, p.cut,
        END AS conductance
 FROM per p JOIN sizes s ON p.label = s.label
 """
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased second-order walks (Grover & Leskovec 2016).
+# ---------------------------------------------------------------------------
+
+N2V_LEN = 3
+# return/in-out bias in integer milli-weights: 1/p, 1, 1/q with p=2, q=0.5
+N2V_W_RETURN = 500    # x == prev        (1/p, p = 2: discourage backtrack)
+N2V_W_COMMON = 1000   # x adjacent prev  (BFS-ish stay-local weight)
+N2V_W_OUT = 2000      # else             (1/q, q = 0.5: encourage outward)
+
+
+def q_node2vec_walks(
+    spark: SparkSession,
+    sf_dir: str,
+    walk_len: int = N2V_LEN,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(walk, step, node): one fixed-length node2vec walk per start node —
+    the second-order biased variant of q_random_walks, where the next-hop
+    distribution depends on the PREVIOUS node: weight 1/p to return to it,
+    1 to move to a mutual neighbor, 1/q to explore outward.  Weights are
+    exact integer milli-units and the draw is the md5 hash of
+    (walk, step, prev>cur) against the candidate set's integer cumulative
+    weights, so the walk corpus is bit-reproducible across engines,
+    partitionings, and retries.
+
+    Scale shape: the first-order rank-match trick (O(|V|) state rows per
+    step) can't apply — the bias needs every candidate's (prev, next)
+    adjacency — so each step pays the honest node2vec cost: one frontier
+    join on cur = src (fan-out = deg), one LEFT join probing prev-next
+    adjacency, one per-walk prefix-sum window to place the draw.  Per-step
+    traffic is O(sum deg over frontier) — linear in edges, never
+    quadratic — and lineage is truncated per hop."""
+    edges = _edges(spark, sf_dir, min_docs)
+    state = (
+        edges.select(F.col("src").alias("walk"))
+        .distinct()
+        .select(
+            "walk",
+            F.col("walk").alias("prev"),
+            F.col("walk").alias("node"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = state.select("walk", F.lit(0).alias("step"), "node")
+    adj = edges.select(
+        F.col("src").alias("a_src"), F.col("dst").alias("a_dst"),
+        F.lit(1).alias("is_adj"),
+    )
+    for t in range(1, walk_len + 1):
+        cand = (
+            state.join(edges, state["node"] == edges["src"])
+            .select("walk", "prev", "node", F.col("dst").alias("x"))
+            .join(
+                adj,
+                (F.col("prev") == F.col("a_src"))
+                & (F.col("x") == F.col("a_dst")),
+                "left",
+            )
+            .select(
+                "walk",
+                "prev",
+                "node",
+                "x",
+                F.when(F.col("x") == F.col("prev"), N2V_W_RETURN)
+                .when(F.col("is_adj").isNotNull(), N2V_W_COMMON)
+                .otherwise(N2V_W_OUT)
+                .cast("bigint")
+                .alias("wt"),
+            )
+        )
+        w_all = Window.partitionBy("walk")
+        w_pre = (
+            Window.partitionBy("walk")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        scored = cand.select(
+            "walk",
+            "prev",
+            "node",
+            "x",
+            "wt",
+            F.coalesce(F.sum("wt").over(w_pre), F.lit(0)).alias("cum"),
+            F.sum("wt").over(w_all).alias("s"),
+            _walk_choice(
+                F.col("walk"),
+                t,
+                F.concat(F.col("prev"), F.lit(">"), F.col("node")),
+            ).alias("dr"),
+        )
+        r = F.col("dr") % F.col("s")
+        state = (
+            scored.where((F.col("cum") <= r) & (r < F.col("cum") + F.col("wt")))
+            .select(
+                "walk", F.col("node").alias("prev"), F.col("x").alias("node")
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            state.select("walk", F.lit(t).alias("step"), "node")
+        )
+    return out
+
+
+def sql_node2vec_walks(
+    walk_len: int = N2V_LEN, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for t in range(1, walk_len + 1):
+        draw = (
+            f"CAST('0x' || substring(md5(walk || '|{t}|' || prev || '>' || "
+            "node), 1, 15) AS BIGINT)"
+        )
+        steps.append(
+            f"""c{t} AS (
+  SELECT p.walk, p.prev, p.node, e.dst AS x,
+         CAST(CASE WHEN e.dst = p.prev THEN {N2V_W_RETURN}
+              WHEN a.src IS NOT NULL THEN {N2V_W_COMMON}
+              ELSE {N2V_W_OUT} END AS BIGINT) AS wt
+  FROM w{t - 1} p
+  JOIN edges e ON e.src = p.node
+  LEFT JOIN edges a ON a.src = p.prev AND a.dst = e.dst
+),
+s{t} AS (
+  SELECT walk, prev, node, x, wt,
+         COALESCE(SUM(wt) OVER (PARTITION BY walk ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum,
+         SUM(wt) OVER (PARTITION BY walk) AS s,
+         {draw} AS dr
+  FROM c{t}
+),
+w{t} AS (
+  SELECT walk, node AS prev, x AS node
+  FROM s{t}
+  WHERE cum <= dr % s AND dr % s < cum + wt
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk, {t} AS step, node FROM w{t}"
+        for t in range(walk_len + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+w0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS node FROM edges),
+{unrolled}
+SELECT walk, step, node FROM ({union})
+"""
