@@ -2580,3 +2580,118 @@ w0 AS (SELECT DISTINCT src AS walk, src AS prev, src AS node FROM edges),
 {unrolled}
 SELECT walk, step, node FROM ({union})
 """
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (landmark-estimated, exact integer arithmetic).
+# ---------------------------------------------------------------------------
+
+def _lcm_weights(max_hops: int) -> dict[int, int]:
+    import math
+
+    l = math.lcm(*range(1, max_hops + 1))
+    return {d: l // d for d in range(1, max_hops + 1)}
+
+
+def q_harmonic(
+    spark: SparkSession,
+    sf_dir: str,
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, n_lm, harmonic): landmark-estimated harmonic centrality —
+    sum over reaching landmarks of 1/dist.  Harmonic (Boldi & Vigna 2014)
+    is the centrality of choice on disconnected web-scale graphs because
+    unreachable pairs contribute 0 instead of breaking the mean, so no
+    giant-component gating is needed.
+
+    Same ONE-keyed-frontier multi-source BFS as q_closeness (per-round
+    cost independent of landmark count).  The 1/d accumulation is kept
+    EXACT: each distance d contributes the integer LCM(1..max_hops)/d, so
+    the shuffle sums BIGINTs (order-independent across engines and
+    partitionings) and the single float division happens once per output
+    row — no cross-engine double-accumulation drift possible."""
+    lcm_w = _lcm_weights(max_hops)
+    lcm = lcm_w[1]
+    edges = _edges(spark, sf_dir, min_docs)
+    w = Window.orderBy("src")
+    landmarks = (
+        edges.select("src")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_landmarks)
+        .select(F.col("src").alias("lm"))
+    )
+    visited = landmarks.select(
+        "lm", F.col("lm").alias("CUI"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["CUI"] == edges["src"])
+            .select("lm", F.col("dst").alias("CUI"))
+            .distinct()
+            .join(visited.select("lm", "CUI"), ["lm", "CUI"], "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    wt = F.col("dist")
+    expr = None
+    for d, v in lcm_w.items():
+        expr = (
+            F.when(wt == d, F.lit(v)) if expr is None
+            else expr.when(wt == d, F.lit(v))
+        )
+    reach = visited.where(F.col("dist") > 0)
+    return reach.groupBy("CUI").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lm"),
+        F.sum(expr.cast("bigint")).alias("h_lcm"),
+    ).select(
+        "CUI",
+        "n_lm",
+        F.round(F.col("h_lcm").cast("double") / F.lit(float(lcm)), 6).alias(
+            "harmonic"
+        ),
+    )
+
+
+def sql_harmonic(
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    lcm_w = _lcm_weights(max_hops)
+    lcm = lcm_w[1]
+    case = " ".join(f"WHEN {d} THEN {v}" for d, v in lcm_w.items())
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT lm, cui, MIN(dist) AS dist FROM (
+    SELECT lm, cui, dist FROM r{k - 1}
+    UNION ALL
+    SELECT p.lm, e.dst AS cui, p.dist + 1 AS dist
+    FROM r{k - 1} p JOIN e ON e.src = p.cui
+  ) GROUP BY lm, cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM e
+                               ORDER BY src LIMIT {n_landmarks})),
+r0 AS (SELECT lm, lm AS cui, 0 AS dist FROM lms),
+{unrolled}
+SELECT cui AS CUI,
+       CAST(COUNT(*) AS BIGINT) AS n_lm,
+       round(CAST(SUM(CAST(CASE dist {case} END AS BIGINT)) AS DOUBLE)
+             / {float(lcm)}, 6) AS harmonic
+FROM r{max_hops}
+WHERE dist > 0
+GROUP BY cui
+"""

@@ -401,3 +401,78 @@ SELECT p.ancestor, p.n_concepts, COALESCE(o.n_observed, 0) AS n_observed,
          AS coverage
 FROM possible p LEFT JOIN observed o ON p.ancestor = o.ancestor
 """
+
+
+# ---------------------------------------------------------------------------
+# Topological layering (longest-path layers = Kahn peel order).
+# ---------------------------------------------------------------------------
+
+def topo_layers(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(node, layer): longest-path layering of the IS_A DAG — layer 0 is
+    every leaf concept (no incoming IS_A edge), and layer(n) = 1 + the
+    longest chain of descendants below n.  Sorting by layer gives a valid
+    topological order (every edge goes strictly upward), which is what a
+    bulk ontology loader needs to materialize parents after children, and
+    what a cycle check falls out of for free (a node never peeled has a
+    cycle under it — impossible here by construction, asserted in tests).
+
+    Shape mirrors ``ontology_closure``: the path table grows by semi-naive
+    frontier extension against the broadcast edge set (rounds = DAG height,
+    ~15 for SNOMED, never |V|), then ONE groupBy takes the longest
+    derivation ending at each node.  Nodes with no incoming edge join the
+    result via a left anti union at layer 0.  ``sf_dir`` unused (engine-
+    constant data), kept for the queries() convention."""
+    edges = _edges_df(spark)
+    step = F.broadcast(
+        edges.select(
+            F.col("cui").alias("_from"), F.col("ancestor").alias("_to")
+        )
+    )
+    paths = edges.withColumn("d", F.lit(1))
+    frontier = paths
+    for _ in range(32):  # bound = DAG height
+        nxt = (
+            frontier.join(step, frontier["ancestor"] == step["_from"])
+            .select(
+                "cui", F.col("_to").alias("ancestor"),
+                (F.col("d") + 1).alias("d"),
+            )
+            .distinct()
+        )
+        if nxt.isEmpty():
+            break
+        paths = paths.unionByName(nxt)
+        frontier = nxt
+    inner = paths.groupBy(F.col("ancestor").alias("node")).agg(
+        F.max("d").cast("bigint").alias("layer")
+    )
+    leaves = (
+        edges.select(F.col("cui").alias("node"))
+        .union(edges.select(F.col("ancestor").alias("node")))
+        .distinct()
+        .join(inner.select("node"), "node", "left_anti")
+        .select("node", F.lit(0).cast("bigint").alias("layer"))
+    )
+    return inner.unionByName(leaves)
+
+
+def sql_topo_layers() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+nodes AS (SELECT cui AS node FROM hier UNION SELECT ancestor FROM hier),
+inner_layers AS (
+  SELECT ancestor AS node, CAST(MAX(d) AS BIGINT) AS layer
+  FROM reach GROUP BY ancestor
+)
+SELECT node, layer FROM inner_layers
+UNION ALL
+SELECT n.node, CAST(0 AS BIGINT) AS layer
+FROM nodes n LEFT JOIN inner_layers i ON i.node = n.node
+WHERE i.node IS NULL
+"""

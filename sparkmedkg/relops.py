@@ -3214,3 +3214,64 @@ SELECT a.event_type, a.max_s // a.n_events AS max_cusum_milli,
        p.at_ts_us, a.n_events
 FROM agg a JOIN peak p ON a.event_type = p.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing (bounded-memory, exact decimal arithmetic).
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 4  # window depth; alpha = 1/2 -> integer weights 8,4,2,1
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ewma): exponentially-weighted moving average of
+    ``value`` over each user's last EWMA_LAGS events (alpha = 1/2,
+    truncated tail renormalized over the weights actually present — the
+    standard adjusted/bias-corrected EWMA start-up).  The smoothing signal
+    an anomaly detector compares raw values against.
+
+    Recursive EWMA is not window-expressible; the bounded form is, as
+    EWMA_LAGS-1 lag() columns riding ONE per-user time sort (a single
+    shuffle on user_id, no self-join).  Arithmetic is exact: integer
+    weights 2^k over DECIMAL(18,6) values, one double division at the end,
+    so Spark and DuckDB agree bit-for-bit with no float-accumulation
+    order hazard."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,6)")
+    lags = [dec] + [F.lag(dec, k).over(w) for k in range(1, EWMA_LAGS)]
+    wts = [2 ** (EWMA_LAGS - 1 - k) for k in range(EWMA_LAGS)]
+    num = None
+    den = None
+    for col, wt in zip(lags, wts):
+        t = F.when(col.isNotNull(), col * wt).otherwise(F.lit(0))
+        d = F.when(col.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )
+
+
+def sql_events_ewma() -> str:
+    wts = [2 ** (EWMA_LAGS - 1 - k) for k in range(EWMA_LAGS)]
+    cols = ["CAST(value AS DECIMAL(18,6))"] + [
+        f"LAG(CAST(value AS DECIMAL(18,6)), {k}) OVER w"
+        for k in range(1, EWMA_LAGS)
+    ]
+    num = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN {c} * {w} ELSE 0 END"
+        for c, w in zip(cols, wts)
+    )
+    den = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN {w} ELSE 0 END"
+        for c, w in zip(cols, wts)
+    )
+    return f"""
+SELECT event_id, user_id,
+       round(CAST(({num}) AS DOUBLE) / CAST(({den}) AS DOUBLE), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -75,3 +75,115 @@ def test_node2vec_walks_are_paths_and_bias_differs_from_uniform(spark):
         assert sorted(steps) == list(range(graphalgo.N2V_LEN + 1))
         for t in range(1, graphalgo.N2V_LEN + 1):
             assert (steps[t - 1], steps[t]) in eset
+
+
+def test_topo_layers_is_valid_longest_path_layering(spark):
+    from sparkmedkg import hierarchy
+
+    layers = {
+        r["node"]: r["layer"]
+        for r in hierarchy.topo_layers(spark).collect()
+    }
+    nodes = set()
+    for c, p in hierarchy.WEB_HIERARCHY:
+        nodes.update((c, p))
+    assert set(layers) == nodes
+    # every edge goes strictly upward; layer = 1 + max child layer
+    import collections
+
+    children = collections.defaultdict(list)
+    for c, p in hierarchy.WEB_HIERARCHY:
+        children[p].append(c)
+        assert layers[p] > layers[c]
+    for n in nodes:
+        if children[n]:
+            assert layers[n] == 1 + max(layers[c] for c in children[n])
+        else:
+            assert layers[n] == 0
+
+
+def test_harmonic_matches_bruteforce_bfs(spark):
+    from collections import defaultdict, deque
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    ]
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    lms = sorted({s for s, _ in edges})[: graphalgo.CLOSENESS_LANDMARKS]
+    acc = defaultdict(lambda: [0, 0])  # node -> [n_lm, h6]
+    w6 = {1: 6, 2: 3, 3: 2}
+    for lm in lms:
+        dist = {lm: 0}
+        q = deque([lm])
+        while q:
+            u = q.popleft()
+            if dist[u] >= graphalgo.BFS_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for n, d in dist.items():
+            if d > 0:
+                acc[n][0] += 1
+                acc[n][1] += w6[d]
+    want = {
+        n: (c, round(h / 6.0, 6)) for n, (c, h) in acc.items()
+    }
+    got = {
+        r["CUI"]: (r["n_lm"], r["harmonic"])
+        for r in graphalgo.q_harmonic(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_salsa_normalized_and_degree_weighted(spark):
+    from sparkmedkg import webgraph
+
+    rows = webgraph.q_salsa(spark, SF).collect()
+    assert rows
+    # L1-normalized per round: both vectors sum to ~1
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["authority"] for r in rows) - 1.0) < 1e-3
+    # degree normalization: SALSA differs from raw HITS on this graph
+    hits = {
+        r["host"]: (r["hub"], r["authority"])
+        for r in webgraph.q_hits(spark, SF).collect()
+    }
+    salsa = {r["host"]: (r["hub"], r["authority"]) for r in rows}
+    assert set(salsa) == set(hits)
+    assert any(salsa[h] != hits[h] for h in salsa)
+
+
+def test_ewma_matches_bruteforce(spark):
+    from decimal import Decimal
+
+    from sparkmedkg import relops
+
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["value"])
+            for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+        )
+    )
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    want = {}
+    wts = [2 ** (relops.EWMA_LAGS - 1 - k) for k in range(relops.EWMA_LAGS)]
+    for uid, ts, eid, val in ev:
+        hist[uid].append(Decimal(str(round(val, 6))))
+        tail = hist[uid][-relops.EWMA_LAGS:][::-1]  # newest first
+        num = sum(v * w for v, w in zip(tail, wts))
+        den = sum(w for _, w in zip(tail, wts))
+        want[eid] = round(float(num) / float(den), 6)
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in relops.events_ewma(spark, SF).collect()
+    }
+    assert got == want
