@@ -1382,3 +1382,222 @@ SELECT COUNT(*) AS n_docs,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
 FROM t{m}
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram probabilities (exact integer arithmetic).
+# ---------------------------------------------------------------------------
+
+KN_D_NUM, KN_D_DEN = 3, 4  # absolute discount D = 3/4
+
+
+def kneser_ney(
+    spark: SparkSession, sf_dir: str, topk: int = LM_TOPK
+) -> DataFrame:
+    """(w1, w2, n, pkn_ppm): the top-k corpus bigrams under interpolated
+    Kneser-Ney smoothing — the n-gram smoother that won the empirical
+    bake-offs (Chen & Goodman 1999) and what KenLM builds for LLM-corpus
+    perplexity filters; bigram_lm's add-one is the classroom baseline,
+    this is the production one.
+
+        P_KN(w2|w1) = max(c12 - D, 0)/c1
+                      + D*N1+(w1,.)/c1 * N1+(.,w2)/n_types
+
+    With D = 3/4 the whole value is one exact rational,
+        [max(4*c12-3, 0)*n_types + 3*N1+(w1,.)*N1+(.,w2)]
+        / (4*c1*n_types),
+    quantized by integer div to parts-per-million — BIGINT-exact across
+    engines (headroom to ~1e18; at trillion-token scale the numerator
+    wants DECIMAL(38,0), same expression).
+
+    Scale: the corpus is scanned ONCE into the persisted (w1, w2, n)
+    table; every KN statistic (c1, the two continuation counts, the type
+    total) derives from that vocab-bounded table via map-side-combinable
+    groupBys, joined back small-to-small, type total as a broadcast
+    1-row."""
+    ws = F.split(F.lower(F.col("text")), " ")
+    d = _docs(spark, sf_dir).select(ws.alias("ws"))
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ws"), 1, F.size("ws") - 1).alias("w1"),
+                F.slice(F.col("ws"), 2, F.size("ws") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    w1s = counts.groupBy("w1").agg(
+        F.sum("n").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    w2s = counts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    num = (
+        F.greatest(
+            F.lit(KN_D_DEN) * F.col("n") - F.lit(KN_D_NUM), F.lit(0)
+        ).cast("bigint")
+        * F.col("n_types")
+        + F.lit(KN_D_NUM) * F.col("n1p_fwd") * F.col("n1p_bwd")
+    )
+    den = F.lit(KN_D_DEN) * F.col("c1") * F.col("n_types")
+    out = (
+        counts.join(w1s, "w1")
+        .join(w2s, "w2")
+        .join(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (num * F.lit(LM_PPM)).cast("bigint").alias("_num_ppm"),
+            den.cast("bigint").alias("_den"),
+        )
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.expr("_num_ppm div _den").cast("bigint").alias("pkn_ppm"),
+        )
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(topk)
+    )
+    return out
+
+
+def sql_kneser_ney(topk: int = LM_TOPK) -> str:
+    return f"""
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS ws FROM documents
+),
+pairs AS (
+  SELECT ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, LATERAL unnest(generate_series(1, len(ws) - 1)) t(i)
+),
+counts AS (SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2),
+w1s AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1,
+               COUNT(*) AS n1p_fwd FROM counts GROUP BY w1),
+w2s AS (SELECT w2, COUNT(*) AS n1p_bwd FROM counts GROUP BY w2),
+types AS (SELECT COUNT(*) AS n_types FROM counts)
+SELECT c.w1, c.w2, CAST(c.n AS BIGINT) AS n,
+       CAST((CAST(GREATEST({KN_D_DEN} * c.n - {KN_D_NUM}, 0) AS BIGINT)
+              * t.n_types
+             + {KN_D_NUM} * a.n1p_fwd * b.n1p_bwd) * {LM_PPM}
+            // ({KN_D_DEN} * a.c1 * t.n_types) AS BIGINT) AS pkn_ppm
+FROM counts c
+JOIN w1s a ON a.w1 = c.w1
+JOIN w2s b ON b.w2 = c.w2
+CROSS JOIN types t
+ORDER BY c.n DESC, c.w1, c.w2
+LIMIT {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose et al. 2010).
+# ---------------------------------------------------------------------------
+
+RAKE_TOPK = 50
+
+
+def rake_keyphrases(
+    spark: SparkSession, sf_dir: str, topk: int = RAKE_TOPK
+) -> DataFrame:
+    """(phrase, n_occ, score_ppm): the top-k RAKE keyphrases of the corpus
+    — candidate phrases are maximal stopword-free token runs, each word
+    scores deg(w)/freq(w) (deg = total length of phrases containing w),
+    and a phrase scores the sum of its words.  The zero-model keyphrase
+    extractor corpus-curation stacks use to label domain clusters;
+    complements tfidf_keywords (per-doc, single words) with corpus-level
+    multi-word phrases.
+
+    Word scores are integer-quantized (deg*PPM div freq) before the
+    phrase sum, so every aggregate is BIGINT-exact — no float
+    accumulation order to disagree on.  Scale: the corpus is scanned
+    once into phrase occurrences (row-local HOF transforms, no UDF,
+    no regex backtracking); all downstream stats are vocab-bounded
+    groupBys.  Ties break lexicographically."""
+    from sparkmedkg.textstats import STOPWORDS
+
+    stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = F.split(F.lower(F.col("text")), " ")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(F.array_contains(stops, t), F.lit("|")).otherwise(t),
+    )
+    phrases = F.filter(
+        F.transform(
+            F.split(F.array_join(marked, " "), "\\|"),
+            lambda p: F.trim(p),
+        ),
+        lambda p: p != "",
+    )
+    ph = (
+        _docs(spark, sf_dir)
+        .select(F.explode(phrases).alias("phrase"))
+        .persist()
+    )
+    occ = ph.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    wocc = ph.select(
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = (
+        wocc.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .select(
+            "word",
+            F.expr(f"(deg * {LM_PPM}) div freq").cast("bigint").alias("wscore"),
+        )
+    )
+    out = (
+        occ.select("phrase", "n_occ", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(wstats, "word")
+        .groupBy("phrase", "n_occ")
+        .agg(F.sum("wscore").cast("bigint").alias("score_ppm"))
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(topk)
+        .localCheckpoint(eager=True)
+    )
+    ph.unpersist()
+    return out
+
+
+def sql_rake_keyphrases(topk: int = RAKE_TOPK) -> str:
+    from sparkmedkg.textstats import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH marked AS (
+  SELECT array_to_string(
+           [CASE WHEN t IN ({stops}) THEN '|' ELSE t END
+            for t in string_split(lower(text), ' ')], ' ') AS s
+  FROM documents
+),
+ph AS (
+  SELECT trim(p) AS phrase
+  FROM marked, LATERAL unnest(string_split(s, '|')) t(p)
+  WHERE trim(p) <> ''
+),
+occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM ph GROUP BY phrase),
+wocc AS (
+  SELECT w AS word, len(string_split(phrase, ' ')) AS plen
+  FROM ph, LATERAL unnest(string_split(phrase, ' ')) t(w)
+),
+wstats AS (
+  SELECT word,
+         CAST((CAST(SUM(plen) AS BIGINT) * {LM_PPM}) // COUNT(*) AS BIGINT)
+           AS wscore
+  FROM wocc GROUP BY word
+)
+SELECT o.phrase, o.n_occ,
+       CAST(SUM(w.wscore) AS BIGINT) AS score_ppm
+FROM occ o, LATERAL unnest(string_split(o.phrase, ' ')) t(wd)
+JOIN wstats w ON w.word = t.wd
+GROUP BY o.phrase, o.n_occ
+ORDER BY score_ppm DESC, o.phrase
+LIMIT {topk}
+"""

@@ -392,3 +392,134 @@ SELECT doc_id,
        ends[k] - starts[k] + 1 AS n_frames
 FROM se, LATERAL unnest(generate_series(1, len(starts))) t(k)
 """
+
+
+# ---------------------------------------------------------------------------
+# pHash Hamming near-dup pairs (banded LSH over the 64-bit hash).
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4          # 4 bands x 16 bits
+PHASH_HAM_MAX = 6        # emit pairs with hamming distance <= 6
+
+
+def phash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bands: int = PHASH_BANDS,
+    ham_max: int = PHASH_HAM_MAX,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): image near-duplicate pairs — documents
+    whose perceptual hashes agree on at least one of ``bands`` bit-bands
+    AND are within ``ham_max`` Hamming bits overall.  The visual analogue
+    of MinHash-LSH text dedup: banding makes candidate generation a
+    bucket equi-join (never all-pairs), and the exact Hamming check
+    prunes band-collision false positives.  A flip of <= 6 of 64 bits
+    must leave one 16-bit band untouched whenever the flips cluster; like
+    any LSH, recall below the guarantee radius (bands*ham... floor) is
+    probabilistic and identical across engines by construction.
+
+    Scale: hashes ride the Arrow mapInPandas lane once (shared shape with
+    phash_buckets); candidates shuffle on (band_idx, band_bits) — the
+    64-bit-key join LSH always pays — and the Hamming verify is an
+    integer XOR popcount over the four 16-bit chunks, whole-stage
+    codegen, no UDF."""
+    docs = with_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "payload")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(d), _phash_bits(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    width = PHASH_CELLS // bands
+    hashed = docs.mapInPandas(fn, PHASH_SCHEMA).select(
+        "doc_id",
+        *[
+            F.conv(F.substring("phash", 1 + b * width, width), 2, 10)
+            .cast("bigint")
+            .alias(f"c{b}")
+            for b in range(bands)
+        ],
+    ).persist()
+    bandrows = hashed.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("b"), F.col(f"c{b}").alias("k"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.b").alias("b"), F.col("bk.k").alias("k"))
+    cand = (
+        bandrows.alias("x")
+        .join(bandrows.alias("y"), ["b", "k"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = hashed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{b}").alias(f"a{b}") for b in range(bands)],
+    )
+    bb = hashed.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{b}").alias(f"b{b}") for b in range(bands)],
+    )
+    ham = None
+    for b in range(bands):
+        t = F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"b{b}")))
+        ham = t if ham is None else ham + t
+    out = (
+        cand.join(a, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= ham_max)
+        .localCheckpoint(eager=True)
+    )
+    hashed.unpersist()
+    return out
+
+
+def sql_phash_pairs(
+    bands: int = PHASH_BANDS, ham_max: int = PHASH_HAM_MAX
+) -> str:
+    width = PHASH_CELLS // bands
+
+    def b2i(b: int) -> str:
+        sub = f"substring(phash, {1 + b * width}, {width})"
+        return (
+            f"list_sum([CASE WHEN {sub}[i] = '1' THEN "
+            f"(CAST(1 AS BIGINT) << ({width} - i)) ELSE 0 END "
+            f"for i in generate_series(1, {width})])"
+        )
+
+    chunks = ", ".join(
+        f"CAST({b2i(b)} AS BIGINT) AS c{b}" for b in range(bands)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS b, c{b} AS k FROM hashed"
+        for b in range(bands)
+    )
+    ham = " + ".join(f"bit_count(xor(a.c{b}, h.c{b}))" for b in range(bands))
+    return f"""
+WITH hb AS ({sql_phash_buckets()}),
+hashed AS (SELECT doc_id, {chunks} FROM hb),
+bandrows AS ({band_union}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bandrows x JOIN bandrows y ON x.b = y.b AND x.k = y.k
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand c
+JOIN hashed a ON a.doc_id = c.doc_a
+JOIN hashed h ON h.doc_id = c.doc_b
+WHERE {ham} <= {ham_max}
+"""

@@ -187,3 +187,121 @@ def test_ewma_matches_bruteforce(spark):
         for r in relops.events_ewma(spark, SF).collect()
     }
     assert got == want
+
+
+def test_phash_pairs_hamming_exact_and_banded(spark):
+    from sparkmedkg import multimodal
+
+    hashed = {
+        r["doc_id"]: r["phash"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .transform(multimodal.with_payload)
+        .select("doc_id", "payload")
+        .mapInPandas(
+            lambda it: (
+                __import__("pandas").DataFrame(
+                    [
+                        (int(d), multimodal._phash_bits(bytes(p)))
+                        for d, p in zip(pdf["doc_id"], pdf["payload"])
+                    ],
+                    columns=["doc_id", "phash"],
+                )
+                for pdf in it
+            ),
+            multimodal.PHASH_SCHEMA,
+        )
+        .collect()
+    }
+    width = multimodal.PHASH_CELLS // multimodal.PHASH_BANDS
+    want = set()
+    ids = sorted(hashed)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ha, hb = hashed[a], hashed[b]
+            if not any(
+                ha[k * width : (k + 1) * width] == hb[k * width : (k + 1) * width]
+                for k in range(multimodal.PHASH_BANDS)
+            ):
+                continue
+            ham = sum(x != y for x, y in zip(ha, hb))
+            if ham <= multimodal.PHASH_HAM_MAX:
+                want.add((a, b, ham))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal.phash_pairs(spark, SF).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous at sf0.001
+
+
+def test_kneser_ney_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from sparkmedkg import corpusops
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    c = Counter()
+    for t in texts:
+        ws = t.lower().split(" ")
+        c.update(zip(ws, ws[1:]))
+    c1 = defaultdict(int)
+    fwd = defaultdict(int)
+    bwd = defaultdict(int)
+    for (w1, w2), n in c.items():
+        c1[w1] += n
+        fwd[w1] += 1
+        bwd[w2] += 1
+    n_types = len(c)
+    want = {}
+    for (w1, w2), n in c.items():
+        num = (max(4 * n - 3, 0) * n_types + 3 * fwd[w1] * bwd[w2]) * 1_000_000
+        want[(w1, w2)] = (n, num // (4 * c1[w1] * n_types))
+    top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        : corpusops.LM_TOPK
+    ]
+    got = {
+        (r["w1"], r["w2"]): (r["n"], r["pkn_ppm"])
+        for r in corpusops.kneser_ney(spark, SF).collect()
+    }
+    assert got == dict(top)
+
+
+def test_rake_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from sparkmedkg import corpusops
+    from sparkmedkg.textstats import STOPWORDS
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    occ = Counter()
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for t in texts:
+        toks = ["|" if w in STOPWORDS else w for w in t.lower().split(" ")]
+        for p in " ".join(toks).split("|"):
+            p = p.strip()
+            if not p:
+                continue
+            occ[p] += 1
+            ws = p.split(" ")
+            for w in ws:
+                freq[w] += 1
+                deg[w] += len(ws)
+    wscore = {w: (deg[w] * 1_000_000) // freq[w] for w in freq}
+    scored = {
+        p: (n, sum(wscore[w] for w in p.split(" "))) for p, n in occ.items()
+    }
+    top = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))[
+        : corpusops.RAKE_TOPK
+    ]
+    got = [
+        ((r["phrase"]), (r["n_occ"], r["score_ppm"]))
+        for r in corpusops.rake_keyphrases(spark, SF).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1][1], kv[0])) == top
