@@ -463,3 +463,31 @@ FROM pr JOIN sp sa ON pr.a = sa.doc_id
         JOIN sp sb ON pr.b = sb.doc_id
 GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)
 """
+
+
+def ann_jl_recall(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """(k, n_hits, recall): overlap of the Johnson-Lindenstrauss
+    sketch-shortlist top-k with the brute-force cosine top-k for the
+    standard query vector — completes the shortlist-geometry scorecard
+    family (LSH buckets, IVF cells, PQ codes, JL sketches)."""
+    exact_ids = simsearch.cosine_topk(spark, sf_dir, k=k).select("vec_id")
+    approx_ids = simsearch.jl_topk(spark, sf_dir, k=k).select("vec_id")
+    hits = approx_ids.join(exact_ids, "vec_id")
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(k).alias("k"),
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, 6).alias("recall"),
+    )
+
+
+def sql_ann_jl_recall(k: int = 10) -> str:
+    return f"""
+WITH exact_ids AS (SELECT vec_id FROM ({simsearch.sql_cosine_topk(k=k)}) e),
+approx_ids AS (SELECT vec_id FROM ({simsearch.sql_jl_topk(k=k)}) a),
+hits AS (SELECT * FROM approx_ids INTERSECT SELECT * FROM exact_ids)
+SELECT {k} AS k,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
+"""

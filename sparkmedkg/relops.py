@@ -3275,3 +3275,103 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Tumbling-window approximate distinct users (HLL registers per window).
+# ---------------------------------------------------------------------------
+
+def events_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_start_us, n_exact, hll_est): per 1-hour tumbling window the
+    exact distinct-user count next to a from-scratch HyperLogLog estimate
+    — the streaming-dashboard cardinality shape (unique visitors per
+    window) where the exact countDistinct is the audit column and the
+    register sketch is what production keeps at scale.
+
+    Reuses webgraph's engine-portable register algebra (60-bit md5 hash,
+    m=64, integer bit-length rank, small-range correction).  The register
+    maxima are a plain groupBy((window, reg)).max — partial-agg mergeable,
+    at most windows*64 rows across the exchange, and the float register
+    sum is exact (powers of two) in any order.  A watermarked streaming
+    twin is the same plan with ``F.window`` on the event-time column."""
+    from sparkmedkg.webgraph import HLL_M, HLL_P, _HLL_ALPHA_EXPR, _h60
+
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "1 hour")
+    hashes = ev.select(
+        F.unix_micros(win["start"]).alias("window_start_us"),
+        _h60(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    rem = F.shiftright(F.col("h"), HLL_P)
+    bitlen = F.length(F.conv(rem.cast("string"), 10, 2))
+    rho = F.when(rem == 0, F.lit(61 - HLL_P)).otherwise(
+        F.lit(60 - HLL_P) - bitlen + 1
+    )
+    regs = (
+        hashes.select(
+            "window_start_us", (F.col("h") % HLL_M).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("window_start_us", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    per_w = regs.groupBy("window_start_us").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    s = F.col("s_present") + v.cast("double")
+    raw = F.expr(_HLL_ALPHA_EXPR) * F.lit(float(HLL_M * HLL_M)) / s
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = hashes.groupBy("window_start_us").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return exact.join(per_w, "window_start_us").select(
+        "window_start_us", "n_exact", F.round(est, 2).alias("hll_est")
+    )
+
+
+def sql_events_window_hll() -> str:
+    from sparkmedkg.webgraph import HLL_M, HLL_P, _HLL_ALPHA_EXPR, _sql_h60
+
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT
+         epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+         {_sql_h60("CAST(user_id AS VARCHAR)")} AS h
+  FROM events
+),
+rr AS (
+  SELECT window_start_us, h % {HLL_M} AS reg,
+         CASE WHEN h // {HLL_M} = 0 THEN {61 - HLL_P}
+              ELSE {60 - HLL_P} - length(to_base(h // {HLL_M}, 2)) + 1
+         END AS rho
+  FROM hashes
+),
+regs AS (SELECT window_start_us, reg, MAX(rho) AS mx
+         FROM rr GROUP BY window_start_us, reg),
+per_w AS (
+  SELECT window_start_us, SUM(power(2.0, -mx)) AS s_present,
+         COUNT(*) AS n_regs
+  FROM regs GROUP BY window_start_us
+),
+est AS (
+  SELECT window_start_us,
+         CASE WHEN ({_HLL_ALPHA_EXPR}) * {float(HLL_M * HLL_M)!r}
+                   / (s_present + ({HLL_M} - n_regs)) <= 2.5 * {HLL_M}
+                AND ({HLL_M} - n_regs) > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                     / ({HLL_M} - n_regs))
+              ELSE ({_HLL_ALPHA_EXPR}) * {float(HLL_M * HLL_M)!r}
+                   / (s_present + ({HLL_M} - n_regs))
+         END AS est
+  FROM per_w
+),
+exact AS (SELECT window_start_us, COUNT(*) AS n_exact
+          FROM hashes GROUP BY window_start_us)
+SELECT e.window_start_us, e.n_exact, round(s.est, 2) AS hll_est
+FROM exact e JOIN est s ON e.window_start_us = s.window_start_us
+"""

@@ -1489,3 +1489,102 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
        (g.dup_of IS NULL) AS keep
 FROM assigned a LEFT JOIN agg g USING (vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection ANN (sketch shortlist + rerank).
+# ---------------------------------------------------------------------------
+
+JL_DIM = 16         # projected dimensionality
+JL_SHORTLIST = 100  # candidates kept from the sketch space
+
+
+def jl_signs(proj_dim: int = JL_DIM, dim: int = DIM) -> list[list[float]]:
+    """Deterministic Rademacher (+/-1) projection rows, shared with the
+    oracle — the dense JL variant; Achlioptas sparsification is the same
+    expression with zeros mixed in."""
+    rng = random.Random(_SEED + 1)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(proj_dim)
+    ]
+
+
+def jl_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = JL_SHORTLIST,
+) -> DataFrame:
+    """(vec_id, cos): ANN top-k via Johnson-Lindenstrauss random
+    projection — every vector is sketched to JL_DIM dims by +/-1 row
+    sums (distance-preserving within (1+/-eps) w.h.p., the JL lemma), the
+    ``shortlist`` nearest sketches by projected cosine are shortlisted,
+    and ONLY those rows pay the exact 64-dim rerank.  The third shortlist
+    geometry next to hyperplane-LSH (buckets) and IVF (cells): no
+    partition boundaries, so recall degrades smoothly instead of cliffing
+    at a cell edge.
+
+    Scale: the sketch is JL_DIM row-local fused dot products riding the
+    scan (8 doubles stored vs 64), the shortlist is one TakeOrdered of
+    sketch-width rows, and the rerank touches ``shortlist`` vectors.  All
+    folds run in index order — bit-identical in DuckDB."""
+    signs = jl_signs()
+    emb = _emb(spark, sf_dir)
+    proj = F.array(*[_dot(F.col("v"), _plane_lit(s)) for s in signs])
+    emb_p = emb.select("vec_id", "v", proj.alias("p"))
+    q = emb_p.where(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("p").alias("qp")
+    )
+    short = (
+        emb_p.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn(
+            "pcos", _dot("p", "qp") / (_norm(F.col("p")) * _norm(F.col("qp")))
+        )
+        .orderBy(F.desc("pcos"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    return (
+        short.withColumn(
+            "cos", _dot("v", "qv") / (_norm(F.col("v")) * _norm(F.col("qv")))
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def sql_jl_topk(
+    query_id: int = 0, k: int = 10, shortlist: int = JL_SHORTLIST
+) -> str:
+    signs = jl_signs()
+    proj = "[" + ", ".join(
+        _SQL_DOT.format(a="e.v", b=_sql_plane(s)) for s in signs
+    ) + "]"
+    pcos = (
+        f"({_SQL_DOT.format(a='s.p', b='q.qp')}) / "
+        f"({_SQL_NORM.format(a='s.p')} * {_SQL_NORM.format(a='q.qp')})"
+    )
+    cos = (
+        f"({_SQL_DOT.format(a='s.v', b='s.qv')}) / "
+        f"({_SQL_NORM.format(a='s.v')} * {_SQL_NORM.format(a='s.qv')})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+ep AS (SELECT vec_id, v, {proj.replace('e.v', 'v')} AS p FROM e),
+q AS (SELECT v AS qv, p AS qp FROM ep WHERE vec_id = {query_id}),
+short AS (
+  SELECT s.vec_id, s.v, q.qv
+  FROM ep s, q
+  WHERE s.vec_id <> {query_id}
+  ORDER BY {pcos.replace('s.p', 's.p').replace('q.qp', 'q.qp')} DESC,
+           s.vec_id ASC
+  LIMIT {shortlist}
+)
+SELECT vec_id, round({cos}, 6) AS cos
+FROM short s
+ORDER BY {cos} DESC, vec_id ASC
+LIMIT {k}
+"""

@@ -681,3 +681,116 @@ FROM tr a JOIN tr b
   ON a.dst_id = b.src_id AND a.dst_label = b.src_label
 GROUP BY a.src_label, a.pred, a.dst_label, b.pred, b.dst_label
 """
+
+
+# ---------------------------------------------------------------------------
+# Regular path query (SPARQL property-path / Cypher variable-length parity).
+# ---------------------------------------------------------------------------
+
+RPQ_PRED = "CONTAINS"
+RPQ_SRC_LABEL = "SearchTerm"
+RPQ_MAX_HOPS = 3
+
+
+def q_rpq_reach(
+    spark: SparkSession,
+    sf_dir: str,
+    pred: str = RPQ_PRED,
+    src_label: str = RPQ_SRC_LABEL,
+    max_hops: int = RPQ_MAX_HOPS,
+) -> DataFrame:
+    """(src_id, dst_label, dst_id, min_hops): the regular path query
+    ``(:SearchTerm)-[:CONTAINS*1..3]->(x)`` — every node reachable from a
+    SearchTerm anchor through 1..max_hops edges of the given predicate,
+    with the shortest derivation length.  The SPARQL property-path /
+    Cypher variable-length-relationship primitive the reference's Neo4j
+    backend answers natively; here it's semi-naive BFS over the triple
+    table, the same bulk shape a Datalog engine would pick.
+
+    Scale: the frontier — never the closure — joins the persisted
+    predicate-filtered edge set each round (rounds = max_hops, a query
+    constant); min-hop dedup is a left anti-join against the visited set,
+    so each (src, node) pair crosses the exchange once.  Lineage is
+    truncated per hop."""
+    tr = q_triples(spark, sf_dir).where(F.col("pred") == pred)
+    edges = tr.select(
+        F.col("src_label").alias("e_sl"),
+        F.col("src_id").alias("e_sid"),
+        F.col("dst_label").alias("e_dl"),
+        F.col("dst_id").alias("e_did"),
+    ).persist()
+    edges.count()
+    visited = (
+        edges.where(F.col("e_sl") == src_label)
+        .select(
+            F.col("e_sid").alias("src_id"),
+            F.col("e_dl").alias("dst_label"),
+            F.col("e_did").alias("dst_id"),
+            F.lit(1).cast("bigint").alias("min_hops"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for k in range(2, max_hops + 1):
+        nxt = (
+            frontier.join(
+                edges,
+                (frontier["dst_label"] == edges["e_sl"])
+                & (frontier["dst_id"] == edges["e_sid"]),
+            )
+            .select(
+                "src_id",
+                F.col("e_dl").alias("dst_label"),
+                F.col("e_did").alias("dst_id"),
+            )
+            .distinct()
+            .join(
+                visited.select("src_id", "dst_label", "dst_id"),
+                ["src_id", "dst_label", "dst_id"],
+                "left_anti",
+            )
+            .withColumn("min_hops", F.lit(k).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = nxt
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    edges.unpersist()
+    return visited
+
+
+def sql_rpq_reach(
+    pred: str = RPQ_PRED,
+    src_label: str = RPQ_SRC_LABEL,
+    max_hops: int = RPQ_MAX_HOPS,
+) -> str:
+    steps = []
+    for k in range(2, max_hops + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT src_id, dst_label, dst_id, MIN(min_hops) AS min_hops FROM (
+    SELECT src_id, dst_label, dst_id, min_hops FROM r{k - 1}
+    UNION ALL
+    SELECT p.src_id, e.dst_label, e.dst_id, p.min_hops + 1 AS min_hops
+    FROM r{k - 1} p
+    JOIN e ON e.src_label = p.dst_label AND e.src_id = p.dst_id
+    WHERE p.min_hops = {k - 1}
+  ) GROUP BY src_id, dst_label, dst_id
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH tr AS MATERIALIZED (
+  SELECT * FROM ({sql_triples()}) WHERE pred = '{pred}'
+),
+e AS MATERIALIZED (SELECT src_label, src_id, dst_label, dst_id FROM tr),
+r1 AS (
+  SELECT DISTINCT src_id, dst_label, dst_id, CAST(1 AS BIGINT) AS min_hops
+  FROM e WHERE src_label = '{src_label}'
+),
+{unrolled}
+SELECT src_id, dst_label, dst_id, CAST(min_hops AS BIGINT) AS min_hops
+FROM r{max_hops}
+"""

@@ -305,3 +305,81 @@ def test_rake_matches_bruteforce(spark):
         for r in corpusops.rake_keyphrases(spark, SF).collect()
     ]
     assert sorted(got, key=lambda kv: (-kv[1][1], kv[0])) == top
+
+
+def test_jl_topk_recall_and_exact_rerank(spark):
+    from sparkmedkg import metrics, simsearch
+
+    # reranked scores must be EXACT cosines (identical to brute force for
+    # the ids both return)
+    exact = {
+        r["vec_id"]: r["cos"]
+        for r in simsearch.cosine_topk(spark, SF, k=50).collect()
+    }
+    got = simsearch.jl_topk(spark, SF).collect()
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["cos"] == exact[r["vec_id"]]
+    rec = metrics.ann_jl_recall(spark, SF).collect()[0]
+    # synthetic embeddings are near-uniform (top cosine ~0.33), so the
+    # bar is "beats the other sketch geometries at equal k": >= the
+    # hyperplane-LSH recall (0.2 here) and above chance
+    assert rec["n_hits"] == round(rec["recall"] * rec["k"])
+    assert rec["recall"] >= 0.3
+
+
+def test_window_hll_exact_column_and_estimate_error(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import relops
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    want = defaultdict(set)
+    for r in ev:
+        ts = r["ts"]
+        start = ts.replace(minute=0, second=0, microsecond=0)
+        want[start] = want[start] | {r["user_id"]}
+    got = {r["window_start_us"]: r for r in relops.events_window_hll(spark, SF).collect()}
+    import datetime
+
+    assert len(got) == len(want)
+    for start, users in want.items():
+        us = int(start.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        assert got[us]["n_exact"] == len(users)
+        # m=64 registers -> ~13% std error; allow generous 3-sigma
+        assert abs(got[us]["hll_est"] - len(users)) <= max(5, 0.5 * len(users))
+
+
+def test_rpq_reach_matches_bruteforce_bfs(spark):
+    from collections import defaultdict, deque
+
+    from sparkmedkg import webkg
+
+    tr = webkg.q_triples(spark, SF).where("pred = 'CONTAINS'").collect()
+    adj = defaultdict(list)
+    starts = set()
+    for r in tr:
+        adj[(r["src_label"], r["src_id"])].append((r["dst_label"], r["dst_id"]))
+        if r["src_label"] == webkg.RPQ_SRC_LABEL:
+            starts.add(r["src_id"])
+    want = {}
+    for s in starts:
+        dist = {}
+        q = deque([((webkg.RPQ_SRC_LABEL, s), 0)])
+        seen = {(webkg.RPQ_SRC_LABEL, s)}
+        while q:
+            node, d = q.popleft()
+            if d >= webkg.RPQ_MAX_HOPS:
+                continue
+            for nxt in adj.get(node, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    dist[nxt] = d + 1
+                    q.append((nxt, d + 1))
+        for (dl, did), d in dist.items():
+            want[(s, dl, did)] = d
+    got = {
+        (r["src_id"], r["dst_label"], r["dst_id"]): r["min_hops"]
+        for r in webkg.q_rpq_reach(spark, SF).collect()
+    }
+    assert got == want
