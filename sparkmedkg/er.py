@@ -179,3 +179,127 @@ SELECT rep_id, COUNT(*) AS cluster_size,
        COUNT(DISTINCT lang) AS n_langs
 FROM joined GROUP BY rep_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking (simplified Soundex) — spelling-variant candidate pairs.
+# ---------------------------------------------------------------------------
+
+SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> classic Soundex digits
+PHON_MIN_LEN = 4   # tokens shorter than this are too ambiguous to block
+PHON_LEV_MAX = 2   # verify: edit distance bound inside a phonetic block
+
+
+def _soundex(tok) -> "F.Column":
+    """Simplified Soundex over a lowercase alpha token — classic digit
+    map, adjacent-duplicate collapse, vowel drop, first letter + 3 digits
+    zero-padded.  (h/w are folded with vowels rather than skipped — the
+    one simplification vs the 1918 spec, applied identically in the SQL
+    twin.)  Pure JVM expression: translate + HOF filter, no UDF."""
+    m = F.translate(tok, "abcdefghijklmnopqrstuvwxyz", SOUNDEX_MAP)
+    arr = F.split(m, "")
+    kept = F.filter(
+        arr,
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(arr, F.greatest(i, F.lit(1)))),
+    )
+    digits = F.filter(F.slice(kept, 2, 2_000_000), lambda d: d != "0")
+    return F.concat(
+        F.upper(F.substring(tok, 1, 1)),
+        F.rpad(F.substring(F.array_join(digits, ""), 1, 3), 3, "0"),
+    )
+
+
+def _sql_soundex(tok: str) -> str:
+    m = f"translate({tok}, 'abcdefghijklmnopqrstuvwxyz', '{SOUNDEX_MAP}')"
+    kept = (
+        f"[{m}[i] for i in generate_series(1, len({m})) "
+        f"if i = 1 OR {m}[i] <> {m}[i-1]]"
+    )
+    digits = f"list_filter(({kept})[2:], d -> d <> '0')"
+    # COALESCE: DuckDB's array_to_string([]) is NULL, Spark's is '' — the
+    # all-vowel-tail case ('key' -> K000) must not produce a NULL code.
+    return (
+        f"upper({tok}[1]) || "
+        f"rpad(substr(COALESCE(array_to_string({digits}, ''), ''), 1, 3), "
+        f"3, '0')"
+    )
+
+
+def phonetic_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, code): the simplified-Soundex code for every distinct alpha
+    token of length >= PHON_MIN_LEN in the corpus — the blocking-key
+    table phonetic_pairs joins on, gated separately because the code
+    expression (translate + HOF collapse + pad) is the cross-engine
+    risk surface; the pair join above it is a plain equi-join.  The
+    synthetic vocabulary is phonetically disjoint (every code maps to
+    one token, so phonetic_pairs is empty on the testdata by
+    construction); variant-bearing vocabularies exercise the pair path
+    via the unit test's robert/rupert fixture."""
+    from sparkmedkg.session import widen_scan
+
+    toks = (
+        widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"))
+        .where(
+            F.col("tok").rlike("^[a-z]+$")
+            & (F.length("tok") >= PHON_MIN_LEN)
+        )
+        .distinct()
+    )
+    return toks.select("tok", _soundex(F.col("tok")).alias("code"))
+
+
+def sql_phonetic_keys() -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT w AS tok
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) t(w)
+  WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= {PHON_MIN_LEN}
+)
+SELECT tok, {_sql_soundex('tok')} AS code FROM toks
+"""
+
+
+def phonetic_pairs(
+    spark: SparkSession, sf_dir: str, lev_max: int = PHON_LEV_MAX
+) -> DataFrame:
+    """(tok_a, tok_b, code, lev): spelling-variant candidate pairs —
+    distinct corpus tokens that SOUND alike (same simplified-Soundex
+    code) and are within ``lev_max`` edits.  The phonetic complement to
+    sorted_neighborhood's prefix blocking: 'filter'/'philter' share no
+    prefix but share F436.  Typo/variant mining for lexicon curation and
+    ER blocking-key design.
+
+    Scale: blocking runs on the DISTINCT token vocabulary (orders of
+    magnitude below the corpus — one explode + one distinct shuffle),
+    the code is a row-local JVM expression, and the pair join is an
+    equi-join on the 4-char code; the levenshtein verify touches only
+    same-code pairs.  Zipfian vocabularies keep phonetic buckets small
+    (they group spellings, not occurrences), so no hot-key cap is
+    needed where containment-style shingle joins want one."""
+    coded = phonetic_keys(spark, sf_dir)
+    a = coded.select(F.col("tok").alias("tok_a"), "code")
+    b = coded.select(F.col("tok").alias("tok_b"), "code")
+    return (
+        a.join(b, "code")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .withColumn("lev", F.levenshtein("tok_a", "tok_b"))
+        .where(F.col("lev") <= lev_max)
+        .select("tok_a", "tok_b", "code", F.col("lev").cast("bigint").alias("lev"))
+    )
+
+
+def sql_phonetic_pairs(lev_max: int = PHON_LEV_MAX) -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT w AS tok
+  FROM documents, LATERAL unnest(string_split(lower(text), ' ')) t(w)
+  WHERE regexp_full_match(w, '[a-z]+') AND length(w) >= {PHON_MIN_LEN}
+),
+coded AS (SELECT tok, {_sql_soundex('tok')} AS code FROM toks)
+SELECT a.tok AS tok_a, b.tok AS tok_b, a.code,
+       CAST(levenshtein(a.tok, b.tok) AS BIGINT) AS lev
+FROM coded a JOIN coded b ON a.code = b.code
+WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= {lev_max}
+"""

@@ -2695,3 +2695,116 @@ FROM r{max_hops}
 WHERE dist > 0
 GROUP BY cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Densest subgraph (Charikar peel, Bahmani et al. 2012 parallel variant).
+# ---------------------------------------------------------------------------
+
+DSG_ROUNDS = 6
+DSG_EPS_NUM, DSG_EPS_DEN = 3, 1  # peel threshold deg <= 3*density (eps=1/2)
+
+
+def q_densest_subgraph(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = DSG_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, best_round, n_nodes, n_edges): the members of the densest
+    peel round — Bahmani/Kumar/Vassilvitskii's MapReduce 2(1+eps)
+    approximation of Charikar's densest subgraph.  Each round removes
+    EVERY node whose induced degree <= 3 * density (eps = 1/2), instead
+    of one minimum-degree node at a time, so the peel finishes in
+    O(log n) synchronous rounds; the answer is the round whose surviving
+    induced subgraph had maximum density.  The community-core extractor
+    for hot spam clusters and topic nuclei.
+
+    Per round: two semi-joins of the edge set against the shrinking
+    alive set + one map-side degree count (the k-core shape), plus two
+    COUNT aggregates for (v, e) — driver-side scalars, never row data.
+    The peel predicate deg * v <= 3 * e is exact BIGINT cross-
+    multiplication (no density float enters the filter); the final
+    argmax over <= rounds+1 (e, v) pairs divides identically in both
+    engines."""
+    edges = _edges(spark, sf_dir, min_docs).persist()
+    alive = (
+        edges.select(F.col("src").alias("cui"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    snaps = []  # (round, v, e, alive_df)
+    for r in range(rounds + 1):
+        sub = (
+            edges.join(alive.select(F.col("cui").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("cui").alias("dst")), "dst", "left_semi")
+        )
+        deg = sub.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        v = alive.count()
+        e = sub.count()
+        if v == 0:
+            break
+        snaps.append((r, v, e, alive))
+        if r == rounds:
+            break
+        alive = (
+            deg.where(
+                F.col("deg").cast("bigint") * F.lit(v)
+                > F.lit(DSG_EPS_NUM) * F.lit(e)
+            )
+            .select(F.col("src").alias("cui"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    best = max(snaps, key=lambda s: (s[2] / s[1], -s[0]))
+    r, v, e, alive = best
+    return alive.select(
+        "CUI",
+        F.lit(r).cast("bigint").alias("best_round"),
+        F.lit(v).cast("bigint").alias("n_nodes"),
+        F.lit(e).cast("bigint").alias("n_edges"),
+    )
+
+
+def sql_densest_subgraph(
+    rounds: int = DSG_ROUNDS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT e.src AS cui
+  FROM edges e
+  JOIN a{r - 1} s ON s.cui = e.src
+  JOIN a{r - 1} t ON t.cui = e.dst
+  GROUP BY e.src
+  HAVING COUNT(*) * (SELECT COUNT(*) FROM a{r - 1})
+         > {DSG_EPS_NUM} * (SELECT COUNT(*) FROM edges e2
+                            JOIN a{r - 1} x ON x.cui = e2.src
+                            JOIN a{r - 1} y ON y.cui = e2.dst)
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    stats = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, (SELECT COUNT(*) FROM a{r}) AS v, "
+        f"(SELECT COUNT(*) FROM edges e JOIN a{r} s ON s.cui = e.src "
+        f"JOIN a{r} t ON t.cui = e.dst) AS e"
+        for r in range(rounds + 1)
+    )
+    members = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, cui FROM a{r}" for r in range(rounds + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+a0 AS MATERIALIZED (SELECT DISTINCT src AS cui FROM edges),
+{unrolled},
+stats AS ({stats}),
+best AS (
+  SELECT r, v, e FROM stats WHERE v > 0
+  ORDER BY CAST(e AS DOUBLE) / v DESC, r ASC LIMIT 1
+),
+members AS ({members})
+SELECT m.cui AS CUI, CAST(b.r AS BIGINT) AS best_round,
+       CAST(b.v AS BIGINT) AS n_nodes, CAST(b.e AS BIGINT) AS n_edges
+FROM members m JOIN best b ON m.r = b.r
+"""

@@ -3375,3 +3375,55 @@ exact AS (SELECT window_start_us, COUNT(*) AS n_exact
 SELECT e.window_start_us, e.n_exact, round(s.est, 2) AS hll_est
 FROM exact e JOIN est s ON e.window_start_us = s.window_start_us
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier equivalence classes.
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+
+
+def events_k_anonymity(
+    spark: SparkSession, sf_dir: str, k: int = KANON_K
+) -> DataFrame:
+    """(event_type, hour, class_size, at_risk): the k-anonymity audit a
+    privacy review runs before releasing an event log — users are
+    grouped by the quasi-identifier pair (event_type, hour-of-day), and
+    any equivalence class with fewer than ``k`` distinct users is a
+    re-identification risk (someone holding the QI pair can narrow the
+    subject to < k candidates).  Release gates drop or generalize the
+    flagged classes.
+
+    One distinct on (QI, user) then one map-side-combinable count —
+    class_size is DISTINCT users, not rows, so repeat visits don't
+    launder risk.  At 10^12 rows both shuffles key on the low-cardinality
+    QI columns; skew is bounded by the hour fan-out (24)."""
+    ev = _t(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+        "user_id",
+    ).distinct()
+    return (
+        qi.groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "event_type",
+            "hour",
+            "class_size",
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+    )
+
+
+def sql_events_k_anonymity(k: int = KANON_K) -> str:
+    return f"""
+WITH qi AS (
+  SELECT DISTINCT event_type, CAST(hour(ts) AS BIGINT) AS hour, user_id
+  FROM events
+)
+SELECT event_type, hour, COUNT(*) AS class_size,
+       COUNT(*) < {k} AS at_risk
+FROM qi GROUP BY event_type, hour
+"""

@@ -383,3 +383,104 @@ def test_rpq_reach_matches_bruteforce_bfs(spark):
         for r in webkg.q_rpq_reach(spark, SF).collect()
     }
     assert got == want
+
+
+def test_densest_subgraph_matches_bruteforce_peel(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import graphalgo
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    ]
+    alive = {s for s, _ in edges} | {d for _, d in edges}
+    snaps = []
+    for r in range(graphalgo.DSG_ROUNDS + 1):
+        sub = [(s, d) for s, d in edges if s in alive and d in alive]
+        deg = defaultdict(int)
+        for s, _ in sub:
+            deg[s] += 1
+        v, e = len(alive), len(sub)
+        if v == 0:
+            break
+        snaps.append((r, v, e, set(alive)))
+        if r == graphalgo.DSG_ROUNDS:
+            break
+        alive = {n for n in alive if deg[n] * v > graphalgo.DSG_EPS_NUM * e}
+    br, bv, be, bset = max(snaps, key=lambda s: (s[2] / s[1], -s[0]))
+    rows = graphalgo.q_densest_subgraph(spark, SF).collect()
+    assert {r["CUI"] for r in rows} == bset
+    assert all(
+        (r["best_round"], r["n_nodes"], r["n_edges"]) == (br, bv, be)
+        for r in rows
+    )
+    # the kept subgraph is at least as dense as the full graph
+    full_v = len({s for s, _ in edges} | {d for _, d in edges})
+    assert be / bv >= len(edges) / full_v
+
+
+def test_soundex_classic_vectors_and_pair_join(spark):
+    from sparkmedkg import er
+    from pyspark.sql import functions as F
+
+    # published Soundex vectors that our h/w-as-vowel simplification
+    # preserves
+    vec = {
+        "robert": "R163",
+        "rupert": "R163",
+        "tymczak": "T522",
+        "jackson": "J250",
+        "euler": "E460",
+        "gauss": "G200",
+        "hilbert": "H416",
+        "knuth": "K530",
+        "lloyd": "L300",
+        "key": "K000",
+    }
+    df = spark.createDataFrame([(t,) for t in vec], "tok string")
+    got = {
+        r["tok"]: r["code"]
+        for r in df.select("tok", er._soundex(F.col("tok")).alias("code")).collect()
+    }
+    assert got == vec
+    # DuckDB twin agrees token-for-token
+    import duckdb
+
+    con = duckdb.connect()
+    toks = ", ".join(f"('{t}')" for t in vec)
+    sql = (
+        f"SELECT tok, {er._sql_soundex('tok')} AS code "
+        f"FROM (VALUES {toks}) t(tok)"
+    )
+    assert {t: c for t, c in con.execute(sql).fetchall()} == vec
+
+
+def test_phonetic_keys_cover_vocab_and_pairs_gate_on_lev(spark):
+    from sparkmedkg import er
+
+    keys = er.phonetic_keys(spark, SF).collect()
+    assert keys and all(r["code"] and len(r["code"]) == 4 for r in keys)
+    # testdata vocabulary is phonetically disjoint -> no pairs
+    assert er.phonetic_pairs(spark, SF).count() == 0
+
+
+def test_k_anonymity_matches_bruteforce(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import relops
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    classes = defaultdict(set)
+    for r in ev:
+        classes[(r["event_type"], r["ts"].hour)].add(r["user_id"])
+    got = {
+        (r["event_type"], r["hour"]): (r["class_size"], r["at_risk"])
+        for r in relops.events_k_anonymity(spark, SF).collect()
+    }
+    want = {
+        k: (len(u), len(u) < relops.KANON_K) for k, u in classes.items()
+    }
+    assert got == want
