@@ -1601,3 +1601,69 @@ GROUP BY o.phrase, o.n_occ
 ORDER BY score_ppm DESC, o.phrase
 LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility / compression ratio per source.
+# ---------------------------------------------------------------------------
+
+def bpe_fertility(
+    spark: SparkSession, sf_dir: str, m: int = BPE_ENCODE_M
+) -> DataFrame:
+    """(source, n_docs, total_bytes, total_bpe_tokens, bytes_per_token_ppm):
+    tokenizer fertility per corpus source — how many text bytes one BPE
+    token covers after ``m`` trained merges.  The tokenizer-rollout
+    metric (compression ratio by domain): sources whose bytes/token sits
+    far below the corpus norm are being shredded by the vocab and will
+    dominate training cost per byte.
+
+    Reuses ``_bpe_encoded``'s composed-projection merges (the corpus is
+    scanned m+1 times total, nothing iterative shuffles token arrays)
+    joined back to the per-doc byte length; the rollup is one map-side
+    combinable groupBy on the low-cardinality source key.  The ratio is
+    integer-quantized (bytes * PPM div tokens) — BIGINT-exact across
+    engines."""
+    enc = _bpe_encoded(spark, sf_dir, m).select(
+        "doc_id", F.size("ws").alias("n_bpe")
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").alias("n_bytes")
+    )
+    return (
+        docs.join(enc, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_bytes",
+            "total_bpe_tokens",
+            F.expr(f"(total_bytes * {LM_PPM}) div total_bpe_tokens")
+            .cast("bigint")
+            .alias("bytes_per_token_ppm"),
+        )
+    )
+
+
+def sql_bpe_fertility(m: int = BPE_ENCODE_M) -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH t0 AS (SELECT doc_id, {toks} AS ws, len({toks}) AS n0,
+                   array_to_string({toks}, ' ') AS orig
+            FROM documents),
+{_sql_bpe_steps(m)},
+enc AS (SELECT doc_id, len(ws) AS n_bpe FROM t{m}),
+d AS (SELECT doc_id, source, length(text) AS n_bytes FROM documents)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(e.n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(CAST(SUM(d.n_bytes) AS BIGINT) * {LM_PPM}
+            // CAST(SUM(e.n_bpe) AS BIGINT) AS BIGINT)
+         AS bytes_per_token_ppm
+FROM d JOIN enc e ON e.doc_id = d.doc_id
+GROUP BY d.source
+"""

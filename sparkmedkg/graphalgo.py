@@ -2808,3 +2808,97 @@ SELECT m.cui AS CUI, CAST(b.r AS BIGINT) AS best_round,
        CAST(b.v AS BIGINT) AS n_nodes, CAST(b.e AS BIGINT) AS n_edges
 FROM members m JOIN best b ON m.r = b.r
 """
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximal matching (synchronous handshake rounds).
+# ---------------------------------------------------------------------------
+
+MATCH_ROUNDS = 3
+
+
+def q_maximal_matching(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = MATCH_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(a, b, round): a maximal-matching prefix of the co-occurrence
+    graph by synchronous handshake rounds — every live node points at
+    its minimum-id live neighbor, mutually-pointing pairs marry, married
+    nodes leave.  The deterministic distributed primitive under
+    coarsening (pair-and-collapse multilevel partitioners) and
+    conflict-free task assignment; ``rounds`` synchronous passes match a
+    constant fraction of remaining degree-bounded structure per pass.
+
+    Per round: one min() groupBy over the live edge set + one self-join
+    of the (node-sized) proposal table + two semi-join shrinks of the
+    edge set.  No randomness: min-id proposals make every round a pure
+    function of the edge set, so the unrolled SQL twin is exact."""
+    edges = _edges(spark, sf_dir, min_docs)
+    live = edges.localCheckpoint(eager=True)
+    out = None
+    for r in range(1, rounds + 1):
+        prop = live.groupBy("src").agg(F.min("dst").alias("pick"))
+        p2 = prop.select(
+            F.col("src").alias("o_src"), F.col("pick").alias("o_pick")
+        )
+        matched = (
+            prop.join(
+                p2,
+                (F.col("pick") == F.col("o_src"))
+                & (F.col("o_pick") == F.col("src"))
+                & (F.col("src") < F.col("o_src")),
+            )
+            .select(
+                F.col("src").alias("a"),
+                F.col("o_src").alias("b"),
+                F.lit(r).cast("bigint").alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = matched if out is None else out.unionByName(matched)
+        gone = matched.select(F.col("a").alias("n")).union(
+            matched.select("b")
+        )
+        live = (
+            live.join(gone.select(F.col("n").alias("src")), "src", "left_anti")
+            .join(gone.select(F.col("n").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if live.isEmpty():
+            break
+    return out
+
+
+def sql_maximal_matching(
+    rounds: int = MATCH_ROUNDS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT src, MIN(dst) AS pick FROM e{r - 1} GROUP BY src
+),
+m{r} AS MATERIALIZED (
+  SELECT x.src AS a, y.src AS b, CAST({r} AS BIGINT) AS round
+  FROM p{r} x JOIN p{r} y
+    ON x.pick = y.src AND y.pick = x.src AND x.src < y.src
+),
+g{r} AS (SELECT a AS n FROM m{r} UNION SELECT b FROM m{r}),
+e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r - 1} e
+  WHERE e.src NOT IN (SELECT n FROM g{r})
+    AND e.dst NOT IN (SELECT n FROM g{r})
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, round FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+{unrolled}
+SELECT a, b, round FROM ({union})
+"""

@@ -873,3 +873,88 @@ SELECT src_a, src_b,
          AS jsd
 FROM shared
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve.
+# ---------------------------------------------------------------------------
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(checkpoint, n_tokens_cum, n_types_cum): the Heaps'-law vocabulary
+    growth curve — cumulative distinct token types vs cumulative token
+    count over the corpus in doc_id order, sampled at power-of-two
+    document checkpoints.  Natural text grows V ~ K*N^beta (beta 0.4-0.6);
+    a flattening curve means the crawl is re-reading templates, a
+    super-linear one means encoding noise — the companion diagnostic to
+    zipf_fit.
+
+    Exact without any per-prefix rescan: each type contributes at its
+    FIRST document (one groupBy min over the exploded token stream) and
+    each doc's size at its own id, so both cumulatives are broadcast
+    theta-joins of two vocab/corpus-row tables against the ~log2(N)-row
+    checkpoint list, then map-side-combinable counts.  The corpus is
+    scanned once."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    n_docs = docs.count()  # driver scalar, bounds the checkpoint list
+    cps = [1 << j for j in range((n_docs).bit_length()) if (1 << j) <= n_docs]
+    if not cps or cps[-1] != n_docs:
+        cps.append(n_docs)
+    cp_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in cps], "checkpoint bigint")
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    types_cum = (
+        first_seen.join(cp_df, F.col("first_doc") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("n_types_cum"))
+    )
+    tokens_cum = (
+        docs.select("doc_id", F.size("ws").alias("n"))
+        .join(cp_df, F.col("doc_id") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens_cum"))
+    )
+    return tokens_cum.join(types_cum, "checkpoint").select(
+        "checkpoint", "n_tokens_cum", "n_types_cum"
+    )
+
+
+def sql_heaps_law() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+cps AS (
+  SELECT DISTINCT checkpoint FROM (
+    SELECT (CAST(1 AS BIGINT) << j) AS checkpoint
+    FROM n, LATERAL unnest(generate_series(0, 40)) t(j)
+    WHERE (CAST(1 AS BIGINT) << j) <= n_docs
+    UNION ALL
+    SELECT n_docs FROM n
+  )
+),
+first_seen AS (
+  SELECT w AS tok, MIN(doc_id) AS first_doc
+  FROM docs, LATERAL unnest(ws) t(w)
+  GROUP BY w
+),
+types_cum AS (
+  SELECT c.checkpoint, COUNT(*) AS n_types_cum
+  FROM first_seen f JOIN cps c ON f.first_doc < c.checkpoint
+  GROUP BY c.checkpoint
+),
+tokens_cum AS (
+  SELECT c.checkpoint, CAST(SUM(len(d.ws)) AS BIGINT) AS n_tokens_cum
+  FROM docs d JOIN cps c ON d.doc_id < c.checkpoint
+  GROUP BY c.checkpoint
+)
+SELECT t.checkpoint, t.n_tokens_cum, y.n_types_cum
+FROM tokens_cum t JOIN types_cum y ON t.checkpoint = y.checkpoint
+"""

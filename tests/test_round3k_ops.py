@@ -484,3 +484,107 @@ def test_k_anonymity_matches_bruteforce(spark):
         k: (len(u), len(u) < relops.KANON_K) for k, u in classes.items()
     }
     assert got == want
+
+
+def test_maximal_matching_bruteforce_and_properties(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import graphalgo
+
+    edges = [
+        (r["src"], r["dst"])
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    ]
+    eset = set(edges)
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    alive = {s for s, _ in edges}
+    want = set()
+    for r in range(1, graphalgo.MATCH_ROUNDS + 1):
+        prop = {
+            u: min(x for x in adj[u] if x in alive)
+            for u in alive
+            if any(x in alive for x in adj[u])
+        }
+        matched = {
+            (u, v, r)
+            for u, v in prop.items()
+            if v in prop and prop[v] == u and u < v
+        }
+        want |= matched
+        gone = {u for u, v, _ in matched} | {v for _, v, _ in matched}
+        alive -= gone
+        if not alive:
+            break
+    got = {
+        (r["a"], r["b"], r["round"])
+        for r in graphalgo.q_maximal_matching(spark, SF).collect()
+    }
+    assert got == want
+    # it IS a matching: no node appears twice, every pair is an edge
+    seen = set()
+    for a, b, _ in got:
+        assert (a, b) in eset
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+
+
+def test_heaps_law_matches_bruteforce(spark):
+    from sparkmedkg import textstats
+
+    docs = sorted(
+        (r["doc_id"], r["text"].lower().split(" "))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    )
+    n = len(docs)
+    cps = [1 << j for j in range(n.bit_length()) if (1 << j) <= n]
+    if cps[-1] != n:
+        cps.append(n)
+    want = {}
+    for cp in cps:
+        toks = 0
+        types = set()
+        for did, ws in docs:
+            if did < cp:
+                toks += len(ws)
+                types |= set(ws)
+        want[cp] = (toks, len(types))
+    got = {
+        r["checkpoint"]: (r["n_tokens_cum"], r["n_types_cum"])
+        for r in textstats.heaps_law(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_bpe_fertility_consistent_with_encode(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import corpusops
+
+    enc = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in corpusops.bpe_encode(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs:
+        a = agg[r["source"]]
+        a[0] += 1
+        a[1] += len(r["text"])
+        a[2] += enc[r["doc_id"]]
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_bytes"],
+            r["total_bpe_tokens"],
+            r["bytes_per_token_ppm"],
+        )
+        for r in corpusops.bpe_fertility(spark, SF).collect()
+    }
+    want = {
+        s: (n, b, t, (b * 1_000_000) // t) for s, (n, b, t) in agg.items()
+    }
+    assert got == want
