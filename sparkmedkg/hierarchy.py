@@ -450,7 +450,9 @@ def topo_layers(spark: SparkSession, sf_dir: str = "") -> DataFrame:
         edges.select(F.col("cui").alias("node"))
         .union(edges.select(F.col("ancestor").alias("node")))
         .distinct()
-        .join(inner.select("node"), "node", "left_anti")
+        # the hierarchy is ontology-sized (engine-constant here, ~GB for
+        # UMLS) — broadcast the anti-join side, never sort-merge it
+        .join(F.broadcast(inner.select("node")), "node", "left_anti")
         .select("node", F.lit(0).cast("bigint").alias("layer"))
     )
     return inner.unionByName(leaves)

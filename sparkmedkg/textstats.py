@@ -920,7 +920,8 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("checkpoint")
         .agg(F.sum("n").cast("bigint").alias("n_tokens_cum"))
     )
-    return tokens_cum.join(types_cum, "checkpoint").select(
+    # both sides are checkpoint-sized (~log2 N rows); broadcast, don't sort
+    return tokens_cum.join(F.broadcast(types_cum), "checkpoint").select(
         "checkpoint", "n_tokens_cum", "n_types_cum"
     )
 

@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
-    from sparkmedkg import emblinalg, multimodal, trainprep, webclean, webgraph, webkg
+    from sparkmedkg import emblinalg, er, multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
@@ -584,6 +584,68 @@ def main() -> None:
             lambda: relops.events_ab_test(spark, SF),
             ["HashAggregate",
              "ReadSchema: struct<user_id:bigint,event_type:string>"],
+        ),
+        "kg_harmonic": (
+            # landmark BFS feeds ONE keyed aggregation; integer LCM weights
+            # mean no float accumulation crosses the exchange
+            lambda: graphalgo.q_harmonic(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_topo_layers": (
+            # semi-naive frontier extension against the broadcast edge set
+            lambda: hierarchy.topo_layers(spark),
+            ["BroadcastHashJoin", "!SortMergeJoin"],
+        ),
+        "events_ewma": (
+            # EWMA as lag() columns riding ONE per-user sort — exactly one
+            # Window, no self-join
+            lambda: relops.events_ewma(spark, SF),
+            ["Window", "!Join"],
+        ),
+        "corpus_kneser_ney": (
+            # all KN statistics derive from the aggregated bigram table;
+            # the type total is a broadcast 1-row; final top-k TakeOrdered
+            lambda: corpusops.kneser_ney(spark, SF),
+            ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
+        ),
+        "ann_jl_topk": (
+            # sketch shortlist then exact rerank: broadcast 1-row query,
+            # two stacked TakeOrdereds, no shuffle of the vectors
+            lambda: simsearch.jl_topk(spark, SF),
+            ["BroadcastNestedLoopJoin", "TakeOrderedAndProject",
+             "!SortMergeJoin"],
+        ),
+        "events_window_hll": (
+            # register maxima are a plain partial-agg groupBy; nothing
+            # nested-loop shaped anywhere
+            lambda: relops.events_window_hll(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "er_phonetic_keys": (
+            # vocab distinct + row-local soundex: scan reads ONLY text
+            lambda: er.phonetic_keys(spark, SF),
+            ["ReadSchema: struct<text:string>", "HashAggregate"],
+        ),
+        "er_phonetic_pairs": (
+            # blocking is an equi-join on the 4-char code — never all-pairs
+            lambda: er.phonetic_pairs(spark, SF),
+            ["!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "events_k_anonymity": (
+            # two stacked partial aggs on low-cardinality QI keys, no sort
+            lambda: relops.events_k_anonymity(spark, SF),
+            ["HashAggregate", "!Window", "!Join"],
+        ),
+        "text_heaps_law": (
+            # the ~log2(N)-row checkpoint list joins via broadcast theta
+            # (INTENDED BroadcastNestedLoop: tiny build side by design)
+            lambda: textstats.heaps_law(spark, SF),
+            ["BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"],
+        ),
+        "corpus_bpe_fertility": (
+            # composed-projection merges + one source-key rollup
+            lambda: corpusops.bpe_fertility(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
         ),
     }
 
