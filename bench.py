@@ -187,6 +187,22 @@ BENCH_QUERIES = {
     "dedup_winnowing_pairs": dedup.winnowing_pairs,
     "events_cusum": relops.events_cusum,
     "kg_collocation_scores": relations.q_collocation_scores,
+    "kg_node2vec_walks": graphalgo.q_node2vec_walks,
+    "kg_harmonic": graphalgo.q_harmonic,
+    "kg_densest_subgraph": graphalgo.q_densest_subgraph,
+    "kg_maximal_matching": graphalgo.q_maximal_matching,
+    "kg_rpq_reach": webkg.q_rpq_reach,
+    "web_salsa": webgraph.q_salsa,
+    "events_ewma": relops.events_ewma,
+    "events_window_hll": relops.events_window_hll,
+    "events_k_anonymity": relops.events_k_anonymity,
+    "mm_phash_pairs": multimodal.phash_pairs,
+    "corpus_kneser_ney": corpusops.kneser_ney,
+    "corpus_rake_keyphrases": corpusops.rake_keyphrases,
+    "corpus_bpe_fertility": corpusops.bpe_fertility,
+    "ann_jl_topk": simsearch.jl_topk,
+    "er_phonetic_keys": er.phonetic_keys,
+    "text_heaps_law": textstats.heaps_law,
 }
 
 

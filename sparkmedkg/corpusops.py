@@ -1667,3 +1667,71 @@ SELECT d.source, COUNT(*) AS n_docs,
 FROM d JOIN enc e ON e.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-cosine eval overlap).
+# ---------------------------------------------------------------------------
+
+SEMDECON_TAU = 0.30  # cosine flag threshold vs the eval set
+
+
+def semantic_decontaminate(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDECON_TAU
+) -> DataFrame:
+    """(vec_id, max_eval_cos, flagged): every training document scored by
+    its maximum embedding cosine against the held-out eval split (vec_id
+    % EVAL_MOD == 0, the same split rule as the shingle-based
+    ``decontaminate``) — the SEMANTIC decontamination pass that catches
+    paraphrased eval leakage n-gram overlap misses.  Docs at or above
+    ``tau`` are release-blocked.
+
+    Plan: the eval split is small BY DEFINITION (eval suites are
+    thousands of rows, the corpus is trillions), so it broadcasts and
+    the corpus pays one scan with |eval| fused dot products per row —
+    a bounded broadcast nested loop, the same contract as decontaminate's
+    broadcast shingle set.  max() is order-independent, so no float
+    accumulation hazard; the fold itself runs in index order."""
+    from sparkmedkg.simsearch import _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ev = emb.where(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("v").alias("ev")
+    )
+    train = emb.where(F.col("vec_id") % EVAL_MOD != 0)
+    cos = _dot("v", "ev") / (_norm(F.col("v")) * _norm(F.col("ev")))
+    scored = (
+        train.crossJoin(F.broadcast(ev))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("mc"))
+    )
+    return scored.select(
+        "vec_id",
+        F.round("mc", 6).alias("max_eval_cos"),
+        (F.col("mc") >= tau).alias("flagged"),
+    )
+
+
+def sql_semantic_decontaminate(tau: float = SEMDECON_TAU) -> str:
+    from sparkmedkg.simsearch import _SQL_DOT, _SQL_NORM
+
+    cos = (
+        f"({_SQL_DOT.format(a='t.v', b='e.ev')}) / "
+        f"({_SQL_NORM.format(a='t.v')} * {_SQL_NORM.format(a='e.ev')})"
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS ev FROM emb
+       WHERE vec_id % {EVAL_MOD} = 0),
+scored AS (
+  SELECT t.vec_id, MAX({cos}) AS mc
+  FROM emb t CROSS JOIN ev e
+  WHERE t.vec_id % {EVAL_MOD} <> 0
+  GROUP BY t.vec_id
+)
+SELECT vec_id, round(mc, 6) AS max_eval_cos, mc >= {tau} AS flagged
+FROM scored
+"""

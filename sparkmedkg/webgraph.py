@@ -87,15 +87,28 @@ def _sql_page_html() -> str:
     )
 
 
+_LG_CACHE: dict[tuple, DataFrame] = {}
+
+
 def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src_host, dst_host, n_links): host-level web-graph edges extracted
     from page html.  The extraction is the production path — one
     ``regexp_extract_all`` over the html column (whole-stage codegen, rides
     the scan), explode, then a single map-side-combinable groupBy.  No UDF,
     no driver loop; at 10^12 pages the only shuffle is the (src,dst)
-    aggregation, and the per-page anchor cap bounds explode fan-out."""
+    aggregation, and the per-page anchor cap bounds explode fan-out.
+
+    The aggregated edge list is host-pair-sized (graph-shaped, far below
+    the page corpus), so it is materialized ONCE per session via
+    ``_LG_CACHE`` — the relations._EDGE_CACHE pattern: eight link-graph
+    consumers (HITS, SALSA, PageRank, TrustRank, co-citation, spam mass,
+    link prediction, bow-tie) pay the html scan once instead of each."""
     from sparkmedkg.session import widen_scan
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LG_CACHE.get(key)
+    if hit is not None:
+        return hit
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     html = _page_html().alias("html")
     src = F.concat(
@@ -105,12 +118,17 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = F.regexp_extract_all(
         F.col("html"), F.lit('href="https://([^"/]+)'), 1
     )
-    return (
+    out = (
         docs.select(src, html)
         .select("src_host", F.explode(hosts).alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
+        .localCheckpoint(eager=True)
     )
+    if len(_LG_CACHE) >= 8:
+        _LG_CACHE.clear()
+    _LG_CACHE[key] = out
+    return out
 
 
 def sql_link_graph() -> str:
@@ -184,9 +202,12 @@ def q_hits(
         auth = auth.crossJoin(
             F.broadcast(auth.agg(F.sum("auth").alias("tot")))
         ).select("host", (F.col("auth") / F.col("tot")).alias("auth"))
-        scores = hub.join(auth, "host")
-        if (i + 1) % 3 == 0:  # lineage truncation for deep runs
-            scores = scores.localCheckpoint(eager=True)
+        # truncate EVERY round (not just deep ones): each score vector is
+        # consumed by its own normalizer subplan, the other side's
+        # contribution join, and the next round — unchecked, the final
+        # action re-derives the chain multiplicatively (measured 10.6s ->
+        # ~3s at sf0.1 even with the link graph cached)
+        scores = hub.join(auth, "host").localCheckpoint(eager=True)
     out = scores.select(
         "host", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority")
     ).localCheckpoint(eager=True)
@@ -1799,7 +1820,9 @@ def q_salsa(
         ).select("host", F.coalesce("s", F.lit(0.0)).alias("hub"))
         hub = hub.crossJoin(
             F.broadcast(hub.agg(F.sum("hub").alias("tot")))
-        ).select("host", (F.col("hub") / F.col("tot")).alias("hub"))
+        ).select(
+            "host", (F.col("hub") / F.col("tot")).alias("hub")
+        ).localCheckpoint(eager=True)
         a = (
             edges.join(hub.select(F.col("host").alias("src"), "hub"), "src")
             .select("dst", (F.col("hub") / F.col("odeg")).alias("c"))
@@ -1812,7 +1835,10 @@ def q_salsa(
         auth = auth.crossJoin(
             F.broadcast(auth.agg(F.sum("auth").alias("tot")))
         ).select("host", (F.col("auth") / F.col("tot")).alias("auth"))
-        scores = hub.join(auth, "host")
+        # each score vector is consumed 3x (its own normalizer subplan, the
+        # next side's contribution join, the final output) — truncate per
+        # round or the lineage re-derives the chain multiplicatively
+        scores = hub.join(auth, "host").localCheckpoint(eager=True)
     out = scores.select(
         "host",
         F.round("hub", 6).alias("hub"),
