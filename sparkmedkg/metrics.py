@@ -491,3 +491,96 @@ SELECT {k} AS k,
        (SELECT COUNT(*) FROM hits) AS n_hits,
        round((SELECT COUNT(*) FROM hits)::DOUBLE / {k}, 6) AS recall
 """
+
+
+def dedup_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, lsh, simhash, jaccard, embedding, exact, n_votes): every
+    candidate near-dup pair surfaced by ANY of the four gated detectors,
+    with per-detector verdict flags and the vote count — the ensemble
+    table a curation pipeline thresholds instead of trusting one
+    detector (MinHash-LSH over-generates band collisions, SimHash
+    catches near-identity, prefix-Jaccard is exact-but-thresholded,
+    embedding cosine catches paraphrase; agreement is the precision
+    lever).  ``exact`` flags byte-identical text via one md5 equality —
+    derived on the already-sparse union, never by enumerating
+    exact-group pairs (which is quadratic in copy count).
+
+    Scale: pure composition — each detector keeps its own bucketed
+    candidate generation; the ensemble is outer-merges of four SPARSE
+    pair sets plus two hash lookups, all keyed on (a, b)."""
+    lsh = dedup.lsh_candidate_pairs(spark, sf_dir).select(
+        "a", "b", F.lit(True).alias("lsh")
+    )
+    sim = dedup.simhash_pairs(spark, sf_dir).select(
+        "a", "b", F.lit(True).alias("simhash")
+    )
+    jac = dedup.jaccard_pairs_prefix(
+        spark, sf_dir, tau=dedup.JACCARD_TAU
+    ).select("a", "b", F.lit(True).alias("jaccard"))
+    emb = dedup.embedding_near_dups(spark, sf_dir).select(
+        "a", "b", F.lit(True).alias("embedding")
+    )
+    pairs = (
+        lsh.join(sim, ["a", "b"], "full_outer")
+        .join(jac, ["a", "b"], "full_outer")
+        .join(emb, ["a", "b"], "full_outer")
+    )
+    h = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    out = (
+        pairs.join(h.select(F.col("doc_id").alias("a"), F.col("h").alias("ha")), "a")
+        .join(h.select(F.col("doc_id").alias("b"), F.col("h").alias("hb")), "b")
+    )
+    flags = [
+        F.coalesce(F.col(c), F.lit(False)).alias(c)
+        for c in ("lsh", "simhash", "jaccard", "embedding")
+    ]
+    exact = (F.col("ha") == F.col("hb")).alias("exact")
+    votes = sum(
+        F.coalesce(F.col(c), F.lit(False)).cast("int")
+        for c in ("lsh", "simhash", "jaccard", "embedding")
+    ) + exact.cast("int")
+    return out.select(
+        "a", "b", *flags, exact, votes.cast("bigint").alias("n_votes")
+    )
+
+
+def sql_dedup_ensemble() -> str:
+    return f"""
+WITH lsh AS MATERIALIZED (
+  SELECT a, b, TRUE AS lsh FROM ({dedup.sql_lsh_candidate_pairs()}) x
+),
+sim AS MATERIALIZED (
+  SELECT a, b, TRUE AS simhash FROM ({dedup.sql_simhash_pairs()}) x
+),
+jac AS MATERIALIZED (
+  SELECT a, b, TRUE AS jaccard
+  FROM ({dedup.sql_jaccard_pairs_prefix(tau=0.5)}) x
+),
+emb AS MATERIALIZED (
+  SELECT a, b, TRUE AS embedding FROM ({dedup.sql_embedding_near_dups()}) x
+),
+pairs AS (
+  SELECT COALESCE(l.a, s.a, j.a, e.a) AS a,
+         COALESCE(l.b, s.b, j.b, e.b) AS b,
+         COALESCE(l.lsh, FALSE) AS lsh,
+         COALESCE(s.simhash, FALSE) AS simhash,
+         COALESCE(j.jaccard, FALSE) AS jaccard,
+         COALESCE(e.embedding, FALSE) AS embedding
+  FROM lsh l
+  FULL OUTER JOIN sim s ON l.a = s.a AND l.b = s.b
+  FULL OUTER JOIN jac j ON COALESCE(l.a, s.a) = j.a
+                       AND COALESCE(l.b, s.b) = j.b
+  FULL OUTER JOIN emb e ON COALESCE(l.a, s.a, j.a) = e.a
+                       AND COALESCE(l.b, s.b, j.b) = e.b
+),
+h AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT p.a, p.b, p.lsh, p.simhash, p.jaccard, p.embedding,
+       (ha.h = hb.h) AS exact,
+       CAST(p.lsh::INT + p.simhash::INT + p.jaccard::INT + p.embedding::INT
+            + (ha.h = hb.h)::INT AS BIGINT) AS n_votes
+FROM pairs p
+JOIN h ha ON ha.doc_id = p.a
+JOIN h hb ON hb.doc_id = p.b
+"""
