@@ -303,3 +303,92 @@ SELECT a.tok AS tok_a, b.tok AS tok_b, a.code,
 FROM coded a JOIN coded b ON a.code = b.code
 WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= {lev_max}
 """
+
+
+# ---------------------------------------------------------------------------
+# Meta-blocking: weighted comparison-graph pruning (Papadakis et al.).
+# ---------------------------------------------------------------------------
+
+MB_BLOCK_CAP = 50   # block purging: drop shingle blocks with df > cap
+
+
+def metablocking(
+    spark: SparkSession, sf_dir: str, block_cap: int = MB_BLOCK_CAP
+) -> DataFrame:
+    """(a, b, cbs, keep): the meta-blocking comparison graph — candidate
+    record pairs weighted by how many blocks they co-occur in (CBS,
+    common-blocks scheme), with Weighted Edge Pruning: ``keep`` marks
+    pairs at or above the mean edge weight.  Token/shingle blocking
+    over-generates (any shared phrase makes a pair); meta-blocking keeps
+    the redundancy SIGNAL — pairs sharing many blocks are likelier
+    matches — and prunes the long tail of single-block coincidences
+    before the expensive pairwise verify stage.  Blocks are the word
+    3-shingles of dedup.doc_shingles, purged of stop-phrase blocks with
+    document frequency > ``block_cap`` (block purging caps per-block
+    pair fan-out at cap^2/2, the standard scale guard).
+
+    Scale: one DF count on the shingle table (map-side combinable), the
+    pair generation is an equi-join restricted to surviving blocks
+    (bounded by cap per block, never corpus^2), the CBS weight one
+    shuffle keyed on (a, b), and the WEP threshold a broadcast 1-row
+    aggregate.  The prune decision is exact integer arithmetic —
+    keep iff cbs * n_edges >= total_weight — so the flag is
+    bit-identical across engines (no double mean)."""
+    from sparkmedkg import dedup
+
+    sh = dedup.doc_shingles(spark, sf_dir)
+    blocks = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= block_cap))
+        .select("shingle")
+    )
+    kept = sh.join(blocks, "shingle")
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    edges = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    tot = edges.agg(
+        F.sum("cbs").alias("w_total"), F.count(F.lit(1)).alias("n_edges")
+    )
+    return (
+        edges.join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "cbs",
+            (F.col("cbs") * F.col("n_edges") >= F.col("w_total")).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+def sql_metablocking(block_cap: int = MB_BLOCK_CAP) -> str:
+    from sparkmedkg import dedup
+
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT doc_id, unnest({dedup._sql_shingles()}) AS shingle FROM documents
+),
+blocks AS (
+  SELECT shingle FROM (
+    SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+  ) WHERE df BETWEEN 2 AND {block_cap}
+),
+kept AS (SELECT doc_id, shingle FROM sh JOIN blocks USING (shingle)),
+edges AS MATERIALIZED (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS cbs
+  FROM kept a JOIN kept b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT SUM(cbs) AS w_total, COUNT(*) AS n_edges FROM edges)
+SELECT a, b, cbs,
+       cbs * n_edges >= w_total AS keep
+FROM edges, tot
+"""

@@ -3427,3 +3427,55 @@ SELECT event_type, hour, COUNT(*) AS class_size,
        COUNT(*) < {k} AS at_risk
 FROM qi GROUP BY event_type, hour
 """
+
+
+LDIV_L = 8   # release gate: every QI class needs >= L distinct sensitive values
+
+
+def events_l_diversity(
+    spark: SparkSession, sf_dir: str, l_min: int = LDIV_L
+) -> DataFrame:
+    """(event_type, hour, class_size, n_sensitive, at_risk): the
+    l-diversity audit that complements events_k_anonymity — a QI class
+    can pass k-anonymity (many users) yet still leak if they all share
+    ONE sensitive value (homogeneity attack: knowing someone is in the
+    class reveals their attribute).  Classes are the same QI pair
+    (event_type, hour-of-day); the sensitive attribute is the ``k``
+    payload prop; ``at_risk`` flags classes with fewer than ``l_min``
+    distinct sensitive values.
+
+    Scale: json_extract is a JVM expression in the scan projection, the
+    distinct runs on (QI, sensitive) — never materializing per-user rows
+    — and both shuffles key on the 24-hour-bounded QI columns;
+    class_size counts distinct USERS (re-identification denominator)
+    via one exact count_distinct in the same aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cls = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+        "user_id",
+        F.get_json_object("props", "$.k").cast("int").alias("sens"),
+    )
+    return (
+        cls.groupBy("event_type", "hour")
+        .agg(
+            F.countDistinct("user_id").alias("class_size"),
+            F.countDistinct("sens").alias("n_sensitive"),
+        )
+        .withColumn("at_risk", F.col("n_sensitive") < l_min)
+    )
+
+
+def sql_events_l_diversity(l_min: int = LDIV_L) -> str:
+    return f"""
+WITH cls AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour, user_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS sens
+  FROM events
+)
+SELECT event_type, hour,
+       COUNT(DISTINCT user_id) AS class_size,
+       COUNT(DISTINCT sens) AS n_sensitive,
+       COUNT(DISTINCT sens) < {l_min} AS at_risk
+FROM cls GROUP BY event_type, hour
+"""

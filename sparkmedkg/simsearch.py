@@ -1588,3 +1588,97 @@ FROM short s
 ORDER BY {cos} DESC, vec_id ASC
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: kNN label agreement (Confident-Learning-style signal).
+# ---------------------------------------------------------------------------
+
+AGREE_PPM = 1_000_000   # agreement reported in exact integer ppm
+AGREE_SUSPECT = 500_000  # suspect iff < half the neighbors share the label
+
+
+def label_agreement(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_K,
+    n_cells: int = N_CELLS,
+    suspect_ppm: int = AGREE_SUSPECT,
+) -> DataFrame:
+    """(vec_id, label, k_eff, n_same, agree_ppm, suspect): per-vector
+    label-noise audit — the fraction of a vector's k nearest neighbors
+    (cell-blocked kNN graph) that carry the SAME label.  Low agreement
+    flags likely mislabeled examples (the kNN-agreement signal behind
+    Confident Learning / deep-kNN label cleaning); curation pipelines
+    drop or re-queue the suspects before training.
+
+    Scale: rides the existing kNN edge set (cell-blocked, |cell|^2
+    bounded — see knn_graph); labels join in via two broadcast-size
+    lookups keyed on vec_id, and the audit is ONE map-side-combinable
+    groupBy over the k*n edge rows.  agree_ppm is exact integer
+    arithmetic (n_same * 10^6 DIV k_eff), so the suspect flag is
+    bit-identical across engines."""
+    labels = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    knn = knn_graph(spark, sf_dir, k=k, n_cells=n_cells)
+    edges = (
+        knn.join(
+            labels.select(
+                F.col("vec_id").alias("src"), F.col("label").alias("l_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("dst"), F.col("label").alias("l_dst")
+            ),
+            "dst",
+        )
+    )
+    agg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.sum(
+            (F.col("l_src") == F.col("l_dst")).cast("bigint")
+        ).alias("n_same"),
+    )
+    # `div` keeps the arithmetic in 64-bit integers — matching the
+    # oracle's exact `//`, never a floor over a double quotient.
+    ppm = F.expr(f"n_same * {AGREE_PPM} div k_eff").cast("bigint")
+    return (
+        agg.join(labels.withColumnRenamed("vec_id", "src"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "label",
+            "k_eff",
+            "n_same",
+            ppm.alias("agree_ppm"),
+        )
+        .withColumn("suspect", F.col("agree_ppm") < suspect_ppm)
+    )
+
+
+def sql_label_agreement(
+    k: int = KNN_K,
+    n_cells: int = N_CELLS,
+    suspect_ppm: int = AGREE_SUSPECT,
+) -> str:
+    return f"""
+WITH {_sql_knn_cte(k, n_cells)},
+lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+agg AS (
+  SELECT t.src,
+         COUNT(*) AS k_eff,
+         SUM(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END) AS n_same
+  FROM knn t
+  JOIN lab ls ON ls.vec_id = t.src
+  JOIN lab ld ON ld.vec_id = t.dst
+  GROUP BY t.src
+)
+SELECT a.src AS vec_id, l.label,
+       CAST(a.k_eff AS BIGINT) AS k_eff,
+       CAST(a.n_same AS BIGINT) AS n_same,
+       CAST(a.n_same * {AGREE_PPM} // a.k_eff AS BIGINT) AS agree_ppm,
+       a.n_same * {AGREE_PPM} // a.k_eff < {suspect_ppm} AS suspect
+FROM agg a JOIN lab l ON l.vec_id = a.src
+"""

@@ -50,3 +50,97 @@ def test_dedup_ensemble_matches_detectors(spark):
     # non-vacuous: at least one multi-vote pair and one single-vote pair
     votes = [r["n_votes"] for r in rows]
     assert max(votes) >= 2 and min(votes) >= 1
+
+
+def test_metablocking_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from sparkmedkg import er
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    sh = {}
+    for d, t in docs.items():
+        w = [x for x in t.split(" ") if x != ""]
+        n = max(len(w) - 2, 1)
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(n)}
+    df = Counter(g for gs in sh.values() for g in gs)
+    blocks = {g for g, c in df.items() if 2 <= c <= er.MB_BLOCK_CAP}
+    cbs = defaultdict(int)
+    by_block = defaultdict(list)
+    for d, gs in sh.items():
+        for g in gs & blocks:
+            by_block[g].append(d)
+    for g, ids in by_block.items():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cbs[(ids[i], ids[j])] += 1
+    w_total = sum(cbs.values())
+    n_edges = len(cbs)
+    want = {
+        p: (w, w * n_edges >= w_total) for p, w in cbs.items()
+    }
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["keep"])
+        for r in er.metablocking(spark, SF).collect()
+    }
+    assert got == want
+    # pruning is non-vacuous: both kept and dropped edges exist
+    flags = {k for _, k in got.values()}
+    assert flags == {True, False}
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    import json
+    from collections import defaultdict
+
+    from sparkmedkg import relops
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    users, sens = defaultdict(set), defaultdict(set)
+    for r in rows:
+        qi = (r["event_type"], r["ts"].hour)
+        users[qi].add(r["user_id"])
+        sens[qi].add(json.loads(r["props"])["k"])
+    want = {
+        qi: (len(users[qi]), len(sens[qi]), len(sens[qi]) < relops.LDIV_L)
+        for qi in users
+    }
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["class_size"], r["n_sensitive"], r["at_risk"]
+        )
+        for r in relops.events_l_diversity(spark, SF).collect()
+    }
+    assert got == want
+    assert {r[2] for r in got.values()} == {True, False}
+
+
+def test_label_agreement_matches_knn_aggregate(spark):
+    from collections import defaultdict
+
+    from sparkmedkg import simsearch
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    acc = defaultdict(lambda: [0, 0])  # src -> [k_eff, n_same]
+    for r in simsearch.knn_graph(spark, SF).collect():
+        acc[r["src"]][0] += 1
+        acc[r["src"]][1] += int(labels[r["src"]] == labels[r["dst"]])
+    want = {
+        s: (k, n, n * simsearch.AGREE_PPM // k,
+            n * simsearch.AGREE_PPM // k < simsearch.AGREE_SUSPECT)
+        for s, (k, n) in acc.items()
+    }
+    got = {
+        r["vec_id"]: (r["k_eff"], r["n_same"], r["agree_ppm"], r["suspect"])
+        for r in simsearch.label_agreement(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # non-empty
+    assert {v[3] for v in got.values()} == {True, False}
