@@ -3479,3 +3479,75 @@ SELECT event_type, hour,
        COUNT(DISTINCT sens) < {l_min} AS at_risk
 FROM cls GROUP BY event_type, hour
 """
+
+
+SEASON_HOT_NUM = 2   # hot iff count > (NUM/DEN) * the hour-of-day mean
+SEASON_HOT_DEN = 1
+
+
+def events_seasonality(
+    spark: SparkSession,
+    sf_dir: str,
+    hot_num: int = SEASON_HOT_NUM,
+    hot_den: int = SEASON_HOT_DEN,
+) -> DataFrame:
+    """(day, hour, n, hour_total, n_days, hot): hour-of-day seasonality
+    decomposition of the event stream — each (day, hour) cell's count
+    against the seasonal baseline (the mean count of that hour-of-day
+    across all observed days), flagging cells more than ``hot_num/
+    hot_den``x their seasonal mean.  Plain z-scores (events_zscore)
+    treat 3am and 3pm as the same population; deseasonalizing first is
+    what makes a traffic-spike monitor usable.
+
+    Scale: two map-side-combinable aggregations — (day, hour) cells,
+    then the 24-row hour profile, joined back by broadcast.  The hot
+    decision is exact integer arithmetic (n * n_days * den > num *
+    hour_total), never a float mean, so the flag is bit-identical
+    across engines."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+        )
+        .groupBy("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prof = cells.groupBy("hour").agg(
+        F.sum("n").alias("hour_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        cells.join(F.broadcast(prof), "hour")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "hour",
+            "n",
+            "hour_total",
+            "n_days",
+            (
+                F.col("n") * F.col("n_days") * F.lit(hot_den)
+                > F.lit(hot_num) * F.col("hour_total")
+            ).alias("hot"),
+        )
+    )
+
+
+def sql_events_seasonality(
+    hot_num: int = SEASON_HOT_NUM, hot_den: int = SEASON_HOT_DEN
+) -> str:
+    return f"""
+WITH cells AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+prof AS (
+  SELECT hour, SUM(n) AS hour_total, COUNT(*) AS n_days
+  FROM cells GROUP BY hour
+)
+SELECT c.day, c.hour, CAST(c.n AS BIGINT) AS n,
+       CAST(p.hour_total AS BIGINT) AS hour_total,
+       CAST(p.n_days AS BIGINT) AS n_days,
+       c.n * p.n_days * {hot_den} > {hot_num} * p.hour_total AS hot
+FROM cells c JOIN prof p USING (hour)
+"""

@@ -1682,3 +1682,72 @@ SELECT a.src AS vec_id, l.label,
        a.n_same * {AGREE_PPM} // a.k_eff < {suspect_ppm} AS suspect
 FROM agg a JOIN lab l ON l.vec_id = a.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Residual (two-stage) quantization distortion report.
+# ---------------------------------------------------------------------------
+
+RQ_Q1 = 16       # stage-1 coarse grid: q1 = round(x * 16)
+RQ_SCALE = 4096  # fine fixed-point reference grid (multiple of RQ_Q1)
+RQ_B = 64        # stage-2 residual codes clamp to [-B, B]
+
+
+def residual_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, c1_checksum, d1, d2, clipped): two-stage residual
+    quantization audit — stage 1 snaps each coordinate to a coarse grid
+    (q1 = round(x*Q1)), stage 2 encodes the residual against a 16x finer
+    reference grid with codes clamped to [-B, B].  ``d1`` is the squared
+    error (in fine-grid units) after stage 1 alone, ``d2`` after both
+    stages — the additive-quantizer refinement ladder (RQ/LSQ family)
+    behind modern vector-index compression; ``clipped`` counts saturated
+    residual codes (the knob telling you B is too small for the data).
+
+    All arithmetic is exact int64 on the fixed-point grids (the fine
+    grid is an integer multiple of the coarse one, so the residual is an
+    exact integer difference — no float subtraction), making every
+    column bit-identical across engines.  Map-only: no shuffle, a pure
+    projection over 10^12 vectors."""
+    emb = _emb(spark, sf_dir)
+    s = RQ_SCALE // RQ_Q1
+    f = lambda x: F.floor(x * F.lit(float(RQ_SCALE)) + F.lit(0.5)).cast("long")  # noqa: E731
+    q1 = lambda x: F.floor(x * F.lit(float(RQ_Q1)) + F.lit(0.5)).cast("long")  # noqa: E731
+    r = lambda x: f(x) - q1(x) * F.lit(s)  # noqa: E731
+    q2 = lambda x: F.greatest(F.least(r(x), F.lit(RQ_B)), F.lit(-RQ_B))  # noqa: E731
+    z = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        F.aggregate("v", z, lambda a, x: a + q1(x)).alias("c1_checksum"),
+        F.aggregate("v", z, lambda a, x: a + r(x) * r(x)).alias("d1"),
+        F.aggregate(
+            "v", z, lambda a, x: a + (r(x) - q2(x)) * (r(x) - q2(x))
+        ).alias("d2"),
+        F.aggregate(
+            "v",
+            z,
+            lambda a, x: a
+            + F.when(F.abs(r(x)) > RQ_B, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("clipped"),
+    )
+
+
+def sql_residual_quant() -> str:
+    s = RQ_SCALE // RQ_Q1
+    f = f"CAST(floor(x::DOUBLE * {RQ_SCALE} + 0.5) AS BIGINT)"
+    q1 = f"CAST(floor(x::DOUBLE * {RQ_Q1} + 0.5) AS BIGINT)"
+    r = f"({f} - {q1} * {s})"
+    q2 = f"greatest(least({r}, {RQ_B}), -{RQ_B})"
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(embedding, x -> {term})), (acc, e) -> acc + e)"
+    )
+    return f"""
+SELECT vec_id,
+       CAST({fold.format(term=q1)} AS BIGINT) AS c1_checksum,
+       CAST({fold.format(term=f"{r} * {r}")} AS BIGINT) AS d1,
+       CAST({fold.format(term=f"({r} - {q2}) * ({r} - {q2})")} AS BIGINT)
+         AS d2,
+       CAST({fold.format(term=f"CASE WHEN abs({r}) > {RQ_B} THEN 1 ELSE 0 END")}
+         AS BIGINT) AS clipped
+FROM embeddings
+"""

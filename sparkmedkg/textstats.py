@@ -959,3 +959,83 @@ tokens_cum AS (
 SELECT t.checkpoint, t.n_tokens_cum, y.n_types_cum
 FROM tokens_cum t JOIN types_cum y ON t.checkpoint = y.checkpoint
 """
+
+
+ENTROPY_LO = 2.0   # below: repeated-char / single-token gibberish
+ENTROPY_HI = 5.5   # above: random-byte noise (English text sits ~4.0-4.5)
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_distinct, entropy, suspect): per-document
+    character-unigram Shannon entropy in bits — the classic gibberish
+    gate (CCNet/Gopher-family): near-zero entropy is one character
+    repeated, abnormally high entropy is random bytes or base64 blobs;
+    natural-language text clusters in a narrow band.
+
+    Plan: map-only, no shuffle and no second corpus pass — the char
+    histogram is built per ROW by folding over the doc's own sorted
+    distinct characters (vocabulary per doc is alphabet-bounded, so the
+    per-row cost is n_chars * |alphabet|).  The entropy fold runs in
+    sorted-character order on BOTH engines (H = log2(n) - sum(c*log2(c))
+    / n), so the float summation order is pinned and the rounded value
+    is reproducible."""
+    docs = _docs(spark, sf_dir)
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    # bind the char array once per row (the dedup._shingles_col trick);
+    # re-evaluating split() per distinct char would be O(n^2) in doc size
+    def of(cs):
+        n = F.size(cs)
+        uniq = F.array_sort(F.array_distinct(cs))
+        s = F.aggregate(
+            uniq,
+            F.lit(0.0),
+            lambda acc, u: acc
+            + F.size(F.filter(cs, lambda c: c == u)).cast("double")
+            * F.log2(F.size(F.filter(cs, lambda c: c == u)).cast("double")),
+        )
+        ent = F.log2(n.cast("double")) - s / n.cast("double")
+        return F.struct(
+            n.alias("n_chars"),
+            F.size(uniq).alias("n_distinct"),
+            F.round(ent, 6).alias("entropy"),
+        )
+
+    st = F.element_at(F.transform(F.array(chars), of), 1)
+    return docs.select("doc_id", st.alias("st")).select(
+        "doc_id",
+        F.col("st.n_chars").cast("bigint").alias("n_chars"),
+        F.col("st.n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("st.entropy").alias("entropy"),
+        (
+            (F.col("st.entropy") < ENTROPY_LO)
+            | (F.col("st.entropy") > ENTROPY_HI)
+        ).alias("suspect"),
+    )
+
+
+def sql_char_entropy() -> str:
+    return f"""
+WITH ch AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ''), c -> c <> '') AS cs
+  FROM documents
+),
+st AS (
+  SELECT doc_id, len(cs) AS n_chars,
+         list_sort(list_distinct(cs)) AS uniq,
+         list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_sort(list_distinct(cs)),
+               u -> len(list_filter(cs, c -> c = u))::DOUBLE
+                    * log2(len(list_filter(cs, c -> c = u))::DOUBLE))),
+           (acc, e) -> acc + e) AS s
+  FROM ch
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(uniq) AS BIGINT) AS n_distinct,
+       round(log2(n_chars::DOUBLE) - s / n_chars, 6) AS entropy,
+       round(log2(n_chars::DOUBLE) - s / n_chars, 6) < {ENTROPY_LO}
+       OR round(log2(n_chars::DOUBLE) - s / n_chars, 6) > {ENTROPY_HI}
+         AS suspect
+FROM st
+"""

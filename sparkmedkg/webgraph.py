@@ -1889,3 +1889,88 @@ s0 AS (SELECT host, 1.0 AS hub, 1.0 AS auth FROM nodes),
 {unrolled}
 SELECT host, round(hub, 6) AS hub, round(auth, 6) AS authority FROM s{iters}
 """
+
+
+def reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_edges, n_mutual_edges, n_mutual_dyads, n_asym_dyads,
+    reciprocity): the dyad census of the directed host graph — how
+    often does a link A->B come with the reverse B->A?  High
+    reciprocity separates organic cross-linking communities from
+    link-farm rings (which are near-fully reciprocal) and from
+    broadcast-only hubs (near-zero); it parameterizes null models
+    (directed configuration model) for the other graph scorecards.
+
+    Runs on the UNIFIED-namespace host graph (pages assigned to the
+    same h{N}.example universe their anchors target — reciprocity is
+    identically zero on link_graph's bipartite crawl view, which keeps
+    page hosts in a disjoint site{N} universe); self-loops excluded.
+
+    Scale: the html anchor extraction is the same single
+    regexp_extract_all scan as link_graph, aggregated straight to the
+    DISTINCT host-level edge set (graph-shaped); the mutual test is one
+    self-equi-join on the reversed key and the census one 1-row
+    aggregate.  Counts are exact int64; only the final ratio is a
+    rounded double."""
+    from sparkmedkg.session import widen_scan
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    src = F.concat(
+        F.lit("h"), (F.col("doc_id") % N_DST_HOSTS).cast("string"),
+        F.lit(".example"),
+    ).alias("src_host")
+    hosts = F.regexp_extract_all(
+        _page_html(), F.lit('href="https://([^"/]+)'), 1
+    )
+    edges = (
+        docs.select(src, F.explode(hosts).alias("dst_host"))
+        .where(F.col("src_host") != F.col("dst_host"))
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(1).alias("m"),
+    )
+    marked = edges.join(rev, ["src_host", "dst_host"], "left").select(
+        (F.col("m").isNotNull()).cast("bigint").alias("mutual")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("mutual").alias("n_mutual_edges"),
+        (F.sum("mutual") / F.lit(2)).cast("bigint").alias("n_mutual_dyads"),
+        (F.count(F.lit(1)) - F.sum("mutual")).alias("n_asym_dyads"),
+        F.round(
+            F.sum("mutual").cast("double") / F.count(F.lit(1)), 6
+        ).alias("reciprocity"),
+    )
+
+
+def sql_reciprocity() -> str:
+    return f"""
+WITH pages AS (
+  SELECT 'h' || (doc_id % {N_DST_HOSTS}) || '.example' AS src_host,
+         {_sql_page_html()} AS html
+  FROM documents
+),
+anchors AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html, 'href="https://([^"/]+)', 1))
+           AS dst_host
+  FROM pages
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT src_host, dst_host FROM anchors
+  WHERE src_host <> dst_host
+),
+marked AS (
+  SELECT CASE WHEN r.src_host IS NOT NULL THEN 1 ELSE 0 END AS mutual
+  FROM e
+  LEFT JOIN e r ON r.src_host = e.dst_host AND r.dst_host = e.src_host
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(mutual) AS BIGINT) AS n_mutual_edges,
+       CAST(SUM(mutual) // 2 AS BIGINT) AS n_mutual_dyads,
+       CAST(COUNT(*) - SUM(mutual) AS BIGINT) AS n_asym_dyads,
+       round(SUM(mutual)::DOUBLE / COUNT(*), 6) AS reciprocity
+FROM marked
+"""

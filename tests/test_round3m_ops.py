@@ -144,3 +144,127 @@ def test_label_agreement_matches_knn_aggregate(spark):
     assert got == want
     assert want  # non-empty
     assert {v[3] for v in got.values()} == {True, False}
+
+
+def test_char_entropy_matches_bruteforce(spark, tmp_path):
+    import math
+
+    from sparkmedkg import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    want = {}
+    for r in docs:
+        cs = list(r["text"])
+        n = len(cs)
+        uniq = sorted(set(cs))
+        s = sum(
+            cs.count(u) * math.log2(cs.count(u)) for u in uniq
+        )
+        ent = round(math.log2(n) - s / n, 6)
+        want[r["doc_id"]] = (
+            n, len(uniq), ent,
+            ent < textstats.ENTROPY_LO or ent > textstats.ENTROPY_HI,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_distinct"], r["entropy"], r["suspect"]
+        )
+        for r in textstats.char_entropy(spark, SF).collect()
+    }
+    assert got == want
+
+    # suspect flag fires on crafted gibberish (low- and high-entropy ends)
+    crafted = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaaaaaa"), (2, "the cat sat on the warm mat")],
+        "doc_id bigint, text string",
+    )
+    crafted.write.parquet(f"{tmp_path}/documents.parquet")
+    flags = {
+        r["doc_id"]: r["suspect"]
+        for r in textstats.char_entropy(spark, str(tmp_path)).collect()
+    }
+    assert flags == {1: True, 2: False}
+
+
+def test_seasonality_matches_bruteforce(spark):
+    from collections import Counter
+
+    from sparkmedkg import relops
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    cells = Counter((str(r["ts"].date()), r["ts"].hour) for r in rows)
+    tot, days = Counter(), Counter()
+    for (d, h), n in cells.items():
+        tot[h] += n
+        days[h] += 1
+    want = {
+        (d, h): (
+            n, tot[h], days[h],
+            n * days[h] * relops.SEASON_HOT_DEN
+            > relops.SEASON_HOT_NUM * tot[h],
+        )
+        for (d, h), n in cells.items()
+    }
+    got = {
+        (r["day"], r["hour"]): (
+            r["n"], r["hour_total"], r["n_days"], r["hot"]
+        )
+        for r in relops.events_seasonality(spark, SF).collect()
+    }
+    assert got == want
+    assert {v[3] for v in got.values()} == {True, False}
+
+
+def test_reciprocity_matches_bruteforce(spark):
+    from sparkmedkg import webgraph
+
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    edges = set()
+    for r in docs:
+        src = f"h{r['doc_id'] % webgraph.N_DST_HOSTS}.example"
+        toks = [t for t in r["text"].split(" ") if t][: webgraph.MAX_ANCHORS]
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            dst = f"h{h % webgraph.N_DST_HOSTS}.example"
+            if src != dst:
+                edges.add((src, dst))
+    mutual = {(a, b) for (a, b) in edges if (b, a) in edges}
+    row = webgraph.reciprocity(spark, SF).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_mutual_edges"] == len(mutual)
+    assert row["n_mutual_dyads"] == len(mutual) // 2
+    assert row["n_asym_dyads"] == len(edges) - len(mutual)
+    assert row["reciprocity"] == round(len(mutual) / len(edges), 6)
+    assert 0 < row["n_mutual_edges"] < row["n_edges"]  # non-vacuous
+
+
+def test_residual_quant_matches_bruteforce(spark):
+    import math
+
+    from sparkmedkg import simsearch
+
+    s = simsearch.RQ_SCALE // simsearch.RQ_Q1
+    rows = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    want = {}
+    for r in rows:
+        c1 = d1 = d2 = clipped = 0
+        for x in r["embedding"]:
+            f = math.floor(float(x) * simsearch.RQ_SCALE + 0.5)
+            q1 = math.floor(float(x) * simsearch.RQ_Q1 + 0.5)
+            res = f - q1 * s
+            q2 = max(min(res, simsearch.RQ_B), -simsearch.RQ_B)
+            c1 += q1
+            d1 += res * res
+            d2 += (res - q2) * (res - q2)
+            clipped += int(abs(res) > simsearch.RQ_B)
+        want[r["vec_id"]] = (c1, d1, d2, clipped)
+    got = {
+        r["vec_id"]: (r["c1_checksum"], r["d1"], r["d2"], r["clipped"])
+        for r in simsearch.residual_quant(spark, SF).collect()
+    }
+    assert got == want
+    # the refinement ladder actually refines, and clipping is observed
+    assert all(d2 <= d1 for _, d1, d2, _ in got.values())
+    assert any(c > 0 for *_, c in got.values())
