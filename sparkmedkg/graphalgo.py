@@ -2993,3 +2993,150 @@ FROM r{max_hops}
 WHERE dist > 0
 GROUP BY cui
 """
+
+
+LOUVAIN_LPA_ITERS = 1  # move gains are informative on an UNconverged
+#                        partition (at LPA_ITERS=2 the sf0.001 graph is one
+#                        community and there is nothing to move)
+
+
+def q_louvain_gain(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = LOUVAIN_LPA_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, comm, k, best_comm, gain_scaled, move): one Louvain
+    move-phase scan on top of the label-propagation partition — for
+    every node, the best neighboring community to move to and the
+    modularity gain of that move.  ``move`` marks nodes whose best move
+    strictly improves modularity (what a Louvain pass would actually
+    execute); a partition where no node wants to move is move-phase
+    stable.  Gain is the standard Louvain delta for moving i from
+    community A to B, kept EXACT by scaling with 2m^2 (m = directed
+    edge count):  gain_scaled = m*(d_iB - d_iA') - k_i*(tot_B - tot_A
+    + k_i), with d_iC the edges from i into C (excluding i), tot_C the
+    community degree mass, k_i the node degree.  Ties break to the
+    smallest community label.  (Past ~10^9 directed edges the m*d term
+    wants DECIMAL(38,0) — the q_modularity note applies.)
+
+    Scale: the community sizes (tot_C) are ONE map-side-combinable
+    aggregate; d_iC is one equi-join of the edge list against the
+    broadcast label table plus a grouped count; the per-node argmax is
+    a window over each node's own neighboring communities (fan-out
+    bounded by the node's degree).  Nodes whose neighbors are all in
+    their own community emit no candidate and are absent (nothing to
+    move to)."""
+    edges = _edges(spark, sf_dir, min_docs)
+    labels = q_label_propagation(
+        spark, sf_dir, iters, min_docs
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    la = labels.select(F.col("CUI").alias("src"), F.col("label").alias("a"))
+    lb = labels.select(F.col("CUI").alias("dst"), F.col("label").alias("c"))
+    tot = (
+        deg.join(F.broadcast(la), "src")
+        .groupBy("a")
+        .agg(F.sum("k").alias("tot"))
+    )
+    d_ic = (
+        edges.join(F.broadcast(lb), "dst")
+        .groupBy("src", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    m_row = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    base = (
+        d_ic.join(F.broadcast(la), "src")
+        .join(F.broadcast(deg), "src")
+    )
+    d_own = base.where(F.col("c") == F.col("a")).select(
+        "src", F.col("d").alias("d_a")
+    )
+    cand = (
+        base.where(F.col("c") != F.col("a"))
+        .join(d_own, "src", "left")
+        .na.fill({"d_a": 0})
+        .join(
+            F.broadcast(tot.select(F.col("a"), F.col("tot").alias("tot_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(F.col("a").alias("c"), F.col("tot").alias("tot_c"))
+            ),
+            "c",
+        )
+        .join(F.broadcast(m_row))
+    )
+    gain = F.col("m") * (F.col("d") - F.col("d_a")) - F.col("k") * (
+        F.col("tot_c") - F.col("tot_a") + F.col("k")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.desc("gain_scaled"), F.asc("c")
+    )
+    return (
+        cand.select(
+            "src", "a", "k", "c", gain.alias("gain_scaled")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("src").alias("CUI"),
+            F.col("a").alias("comm"),
+            "k",
+            F.col("c").alias("best_comm"),
+            "gain_scaled",
+            (F.col("gain_scaled") > 0).alias("move"),
+        )
+    )
+
+
+def sql_louvain_gain(
+    iters: int = LOUVAIN_LPA_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+{_sql_lpa_steps(iters)},
+lab AS MATERIALIZED (SELECT cui, label FROM l{iters}),
+lg_deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS k FROM edges GROUP BY src),
+lg_tot AS (
+  SELECT la.label AS a, SUM(d.k) AS tot
+  FROM lg_deg d JOIN lab la ON la.cui = d.src GROUP BY la.label
+),
+lg_dic AS (
+  SELECT e.src, lb.label AS c, CAST(COUNT(*) AS BIGINT) AS d
+  FROM edges e JOIN lab lb ON lb.cui = e.dst
+  GROUP BY e.src, lb.label
+),
+lg_m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+lg_base AS (
+  SELECT d_ic.src, la.label AS a, deg.k, d_ic.c, d_ic.d
+  FROM lg_dic d_ic
+  JOIN lab la ON la.cui = d_ic.src
+  JOIN lg_deg deg ON deg.src = d_ic.src
+),
+lg_cand AS (
+  SELECT b.src, b.a, b.k, b.c, b.d,
+         COALESCE(o.d, 0) AS d_a, ta.tot AS tot_a, tc.tot AS tot_c
+  FROM lg_base b
+  LEFT JOIN (SELECT src, d FROM lg_base WHERE c = a) o ON o.src = b.src
+  JOIN lg_tot ta ON ta.a = b.a
+  JOIN lg_tot tc ON tc.a = b.c
+  WHERE b.c <> b.a
+),
+lg_scored AS (
+  SELECT src, a, k, c,
+         CAST(m.m * (d - d_a) - k * (tot_c - tot_a + k) AS BIGINT)
+           AS gain_scaled,
+         row_number() OVER (
+           PARTITION BY src
+           ORDER BY m.m * (d - d_a) - k * (tot_c - tot_a + k) DESC, c ASC
+         ) AS rn
+  FROM lg_cand, lg_m m
+)
+SELECT src AS CUI, a AS comm, k, c AS best_comm, gain_scaled,
+       gain_scaled > 0 AS move
+FROM lg_scored WHERE rn = 1
+"""

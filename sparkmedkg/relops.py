@@ -3551,3 +3551,222 @@ SELECT c.day, c.hour, CAST(c.n AS BIGINT) AS n,
        c.n * p.n_days * {hot_den} > {hot_num} * p.hour_total AS hot
 FROM cells c JOIN prof p USING (hour)
 """
+
+
+LATE_DELAY_S = 600   # max simulated delivery delay (md5-hash seconds)
+LATE_WIN_S = 300     # arrival-window width for the coarse watermark
+LATE_BUCKET_S = 60   # lateness histogram granularity (seconds)
+
+
+def events_lateness_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    delay_s: int = LATE_DELAY_S,
+    win_s: int = LATE_WIN_S,
+    bucket_s: int = LATE_BUCKET_S,
+) -> DataFrame:
+    """(bucket_min, n): histogram of event-time lateness against a
+    coarse-grained watermark — the audit that sizes a streaming job's
+    ``withWatermark`` delay before deployment.  The log is replayed
+    under a deterministic per-event delivery delay (md5(event_id) %
+    ``delay_s`` seconds — the source log is perfectly ordered, so the
+    replay injects the out-of-orderness a real multi-source ingest
+    exhibits); the watermark at any arrival window is the max event
+    time delivered in all PRIOR windows of ``win_s`` seconds, and an
+    event's lateness is how far its own timestamp trails that
+    watermark.  The histogram's tail tells you the watermark delay
+    that bounds your drop rate.
+
+    Scale: the textbook formulation (running max over a GLOBAL arrival
+    order) is a single-partition window — unusable.  This uses the
+    coarse watermark real engines use: one map-side max per arrival
+    window, a cumulative max over the small window-index table (size =
+    time span / win_s, calendar-shaped — NOT event-shaped), and a
+    broadcast join back.  All arithmetic is exact integer epoch
+    seconds."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % delay_s
+        ).alias("delay"),
+    )
+    arr = ev.select(
+        "sec",
+        F.expr(f"(sec + delay) div {win_s}").alias("w"),
+    )
+    wmax = arr.groupBy("w").agg(F.max("sec").alias("mx"))
+    cum = wmax.select(
+        "w",
+        F.max("mx")
+        .over(
+            Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("wm"),
+    )
+    late = (
+        arr.join(F.broadcast(cum), "w")
+        .where(F.col("wm").isNotNull())
+        .select(
+            F.greatest(F.col("wm") - F.col("sec"), F.lit(0)).alias("late_s")
+        )
+    )
+    return late.groupBy(
+        F.expr(f"late_s div {bucket_s}").alias("bucket_min")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def sql_events_lateness_audit(
+    delay_s: int = LATE_DELAY_S,
+    win_s: int = LATE_WIN_S,
+    bucket_s: int = LATE_BUCKET_S,
+) -> str:
+    return f"""
+WITH ev AS (
+  SELECT epoch(ts)::BIGINT AS sec,
+         CAST('0x' || substring(md5(event_id::VARCHAR), 1, 15) AS BIGINT)
+           % {delay_s} AS delay
+  FROM events
+),
+arr AS (SELECT sec, (sec + delay) // {win_s} AS w FROM ev),
+wmax AS (SELECT w, MAX(sec) AS mx FROM arr GROUP BY w),
+cum AS (
+  SELECT w, MAX(mx) OVER (ORDER BY w
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm
+  FROM wmax
+),
+late AS (
+  SELECT greatest(c.wm - a.sec, 0) AS late_s
+  FROM arr a JOIN cum c USING (w)
+  WHERE c.wm IS NOT NULL
+)
+SELECT late_s // {bucket_s} AS bucket_min, COUNT(*) AS n
+FROM late GROUP BY 1
+"""
+
+
+HOLT_T = 14   # forecast horizon window: last T daily observations
+
+
+def events_holt_forecast(
+    spark: SparkSession, sf_dir: str, t_max: int = HOLT_T
+) -> DataFrame:
+    """(event_type, n_days_used, level, trend, forecast): Holt double
+    exponential smoothing (alpha = beta = 1/2) over each event type's
+    daily counts, forecasting the next day — level tracks the smoothed
+    rate, trend the smoothed day-over-day drift.  The capacity-planning
+    companion to events_ewma (which has no trend term and lags ramps).
+
+    alpha = beta = 1/2 makes every smoothing step exact dyadic
+    arithmetic, so the whole recurrence folds in scaled int64: carrying
+    P_t = 4^t * level_t and Q_t = 4^t * trend_t gives the integer
+    recurrence P_t = 2*s*y_t + 2P + 2Q, Q_t = (P_t - 4P + 4Q)/2 (always
+    divisible), s_t = 4*s.  The final divisions by the power-of-two
+    scale are exact in doubles, so level/trend/forecast are
+    bit-identical across engines.  The fold is bounded to the LAST
+    ``t_max`` days (14 -> scale 2^26; the int64 headroom note of
+    q_modularity applies if you raise it past ~25 with huge daily
+    counts).
+
+    Scale: one (type, day) map-side-combinable count, then a per-type
+    fold over <= t_max values — the per-key state is O(1) and the daily
+    table is calendar-sized, orders of magnitude below the event
+    stream."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp"))
+            .cast("string")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = daily.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(F.struct("day", "n"))
+        ).alias("series")
+    )
+    vals = F.transform(F.col("series"), lambda s: s["n"])
+    nall = F.size(vals)
+    tail = F.when(
+        nall > t_max, F.slice(vals, nall - F.lit(t_max - 1), t_max)
+    ).otherwise(vals)
+    init = F.struct(
+        F.lit(0).cast("long").alias("p"),
+        F.lit(0).cast("long").alias("q"),
+        F.lit(0).cast("long").alias("s"),
+    )
+
+    def step(acc, y):
+        seeded = F.struct(
+            y.cast("long").alias("p"),
+            F.lit(0).cast("long").alias("q"),
+            F.lit(1).cast("long").alias("s"),
+        )
+        # division-free form: q_new = (p_new - 4p + 4q)/2 = s*y - p + 3q
+        p_new = F.lit(2) * acc["s"] * y + F.lit(2) * acc["p"] + F.lit(2) * acc["q"]
+        q_new = acc["s"] * y - acc["p"] + F.lit(3) * acc["q"]
+        nxt = F.struct(
+            p_new.cast("long").alias("p"),
+            q_new.cast("long").alias("q"),
+            (acc["s"] * F.lit(4)).alias("s"),
+        )
+        return F.when(acc["s"] == 0, seeded).otherwise(nxt)
+
+    st = F.aggregate(tail, init, step)
+    scale = st["s"].cast("double")
+    return per.select(
+        "event_type",
+        F.size(tail).cast("bigint").alias("n_days_used"),
+        F.round(st["p"].cast("double") / scale, 6).alias("level"),
+        F.round(st["q"].cast("double") / scale, 6).alias("trend"),
+        F.round(
+            (st["p"] + st["q"]).cast("double") / scale, 6
+        ).alias("forecast"),
+    )
+
+
+def sql_events_holt_forecast(t_max: int = HOLT_T) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type,
+         list(n ORDER BY day) AS vals
+  FROM daily GROUP BY event_type
+),
+tails AS (
+  SELECT event_type,
+         CASE WHEN len(vals) > {t_max}
+              THEN list_slice(vals, len(vals) - {t_max - 1}, len(vals))
+              ELSE vals END AS tail
+  FROM per
+),
+folded AS (
+  -- positional LIST accumulator [p, q, s]: struct_pack inside
+  -- list_reduce lateral-binds freshly computed fields over same-named
+  -- acc fields (acc.p in a later field sees the NEW p), silently
+  -- corrupting the recurrence; list construction has no field names
+  -- to clobber.  q recurrence in the division-free form s*y - p + 3q.
+  SELECT event_type, CAST(len(tail) AS BIGINT) AS n_days_used,
+         list_reduce(
+           list_transform(tail, y -> [CAST(y AS BIGINT),
+                                      CAST(0 AS BIGINT),
+                                      CAST(1 AS BIGINT)]),
+           (acc, e) -> [2 * acc[3] * e[1] + 2 * acc[1] + 2 * acc[2],
+                        acc[3] * e[1] - acc[1] + 3 * acc[2],
+                        acc[3] * 4]
+         ) AS st
+  FROM tails
+)
+SELECT event_type, n_days_used,
+       round(st[1]::DOUBLE / st[3], 6) AS level,
+       round(st[2]::DOUBLE / st[3], 6) AS trend,
+       round((st[1] + st[2])::DOUBLE / st[3], 6) AS forecast
+FROM folded
+"""
