@@ -1735,3 +1735,118 @@ scored AS (
 SELECT vec_id, round(mc, 6) AS max_eval_cos, mc >= {tau} AS flagged
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (Cormode & Muthukrishnan) + overestimate
+# audit against exact counts.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """(term, exact_n, cms_est, over_err): the top-k corpus tokens by
+    exact frequency, alongside the count-min-sketch estimate from a d x w
+    register table and the sketch's overestimate (cms_est >= exact_n
+    always — CMS errs only upward).  The streaming-frequency workhorse:
+    the register table is d*w MERGEABLE integers, so per-shard sketches
+    from 1000 executors combine by elementwise addition while the exact
+    count needs a full token shuffle.
+
+    Plan: exact counts are one map-side-combinable groupBy (the sketch is
+    DERIVED from the count table — vocab-sized, not corpus-sized work);
+    the register build is a vocab x d explode into a d*w-row aggregate;
+    estimation joins the top-k candidates against the BROADCAST register
+    table (d*w rows).  Hashes are 60-bit md5 prefixes mod w — the same
+    engine-portable integer idiom as the md5-bucket samplers, so the
+    DuckDB twin is bit-exact.  At production scale the top-k candidate
+    set comes from per-partition Misra-Gries pre-aggregation rather than
+    the exact table (documented seam; the exact table here is what makes
+    the sketch auditable)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " +")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    rows = counts.select(
+        "term",
+        "n",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    )
+    cells = rows.select(
+        "term",
+        "n",
+        "r",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("r").cast("string"), F.lit(":"), F.col("term")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(w),
+        ).alias("col"),
+    )
+    reg = cells.groupBy("r", "col").agg(F.sum("n").alias("cnt"))
+    topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(k)
+    out = (
+        topk.join(cells.select("term", "r", "col"), "term")
+        .join(F.broadcast(reg), ["r", "col"])
+        .groupBy("term", "n")
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .select(
+            "term",
+            F.col("n").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n")).cast("bigint").alias("over_err"),
+        )
+    )
+    counts.unpersist()
+    return out
+
+
+def sql_cms_heavy_hitters(
+    d: int = CMS_D, w: int = CMS_W, k: int = CMS_TOPK
+) -> str:
+    return f"""
+WITH counts AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, ' +')) AS term
+        FROM documents)
+  GROUP BY term
+),
+cells AS (
+  SELECT term, n, r,
+         CAST('0x' || substring(
+           md5(CAST(r AS VARCHAR) || ':' || term), 1, 15) AS BIGINT) % {w}
+           AS col
+  FROM counts, (SELECT unnest(range({d})) AS r)
+),
+reg AS (SELECT r, col, SUM(n) AS cnt FROM cells GROUP BY r, col),
+topk AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {k})
+SELECT t.term, t.n AS exact_n,
+       CAST(MIN(g.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(g.cnt) - t.n AS BIGINT) AS over_err
+FROM topk t
+JOIN cells c ON c.term = t.term
+JOIN reg g ON g.r = c.r AND g.col = c.col
+GROUP BY t.term, t.n
+"""

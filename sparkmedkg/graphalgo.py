@@ -3140,3 +3140,241 @@ SELECT src AS CUI, a AS comm, k, c AS best_comm, gain_scaled,
        gain_scaled > 0 AS move
 FROM lg_scored WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Lehman color refinement (1-WL / canonical node signatures).
+# ---------------------------------------------------------------------------
+
+WL_ROUNDS = 2
+
+
+def q_wl_colors(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = WL_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, wl_color): per-node color after ``rounds`` of 1-WL refinement
+    — color_{k+1}(v) = md5(color_k(v) || '|' || sorted multiset of neighbor
+    colors).  Initial color is the degree.  Nodes with the same final
+    color are 1-WL-indistinguishable: the standard structural-role
+    signature (graph-isomorphism screening, GNN expressivity baseline,
+    role-based node dedup over a KG).
+
+    Determinism: the neighbor multiset is sorted before hashing, so the
+    color is independent of partitioning/arrival order; md5 matches
+    bit-for-bit across engines.  Scale: each round is ONE edge join + ONE
+    groupBy(src) collect of neighbor colors (fan-in bounded by degree;
+    a 10^7-degree hub's collected list is the same hub-cap problem as
+    neighbor-Jaccard — cap or hash-chunk hubs past a threshold and log
+    what was truncated).  Rounds are few and fixed (1-WL stabilizes in
+    <= diameter rounds; 2 suffices for role signatures)."""
+    edges = _edges(spark, sf_dir, min_docs)
+    colors = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .select("src", F.col("deg").cast("string").alias("color"))
+    )
+    for _ in range(rounds):
+        nbr = (
+            edges.join(
+                colors.select(
+                    F.col("src").alias("dst"), F.col("color").alias("ncolor")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("ncolor")), ","
+                ).alias("nbrs")
+            )
+        )
+        colors = colors.join(nbr, "src").select(
+            "src",
+            F.md5(F.concat(F.col("color"), F.lit("|"), F.col("nbrs"))).alias(
+                "color"
+            ),
+        )
+    return colors.select(F.col("src").alias("CUI"), F.col("color").alias("wl_color"))
+
+
+def sql_wl_colors(rounds: int = WL_ROUNDS, min_docs: int = PR_MIN_DOCS) -> str:
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""wl_n{k} AS (
+  SELECT e.src, string_agg(c.color, ',' ORDER BY c.color) AS nbrs
+  FROM edges e JOIN wl_c{k - 1} c ON c.src = e.dst
+  GROUP BY e.src
+),
+wl_c{k} AS (
+  SELECT c.src, md5(c.color || '|' || n.nbrs) AS color
+  FROM wl_c{k - 1} c JOIN wl_n{k} n ON n.src = c.src
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+wl_c0 AS (
+  SELECT src, CAST(CAST(COUNT(*) AS BIGINT) AS VARCHAR) AS color
+  FROM edges GROUP BY src
+),
+{unrolled}
+SELECT src AS CUI, color AS wl_color FROM wl_c{rounds}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-star connected components (Kiveris et al., "Connected Components in
+# MapReduce and Beyond" — alternating large-star / small-star).
+# ---------------------------------------------------------------------------
+
+TWOSTAR_MAX_ROUNDS = 12
+
+
+def q_cc_twostar(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = TWOSTAR_MAX_ROUNDS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, component): connected components by alternating large-star /
+    small-star rounds (Kiveris et al. 2014) — the O(log^2 n)-round CC
+    algorithm whose round count tracks log(component size), NOT graph
+    diameter, unlike min-label propagation (kg_canonical_cc_distributed's
+    loop): on a 10^9-node path-shaped web graph label propagation needs
+    ~diameter rounds while two-star needs ~30.  Component id is the
+    component's minimum node id, so the output is bit-identical to the
+    min-reach oracle.
+
+    Each round is groupBy(v) -> min + one fan-out join; edges only ever
+    SHRINK toward stars (total edge count is non-increasing), so late
+    rounds are nearly free.  Convergence is checked with one tiny
+    symmetric-difference action per round pair (the paper's termination:
+    small-star produces no change); lineage is truncated every round via
+    localCheckpoint."""
+    edges = _edges(spark, sf_dir, min_docs)
+    # canonical unordered pairs (a < b), distinct by construction of `und`.
+    pairs = edges.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        sym = pairs.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).unionByName(pairs.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        # large-star(v): every neighbor u > v links to m = min(N(v) + {v}).
+        mins = sym.groupBy("v").agg(F.min("u").alias("mn"))
+        mins = mins.select("v", F.least(F.col("v"), F.col("mn")).alias("m"))
+        pairs = (
+            sym.join(mins, "v")
+            .where(F.col("u") > F.col("v"))
+            .select(F.col("m").alias("a"), F.col("u").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star(v): v and its smaller neighbors all link to the min
+        # of the smaller neighborhood.
+        sym = pairs.select(
+            F.col("a").alias("v"), F.col("b").alias("u")
+        ).unionByName(pairs.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        smaller = sym.where(F.col("u") < F.col("v"))
+        mins = smaller.groupBy("v").agg(F.min("u").alias("m"))
+        nxt = (
+            smaller.join(mins, "v")
+            .where(F.col("u") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("u").alias("b"))
+            .unionByName(mins.select(F.col("m").alias("a"), F.col("v").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        done = nxt.exceptAll(pairs).isEmpty() and pairs.exceptAll(nxt).isEmpty()
+        pairs = nxt
+        if done:
+            break
+    # converged: every pair is (component_min, node).
+    return (
+        pairs.select(F.col("b").alias("CUI"), F.col("a").alias("component"))
+        .unionByName(
+            pairs.select(F.col("a").alias("CUI"), F.col("a").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def sql_cc_twostar(min_docs: int = PR_MIN_DOCS) -> str:
+    # The oracle is the exact fixpoint the algorithm converges to:
+    # component = min reachable node id (recursive min-reach CTE, the
+    # same shape as kgoracle.sql_canonical_cc).
+    return f"""
+WITH RECURSIVE {sql_cooccur_edges_cte(min_docs)},
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS CUI, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-node butterfly counts over the bipartite doc-CUI incidence graph.
+# ---------------------------------------------------------------------------
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(CUI, bf): butterflies (2x2 bicliques) through each concept in the
+    bipartite document-CUI incidence graph — bf(u) = sum over concepts v
+    sharing >= 2 documents with u of C(codeg(u, v), 2).  The bipartite
+    analogue of the triangle count: the butterfly density drives bipartite
+    clustering coefficients and detects template/boilerplate concept
+    blocks (many docs x many concepts all pairwise co-incident).
+
+    Plan: co-degree pairs ride the SAME doc-keyed self-join as the
+    co-occurrence edge builder (one shuffle on doc id, hot docs are the
+    usual skew point — AQE splits them); C(cd, 2) is row-local integer
+    math; the per-node rollup is one map-side-combinable SUM.  All-BIGINT,
+    hash-stable."""
+    dc = relations._doc_cui(spark, sf_dir)
+    a = dc.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
+    b = dc.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
+    codeg = (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cd"))
+        .where(F.col("cd") >= 2)
+    )
+    prs = codeg.select(
+        "x", "y", F.expr("cd * (cd - 1) div 2").alias("bf")
+    )
+    return (
+        prs.select(F.col("x").alias("CUI"), "bf")
+        .unionByName(prs.select(F.col("y").alias("CUI"), "bf"))
+        .groupBy("CUI")
+        .agg(F.sum("bf").cast("bigint").alias("bf"))
+    )
+
+
+def sql_butterflies() -> str:
+    return f"""
+WITH {relations.sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{relations._links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+codeg AS (
+  SELECT a.cui AS x, b.cui AS y, CAST(COUNT(*) AS BIGINT) AS cd
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui
+  HAVING COUNT(*) >= 2
+),
+prs AS (SELECT x, y, cd * (cd - 1) // 2 AS bf FROM codeg)
+SELECT cui AS CUI, CAST(SUM(bf) AS BIGINT) AS bf
+FROM (SELECT x AS cui, bf FROM prs UNION ALL SELECT y, bf FROM prs)
+GROUP BY cui
+"""
