@@ -1850,3 +1850,147 @@ JOIN cells c ON c.term = t.term
 JOIN reg g ON g.r = c.r AND g.col = c.col
 GROUP BY t.term, t.n
 """
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords (Mihalcea & Tarau) over the word-adjacency graph.
+# ---------------------------------------------------------------------------
+
+TR_ITERS = 3
+TR_DAMPING = 0.85
+TR_MIN_PAIR = 2   # adjacency support floor — drops hapax edges
+TR_TOPK = 30
+
+
+def textrank_keywords(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = TR_ITERS,
+    damping: float = TR_DAMPING,
+    min_pair: int = TR_MIN_PAIR,
+    topk: int = TR_TOPK,
+) -> DataFrame:
+    """(term, score): corpus-level TextRank — PageRank over the undirected
+    word graph whose edges are token adjacencies with support >= min_pair,
+    top-k by score.  The graph-based complement to RAKE (degree/frequency
+    scoring) and tf-idf: a word ranks high when its NEIGHBORS rank high,
+    which surfaces connective domain vocabulary frequency alone misses.
+
+    Plan: the bigram edge build is one posexplode + one (doc, pos+1)
+    self-join fused on the doc key + one pair groupBy — the same shape as
+    kneser_ney's bigram table; the graph is VOCAB-sized, so the PR
+    iterations (broadcast-join rank against edges, grouped sum) never
+    touch the corpus again.  Doubles survive the cross-engine gate the
+    same way pagerank's do: values O(1/|V|), reassociation error O(1e-17),
+    output rounded at 6; top-k ordering breaks ties on the term."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " +")).alias(
+            "pos", "term"
+        ),
+    )
+    a = ex.select("doc_id", "pos", F.col("term").alias("ta"))
+    b = ex.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("tb")
+    )
+    und = (
+        a.join(b, ["doc_id", "pos"])
+        .where(F.col("ta") != F.col("tb"))
+        .select(
+            F.least("ta", "tb").alias("x"), F.greatest("ta", "tb").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_pair)
+        .select("x", "y")
+    )
+    edges = und.select(F.col("x").alias("src"), F.col("y").alias("dst")).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    ed = edges.join(deg, "src").persist()
+    nodes = ed.select(F.col("src").alias("term")).distinct().persist()
+    n = nodes.count()
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["term"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["term"] == contrib["dst"], "left"
+        ).select(
+            "term",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    out = (
+        ranks.select("term", F.round("pr", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(topk)
+        .localCheckpoint(eager=True)
+    )
+    ed.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def sql_textrank_keywords(
+    iters: int = TR_ITERS,
+    damping: float = TR_DAMPING,
+    min_pair: int = TR_MIN_PAIR,
+    topk: int = TR_TOPK,
+) -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""tr_r{k} AS (
+  SELECT n.term,
+         (1 - {damping}) / (SELECT n FROM tr_n)
+         + {damping} * COALESCE(c.s, 0) AS pr
+  FROM tr_nodes n LEFT JOIN (
+    SELECT e.dst AS term, SUM(p.pr / dg.deg) AS s
+    FROM tr_edges e
+    JOIN tr_r{k - 1} p ON e.src = p.term
+    JOIN tr_deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) c ON c.term = n.term
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest([{{'pos': i - 1, 'term': t[i]}}
+                 for i in generate_series(1, len(t))]) AS u
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+),
+flat AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM ex),
+und AS (
+  SELECT least(a.term, b.term) AS x, greatest(a.term, b.term) AS y
+  FROM flat a JOIN flat b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term <> b.term
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_pair}
+),
+tr_edges AS (SELECT x AS src, y AS dst FROM und
+             UNION ALL SELECT y, x FROM und),
+tr_deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+           FROM tr_edges GROUP BY src),
+tr_nodes AS (SELECT DISTINCT src AS term FROM tr_edges),
+tr_n AS (SELECT COUNT(*) AS n FROM tr_nodes),
+tr_r0 AS (SELECT term, 1.0 / (SELECT n FROM tr_n) AS pr FROM tr_nodes),
+{unrolled}
+SELECT term, round(pr, 6) AS score
+FROM tr_r{iters}
+ORDER BY score DESC, term LIMIT {topk}
+"""

@@ -584,3 +584,77 @@ FROM pairs p
 JOIN h ha ON ha.doc_id = p.a
 JOIN h hb ON hb.doc_id = p.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Memorization-risk audit: test-split shingles already present in train.
+# ---------------------------------------------------------------------------
+
+
+def memorization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (n_test_shingles, n_leaked, leak_ppm): of the DISTINCT k-word
+    shingles in the test split, how many also appear in the train split —
+    the shingle-level memorization exposure (split_leakage counts leaking
+    DOC PAIRS; this counts the verbatim n-gram surface a model could
+    regurgitate at eval time, the Lee et al. dedup-reduces-memorization
+    framing).  Splits are the md5-bucket manifest (trainprep), so the
+    number is stable as the corpus grows.
+
+    Plan: both shingle sets are distinct-reduced before the join
+    (map-side combinable); the semi-join keys on the shingle string and
+    the rollup is a 1-row aggregate.  At 100 TB swap the string key for
+    its 60-bit md5 prefix — same join, 8-byte keys (documented seam).
+    All-BIGINT output; ppm by integer division."""
+    from sparkmedkg.corpusops import DECON_K, _shingles_k
+    from sparkmedkg.trainprep import SPLIT_BOUNDS_BP, _bucket_col
+
+    lo, hi = SPLIT_BOUNDS_BP
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = F.explode(_shingles_k("text", DECON_K)).alias("shingle")
+    test_sh = (
+        docs.where(_bucket_col() >= hi).select(sh).distinct()
+    )
+    train_sh = (
+        docs.where(_bucket_col() < lo).select(sh).distinct()
+    )
+    leaked = test_sh.join(train_sh, "shingle", "left_semi")
+    return (
+        test_sh.agg(F.count(F.lit(1)).cast("bigint").alias("n_test_shingles"))
+        .crossJoin(
+            leaked.agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked"))
+        )
+        .select(
+            "n_test_shingles",
+            "n_leaked",
+            F.expr("n_leaked * 1000000 div n_test_shingles")
+            .cast("bigint")
+            .alias("leak_ppm"),
+        )
+    )
+
+
+def sql_memorization_audit() -> str:
+    from sparkmedkg.corpusops import DECON_K, _sql_shingles_k
+    from sparkmedkg.trainprep import SAMPLE_MOD, SPLIT_BOUNDS_BP
+
+    lo, hi = SPLIT_BOUNDS_BP
+    bucket = (
+        "(CAST('0x' || substring(md5(doc_id::VARCHAR), 1, 15) AS BIGINT) "
+        f"% {SAMPLE_MOD})"
+    )
+    return f"""
+WITH test_sh AS (
+  SELECT DISTINCT unnest({_sql_shingles_k('text', DECON_K)}) AS shingle
+  FROM documents WHERE {bucket} >= {hi}
+),
+train_sh AS (
+  SELECT DISTINCT unnest({_sql_shingles_k('text', DECON_K)}) AS shingle
+  FROM documents WHERE {bucket} < {lo}
+),
+leaked AS (SELECT shingle FROM test_sh WHERE shingle IN
+           (SELECT shingle FROM train_sh))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM test_sh) AS n_test_shingles,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM leaked) AS n_leaked,
+       CAST((SELECT COUNT(*) FROM leaked) * 1000000
+            // (SELECT COUNT(*) FROM test_sh) AS BIGINT) AS leak_ppm
+"""

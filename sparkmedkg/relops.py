@@ -3770,3 +3770,95 @@ SELECT event_type, n_days_used,
        round((st[1] + st[2])::DOUBLE / st[3], 6) AS forecast
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# Bot-likelihood scoring from inter-arrival regularity.
+# ---------------------------------------------------------------------------
+
+BOT_MIN_GAPS = 5     # users with fewer gaps have no regularity signal
+BOT_CV2_TAU = 0.25   # squared coefficient of variation below this = metronome
+
+
+def events_bot_score(
+    spark: SparkSession,
+    sf_dir: str,
+    min_gaps: int = BOT_MIN_GAPS,
+    tau: float = BOT_CV2_TAU,
+) -> DataFrame:
+    """(user_id, n_gaps, mean_gap_s, cv2, bot): per-user inter-arrival
+    regularity — the classic crawler/bot tell: scripted clients fire on a
+    timer, so the squared coefficient of variation of their event gaps
+    (var/mean^2; ~1.0 for a Poisson human, ~0 for a metronome) collapses.
+    ``bot`` flags users with >= min_gaps gaps and cv2 < tau.
+
+    Exactness: gaps are integer epoch seconds; sum(g) telescopes to the
+    user's active span and sum(g^2) <= max_gap * sum(g), so the
+    cv2 = (n*sum_g2 - sum_g^2) / sum_g^2 contingency terms stay inside
+    BIGINT; the single int->double division at the end is IEEE-identical
+    across engines (rounded at 6 for the output column).  Plan: one
+    per-user sort shuffle carries the lag, then a map-side-combinable
+    aggregate — the same single-exchange shape as sessionize."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = (secs - F.lag(secs).over(w)).alias("g")
+    gaps = ev.select("user_id", gap).where(F.col("g").isNotNull())
+    agg = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sg2"),
+    )
+    cv2 = F.round(
+        (
+            (F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg"))
+            .cast("double")
+            / (F.col("sg") * F.col("sg")).cast("double")
+        ),
+        6,
+    )
+    return (
+        agg.where((F.col("n_gaps") >= min_gaps) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            "n_gaps",
+            F.expr("sg div n_gaps").cast("bigint").alias("mean_gap_s"),
+            cv2.alias("cv2"),
+        )
+        .withColumn("bot", F.col("cv2") < tau)
+    )
+
+
+def sql_events_bot_score(
+    min_gaps: int = BOT_MIN_GAPS, tau: float = BOT_CV2_TAU
+) -> str:
+    return f"""
+WITH secs AS (
+  -- whole seconds (epoch_us floor-div 1e6): DuckDB's epoch() keeps the
+  -- fractional part as DOUBLE, Spark's long cast truncates — integerize
+  -- identically on both sides before differencing.
+  SELECT user_id, event_id, ts, epoch_us(ts) // 1000000 AS sec FROM events
+),
+gaps AS (
+  SELECT user_id,
+         sec - lag(sec) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM secs
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+       round((n_gaps * sg2 - sg * sg)::DOUBLE / (sg * sg)::DOUBLE, 6)
+         AS cv2,
+       round((n_gaps * sg2 - sg * sg)::DOUBLE / (sg * sg)::DOUBLE, 6) < {tau}
+         AS bot
+FROM agg
+WHERE n_gaps >= {min_gaps} AND sg > 0
+"""

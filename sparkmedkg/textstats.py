@@ -1039,3 +1039,146 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
          AS suspect
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch + exactness audit.
+# ---------------------------------------------------------------------------
+
+QSK_BUCKETS = 32
+QSK_QS = (50, 90, 99)
+
+
+def len_quantile_sketch(
+    spark: SparkSession, sf_dir: str, b: int = QSK_BUCKETS
+) -> DataFrame:
+    """(q_pct, exact_val, sketch_est, abs_err): P50/P90/P99 of document
+    length (n_chars) from a b-bucket equi-width histogram, audited against
+    the exact order statistic.  The histogram is the MERGEABLE quantile
+    path: per-shard bucket counts from 1000 executors combine by addition
+    (one map-side-combinable groupBy over <= b keys), where the exact
+    quantile needs a global sort — the audit column exists to certify the
+    sketch, the sketch is what runs at 100 TB.
+
+    Exactness discipline: bucket width, bucket index, the ceil-rank
+    need = (q*N + 99) div 100, and the within-bucket interpolation are all
+    BIGINT integer arithmetic, so both engines agree bit-for-bit; the
+    exact column is the value at sorted rank `need` (deterministic under
+    ties because ties share the value)."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    hist = (
+        docs.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(n_chars - lo) div ((hi - lo) div {b} + 1)").alias(
+                "bucket"
+            ),
+            "lo",
+            F.expr(f"(hi - lo) div {b} + 1").alias("width"),
+            "n",
+        )
+        .groupBy("bucket", "lo", "width", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    qs = spark.createDataFrame(
+        [(int(q),) for q in QSK_QS], "q_pct bigint"
+    )
+    need = F.expr("(q_pct * n + 99) div 100").alias("need")
+    cand = (
+        qs.crossJoin(F.broadcast(cum))
+        .select("q_pct", "bucket", "lo", "width", "cnt", "cum", "n", need)
+        .where(F.col("cum") >= F.col("need"))
+    )
+    w = Window.partitionBy("q_pct").orderBy("bucket")
+    est = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "q_pct",
+            F.expr(
+                "lo + bucket * width"
+                " + ((need - (cum - cnt)) * width) div (cnt + 1)"
+            )
+            .cast("bigint")
+            .alias("sketch_est"),
+            "need",
+        )
+    )
+    ranked = docs.select("n_chars").withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_chars"))
+    )
+    exact = est.join(
+        ranked, ranked["rn"] == est["need"]
+    ).select(
+        "q_pct",
+        F.col("n_chars").cast("bigint").alias("exact_val"),
+        "sketch_est",
+    )
+    return exact.select(
+        "q_pct",
+        "exact_val",
+        "sketch_est",
+        F.abs(F.col("sketch_est") - F.col("exact_val"))
+        .cast("bigint")
+        .alias("abs_err"),
+    )
+
+
+def sql_len_quantile_sketch(b: int = QSK_BUCKETS) -> str:
+    qvals = ", ".join(f"({q})" for q in QSK_QS)
+    return f"""
+WITH stats AS (
+  SELECT CAST(MIN(n_chars) AS BIGINT) AS lo,
+         CAST(MAX(n_chars) AS BIGINT) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents
+),
+hist AS (
+  SELECT (d.n_chars - s.lo) // ((s.hi - s.lo) // {b} + 1) AS bucket,
+         s.lo, (s.hi - s.lo) // {b} + 1 AS width, s.n,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents d, stats s
+  GROUP BY 1, 2, 3, 4
+),
+cum AS (
+  SELECT *, SUM(cnt) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES {qvals}) t(q_pct)),
+cand AS (
+  SELECT q.q_pct, c.bucket, c.lo, c.width, c.cnt, c.cum, c.n,
+         (q.q_pct * c.n + 99) // 100 AS need,
+         row_number() OVER (PARTITION BY q.q_pct ORDER BY c.bucket) AS rn
+  FROM qs q JOIN cum c ON c.cum >= (q.q_pct * c.n + 99) // 100
+),
+est AS (
+  SELECT q_pct,
+         CAST(lo + bucket * width
+              + ((need - (cum - cnt)) * width) // (cnt + 1) AS BIGINT)
+           AS sketch_est,
+         need
+  FROM cand WHERE rn = 1
+),
+ranked AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn
+  FROM documents
+)
+SELECT CAST(e.q_pct AS BIGINT) AS q_pct,
+       CAST(r.n_chars AS BIGINT) AS exact_val,
+       e.sketch_est,
+       CAST(abs(e.sketch_est - r.n_chars) AS BIGINT) AS abs_err
+FROM est e JOIN ranked r ON r.rn = e.need
+"""
