@@ -3862,3 +3862,164 @@ SELECT user_id, n_gaps,
 FROM agg
 WHERE n_gaps >= {min_gaps} AND sg > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix of daily event-type volumes.
+# ---------------------------------------------------------------------------
+
+
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ta, tb, n_days, r): Pearson correlation between every pair of
+    event types' DAILY counts over the full calendar (days with no events
+    of a type count as 0 — correlations over the dense series, not the
+    intersection of active days).  The ops-analytics staple: which
+    activity streams move together (shared driver) vs inversely
+    (cannibalization).
+
+    Exactness: daily counts are BIGINT; all five Pearson moments
+    (sum x, sum y, sum xy, sum x^2, sum y^2) stay BIGINT through the
+    per-pair aggregate; r is formed by ONE double division with
+    correctly-rounded IEEE sqrt on each exact variance term — identical
+    across engines, rounded at 6.  Plan: the dense (type x day) matrix is
+    types * days rows (tiny — built by a broadcast cross of the two
+    dimension sets against the counted facts); the pair join keys on the
+    day column of a types-sized table."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"), F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    types = daily.select("t").distinct()
+    days = daily.select("d").distinct()
+    dense = (
+        types.crossJoin(days)
+        .join(daily, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    a = dense.select(
+        F.col("t").alias("ta"), "d", F.col("c").alias("x")
+    )
+    b = dense.select(
+        F.col("t").alias("tb"), "d", F.col("c").alias("y")
+    )
+    m = (
+        a.join(b, "d")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+    )
+    return m.select("ta", "tb", F.col("n").alias("n_days"), r.alias("r"))
+
+
+def sql_events_type_correlation() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type AS t, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT t FROM daily),
+days AS (SELECT DISTINCT d FROM daily),
+dense AS (
+  SELECT ty.t, dy.d, CAST(COALESCE(f.c, 0) AS BIGINT) AS c
+  FROM types ty CROSS JOIN days dy
+  LEFT JOIN daily f ON f.t = ty.t AND f.d = dy.d
+),
+m AS (
+  SELECT a.t AS ta, b.t AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.c) AS BIGINT) AS sx,
+         CAST(SUM(b.c) AS BIGINT) AS sy,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS sxy,
+         CAST(SUM(a.c * a.c) AS BIGINT) AS sx2,
+         CAST(SUM(b.c * b.c) AS BIGINT) AS sy2
+  FROM dense a JOIN dense b ON a.d = b.d AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT ta, tb, n AS n_days,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / (sqrt((n * sx2 - sx * sx)::DOUBLE)
+                          * sqrt((n * sy2 - sy * sy)::DOUBLE)), 6)
+       END AS r
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of per-user activity.
+# ---------------------------------------------------------------------------
+
+
+def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1 row (n_users, total_events, gini): Gini coefficient of the
+    per-user event-count distribution — the audience-concentration
+    number (0 = perfectly even, ->1 = a few power users dominate) that
+    decides whether per-user keys need salting and whether engagement
+    metrics are hostage to a whale cohort.
+
+    Exact rank formula G = 2*sum(i * x_i) / (n * sum(x)) - (n + 1) / n
+    over counts sorted ascending: every term is BIGINT (ties don't
+    matter — equal values commute in the rank sum); two double divisions
+    at the end, rounded at 6.  Plan: per-user counts are one partial-agg
+    shuffle; the rank is a window over the USERS-sized count table (at
+    10^9 users, swap for the histogram-sketch rank — the same
+    bucket-cumulative idiom as the quantile sketch)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    ranked = counts.select(
+        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("six").cast("double")
+        / (F.col("n") * F.col("sx")).cast("double")
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+        6,
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        gini.alias("gini"),
+    )
+
+
+def sql_events_gini() -> str:
+    return """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM counts
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(i * x) AS BIGINT) AS six
+  FROM ranked
+)
+SELECT n AS n_users, sx AS total_events,
+       round(2.0 * six::DOUBLE / (n * sx)::DOUBLE
+             - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
+FROM agg
+"""

@@ -1182,3 +1182,78 @@ SELECT CAST(e.q_pct AS BIGINT) AS q_pct,
        CAST(abs(e.sketch_est - r.n_chars) AS BIGINT) AS abs_err
 FROM est e JOIN ranked r ON r.rn = e.need
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-document novelty vs the rest of the corpus.
+# ---------------------------------------------------------------------------
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_shared, novelty_ppm): per document, its
+    distinct k-word shingles, how many of them also occur in ANY other
+    document, and the novel fraction in ppm — the inverse-boilerplate
+    signal: low novelty marks template/syndicated text that per-pair
+    near-dup detectors only catch when a specific partner exceeds tau,
+    and a data-mixing pass up-weights high-novelty docs.
+
+    Plan: per-doc distinct shingles once (row-local HOF, the shared
+    _shingles_k idiom); shingle document frequency is one
+    map-side-combinable groupBy; the join back keys on the shingle and
+    immediately re-aggregates to doc_id — two shuffles total, both on
+    keys that partial-agg collapses.  At 10^12 docs the shingle string
+    key swaps for its 60-bit md5 prefix (same seam as the memorization
+    audit).  All-BIGINT; ppm by integer division."""
+    from sparkmedkg.corpusops import DECON_K, _shingles_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dsh = docs.select(
+        "doc_id", F.explode(_shingles_k("text", DECON_K)).alias("shingle")
+    )
+    df_s = dsh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    per_doc = (
+        dsh.join(df_s, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        F.expr("(n_shingles - n_shared) * 1000000 div n_shingles")
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )
+
+
+def sql_doc_novelty() -> str:
+    from sparkmedkg.corpusops import DECON_K, _sql_shingles_k
+
+    return f"""
+WITH dsh AS (
+  SELECT doc_id, unnest({_sql_shingles_k('text', DECON_K)}) AS shingle
+  FROM documents
+),
+df_s AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM dsh GROUP BY shingle
+),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM dsh d JOIN df_s f ON f.shingle = d.shingle
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       CAST((n_shingles - n_shared) * 1000000 // n_shingles AS BIGINT)
+         AS novelty_ppm
+FROM per_doc
+"""
