@@ -203,6 +203,26 @@ BENCH_QUERIES = {
     "ann_jl_topk": simsearch.jl_topk,
     "er_phonetic_keys": er.phonetic_keys,
     "text_heaps_law": textstats.heaps_law,
+    # round-3 fourteenth-seventeenth batch: privacy/noise audits, WL
+    # signatures, two-star CC, CMS, TextRank, quantile sketch, FastSS,
+    # correlation/Gini, novelty
+    "kg_louvain_gain": graphalgo.q_louvain_gain,
+    "kg_eccentricity": graphalgo.q_eccentricity,
+    "events_lateness_audit": relops.events_lateness_audit,
+    "events_holt_forecast": relops.events_holt_forecast,
+    "metric_dedup_ensemble": metrics.dedup_ensemble,
+    "kg_wl_colors": graphalgo.q_wl_colors,
+    "kg_cc_twostar": graphalgo.q_cc_twostar,
+    "kg_butterflies": graphalgo.q_butterflies,
+    "corpus_cms_heavy_hitters": corpusops.cms_heavy_hitters,
+    "events_bot_score": relops.events_bot_score,
+    "metric_memorization_audit": metrics.memorization_audit,
+    "corpus_textrank_keywords": corpusops.textrank_keywords,
+    "text_len_quantile_sketch": textstats.len_quantile_sketch,
+    "er_fastss_pairs": er.fastss_pairs,
+    "events_type_correlation": relops.events_type_correlation,
+    "events_gini": relops.events_gini,
+    "text_doc_novelty": textstats.doc_novelty,
 }
 
 

@@ -478,3 +478,106 @@ SELECT n.node, CAST(0 AS BIGINT) AS layer
 FROM nodes n LEFT JOIN inner_layers i ON i.node = n.node
 WHERE i.node IS NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Wu-Palmer subsumption similarity per concept pair.
+# ---------------------------------------------------------------------------
+
+def wu_palmer(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(a, b, lca, d_lca, wp_ppm): Wu-Palmer similarity for every leaf
+    concept pair — sim = 2*N3 / (N1 + N2 + 2*N3), with N1/N2 the IS_A
+    hops from each concept up to the LCA (lca_pairs' da/db) and N3 the
+    LCA's own depth below the root (its max min-hop distance to any root
+    — the deepest-root convention keeps multi-root DAGs deterministic).
+    The ontology-similarity number (UMLS::Similarity's wup) that
+    concept-level dedup and retrieval expansion threshold on.
+
+    Kept EXACT: hops are integers, so the similarity is a rational —
+    emitted in ppm by integer division, no float anywhere.  Plan:
+    composes the already-gated lca_pairs output with one broadcast
+    root-depth lookup; everything is ontology-sized."""
+    closure = ontology_closure(spark)
+    children = _edges_df(spark).select("cui").distinct()
+    roots = (
+        _edges_df(spark)
+        .select(F.col("ancestor").alias("cui"))
+        .distinct()
+        .join(children, "cui", "left_anti")
+    )
+    d3 = (
+        closure.join(
+            roots.select(F.col("cui").alias("ancestor")), "ancestor"
+        )
+        .groupBy("cui")
+        .agg(F.max("min_depth").cast("bigint").alias("d_lca"))
+    )
+    lp = lca_pairs(spark, sf_dir)
+    return (
+        lp.join(
+            F.broadcast(d3.select(F.col("cui").alias("lca"), "d_lca")),
+            "lca",
+            "left",
+        )
+        .na.fill({"d_lca": 0})  # the LCA is itself a root
+        .select(
+            "a",
+            "b",
+            "lca",
+            "d_lca",
+            F.expr("2 * d_lca * 1000000 div (da + db + 2 * d_lca)")
+            .cast("bigint")
+            .alias("wp_ppm"),
+        )
+    )
+
+
+def sql_wu_palmer() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+closure AS (SELECT cui, ancestor, MIN(d) AS d FROM reach GROUP BY cui, ancestor),
+members AS (
+  SELECT DISTINCT cui FROM (SELECT cui FROM hier UNION ALL SELECT ancestor FROM hier)
+),
+anc AS (
+  SELECT cui, ancestor, d FROM closure
+  UNION ALL SELECT cui, cui, 0 FROM members
+),
+leaves AS (SELECT DISTINCT cui FROM hier),
+pairs AS (
+  SELECT x.cui AS a, y.cui AS b FROM leaves x JOIN leaves y ON x.cui < y.cui
+),
+j AS (
+  SELECT p.a, p.b, ca.ancestor, ca.d AS da, cb.d AS db
+  FROM pairs p
+  JOIN anc ca ON ca.cui = p.a
+  JOIN anc cb ON cb.cui = p.b AND cb.ancestor = ca.ancestor
+),
+r AS (
+  SELECT a, b, ancestor, da, db,
+         ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY da + db, ancestor) AS rk
+  FROM j
+),
+lca AS (SELECT a, b, ancestor AS lca, da, db FROM r WHERE rk = 1),
+roots AS (
+  SELECT DISTINCT ancestor AS cui FROM hier
+  WHERE ancestor NOT IN (SELECT cui FROM hier)
+),
+d3 AS (
+  SELECT c.cui, CAST(MAX(c.d) AS BIGINT) AS d_lca
+  FROM closure c JOIN roots ro ON ro.cui = c.ancestor
+  GROUP BY c.cui
+)
+SELECT l.a, l.b, l.lca,
+       CAST(COALESCE(d3.d_lca, 0) AS BIGINT) AS d_lca,
+       CAST(2 * COALESCE(d3.d_lca, 0) * 1000000
+            // (l.da + l.db + 2 * COALESCE(d3.d_lca, 0)) AS BIGINT)
+         AS wp_ppm
+FROM lca l LEFT JOIN d3 ON d3.cui = l.lca
+"""

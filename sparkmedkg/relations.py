@@ -1068,3 +1068,106 @@ SELECT src, dst, n_ab,
          AS t_score
 FROM j
 """
+
+
+def q_llr_scores(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(src, dst, n_ab, llr): Dunning's log-likelihood ratio (G^2) per
+    co-occurring concept pair — the collocation statistic of record for
+    SPARSE counts (Dunning 1993): chi-square's normal approximation
+    overstates significance exactly where web corpora live (rare events),
+    while G^2 stays calibrated.  Completes the significance family next
+    to PMI (q_pmi_edges) and chi-square/t (q_collocation_scores).
+
+    G^2 = 2 * sum over the 2x2 contingency cells of O*ln(O/E), with
+    0*ln(0) = 0.  Determinism: the four cells and marginals are exact
+    BIGINTs; the four ln terms are combined in one fixed-order closed-form
+    expression (no accumulation across rows), rounded at 6 — the same
+    cross-engine argument as q_pmi_edges.  Plan: identical to
+    q_collocation_scores (one pair groupBy, broadcast marginals)."""
+    doc_cui = _doc_cui(spark, sf_dir)
+    n_docs = doc_cui.select("url").distinct().count()
+    marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("dst"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_docs)
+    )
+    N = F.lit(float(n_docs))
+    o11 = F.col("n_ab").cast("double")
+    o12 = (F.col("n_a") - F.col("n_ab")).cast("double")
+    o21 = (F.col("n_b") - F.col("n_ab")).cast("double")
+    o22 = N - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+    e11 = F.col("n_a") * F.col("n_b") / N
+    e12 = F.col("n_a") * (N - F.col("n_b")) / N
+    e21 = (N - F.col("n_a")) * F.col("n_b") / N
+    e22 = (N - F.col("n_a")) * (N - F.col("n_b")) / N
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    llr = F.lit(2.0) * (
+        term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("src"), F.col("n_c").alias("n_a"))
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("dst"), F.col("n_c").alias("n_b"))
+            ),
+            "dst",
+        )
+        .select("src", "dst", "n_ab", F.round(llr, 6).alias("llr"))
+    )
+
+
+def sql_llr_scores(min_docs: int = PR_MIN_DOCS) -> str:
+    def term(o, e):
+        return f"CASE WHEN {o} > 0 THEN ({o})::DOUBLE * ln(({o})::DOUBLE / ({e})) ELSE 0.0 END"
+
+    o11, o12, o21, o22 = (
+        "n_ab",
+        "n_a - n_ab",
+        "n_b - n_ab",
+        "N - n_a - n_b + n_ab",
+    )
+    e11 = "n_a * n_b / N"
+    e12 = "n_a * (N - n_b) / N"
+    e21 = "(N - n_a) * n_b / N"
+    e22 = "(N - n_a) * (N - n_b) / N"
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+nn AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n FROM doc_cui),
+marg AS (SELECT cui, COUNT(*) AS n_c FROM doc_cui GROUP BY cui),
+pairs AS (
+  SELECT a.cui AS src, b.cui AS dst, COUNT(*) AS n_ab
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY a.cui, b.cui HAVING COUNT(*) >= {min_docs}
+),
+j AS (
+  SELECT p.src, p.dst, p.n_ab, ma.n_c AS n_a, mb.n_c AS n_b, nn.n AS N
+  FROM pairs p JOIN marg ma ON p.src = ma.cui
+               JOIN marg mb ON p.dst = mb.cui
+               CROSS JOIN nn
+)
+SELECT src, dst, n_ab,
+       round(2.0 * ({term(o11, e11)} + {term(o12, e12)}
+                    + {term(o21, e21)} + {term(o22, e22)}), 6) AS llr
+FROM j
+"""

@@ -4023,3 +4023,137 @@ SELECT n AS n_users, sx AS total_events,
              - (n + 1)::DOUBLE / n::DOUBLE, 6) AS gini
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: signup -> first purchase.
+# ---------------------------------------------------------------------------
+
+
+def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_risk, n_events, km_survival): Kaplan-Meier estimate of
+    time-to-first-purchase for the signup cohort, with right-censoring at
+    each non-converting user's last observed event — the
+    censoring-correct conversion curve (a naive conversion rate
+    UNDERCOUNTS because recent signups haven't had time to convert; KM is
+    how growth teams read time-to-value).
+
+    One row per day with >= 1 conversion: the at-risk count, events that
+    day, and S(day) = prod over event days <= day of (1 - d/n).
+    Exactness: durations are whole-day integers off whole-second epochs
+    (the bot-score integerization); d and n are BIGINT; S is an ORDERED
+    running sum of ln terms inside a window both engines evaluate in the
+    same row order, rounded at 6 (the pagerank double argument).  Plan:
+    three per-user aggregates (first signup, first qualifying purchase,
+    last seen) ride one user-keyed shuffle each; the at-risk counts join
+    the users-sized table against the BROADCAST event-day list (days are
+    calendar-bounded)."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    su = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("t0"))
+    )
+    pu = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("tp"))
+        .join(su, "user_id")
+        .where(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    last = ev.groupBy("user_id").agg(F.max(sec).alias("tl"))
+    users = (
+        su.join(pu, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            "user_id",
+            F.col("tp").isNotNull().alias("observed"),
+            F.expr(
+                "CASE WHEN tp IS NOT NULL THEN (tp - t0) div 86400 "
+                "ELSE (tl - t0) div 86400 END"
+            )
+            .cast("bigint")
+            .alias("t_days"),
+        )
+    )
+    days = (
+        users.where("observed")
+        .groupBy(F.col("t_days").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    risk = (
+        users.crossJoin(F.broadcast(days.select("day")))
+        .where(F.col("t_days") >= F.col("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    term = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    # On the last event day d == n, so the factor is 0 and S collapses to
+    # 0 permanently; ln(0) is undefined (DuckDB errors, Spark nulls the
+    # term and SUM would silently skip it), so guard the log and detect
+    # the collapse with a running MIN over the same frame.
+    km = F.when(F.min(term).over(w) <= 0.0, F.lit(0.0)).otherwise(
+        F.round(
+            F.exp(
+                F.sum(
+                    F.when(term > 0.0, F.log(term)).otherwise(F.lit(0.0))
+                ).over(w)
+            ),
+            6,
+        )
+    )
+    return days.join(risk, "day").select(
+        "day", "n_risk", "n_events", km.alias("km_survival")
+    )
+
+
+def sql_events_survival() -> str:
+    return """
+WITH secs AS (
+  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec FROM events
+),
+su AS (
+  SELECT user_id, MIN(sec) AS t0 FROM secs
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+  SELECT s.user_id, MIN(s.sec) AS tp
+  FROM secs s JOIN su ON su.user_id = s.user_id
+  WHERE s.event_type = 'purchase' AND s.sec > su.t0
+  GROUP BY s.user_id
+),
+last_seen AS (SELECT user_id, MAX(sec) AS tl FROM secs GROUP BY user_id),
+users AS (
+  SELECT su.user_id, pu.tp IS NOT NULL AS observed,
+         CAST(CASE WHEN pu.tp IS NOT NULL THEN (pu.tp - su.t0) // 86400
+                   ELSE (l.tl - su.t0) // 86400 END AS BIGINT) AS t_days
+  FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+  JOIN last_seen l ON l.user_id = su.user_id
+),
+days AS (
+  SELECT t_days AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM users WHERE observed GROUP BY t_days
+),
+risk AS (
+  SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_risk
+  FROM users u JOIN days d ON u.t_days >= d.day
+  GROUP BY d.day
+),
+terms AS (
+  SELECT d.day, r.n_risk, d.n_events,
+         1.0 - d.n_events::DOUBLE / r.n_risk::DOUBLE AS term
+  FROM days d JOIN risk r ON r.day = d.day
+)
+SELECT day, n_risk, n_events,
+       CASE WHEN MIN(term) OVER w <= 0.0 THEN 0.0
+            ELSE round(exp(SUM(CASE WHEN term > 0.0 THEN ln(term)
+                                    ELSE 0.0 END) OVER w), 6)
+       END AS km_survival
+FROM terms
+WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+"""

@@ -1751,3 +1751,47 @@ SELECT vec_id,
          AS BIGINT) AS clipped
 FROM embeddings
 """
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (epsilon-NN / radius query).
+# ---------------------------------------------------------------------------
+
+RANGE_TAU = 0.35
+
+
+def range_search(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, tau: float = RANGE_TAU
+) -> DataFrame:
+    """(vec_id, cos): EVERY vector within cosine >= tau of the query —
+    the radius/epsilon-NN variant of cosine_topk for recall-bound
+    retrieval (dedup sweeps, eval-set contamination scans) where "the k
+    nearest" is the wrong contract because the caller needs ALL matches.
+
+    Filter on the RAW cosine, round only the output column (the
+    mirror_hosts parity rule: rounding before the threshold admits
+    values in [tau - 5e-7, tau) in one engine only).  Plan: one fused
+    map-only projection against the broadcast query row — rides the
+    scan; at 10^12 rows the same predicate pushes inside the IVF/LSH
+    cell-probe paths (bucket first, range-filter inside cells)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    cos = _dot("v", "qv") / (_norm("v") * _norm("qv"))
+    return (
+        emb.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .where(cos >= tau)
+        .select("vec_id", F.round(cos, 6).alias("cos"))
+    )
+
+
+def sql_range_search(query_id: int = 0, tau: float = RANGE_TAU) -> str:
+    dot = _SQL_DOT.format(a="e.v", b="q.qv")
+    cos = f"({dot}) / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='q.qv')})"
+    return f"""
+WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+SELECT vec_id, round({cos}, 6) AS cos
+FROM e, q
+WHERE e.vec_id <> {query_id} AND {cos} >= {tau}
+"""
