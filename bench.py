@@ -223,6 +223,14 @@ BENCH_QUERIES = {
     "events_type_correlation": relops.events_type_correlation,
     "events_gini": relops.events_gini,
     "text_doc_novelty": textstats.doc_novelty,
+    # round-3 eighteenth batch: edge support/bridges, ego density,
+    # path counts, RFM, peak concurrency, burstiness
+    "kg_bridge_edges": graphalgo.q_bridge_edges,
+    "kg_ego_density": graphalgo.q_ego_density,
+    "kg_path_counts": hierarchy.path_counts,
+    "events_rfm_segments": relops.events_rfm_segments,
+    "events_peak_concurrency": relops.events_peak_concurrency,
+    "text_term_burstiness": textstats.term_burstiness,
 }
 
 

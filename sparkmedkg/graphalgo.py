@@ -3378,3 +3378,140 @@ SELECT cui AS CUI, CAST(SUM(bf) AS BIGINT) AS bf
 FROM (SELECT x AS cui, bf FROM prs UNION ALL SELECT y, bf FROM prs)
 GROUP BY cui
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-edge triangle support + local-bridge flag.
+# ---------------------------------------------------------------------------
+
+def q_bridge_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(x, y, support, is_bridge): triangle support of every undirected
+    co-occurrence edge (x < y) — the number of common neighbors of its
+    endpoints — and the local-bridge flag (support = 0).  Support is the
+    quantity k-truss peels on and Granovetter's weak-tie strength proxy;
+    a zero-support edge is a local bridge (removing it lengthens every
+    x-y path to >= 3 hops), marking inter-community connectors that
+    triangle-dense rankings structurally ignore.  The synthetic
+    co-occurrence graph is triangle-dense (no bridges at any threshold —
+    measured, not assumed), so the support COLUMN is the gated signal and
+    the flag is the production seam for sparse real-world graphs.
+
+    Composition: support comes from the SAME degree-oriented triangle
+    enumeration that gates kg_triangles (wedge fan-out bounded by
+    arboricity — hub-skew-proof); a triangle (u,v,w) supports its three
+    normalized edges; edges outside any triangle pick up support 0 via
+    the left join.  Everything is edge-keyed equi-joins over sparse sets
+    — no all-pairs anywhere."""
+    from sparkmedkg import trainprep
+
+    und = (
+        _edges(spark, sf_dir, min_docs)
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    )
+    tris = trainprep.tris_df(spark, sf_dir, min_docs)
+
+    def norm(a, b):
+        return [
+            F.least(F.col(a), F.col(b)).alias("x"),
+            F.greatest(F.col(a), F.col(b)).alias("y"),
+        ]
+
+    support = (
+        tris.select(*norm("u", "v"))
+        .unionByName(tris.select(*norm("u", "w")))
+        .unionByName(tris.select(*norm("v", "w")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return und.join(support, ["x", "y"], "left").select(
+        "x",
+        "y",
+        F.coalesce(F.col("support"), F.lit(0)).cast("bigint").alias("support"),
+        (F.coalesce(F.col("support"), F.lit(0)) == 0).alias("is_bridge"),
+    )
+
+
+def sql_bridge_edges(min_docs: int = PR_MIN_DOCS) -> str:
+    from sparkmedkg.trainprep import sql_tri_cte
+
+    return f"""
+WITH {sql_tri_cte(min_docs)},
+supp AS (
+  SELECT x, y, COUNT(*) AS support FROM (
+    SELECT least(u, v) AS x, greatest(u, v) AS y FROM tris
+    UNION ALL SELECT least(u, w), greatest(u, w) FROM tris
+    UNION ALL SELECT least(v, w), greatest(v, w) FROM tris
+  ) GROUP BY x, y
+)
+SELECT und.x, und.y,
+       CAST(COALESCE(s.support, 0) AS BIGINT) AS support,
+       COALESCE(s.support, 0) = 0 AS is_bridge
+FROM und LEFT JOIN supp s ON s.x = und.x AND s.y = und.y
+"""
+
+
+# ---------------------------------------------------------------------------
+# # Ego-network density (integer-exact ppm).
+# ---------------------------------------------------------------------------
+
+def q_ego_density(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(CUI, deg, ego_edges, ego_density_ppm): density of each node's
+    1-hop ego network — the (deg+1)-node subgraph of the node plus its
+    neighbors.  Its edge count is exactly deg spokes + the node's triangle
+    count (each triangle through the node is one neighbor-neighbor edge),
+    so the whole statistic composes two already-gated primitives (degree,
+    kg_triangles) with a per-node broadcast-scale join.  The standard
+    structural-hole / brokerage signal: low ego density = the node brokers
+    between otherwise-disconnected neighbors.
+
+    Kept EXACT: density = 2*(deg + tri) / ((deg+1)*deg) is a rational of
+    BIGINTs, emitted in ppm by integer division — no float anywhere."""
+    from sparkmedkg import trainprep
+
+    deg = (
+        _edges(spark, sf_dir, min_docs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = trainprep.kg_triangles(spark, sf_dir, min_docs)
+    ego = (
+        F.col("deg") + F.coalesce(F.col("n_triangles"), F.lit(0))
+    ).cast("bigint")
+    return (
+        deg.join(tri.withColumnRenamed("CUI", "src"), "src", "left")
+        .select(
+            F.col("src").alias("CUI"),
+            "deg",
+            ego.alias("ego_edges"),
+            F.expr(
+                "2 * (deg + coalesce(n_triangles, 0)) * 1000000"
+                " div ((deg + 1) * deg)"
+            )
+            .cast("bigint")
+            .alias("ego_density_ppm"),
+        )
+    )
+
+
+def sql_ego_density(min_docs: int = PR_MIN_DOCS) -> str:
+    from sparkmedkg.trainprep import sql_tri_cte
+
+    return f"""
+WITH {sql_tri_cte(min_docs)},
+tcnt AS (
+  SELECT cui, COUNT(*) AS n_triangles
+  FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris)
+  GROUP BY cui
+)
+SELECT d.src AS CUI, d.deg,
+       CAST(d.deg + COALESCE(t.n_triangles, 0) AS BIGINT) AS ego_edges,
+       CAST(2 * (d.deg + COALESCE(t.n_triangles, 0)) * 1000000
+            // ((d.deg + 1) * d.deg) AS BIGINT) AS ego_density_ppm
+FROM deg d LEFT JOIN tcnt t ON t.cui = d.src
+"""

@@ -581,3 +581,74 @@ SELECT l.a, l.b, l.lca,
          AS wp_ppm
 FROM lca l LEFT JOIN d3 ON d3.cui = l.lca
 """
+
+
+# ---------------------------------------------------------------------------
+# Distinct IS_A path counts up to the roots.
+# ---------------------------------------------------------------------------
+
+PATHS_MAX_DEPTH = 12
+
+
+def path_counts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(cui, root, n_paths): how many DISTINCT edge-paths lead from each
+    concept up to each reachable root of the IS_A DAG.  Where the closure
+    answers "is a reachable from b", the path count measures ontology
+    multi-inheritance mass — concepts with many derivation paths are the
+    diamond hot spots that make naive closure materialization explode, so
+    this is the audit you run BEFORE sizing a closure job.
+
+    Length-stratified dynamic program, all BIGINT: L1 = the edge set with
+    multiplicity 1; L(k) extends L(k-1) by one broadcast edge join and
+    compacts with a (cui, anc) grouped SUM, so diamond fan-out costs one
+    integer add, never an enumerated path.  ``PATHS_MAX_DEPTH`` bounds the
+    loop (DAG height; real ontologies ~15); the per-round isEmpty probe is
+    frontier-sized.  Roots = ancestors that are never a child."""
+    edges = _edges_df(spark)
+    step = F.broadcast(
+        edges.select(
+            F.col("cui").alias("_from"), F.col("ancestor").alias("_to")
+        )
+    )
+    level = edges.select(
+        "cui", F.col("ancestor").alias("anc"), F.lit(1).cast("bigint").alias("n")
+    )
+    total = level
+    for _ in range(PATHS_MAX_DEPTH - 1):
+        level = (
+            level.join(step, level["anc"] == step["_from"])
+            .groupBy("cui", F.col("_to").alias("anc"))
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        if level.isEmpty():
+            break
+        total = total.unionByName(level)
+    children = edges.select("cui").distinct()
+    roots = (
+        edges.select(F.col("ancestor").alias("anc"))
+        .distinct()
+        .join(children.withColumnRenamed("cui", "anc"), "anc", "left_anti")
+    )
+    return (
+        total.join(F.broadcast(roots), "anc")
+        .groupBy("cui", F.col("anc").alias("root"))
+        .agg(F.sum("n").cast("bigint").alias("n_paths"))
+    )
+
+
+def sql_path_counts() -> str:
+    return f"""
+WITH RECURSIVE {_sql_hier_cte()},
+walk(cui, anc) AS (
+  SELECT cui, ancestor FROM hier
+  UNION ALL
+  SELECT w.cui, h.ancestor FROM walk w JOIN hier h ON h.cui = w.anc
+),
+roots AS (
+  SELECT DISTINCT ancestor AS anc FROM hier
+  WHERE ancestor NOT IN (SELECT cui FROM hier)
+)
+SELECT w.cui, w.anc AS root, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk w JOIN roots r ON r.anc = w.anc
+GROUP BY w.cui, w.anc
+"""

@@ -4157,3 +4157,198 @@ SELECT day, n_risk, n_events,
 FROM terms
 WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartiles).
+# ---------------------------------------------------------------------------
+
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r_q, f_q, m_q, n_users, total_monetary_micros): users bucketed into
+    the classic 4x4x4 RFM grid — recency (whole days since the user's last
+    event, relative to the corpus max timestamp), frequency (event count),
+    monetary (purchase value summed in integer MICRO-units).  The
+    segmentation every lifecycle-marketing and churn model starts from.
+
+    Determinism: all three per-user measures are BIGINT (days via
+    whole-second epochs, micros via the engine-shared round-half-away cast
+    — the int8_quant convention); quartile assignment reuses the
+    quality_deciles pattern — three exact interpolated-percentile cut
+    arrays in ONE 1-row broadcast (no ntile global sort), bucket = 1 +
+    #{cuts strictly below}.  Plan: one user-keyed shuffle builds the
+    measures, the cut row broadcasts back, the grid groupBy is 64 rows."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    micros = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 1000000.0, 0).cast("bigint"),
+    ).otherwise(F.lit(0))
+    per_user = ev.groupBy("user_id").agg(
+        F.max(sec).alias("last_sec"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum(micros).cast("bigint").alias("mon"),
+    )
+    now = per_user.agg(F.max("last_sec").alias("now_sec"))
+    users = per_user.crossJoin(F.broadcast(now)).select(
+        F.expr("(now_sec - last_sec) div 86400").cast("bigint").alias("rec"),
+        "freq",
+        "mon",
+    )
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = users.agg(
+        F.percentile("rec", qs).alias("rc"),
+        F.percentile("freq", qs).alias("fc"),
+        F.percentile("mon", qs).alias("mc"),
+    )
+
+    def bucket(v, c):
+        return (
+            F.lit(1)
+            + F.aggregate(
+                F.col(c),
+                F.lit(0),
+                lambda acc, cut: acc + F.when(F.col(v) > cut, 1).otherwise(0),
+            )
+        ).cast("int")
+
+    return (
+        users.crossJoin(F.broadcast(cuts))
+        .select(
+            bucket("rec", "rc").alias("r_q"),
+            bucket("freq", "fc").alias("f_q"),
+            bucket("mon", "mc").alias("m_q"),
+            F.col("mon"),
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("mon").cast("bigint").alias("total_monetary_micros"),
+        )
+    )
+
+
+def sql_events_rfm_segments() -> str:
+    return """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 1000000) AS last_sec,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 1000000.0, 0) AS BIGINT)
+                   ELSE 0 END), 0) AS BIGINT) AS mon
+  FROM events GROUP BY user_id
+),
+users AS (
+  SELECT CAST(((SELECT MAX(last_sec) FROM per_user) - last_sec) // 86400
+              AS BIGINT) AS rec,
+         freq, mon
+  FROM per_user
+),
+cuts AS (
+  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
+         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+         quantile_cont(mon, [0.25, 0.5, 0.75]) AS mc
+  FROM users
+),
+assigned AS (
+  SELECT CAST(1 + len(list_filter(rc, c -> rec > c)) AS INT) AS r_q,
+         CAST(1 + len(list_filter(fc, c -> freq > c)) AS INT) AS f_q,
+         CAST(1 + len(list_filter(mc, c -> mon > c)) AS INT) AS m_q,
+         mon
+  FROM users CROSS JOIN cuts
+)
+SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+       CAST(SUM(mon) AS BIGINT) AS total_monetary_micros
+FROM assigned GROUP BY r_q, f_q, m_q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency per day (sweep line, two-phase prefix sum).
+# ---------------------------------------------------------------------------
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_boundaries, peak_concurrent): the maximum number of
+    simultaneously-open sessions observed on each day — the load number
+    that sizes serving capacity, which per-day session COUNTS understate
+    (a day of back-to-back sessions and a day of stacked ones count the
+    same).  Sweep line over session boundaries: +1 at start, -1 just past
+    end (closed intervals), global running sum, max per day.
+
+    The global prefix sum is the pack_sequences two-phase shape: (1) one
+    map-side-combinable per-day net/boundary aggregate, (2) a cumulative
+    window over the DAYS table only (calendar-bounded — never the
+    boundary stream), (3) broadcast the day offsets back and finish with
+    a within-day window.  Tie order inside a day is total
+    (t, delta, user_id, session_idx — ends before starts at the same
+    microsecond), so both engines walk the sweep identically."""
+    sess = events_sessionize(spark, sf_dir)
+    bounds = sess.select(
+        F.col("session_start_us").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    ).unionByName(
+        sess.select(
+            (F.col("session_end_us") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    ).withColumn("day", F.expr("t div 86400000000").cast("bigint"))
+    per_day = bounds.groupBy("day").agg(
+        F.sum("delta").alias("net"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    )
+    day_off = per_day.select(
+        "day",
+        "n_boundaries",
+        F.coalesce(
+            F.sum("net").over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("day_off"),
+    )
+    w_in = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "user_id", "session_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bounds.join(F.broadcast(day_off), "day")
+        .select(
+            "day",
+            "n_boundaries",
+            (F.col("day_off") + F.sum("delta").over(w_in)).alias("run"),
+        )
+        .groupBy("day", "n_boundaries")
+        .agg(F.max("run").cast("bigint").alias("peak_concurrent"))
+    )
+
+
+def sql_events_peak_concurrency() -> str:
+    # builds on sql_events_sessionize() VERBATIM so the session boundaries
+    # provably match the gated sessionize oracle (no twin-drift)
+    return f"""
+WITH sess AS ({sql_events_sessionize()}),
+bounds AS (
+  SELECT session_start_us AS t, 1 AS delta, user_id, session_idx FROM sess
+  UNION ALL
+  SELECT session_end_us + 1, -1, user_id, session_idx FROM sess
+),
+runs AS (
+  SELECT t // 86400000000 AS day,
+         SUM(delta) OVER (ORDER BY t, delta, user_id, session_idx
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM bounds
+),
+nb AS (SELECT t // 86400000000 AS day, CAST(COUNT(*) AS BIGINT)
+           AS n_boundaries FROM bounds GROUP BY 1)
+SELECT r.day, nb.n_boundaries,
+       CAST(MAX(r.run) AS BIGINT) AS peak_concurrent
+FROM runs r JOIN nb ON nb.day = r.day
+GROUP BY r.day, nb.n_boundaries
+"""

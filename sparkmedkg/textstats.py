@@ -1257,3 +1257,78 @@ SELECT doc_id, n_shingles, n_shared,
          AS novelty_ppm
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness (Fano factor of per-document counts).
+# ---------------------------------------------------------------------------
+
+BURST_TOP_TERMS = 20
+
+
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df, total_count, vmr_ppm): variance-to-mean ratio (Fano
+    factor) of each top term's per-document count, zeros included — the
+    Church-Gale burstiness signal.  A term that is Poisson-scattered has
+    VMR ~ 1; content words CLUMP (high VMR) while function words and
+    boilerplate spread evenly (VMR near 1 even at huge counts), so this
+    separates topical vocabulary from glue better than raw frequency —
+    the up-weighting signal keyword extraction and stopword induction
+    both need.
+
+    Kept EXACT: with N docs, S = sum of counts and Q = sum of squared
+    counts (absent docs contribute 0 to both, so the per-doc explode
+    never materializes zeros), population VMR = (N*Q - S^2) / (N*S) — a
+    rational of BIGINTs emitted in ppm by integer division.  Plan: one
+    explode + (term, doc) count, one term rollup, top terms by total
+    count (ties broken by term) via TakeOrdered — two map-side-combinable
+    shuffles over the token stream, N is a 1-row broadcast."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    td = (
+        docs.select(
+            "doc_id", F.explode(_toks()).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return (
+        stats.orderBy(F.desc("s"), F.asc("term"))
+        .limit(BURST_TOP_TERMS)
+        .select(
+            "term",
+            "df",
+            F.col("s").alias("total_count"),
+            F.expr(f"({n_docs} * q - s * s) * 1000000 div ({n_docs} * s)")
+            .cast("bigint")
+            .alias("vmr_ppm"),
+        )
+    )
+
+
+def sql_term_burstiness() -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+td AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS q
+  FROM td GROUP BY term
+)
+SELECT term, df, s AS total_count,
+       CAST((n_docs * q - s * s) * 1000000 // (n_docs * s) AS BIGINT)
+         AS vmr_ppm
+FROM stats CROSS JOIN n
+ORDER BY s DESC, term LIMIT {BURST_TOP_TERMS}
+"""
