@@ -231,6 +231,9 @@ BENCH_QUERIES = {
     "events_rfm_segments": relops.events_rfm_segments,
     "events_peak_concurrency": relops.events_peak_concurrency,
     "text_term_burstiness": textstats.term_burstiness,
+    "emb_anisotropy": simsearch.anisotropy,
+    "emb_pair_cosine_hist": simsearch.pair_cosine_hist,
+    "kg_graph_summary": graphalgo.q_graph_summary,
 }
 
 

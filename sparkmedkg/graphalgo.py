@@ -3515,3 +3515,82 @@ SELECT d.src AS CUI, d.deg,
             // ((d.deg + 1) * d.deg) AS BIGINT) AS ego_density_ppm
 FROM deg d LEFT JOIN tcnt t ON t.cui = d.src
 """
+
+
+# ---------------------------------------------------------------------------
+# One-row graph summary: transitivity + Freeman degree centralization.
+# ---------------------------------------------------------------------------
+
+def q_graph_summary(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(n_nodes, n_edges, max_deg, n_triangles, n_wedges,
+    transitivity_ppm, centralization_ppm): the one-row global-structure
+    scorecard — global transitivity 3*triangles/wedges (how much of the
+    graph's wedge mass closes; the whole-graph complement of the per-node
+    clustering coefficient) and Freeman degree centralization
+    sum(dmax - deg) / ((n-1)*(n-2)) (star = 1, regular = 0 — is the graph
+    hub-dominated?).  The two numbers that decide skew strategy (salting,
+    hub caps) BEFORE launching the per-node jobs.
+
+    Everything composes gated primitives: degree (one shuffle), the
+    degree-oriented triangle enumeration (arboricity-bounded), and
+    wedge mass as the row-local sum deg*(deg-1)/2.  All counts BIGINT;
+    both ratios are exact rationals emitted in ppm by integer division."""
+    from sparkmedkg import trainprep
+
+    deg = (
+        _edges(spark, sf_dir, min_docs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri_total = trainprep.tris_df(spark, sf_dir, min_docs).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+        F.sum("deg").cast("bigint").alias("deg_sum"),
+    )
+    return stats.crossJoin(F.broadcast(tri_total)).select(
+        "n_nodes",
+        "n_edges",
+        "max_deg",
+        "n_triangles",
+        "n_wedges",
+        F.expr("3 * n_triangles * 1000000 div n_wedges")
+        .cast("bigint")
+        .alias("transitivity_ppm"),
+        F.expr(
+            "(n_nodes * max_deg - deg_sum) * 1000000"
+            " div ((n_nodes - 1) * (n_nodes - 2))"
+        )
+        .cast("bigint")
+        .alias("centralization_ppm"),
+    )
+
+
+def sql_graph_summary(min_docs: int = PR_MIN_DOCS) -> str:
+    from sparkmedkg.trainprep import sql_tri_cte
+
+    return f"""
+WITH {sql_tri_cte(min_docs)},
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tris),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,
+         CAST(MAX(deg) AS BIGINT) AS max_deg,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         CAST(SUM(deg) AS BIGINT) AS deg_sum
+  FROM deg
+)
+SELECT n_nodes, n_edges, max_deg, n_triangles, n_wedges,
+       CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+         AS transitivity_ppm,
+       CAST((n_nodes * max_deg - deg_sum) * 1000000
+            // ((n_nodes - 1) * (n_nodes - 2)) AS BIGINT)
+         AS centralization_ppm
+FROM st CROSS JOIN tt
+"""

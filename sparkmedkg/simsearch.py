@@ -1795,3 +1795,123 @@ SELECT vec_id, round({cos}, 6) AS cos
 FROM e, q
 WHERE e.vec_id <> {query_id} AND {cos} >= {tau}
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy audit (mean-direction mass).
+# ---------------------------------------------------------------------------
+
+ANISO_SCALE = 1_000_000
+
+
+def anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_vecs, dim, anisotropy): ||mean unit vector||^2 — the expected
+    cosine between two random vectors in the limit, i.e. Ethayarajh's
+    anisotropy/embedding-collapse audit.  Isotropic spaces score ~0; a
+    collapsed encoder (all vectors share a dominant direction) scores
+    toward 1, and retrieval/cosine-threshold ops silently degrade long
+    before training metrics notice — this is the ONE-SCALAR health check
+    you run per embedding snapshot.
+
+    Determinism at 10^12 vectors: per-dim sums of DOUBLES are
+    partition-order-dependent, so each unit component is quantized first
+    (floor(u*1e6 + 0.5), the int8_quant explicit-floor convention) and
+    the per-dim sums are exact BIGINTs; squares are summed in DECIMAL(38)
+    (S_d^2 overflows int64 at ~3k vecs), and the single double division
+    happens once at emit.  Plan: one posexplode + 64-row groupBy (map-side
+    combinable), the 64-row result folds to one row — no driver loop, no
+    second corpus pass."""
+    emb = _emb(spark, sf_dir)
+    nrm = _norm(F.col("v"))
+    unit_q = F.transform(
+        "v", lambda x: F.floor(x / nrm * ANISO_SCALE + F.lit(0.5)).cast("bigint")
+    )
+    per_dim = (
+        emb.select(F.posexplode(unit_q).alias("pos", "q"))
+        .groupBy("pos")
+        .agg(F.sum("q").cast("decimal(38,0)").alias("s"))
+    )
+    n = emb.count()
+    return per_dim.agg(
+        F.lit(n).cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.round(
+            F.sum(F.col("s") * F.col("s")).cast("double")
+            / F.lit(float(n) * n * ANISO_SCALE * ANISO_SCALE),
+            6,
+        ).alias("anisotropy"),
+    )
+
+
+def sql_anisotropy() -> str:
+    nrm = _SQL_NORM.format(a="embedding")
+    return f"""
+WITH unit AS (
+  SELECT list_transform(generate_series(1, len(embedding)), i ->
+           CAST(floor(embedding[i]::DOUBLE / ({nrm}) * {ANISO_SCALE} + 0.5)
+                AS BIGINT)) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT pos, SUM(qv) AS s
+  FROM (SELECT unnest(q) AS qv, generate_subscripts(q, 1) AS pos FROM unit)
+  GROUP BY pos
+),
+n AS (SELECT COUNT(*) AS n_vecs FROM embeddings)
+SELECT CAST(n.n_vecs AS BIGINT) AS n_vecs,
+       CAST(COUNT(*) AS BIGINT) AS dim,
+       round(SUM(s * s)::DOUBLE
+             / (n.n_vecs::DOUBLE * n.n_vecs * {ANISO_SCALE}.0 * {ANISO_SCALE}.0), 6)
+         AS anisotropy
+FROM per_dim CROSS JOIN n
+GROUP BY n.n_vecs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Random-pair cosine histogram (similarity-distribution audit).
+# ---------------------------------------------------------------------------
+
+PAIR_OFFSET = 17
+
+
+def pair_cosine_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_pairs): histogram (width 0.1) of the cosine between the
+    deterministic pseudo-random pairs (vec_id, vec_id + PAIR_OFFSET) —
+    the pairwise-similarity DISTRIBUTION audit that the single-scalar
+    anisotropy summarizes away.  A healthy space is a tight bell away
+    from 1.0; bimodality flags duplicated clusters, mass near 1.0 flags
+    collapse.  Offset pairing replaces "sample random pairs" with an
+    equi-join — map-shuffle bounded, no crossJoin, reproducible across
+    engines and runs (the md5-free determinism trick: the id space is
+    already uniformly shuffled with respect to content).
+
+    Binning floors the ROUNDED cosine (round-then-floor, both engines),
+    so bin boundaries can't flip on 1-ulp differences."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - PAIR_OFFSET).alias("ida"), F.col("v").alias("vb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    return (
+        a.join(b, "ida")
+        .select(F.floor(F.round(cos, 6) * 10).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+def sql_pair_cosine_hist() -> str:
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    na = _SQL_NORM.format(a="a.embedding")
+    nb = _SQL_NORM.format(a="b.embedding")
+    return f"""
+SELECT CAST(floor(round(({dot}) / ({na} * {nb}), 6) * 10) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM embeddings a JOIN embeddings b
+  ON b.vec_id = a.vec_id + {PAIR_OFFSET}
+GROUP BY 1
+"""
