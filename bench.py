@@ -234,6 +234,9 @@ BENCH_QUERIES = {
     "emb_anisotropy": simsearch.anisotropy,
     "emb_pair_cosine_hist": simsearch.pair_cosine_hist,
     "kg_graph_summary": graphalgo.q_graph_summary,
+    "corpus_contamination_report": corpusops.contamination_report,
+    "web_outlink_entropy": webgraph.outlink_entropy,
+    "events_stickiness": relops.events_stickiness,
 }
 
 

@@ -1994,3 +1994,82 @@ SELECT term, round(pr, 6) AS score
 FROM tr_r{iters}
 ORDER BY score DESC, term LIMIT {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Contamination scorecard (n-gram + semantic passes, one row).
+# ---------------------------------------------------------------------------
+
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_train_docs, n_ngram_hits, n_semantic_hits, n_either,
+    pct_clean): the one-row eval-contamination scorecard a release gate
+    signs off on — how many training docs the exact k-shingle pass flags,
+    how many the embedding-cosine pass flags (paraphrase leakage the
+    n-gram pass misses), the union, and the surviving-clean percentage.
+    Composes the two gated passes (decontaminate,
+    semantic_decontaminate), so the numbers are BY CONSTRUCTION the same
+    docs those queries flag — no twin-drift between the report and the
+    enforcement ops.
+
+    Plan: both passes broadcast the (definitionally small) eval split and
+    scan the corpus once each; the roll-up joins run over the flagged
+    sets only.  doc_id and vec_id share the id space in the fixtures
+    (documents and embeddings are row-aligned), which stands in for the
+    production doc->embedding join key."""
+    train = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id")
+    )
+    ngram = decontaminate(spark, sf_dir).select("doc_id").distinct()
+    sem = (
+        semantic_decontaminate(spark, sf_dir)
+        .where(F.col("flagged"))
+        .where(F.col("vec_id") % EVAL_MOD != 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .join(train, "doc_id", "left_semi")
+    )
+    either = ngram.unionByName(sem).distinct()
+    agg = (
+        train.agg(F.count(F.lit(1)).alias("n_train_docs"))
+        .crossJoin(ngram.agg(F.count(F.lit(1)).alias("n_ngram_hits")))
+        .crossJoin(sem.agg(F.count(F.lit(1)).alias("n_semantic_hits")))
+        .crossJoin(either.agg(F.count(F.lit(1)).alias("n_either")))
+    )
+    return agg.select(
+        "n_train_docs",
+        "n_ngram_hits",
+        "n_semantic_hits",
+        "n_either",
+        F.round(
+            (F.col("n_train_docs") - F.col("n_either")).cast("double")
+            / F.col("n_train_docs")
+            * 100.0,
+            6,
+        ).alias("pct_clean"),
+    )
+
+
+def sql_contamination_report() -> str:
+    return f"""
+WITH ngram AS (
+  SELECT DISTINCT doc_id FROM ({sql_decontaminate()})
+),
+sem AS (
+  SELECT vec_id AS doc_id FROM ({sql_semantic_decontaminate()})
+  WHERE flagged AND vec_id % {EVAL_MOD} <> 0
+    AND vec_id IN (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> 0)
+),
+either AS (SELECT doc_id FROM ngram UNION SELECT doc_id FROM sem),
+base AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents
+               WHERE doc_id % {EVAL_MOD} <> 0) AS BIGINT) AS n_train_docs,
+         CAST((SELECT COUNT(*) FROM ngram) AS BIGINT) AS n_ngram_hits,
+         CAST((SELECT COUNT(*) FROM sem) AS BIGINT) AS n_semantic_hits,
+         CAST((SELECT COUNT(*) FROM either) AS BIGINT) AS n_either
+)
+SELECT n_train_docs, n_ngram_hits, n_semantic_hits, n_either,
+       round((n_train_docs - n_either)::DOUBLE / n_train_docs * 100.0, 6)
+         AS pct_clean
+FROM base
+"""

@@ -4352,3 +4352,74 @@ SELECT r.day, nb.n_boundaries,
 FROM runs r JOIN nb ON nb.day = r.day
 GROUP BY r.day, nb.n_boundaries
 """
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (DAU/MAU) per month.
+# ---------------------------------------------------------------------------
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, mau, avg_dau_ppm, stickiness_ppm): per calendar month, the
+    monthly-active-user count, the average daily-active count over the
+    month's ACTIVE days, and stickiness = avg DAU / MAU — the
+    engagement-frequency ratio (a 250k-DAU product with 1M MAU engages
+    daily; the same DAU off 10M MAU is a monthly habit).  The growth
+    metric every engagement dashboard leads with.
+
+    Kept EXACT: avg DAU = sum of per-day distinct counts over the number
+    of active days — a rational of BIGINTs; both it and the stickiness
+    ratio are emitted in ppm by integer division (stickiness_ppm uses the
+    unreduced fraction sum_dau*1e6 div (n_days*mau), so no intermediate
+    rounding compounds).  Plan: two distinct-count shuffles keyed by
+    (month[, day]) — both map-side partial; months are calendar-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM").alias("month"),
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+    )
+    dau = (
+        base.groupBy("month", "day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("dau"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("sum_dau"),
+        )
+    )
+    mau = base.groupBy("month").agg(
+        F.count_distinct("user_id").cast("bigint").alias("mau")
+    )
+    return dau.join(mau, "month").select(
+        "month",
+        "mau",
+        F.expr("sum_dau * 1000000 div n_days").cast("bigint").alias("avg_dau_ppm"),
+        F.expr("sum_dau * 1000000 div (n_days * mau)")
+        .cast("bigint")
+        .alias("stickiness_ppm"),
+    )
+
+
+def sql_events_stickiness() -> str:
+    return """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day, user_id
+  FROM events
+),
+dau AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(d) AS BIGINT) AS sum_dau
+  FROM (SELECT month, day, COUNT(DISTINCT user_id) AS d
+        FROM base GROUP BY month, day)
+  GROUP BY month
+),
+mau AS (
+  SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM base GROUP BY month
+)
+SELECT d.month, m.mau,
+       CAST(sum_dau * 1000000 // n_days AS BIGINT) AS avg_dau_ppm,
+       CAST(sum_dau * 1000000 // (n_days * m.mau) AS BIGINT)
+         AS stickiness_ppm
+FROM dau d JOIN mau m ON m.month = d.month
+"""

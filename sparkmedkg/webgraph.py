@@ -1974,3 +1974,65 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
        round(SUM(mutual)::DOUBLE / COUNT(*), 6) AS reciprocity
 FROM marked
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-host outlink entropy (link-farm / focus detector).
+# ---------------------------------------------------------------------------
+
+def outlink_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_host, out_hosts, total_links, entropy): Shannon entropy of
+    each host's outlink distribution over target hosts.  Spam farms and
+    template boilerplate link uniformly into a wide target set (entropy
+    near log2(out_hosts)); focused sites concentrate (low entropy) —
+    entropy joins spam_mass / TrustRank as the third, purely LOCAL spam
+    feature (no propagation rounds needed).
+
+    Determinism: entropy sums doubles, so the per-host fold runs over the
+    dst-host list SORTED inside the row (array_sort on the (dst, n)
+    structs — out-degree is bounded by the target-host universe, so the
+    per-row array is small by construction); one fixed-order fold, round
+    at emit.  Plan: rides the session-cached link graph (_LG_CACHE); one
+    host-keyed groupBy over edges — no corpus rescan."""
+    lg = link_graph(spark, sf_dir)
+    per_host = lg.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_hosts"),
+        F.sum("n_links").cast("bigint").alias("total_links"),
+        F.array_sort(
+            F.collect_list(F.struct("dst_host", "n_links"))
+        ).alias("dist"),
+    )
+    tot = F.col("total_links").cast("double")
+    ent = -F.aggregate(
+        "dist",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["n_links"].cast("double") / tot)
+        * F.log2(s["n_links"].cast("double") / tot),
+    )
+    return per_host.select(
+        "src_host",
+        "out_hosts",
+        "total_links",
+        F.round(ent, 6).alias("entropy"),
+    )
+
+
+def sql_outlink_entropy() -> str:
+    return f"""
+WITH lg AS ({sql_link_graph()}),
+per_host AS (
+  SELECT src_host,
+         CAST(COUNT(*) AS BIGINT) AS out_hosts,
+         CAST(SUM(n_links) AS BIGINT) AS total_links,
+         list_sort(list({{'dst_host': dst_host, 'n_links': n_links}})) AS dist
+  FROM lg GROUP BY src_host
+)
+SELECT src_host, out_hosts, total_links,
+       round(-list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(dist, s ->
+           (s.n_links::DOUBLE / total_links)
+           * log2(s.n_links::DOUBLE / total_links))),
+         (acc, e) -> acc + e), 6) AS entropy
+FROM per_host
+"""
