@@ -237,6 +237,10 @@ BENCH_QUERIES = {
     "corpus_contamination_report": corpusops.contamination_report,
     "web_outlink_entropy": webgraph.outlink_entropy,
     "events_stickiness": relops.events_stickiness,
+    "mm_modality_rollup": multimodal.modality_rollup,
+    "kg_skew_report": graphalgo.q_skew_report,
+    "emb_norm_profile": simsearch.norm_profile,
+    "corpus_mixture_plan": trainprep.mixture_plan,
 }
 
 

@@ -3594,3 +3594,68 @@ SELECT n_nodes, n_edges, max_deg, n_triangles, n_wedges,
          AS centralization_ppm
 FROM st CROSS JOIN tt
 """
+
+
+# ---------------------------------------------------------------------------
+# Hub-skew report (salting planner).
+# ---------------------------------------------------------------------------
+
+SKEW_TOP = 10
+
+
+def q_skew_report(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(rank, CUI, deg, pct_ppm, cum_ppm): the top-``SKEW_TOP`` hub
+    entities with their share of all edge endpoints and the running
+    cumulative share — the skew report that decides WHICH keys get salted
+    before the big joins (the north-star 'hot CUIs like common drugs'
+    case).  If the top 10 hold >30% of endpoint mass, co-occurrence joins
+    need salting; if not, plain hash partitioning holds.
+
+    Exact ppm integers; the ranked window runs over the TakeOrdered
+    top-10 only (never the node table), with a total (deg desc, CUI)
+    tie-break so rank and cumulative are engine-deterministic."""
+    deg = (
+        _edges(spark, sf_dir, min_docs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tot = deg.agg(F.sum("deg").cast("bigint").alias("all_deg"))
+    top = (
+        deg.orderBy(F.desc("deg"), F.asc("src"))
+        .limit(SKEW_TOP)
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col("src").alias("CUI"),
+        "deg",
+        F.expr("deg * 1000000 div all_deg").cast("bigint").alias("pct_ppm"),
+        (
+            F.sum(F.expr("deg * 1000000 div all_deg")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+        )
+        .cast("bigint")
+        .alias("cum_ppm"),
+    )
+
+
+def sql_skew_report(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+tot AS (SELECT CAST(SUM(deg) AS BIGINT) AS all_deg FROM deg),
+top AS (
+  SELECT src, deg FROM deg ORDER BY deg DESC, src LIMIT {SKEW_TOP}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       src AS CUI, deg,
+       CAST(deg * 1000000 // all_deg AS BIGINT) AS pct_ppm,
+       CAST(SUM(deg * 1000000 // all_deg)
+            OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ppm
+FROM top CROSS JOIN tot
+WINDOW w AS (ORDER BY deg DESC, src)
+"""

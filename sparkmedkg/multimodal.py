@@ -523,3 +523,73 @@ JOIN hashed a ON a.doc_id = c.doc_a
 JOIN hashed h ON h.doc_id = c.doc_b
 WHERE {ham} <= {ham_max}
 """
+
+
+# ---------------------------------------------------------------------------
+# Modality rollup (storage accounting per payload type).
+# ---------------------------------------------------------------------------
+
+MODALITIES = ["text", "image", "audio", "video"]
+
+
+def modality_col():
+    """Deterministic modality tag off doc_id (the driver's synthetic corpus
+    is text-only, so the 4-way split is reconstructed the same way as
+    trainprep._tier_col's source tiers — row-local arithmetic both engines
+    share)."""
+    return (
+        F.when(F.col("doc_id") % 4 == 0, "text")
+        .when(F.col("doc_id") % 4 == 1, "image")
+        .when(F.col("doc_id") % 4 == 2, "audio")
+        .otherwise("video")
+    )
+
+
+def modality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(modality, n_items, total_bytes, avg_bytes, max_bytes,
+    pct_bytes_ppm): storage accounting per modality over the opaque
+    payload column — the capacity-planning rollup a multimodal lake needs
+    before sizing decode fleets (image/video bytes dominate row counts by
+    orders of magnitude, so row-count dashboards mislead).
+
+    All BIGINT: avg via integer division, share in exact ppm against a
+    1-row broadcast total.  Plan: one map-side-combinable groupBy over
+    the payload scan; the modality universe is enum-sized."""
+    docs = with_payload(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    per = docs.groupBy(modality_col().alias("modality")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
+    )
+    tot = per.agg(F.sum("total_bytes").cast("bigint").alias("all_bytes"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "modality",
+        "n_items",
+        "total_bytes",
+        F.expr("total_bytes div n_items").cast("bigint").alias("avg_bytes"),
+        "max_bytes",
+        F.expr("total_bytes * 1000000 div all_bytes")
+        .cast("bigint")
+        .alias("pct_bytes_ppm"),
+    )
+
+
+def sql_modality_rollup() -> str:
+    return """
+WITH per AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN 'text'
+              WHEN doc_id % 4 = 1 THEN 'image'
+              WHEN doc_id % 4 = 2 THEN 'audio'
+              ELSE 'video' END AS modality,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS all_bytes FROM per)
+SELECT modality, n_items, total_bytes,
+       CAST(total_bytes // n_items AS BIGINT) AS avg_bytes,
+       max_bytes,
+       CAST(total_bytes * 1000000 // all_bytes AS BIGINT) AS pct_bytes_ppm
+FROM per CROSS JOIN tot
+"""

@@ -1915,3 +1915,52 @@ FROM embeddings a JOIN embeddings b
   ON b.vec_id = a.vec_id + {PAIR_OFFSET}
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm profile (pre-index health stats).
+# ---------------------------------------------------------------------------
+
+def norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_vecs, n_zero, min_norm_e6, max_norm_e6, avg_norm_e6,
+    p50_norm_e6): distribution of vector L2 norms in exact micro-units —
+    the pre-index health check (zero vectors crash cosine; a wide norm
+    spread means dot-product and cosine rankings diverge and
+    inner-product indexes need the norm-augmentation trick).
+
+    Norms are quantized per row (floor(norm*1e6 + 0.5), the int8_quant
+    floor convention) so min/max/avg are exact BIGINT (avg by integer
+    division) and the median is the exact interpolated percentile of
+    integers — no order-dependent double accumulation anywhere.
+    Map-only projection + one 1-row aggregate."""
+    emb = _emb(spark, sf_dir)
+    qn = F.floor(_norm(F.col("v")) * 1_000_000 + F.lit(0.5)).cast("bigint")
+    per = emb.select(qn.alias("qn"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("qn") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.min("qn").alias("min_norm_e6"),
+        F.max("qn").alias("max_norm_e6"),
+        F.expr("sum(qn) div count(1)").cast("bigint").alias("avg_norm_e6"),
+        F.round(F.percentile("qn", F.lit(0.5)), 6).alias("p50_norm_e6"),
+    )
+
+
+def sql_norm_profile() -> str:
+    nrm = _SQL_NORM.format(a="embedding")
+    return f"""
+WITH per AS (
+  SELECT CAST(floor(({nrm}) * 1000000 + 0.5) AS BIGINT) AS qn
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COALESCE(SUM(CASE WHEN qn = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_zero,
+       MIN(qn) AS min_norm_e6,
+       MAX(qn) AS max_norm_e6,
+       CAST(SUM(qn) // COUNT(*) AS BIGINT) AS avg_norm_e6,
+       round(quantile_cont(qn, 0.5), 6) AS p50_norm_e6
+FROM per
+"""

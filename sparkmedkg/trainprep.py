@@ -609,3 +609,93 @@ SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM t GROUP BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture plan (temperature-weighted token budget).
+# ---------------------------------------------------------------------------
+
+MIX_BUDGET_DOCS = 10_000
+
+
+def mixture_plan(
+    spark: SparkSession, sf_dir: str, alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """(tier, n_docs, n_tokens, nat_share, temp_share, planned_docs): the
+    data-mixing plan — each source tier's natural share vs its
+    temperature-scaled share c_t^alpha / sum(c^alpha), and the doc budget
+    that share buys out of ``MIX_BUDGET_DOCS``.  This is the PLANNING
+    twin of temperature_sample (which executes a mixture row-locally):
+    the table a training run reviews before committing a budget.
+
+    Determinism: tier sizes are exact BIGINTs; the alpha powers are
+    doubles, so the denominator is a fixed-order fold over the
+    tier-sorted struct array (the outlink_entropy convention — the tier
+    universe is enum-sized, so the per-row array is tiny) and shares
+    round at emit.  Plan: one groupBy over the corpus, then a 1-row
+    broadcast — no second scan."""
+    per = (
+        _docs(spark, sf_dir)
+        .withColumn("tier", _tier_col())
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " +")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("all_docs"),
+        F.array_sort(F.collect_list(F.struct("tier", "n_docs"))).alias("ts"),
+    ).select(
+        "all_docs",
+        F.aggregate(
+            "ts",
+            F.lit(0.0),
+            lambda acc, s: acc + F.pow(s["n_docs"].cast("double"), alpha),
+        ).alias("z"),
+    )
+    temp_share = F.pow(F.col("n_docs").cast("double"), alpha) / F.col("z")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "tier",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("all_docs"), 6).alias(
+            "nat_share"
+        ),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.floor(temp_share * MIX_BUDGET_DOCS).cast("bigint").alias(
+            "planned_docs"
+        ),
+    )
+
+
+def sql_mixture_plan(alpha: float = TEMP_ALPHA) -> str:
+    tier = (
+        "CASE WHEN doc_id % 10 < 5 THEN 'head' "
+        "WHEN doc_id % 10 < 8 THEN 'torso' ELSE 'tail' END"
+    )
+    return f"""
+WITH per AS (
+  SELECT {tier} AS tier,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS all_docs,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(
+           list_sort(list({{'tier': tier, 'n_docs': n_docs}})),
+           s -> pow(s.n_docs::DOUBLE, {alpha}))),
+           (acc, e) -> acc + e) AS z
+  FROM per
+)
+SELECT tier, n_docs, n_tokens,
+       round(n_docs::DOUBLE / all_docs, 6) AS nat_share,
+       round(pow(n_docs::DOUBLE, {alpha}) / z, 6) AS temp_share,
+       CAST(floor(pow(n_docs::DOUBLE, {alpha}) / z * {MIX_BUDGET_DOCS})
+            AS BIGINT) AS planned_docs
+FROM per CROSS JOIN tot
+"""
