@@ -241,6 +241,9 @@ BENCH_QUERIES = {
     "kg_skew_report": graphalgo.q_skew_report,
     "emb_norm_profile": simsearch.norm_profile,
     "corpus_mixture_plan": trainprep.mixture_plan,
+    "corpus_bloom_fpr": corpusops.bloom_fpr,
+    "emb_intrinsic_dim": simsearch.intrinsic_dim,
+    "events_gap_histogram": relops.events_gap_histogram,
 }
 
 

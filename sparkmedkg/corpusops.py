@@ -2073,3 +2073,138 @@ SELECT n_train_docs, n_ngram_hits, n_semantic_hits, n_either,
          AS pct_clean
 FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive audit (mergeable bit registers).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m_bits, k_hashes, n_build, n_probe, n_set_bits, n_false_pos,
+    fpr_ppm, expected_fpr): build a Bloom filter over the even-doc_id
+    half's text fingerprints and measure its REAL false-positive rate on
+    the disjoint odd half — the audit that validates a bloom-prefilter
+    stage (e.g. cross-snapshot "have we crawled this content before")
+    before trusting it at 10^12 keys.  expected_fpr = (set_bits/m)^k is
+    the textbook estimate; the measured fpr_ppm sits next to it so drift
+    (hash correlation, undersized m) is visible.
+
+    The register set is MERGEABLE by construction — it is just the
+    distinct (bit) relation, so shard filters union bitwise like the HLL
+    and count-min registers.  All hashing is the repo's 60-bit md5
+    idiom (bit-identical in DuckDB); membership is a k-way bit semi-join
+    + per-key ALL() — no filter object ever sits on the driver."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("text")).alias("fp")
+    )
+    build_fps = docs.where(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    probe_fps = docs.where(F.col("doc_id") % 2 == 1).select("fp").distinct()
+
+    def bits(df):
+        j = F.explode(F.array(*[F.lit(i) for i in range(1, BLOOM_K + 1)]))
+        return df.select("fp", j.alias("j")).select(
+            "fp",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("fp"), F.lit("|"), F.col("j"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % BLOOM_M
+            ).alias("bit"),
+        )
+
+    registers = bits(build_fps).select("bit").distinct()
+    probed = (
+        bits(probe_fps)
+        .join(
+            registers.withColumn("hit", F.lit(True)), "bit", "left"
+        )
+        .groupBy("fp")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(False))).alias("present"))
+    )
+    fps = (
+        probed.where("present")
+        .join(build_fps, "fp", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_false_pos"))
+    )
+    agg = (
+        build_fps.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+        .crossJoin(
+            probe_fps.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+        )
+        .crossJoin(
+            registers.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_set_bits")
+            )
+        )
+        .crossJoin(fps)
+    )
+    return agg.select(
+        F.lit(BLOOM_M).cast("bigint").alias("m_bits"),
+        F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+        "n_build",
+        "n_probe",
+        "n_set_bits",
+        "n_false_pos",
+        F.expr("n_false_pos * 1000000 div n_probe")
+        .cast("bigint")
+        .alias("fpr_ppm"),
+        F.round(
+            F.pow(
+                F.col("n_set_bits").cast("double") / BLOOM_M, F.lit(BLOOM_K)
+            ),
+            6,
+        ).alias("expected_fpr"),
+    )
+
+
+def sql_bloom_fpr() -> str:
+    h = (
+        "CAST('0x' || substring(md5(fp || '|' || j), 1, 15) AS BIGINT) "
+        f"% {BLOOM_M}"
+    )
+    return f"""
+WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+build AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+probe AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 1),
+build_bits AS (
+  SELECT DISTINCT {h} AS bit
+  FROM build CROSS JOIN (SELECT unnest(generate_series(1, {BLOOM_K})) AS j)
+),
+probe_bits AS (
+  SELECT fp, {h} AS bit
+  FROM probe CROSS JOIN (SELECT unnest(generate_series(1, {BLOOM_K})) AS j)
+),
+probed AS (
+  SELECT p.fp, MIN(b.bit IS NOT NULL) AS present
+  FROM probe_bits p LEFT JOIN build_bits b ON b.bit = p.bit
+  GROUP BY p.fp
+),
+fp_cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_false_pos
+  FROM probed WHERE present AND fp NOT IN (SELECT fp FROM build)
+),
+base AS (
+  SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+         CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+         CAST((SELECT COUNT(*) FROM build_bits) AS BIGINT) AS n_set_bits,
+         (SELECT n_false_pos FROM fp_cnt) AS n_false_pos
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       n_build, n_probe, n_set_bits, n_false_pos,
+       CAST(n_false_pos * 1000000 // n_probe AS BIGINT) AS fpr_ppm,
+       round(pow(n_set_bits::DOUBLE / {BLOOM_M}, {BLOOM_K}), 6)
+         AS expected_fpr
+FROM base
+"""

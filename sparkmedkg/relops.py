@@ -4423,3 +4423,53 @@ SELECT d.month, m.mau,
          AS stickiness_ppm
 FROM dau d JOIN mau m ON m.month = d.month
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap histogram (log2 latency buckets).
+# ---------------------------------------------------------------------------
+
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, n_gaps, min_gap_sec, max_gap_sec): per-user consecutive
+    inter-event gaps histogrammed by floor(log2(gap+1)) — the latency
+    profile that picks the sessionization gap threshold (the valley
+    between the within-session and between-session modes) instead of
+    cargo-culting 30 minutes.  Complements events_bot_score (which
+    collapses the same gaps to one regularity scalar per user).
+
+    Gaps use the whole-second integerization shared with bot_score /
+    sessionize; log2 of an exact BIGINT buckets identically in both
+    engines.  One user-keyed window pass + a buckets-sized groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (sec - F.lag(sec).over(w)).alias("gap")
+    return (
+        ev.select(gap)
+        .where(F.col("gap").isNotNull())
+        .groupBy(
+            F.floor(F.log2(F.col("gap") + 1)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.min("gap").cast("bigint").alias("min_gap_sec"),
+            F.max("gap").cast("bigint").alias("max_gap_sec"),
+        )
+    )
+
+
+def sql_events_gap_histogram() -> str:
+    return """
+WITH gaps AS (
+  SELECT epoch_us(ts) // 1000000
+         - LAG(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT CAST(floor(log2(gap + 1)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap) AS BIGINT) AS min_gap_sec,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_sec
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY 1
+"""

@@ -1964,3 +1964,68 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        round(quantile_cont(qn, 0.5), 6) AS p50_norm_e6
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# Intrinsic dimension (angular TwoNN estimator).
+# ---------------------------------------------------------------------------
+
+def intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_used, sum_ln_mu_e6, id_est): the Facco-Laio TwoNN intrinsic-
+    dimension estimate over ANGULAR distances (d = 1 - cos): with mu =
+    d2/d1 the ratio of each point's 2nd- to 1st-nearest-neighbor
+    distance, ID = n / sum(ln mu).  Embeddings advertising 64 dims often
+    live on a ~10-dim manifold; ID is what actually governs ANN recall
+    curves and quantization loss, so this is the diagnostic you read
+    BEFORE choosing n_cells / PQ bits.
+
+    Composes the gated IVF-cell kNN graph (rk 1 and 2 per vector, cell-
+    blocked — never corpus^2); vectors whose d1 = 0 (exact duplicates) or
+    with fewer than 2 in-cell neighbors are excluded, as in the paper's
+    treatment of ties.  Determinism: each ln(mu) is quantized row-locally
+    (floor(x*1e6 + 0.5)) so the sum is an exact BIGINT; one division at
+    emit."""
+    kg = knn_graph(spark, sf_dir)
+    two = (
+        kg.where(F.col("rk") <= 2)
+        .groupBy("src")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("cos"))).alias("cos1"),
+            F.max(F.when(F.col("rk") == 2, F.col("cos"))).alias("cos2"),
+        )
+        .where(F.col("cos2").isNotNull())
+        .where(F.col("cos1") < 1.0)
+    )
+    mu = (F.lit(1.0) - F.col("cos2")) / (F.lit(1.0) - F.col("cos1"))
+    q = F.floor(F.log(mu) * 1_000_000 + F.lit(0.5)).cast("bigint")
+    return two.select(q.alias("q")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum("q").cast("bigint").alias("sum_ln_mu_e6"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / (F.sum("q").cast("double") / 1_000_000.0),
+            6,
+        ).alias("id_est"),
+    )
+
+
+def sql_intrinsic_dim() -> str:
+    return f"""
+WITH kg AS ({sql_knn_graph()}),
+two AS (
+  SELECT src,
+         MAX(CASE WHEN rk = 1 THEN cos END) AS cos1,
+         MAX(CASE WHEN rk = 2 THEN cos END) AS cos2
+  FROM kg WHERE rk <= 2
+  GROUP BY src
+),
+q AS (
+  SELECT CAST(floor(ln((1.0 - cos2) / (1.0 - cos1)) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM two WHERE cos2 IS NOT NULL AND cos1 < 1.0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+       CAST(SUM(q) AS BIGINT) AS sum_ln_mu_e6,
+       round(COUNT(*)::DOUBLE / (SUM(q)::DOUBLE / 1000000.0), 6) AS id_est
+FROM q
+"""
