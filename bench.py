@@ -244,6 +244,8 @@ BENCH_QUERIES = {
     "corpus_bloom_fpr": corpusops.bloom_fpr,
     "emb_intrinsic_dim": simsearch.intrinsic_dim,
     "events_gap_histogram": relops.events_gap_histogram,
+    "kg_coreness": graphalgo.q_coreness,
+    "events_session_entropy": relops.events_session_entropy,
 }
 
 

@@ -3659,3 +3659,81 @@ SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
 FROM top CROSS JOIN tot
 WINDOW w AS (ORDER BY deg DESC, src)
 """
+
+
+# ---------------------------------------------------------------------------
+# Full coreness decomposition (H-index iteration).
+# ---------------------------------------------------------------------------
+
+CORENESS_ITERS = 6
+
+
+def q_coreness(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = CORENESS_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, coreness): the full k-core decomposition via H-index
+    iteration (Lu et al. 2016 / Montresor et al.'s distributed coreness):
+    start every node at its degree, then repeatedly replace each node's
+    value with the H-INDEX of its neighbors' values (the largest h such
+    that >= h neighbors hold >= h).  The sequence is monotone
+    non-increasing and converges to coreness exactly — giving EVERY
+    node's core number in one job, where the q_kcore peel answers only
+    "is the node in the k-core" for one k.
+
+    Each round is one edge join + one per-node window over that node's
+    OWN neighbor list (fan-out = degree, partitioned by node — never
+    global), with localCheckpoint lineage truncation like the PageRank
+    loop.  ``iters`` is fixed for the oracle's unrolled CTEs; convergence
+    on the fixture is reached well inside it (monotonicity makes extra
+    rounds no-ops, so over-provisioning is safe, not wrong)."""
+    edges = _edges(spark, sf_dir, min_docs).persist()
+    vals = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("val")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        w = Window.partitionBy("dst").orderBy(
+            F.desc("nval"), F.asc("src")
+        )
+        vals = (
+            edges.join(
+                vals.select(F.col("src").alias("_n"), F.col("val").alias("nval")),
+                edges["src"] == F.col("_n"),
+            )
+            .select("dst", "src", "nval")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("nval") >= F.col("rk"))
+            .groupBy(F.col("dst").alias("src"))
+            .agg(F.max("rk").cast("bigint").alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return vals.select(F.col("src").alias("CUI"), F.col("val").alias("coreness"))
+
+
+def sql_coreness(
+    iters: int = CORENESS_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"""v{t} AS MATERIALIZED (
+  SELECT dst AS src, CAST(MAX(rk) AS BIGINT) AS val
+  FROM (
+    SELECT e.dst, p.val AS nval,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY p.val DESC, e.src) AS rk
+    FROM edges e JOIN v{t - 1} p ON p.src = e.src
+  ) WHERE nval >= rk
+  GROUP BY dst
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+v0 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS val FROM edges GROUP BY src),
+{unrolled}
+SELECT src AS CUI, val AS coreness FROM v{iters}
+"""

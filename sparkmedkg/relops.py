@@ -4473,3 +4473,61 @@ SELECT CAST(floor(log2(gap + 1)) AS BIGINT) AS bucket,
 FROM gaps WHERE gap IS NOT NULL
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral entropy over event types.
+# ---------------------------------------------------------------------------
+
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, n_types, entropy): Shannon entropy of each
+    user's event-type distribution — the behavioral-diversity feature
+    that separates single-purpose automation (entropy ~0 regardless of
+    volume) from organic users, complementing events_bot_score's TIMING
+    regularity with a WHAT-they-do axis.
+
+    The per-user double sum folds over the type-sorted struct array
+    (types are enum-sized, so the per-row array is tiny — the
+    outlink_entropy convention), rounded at emit.  One user+type groupBy
+    then a user groupBy: both map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.array_sort(F.collect_list(F.struct("event_type", "c"))).alias("d"),
+    )
+    tot = F.col("n_events").cast("double")
+    ent = -F.aggregate(
+        "d",
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["c"].cast("double") / tot) * F.log2(s["c"].cast("double") / tot),
+    )
+    return agg.select(
+        "user_id", "n_events", "n_types", F.round(ent, 6).alias("entropy")
+    )
+
+
+def sql_events_session_entropy() -> str:
+    return """
+WITH per AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         list_sort(list({'event_type': event_type, 'c': c})) AS d
+  FROM per GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       round(-list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(d, s ->
+           (s.c::DOUBLE / n_events) * log2(s.c::DOUBLE / n_events))),
+         (acc, e) -> acc + e), 6) AS entropy
+FROM agg
+"""
