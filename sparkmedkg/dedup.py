@@ -564,8 +564,16 @@ def embedding_near_dups(
         ]
     )
     best = F.array_max(sim_structs)
+    # carry the vector's own norm: the verify join below would otherwise
+    # recompute BOTH norms per candidate pair — O(pairs * d) wasted work
+    # vs O(n * d) once here (bit-identical: same left-to-right fold over
+    # the same array either way)
     assigned = emb.select(
-        "vec_id", "v", (-best["negcid"]).alias("cell"), best["sim"].alias("csim")
+        "vec_id",
+        "v",
+        (-best["negcid"]).alias("cell"),
+        best["sim"].alias("csim"),
+        _vnorm("v").alias("nrm"),
     )
     # three consumers below (radii agg + both join sides): cache the
     # assignment so the argmax projection runs once per vector
@@ -592,12 +600,14 @@ def embedding_near_dups(
     )
 
     a = assigned.select(
-        F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("cell").alias("ca")
+        F.col("vec_id").alias("a"), F.col("v").alias("va"),
+        F.col("cell").alias("ca"), F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("cell").alias("cb")
+        F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+        F.col("cell").alias("cb"), F.col("nrm").alias("nb"),
     )
-    cos = _vdot("va", "vb") / (_vnorm("va") * _vnorm("vb"))
+    cos = _vdot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
         a.join(compat_df, "ca")
         .join(b, "cb")

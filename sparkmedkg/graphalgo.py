@@ -3694,23 +3694,27 @@ def q_coreness(
         F.count(F.lit(1)).cast("bigint").alias("val")
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        w = Window.partitionBy("dst").orderBy(
-            F.desc("nval"), F.asc("src")
-        )
-        vals = (
-            edges.join(
-                vals.select(F.col("src").alias("_n"), F.col("val").alias("nval")),
-                edges["src"] == F.col("_n"),
-            )
-            .select("dst", "src", "nval")
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("nval") >= F.col("rk"))
-            .groupBy(F.col("dst").alias("src"))
-            .agg(F.max("rk").cast("bigint").alias("val"))
-            .localCheckpoint(eager=True)
-        )
+        vals = _coreness_round(edges, vals).localCheckpoint(eager=True)
     edges.unpersist()
     return vals.select(F.col("src").alias("CUI"), F.col("val").alias("coreness"))
+
+
+def _coreness_round(edges: DataFrame, vals: DataFrame) -> DataFrame:
+    """One H-index round (exposed so the plan-check tool can assert the
+    per-round physical plan — the public loop localCheckpoints each round,
+    which truncates the lineage .explain() would otherwise show)."""
+    w = Window.partitionBy("dst").orderBy(F.desc("nval"), F.asc("src"))
+    return (
+        edges.join(
+            vals.select(F.col("src").alias("_n"), F.col("val").alias("nval")),
+            edges["src"] == F.col("_n"),
+        )
+        .select("dst", "src", "nval")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("nval") >= F.col("rk"))
+        .groupBy(F.col("dst").alias("src"))
+        .agg(F.max("rk").cast("bigint").alias("val"))
+    )
 
 
 def sql_coreness(

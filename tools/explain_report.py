@@ -34,6 +34,7 @@ def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
     from sparkmedkg import emblinalg, er, multimodal, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
+    from pyspark.sql import functions as F
 
     spark = get_spark("explain", master="local[4]", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
@@ -646,6 +647,71 @@ def main() -> None:
             # composed-projection merges + one source-key rollup
             lambda: corpusops.bpe_fertility(spark, SF),
             ["HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_coreness_round": (
+            # H-index round: the neighbor-rank window partitions by the
+            # NODE (fan-out = degree) — never a global single-partition
+            # sort (the public loop localCheckpoints between rounds, so the
+            # round builder is what carries the plan)
+            lambda: graphalgo._coreness_round(
+                graphalgo._edges(spark, SF, 2),
+                graphalgo._edges(spark, SF, 2)
+                .groupBy("src")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("val")),
+            ),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "events_peak_concurrency": (
+            # sweep line: within-day windows + the days-sized offset table
+            # broadcast back; no corpus-wide single-partition window
+            lambda: relops.events_peak_concurrency(spark, SF),
+            ["Window", "BroadcastHashJoin"],
+        ),
+        "kg_skew_report": (
+            # ranked window runs over the TakeOrdered top-10 only
+            lambda: graphalgo.q_skew_report(spark, SF),
+            ["TakeOrderedAndProject", "Window"],
+        ),
+        "emb_anisotropy": (
+            # posexplode + 64-row partial agg; the 1-row total crossJoins
+            # back via broadcast — no nested-loop over data
+            lambda: simsearch.anisotropy(spark, SF),
+            ["HashAggregate", "Generate", "!SortMergeJoin"],
+        ),
+        "emb_pair_cosine_hist": (
+            # offset pairing IS an equi-join: hash join, never Cartesian
+            lambda: simsearch.pair_cosine_hist(spark, SF),
+            ["!CartesianProduct", "HashAggregate"],
+        ),
+        "corpus_bloom_fpr": (
+            # k-way bit semi-join against the register relation: hash joins
+            # on the bit key, no filter object on the driver, no Cartesian
+            lambda: corpusops.bloom_fpr(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "emb_intrinsic_dim": (
+            # composes the cell-blocked kNN graph; the rollup is one 1-row
+            # aggregate — no second corpus-wide join
+            lambda: simsearch.intrinsic_dim(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "corpus_contamination_report": (
+            # both passes broadcast the eval split; roll-up joins run over
+            # flagged sets only
+            lambda: corpusops.contamination_report(spark, SF),
+            ["BroadcastHashJoin", "!SortMergeJoin"],
+        ),
+        "web_outlink_entropy": (
+            # rides the link-graph cache: InMemory/checkpoint scan + one
+            # host-keyed groupBy, no corpus rescan
+            lambda: webgraph.outlink_entropy(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "events_rfm_segments": (
+            # one user-keyed shuffle + 1-row quartile broadcast; no ntile
+            # global sort anywhere
+            lambda: relops.events_rfm_segments(spark, SF),
+            ["HashAggregate", "!Window"],
         ),
     }
 
