@@ -246,6 +246,8 @@ BENCH_QUERIES = {
     "events_gap_histogram": relops.events_gap_histogram,
     "kg_coreness": graphalgo.q_coreness,
     "events_session_entropy": relops.events_session_entropy,
+    "er_tfidf_pairs": er.tfidf_pairs,
+    "events_pareto_curve": relops.events_pareto_curve,
 }
 
 

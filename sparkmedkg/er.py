@@ -475,3 +475,126 @@ cand AS (
 SELECT a, b, CAST(levenshtein(sa, sb) AS BIGINT) AS lev
 FROM cand WHERE levenshtein(sa, sb) <= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-weighted cosine blocking join (weighted record similarity).
+# ---------------------------------------------------------------------------
+
+TFIDF_DF_CAP = 40     # rare-token block: candidate keys with df <= cap
+TFIDF_TAU = 0.5       # emit threshold on the weighted cosine
+
+
+def tfidf_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    df_cap: int = TFIDF_DF_CAP,
+    tau: float = TFIDF_TAU,
+) -> DataFrame:
+    """(a, b, n_shared, cos): record pairs whose IDF-WEIGHTED token
+    cosine is >= tau — the standard record-linkage similarity where
+    matching on a rare token ("xq7-batch-serial") means far more than on
+    a common one, which unweighted Jaccard (ppjoin) treats identically.
+
+    Candidates come from the RARE-token block (df <= df_cap keys only —
+    fan-out per key bounded by the cap, the metablocking argument); the
+    weighted dot is then computed over ALL shared tokens of each
+    candidate pair via a second token equi-join, so the score is exact
+    even though blocking looked at rare keys only.  Blocking recall
+    contract: a pair with NO shared rare token is never considered —
+    at tau >= 0.5 a qualifying pair almost always shares one, and the
+    oracle applies the identical rule, so the gate checks the algorithm.
+
+    Determinism: idf weights are integer-quantized per token
+    (floor(ln(N/df)*1000 + 0.5)), so per-pair dots and per-doc norms are
+    exact BIGINT sums (order-free); ONE double sqrt+division at emit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " +"))).alias("tok")
+    )
+    df_tbl = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = dt.join(F.broadcast(df_tbl), "tok").select(
+        "doc_id",
+        "tok",
+        "df",
+        F.floor(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    ).persist()
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("n2")
+    )
+    rare = w.where(F.col("df") <= df_cap)
+    cand = (
+        rare.alias("l")
+        .join(rare.alias("r"), "tok")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b")
+        )
+        .distinct()
+    )
+    dots = (
+        cand.join(w.select(F.col("doc_id").alias("a"), "tok", F.col("q").alias("qa")), "a")
+        .join(w.select(F.col("doc_id").alias("b"), "tok", F.col("q").alias("qb")), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"),
+        )
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+    )
+    out = (
+        dots.join(norms.select(F.col("doc_id").alias("a"), F.col("n2").alias("na")), "a")
+        .join(norms.select(F.col("doc_id").alias("b"), F.col("n2").alias("nb")), "b")
+        .where(cos >= tau)
+        .select("a", "b", "n_shared", F.round(cos, 6).alias("cos"))
+    )
+    # eager-materialize the (sparse) pair result so the weighted-token
+    # cache can be released before returning the lazy handle (the
+    # relations.q_pagerank convention)
+    out = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return out
+
+
+def sql_tfidf_pairs(
+    df_cap: int = TFIDF_DF_CAP, tau: float = TFIDF_TAU
+) -> str:
+    return f"""
+WITH dt AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), ' +')))
+           AS tok
+  FROM documents
+),
+dftbl AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+w AS (
+  SELECT dt.doc_id, dt.tok, f.df,
+         CAST(floor(ln((SELECT COUNT(*) FROM documents)::DOUBLE / f.df)
+                    * 1000 + 0.5) AS BIGINT) AS q
+  FROM dt JOIN dftbl f ON f.tok = dt.tok
+),
+norms AS (SELECT doc_id, CAST(SUM(q * q) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+rare AS (SELECT * FROM w WHERE df <= {df_cap}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rare l JOIN rare r ON l.tok = r.tok AND l.doc_id < r.doc_id
+),
+dots AS (
+  SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(wa.q * wb.q) AS BIGINT) AS dot
+  FROM cand c
+  JOIN w wa ON wa.doc_id = c.a
+  JOIN w wb ON wb.doc_id = c.b AND wb.tok = wa.tok
+  GROUP BY c.a, c.b
+)
+SELECT d.a, d.b, d.n_shared,
+       round(d.dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE), 6) AS cos
+FROM dots d
+JOIN norms na ON na.doc_id = d.a
+JOIN norms nb ON nb.doc_id = d.b
+WHERE d.dot::DOUBLE / sqrt((na.n2 * nb.n2)::DOUBLE) >= {tau}
+"""

@@ -4531,3 +4531,83 @@ SELECT user_id, n_events, n_types,
          (acc, e) -> acc + e), 6) AS entropy
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Lorenz / Pareto decile table of user activity.
+# ---------------------------------------------------------------------------
+
+def events_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_users, n_events, cum_events_ppm): users bucketed into
+    activity deciles (decile 1 = heaviest) with each decile's event mass
+    and the running cumulative share — the Lorenz/Pareto table behind
+    "the top 10% of users produce Y% of traffic".  events_gini collapses
+    this curve to one scalar; the decile table is what capacity and
+    abuse teams actually act on.
+
+    Decile cutpoints reuse the quality_deciles pattern (nine exact
+    percentiles in ONE broadcast row — no ntile global sort); counts and
+    the cumulative share are exact BIGINT/ppm, and the cumulative window
+    runs over the 10-row decile table only."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = per.agg(
+        F.percentile("c", F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    )
+    # decile 1 = heaviest users: 1 + #{cuts strictly ABOVE this count}
+    decile = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, cut: acc + F.when(F.col("c") < cut, 1).otherwise(0),
+    )
+    per_dec = (
+        per.crossJoin(F.broadcast(cuts))
+        .select(decile.cast("int").alias("decile"), "c")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("c").cast("bigint").alias("n_events"),
+        )
+    )
+    tot = per_dec.agg(F.sum("n_events").cast("bigint").alias("all_events"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "n_events",
+            F.sum(F.expr("n_events * 1000000 div all_events"))
+            .over(w)
+            .cast("bigint")
+            .alias("cum_events_ppm"),
+        )
+    )
+
+
+def sql_events_pareto_curve() -> str:
+    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
+    return f"""
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
+),
+cuts AS (SELECT quantile_cont(c, [{qs}]) AS cuts FROM per),
+assigned AS (
+  SELECT CAST(1 + len(list_filter(cuts, cut -> c < cut)) AS INT) AS decile, c
+  FROM per CROSS JOIN cuts
+),
+per_dec AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS n_events
+  FROM assigned GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS all_events FROM per_dec)
+SELECT decile, n_users, n_events,
+       CAST(SUM(n_events * 1000000 // all_events)
+            OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_events_ppm
+FROM per_dec CROSS JOIN tot
+"""
