@@ -62,8 +62,12 @@ def sql_events_sessionize() -> str:
     return f"""
 WITH marked AS (
   SELECT user_id, event_id, ts,
+         -- whole-second diffs (epoch_us // 1e6), mirroring Spark's long
+         -- cast: raw-double epoch() diffs can straddle the gap threshold
+         -- on fractional-second timestamps (the lateness-audit bug class)
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+                OR epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER w) // 1000000 > {SESSION_GAP_SEC}
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -3584,8 +3588,13 @@ def events_lateness_audit(
     time span / win_s, calendar-shaped — NOT event-shaped), and a
     broadcast join back.  All arithmetic is exact integer epoch
     seconds."""
+    # NB: cast("timestamp").cast("long"), NOT unix_timestamp() — the
+    # latter converts through the SESSION timezone, so events across a
+    # DST boundary land in different arrival windows than DuckDB's
+    # timezone-naive epoch() (bit the sf0.01 selfcheck: 2 events moved
+    # buckets).  The cast chain is the repo-wide tz-naive idiom.
     ev = _t(spark, sf_dir, "events").select(
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
+        F.col("ts").cast("timestamp").cast("long").alias("sec"),
         (
             F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
             .cast("bigint") % delay_s
@@ -3623,7 +3632,10 @@ def sql_events_lateness_audit(
 ) -> str:
     return f"""
 WITH ev AS (
-  SELECT epoch(ts)::BIGINT AS sec,
+  -- epoch_us // 1e6 (floor), NOT epoch(ts)::BIGINT: epoch() returns a
+  -- DOUBLE and the BIGINT cast ROUNDS half-up, while Spark's long cast
+  -- floors — fractional-second events straddle arrival windows
+  SELECT epoch_us(ts) // 1000000 AS sec,
          CAST('0x' || substring(md5(event_id::VARCHAR), 1, 15) AS BIGINT)
            % {delay_s} AS delay
   FROM events
