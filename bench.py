@@ -248,6 +248,8 @@ BENCH_QUERIES = {
     "events_session_entropy": relops.events_session_entropy,
     "er_tfidf_pairs": er.tfidf_pairs,
     "events_pareto_curve": relops.events_pareto_curve,
+    "corpus_shingle_growth": corpusops.shingle_growth,
+    "corpus_feature_correlation": corpusops.feature_correlation,
 }
 
 

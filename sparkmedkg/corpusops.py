@@ -2208,3 +2208,184 @@ SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
          AS expected_fpr
 FROM base
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle-novelty growth curve (crawl-value decay audit).
+# ---------------------------------------------------------------------------
+
+GROWTH_BUCKETS = 10
+
+
+def shingle_growth(
+    spark: SparkSession, sf_dir: str, k: int = DECON_K
+) -> DataFrame:
+    """(bucket, n_docs, n_shingles, n_new, pct_new_ppm): ingest the
+    corpus in doc_id order in ``GROWTH_BUCKETS`` equal slices and count,
+    per slice, how many of its distinct k-shingles were NEVER seen in an
+    earlier slice — the crawl-value decay curve.  heaps_law tracks
+    vocabulary growth; this is the CONTENT-level twin dedup planners
+    read: when pct_new flattens, additional crawling is mostly re-paying
+    storage for text you already have.
+
+    Plan: each shingle's first-seen bucket is one grouped MIN over the
+    (shingle, bucket) projection — novelty never needs a self-join or an
+    ordered scan; per-bucket totals ride the same map-side-combinable
+    shape.  All counts BIGINT, share in exact ppm."""
+    docs = _docs(spark, sf_dir)
+    ids = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    sh = (
+        docs.crossJoin(F.broadcast(ids))
+        .select(
+            "doc_id",
+            F.least(
+                F.expr(
+                    f"(doc_id - lo) * {GROWTH_BUCKETS} div (hi - lo + 1)"
+                ),
+                F.lit(GROWTH_BUCKETS - 1),
+            )
+            .cast("bigint")
+            .alias("bucket"),
+            F.explode(F.array_distinct(_shingles_k("text", k))).alias("s"),
+        )
+    )
+    per_bucket = sh.groupBy("bucket").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count_distinct("s").cast("bigint").alias("n_shingles"),
+    )
+    first_seen = sh.groupBy("s").agg(F.min("bucket").alias("bucket"))
+    new_per = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    return (
+        per_bucket.join(new_per, "bucket", "left")
+        .select(
+            "bucket",
+            "n_docs",
+            "n_shingles",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.expr(
+                "coalesce(n_new, 0) * 1000000 div n_shingles"
+            )
+            .cast("bigint")
+            .alias("pct_new_ppm"),
+        )
+    )
+
+
+def sql_shingle_growth(k: int = DECON_K) -> str:
+    return f"""
+WITH ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+sh AS (
+  SELECT doc_id,
+         least((doc_id - lo) * {GROWTH_BUCKETS} // (hi - lo + 1),
+               {GROWTH_BUCKETS - 1}) AS bucket,
+         unnest(list_distinct({_sql_shingles_k('text', k)})) AS s
+  FROM documents CROSS JOIN ids
+),
+per_bucket AS (
+  SELECT bucket, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY bucket
+),
+first_seen AS (SELECT s, MIN(bucket) AS bucket FROM sh GROUP BY s),
+new_per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY bucket
+)
+SELECT p.bucket, p.n_docs, p.n_shingles,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(COALESCE(n.n_new, 0) * 1000000 // p.n_shingles AS BIGINT)
+         AS pct_new_ppm
+FROM per_bucket p LEFT JOIN new_per n ON n.bucket = p.bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Doc-feature Pearson correlation matrix.
+# ---------------------------------------------------------------------------
+
+def feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fa, fb, n_docs, r): Pearson correlation between every pair of the
+    three cheap per-doc features quality gates threshold on — chars,
+    tokens, distinct tokens.  Highly-correlated features are redundant
+    gates (tune one, drop the other); a LOW chars-tokens correlation
+    flags tokenization pathologies (huge unsegmented blobs).  The feature
+    audit run before fitting any quality classifier.
+
+    Same exactness contract as events_type_correlation: all five moments
+    BIGINT, one IEEE division + correctly-rounded sqrts at emit, round 6.
+    Plan: one map-only feature projection, a features-sized unpivot, one
+    pair join keyed on doc_id over a 3-row-per-doc table."""
+    toks = _toks()
+    feats = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(toks).cast("bigint").alias("tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("distinct_tokens"),
+    )
+    long = feats.selectExpr(
+        "doc_id",
+        "stack(3, 'chars', chars, 'tokens', tokens, "
+        "'distinct_tokens', distinct_tokens) AS (f, v)",
+    )
+    a = long.select("doc_id", F.col("f").alias("fa"), F.col("v").alias("x"))
+    b = long.select("doc_id", F.col("f").alias("fb"), F.col("v").alias("y"))
+    m = (
+        a.join(b, "doc_id")
+        .where(F.col("fa") < F.col("fb"))
+        .groupBy("fa", "fb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    r = F.when(
+        (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+    )
+    return m.select("fa", "fb", F.col("n").alias("n_docs"), r.alias("r"))
+
+
+def sql_feature_correlation() -> str:
+    toks = "regexp_split_to_array(lower(text), ' +')"
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len({toks}) AS BIGINT) AS tokens,
+         CAST(len(list_distinct({toks})) AS BIGINT) AS distinct_tokens
+  FROM documents
+),
+long AS (
+  SELECT doc_id, 'chars' AS f, chars AS v FROM feats
+  UNION ALL SELECT doc_id, 'tokens', tokens FROM feats
+  UNION ALL SELECT doc_id, 'distinct_tokens', distinct_tokens FROM feats
+),
+m AS (
+  SELECT a.f AS fa, b.f AS fb,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(a.v) AS BIGINT) AS sx,
+         CAST(SUM(b.v) AS BIGINT) AS sy,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+         CAST(SUM(a.v * a.v) AS BIGINT) AS sx2,
+         CAST(SUM(b.v * b.v) AS BIGINT) AS sy2
+  FROM long a JOIN long b ON a.doc_id = b.doc_id AND a.f < b.f
+  GROUP BY a.f, b.f
+)
+SELECT fa, fb, n AS n_docs,
+       CASE WHEN (n * sx2 - sx * sx) > 0 AND (n * sy2 - sy * sy) > 0
+            THEN round((n * sxy - sx * sy)::DOUBLE
+                       / (sqrt((n * sx2 - sx * sx)::DOUBLE)
+                          * sqrt((n * sy2 - sy * sy)::DOUBLE)), 6)
+       END AS r
+FROM m
+"""
