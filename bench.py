@@ -250,6 +250,8 @@ BENCH_QUERIES = {
     "events_pareto_curve": relops.events_pareto_curve,
     "corpus_shingle_growth": corpusops.shingle_growth,
     "corpus_feature_correlation": corpusops.feature_correlation,
+    "kg_spectral_bisection": graphalgo.q_spectral_bisection,
+    "text_mojibake_audit": textstats.mojibake_audit,
 }
 
 

@@ -3741,3 +3741,153 @@ v0 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS val FROM edges GROUP BY src),
 {unrolled}
 SELECT src AS CUI, val AS coreness FROM v{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Spectral bisection (Fiedler power iteration, integer-exact).
+# ---------------------------------------------------------------------------
+
+SPEC_Q = 1 << 20
+SPEC_ITERS = 4
+
+
+def q_spectral_bisection(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = SPEC_ITERS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(CUI, v, side): spectral bisection of the co-occurrence graph —
+    power iteration toward the Fiedler direction on the shifted Laplacian
+    (dmax*I - L), whose dominant eigenvector (after deflating the known
+    trivial all-ones eigenvector) is the algebraic-connectivity cut
+    every multilevel partitioner (METIS-family) coarsens toward.  The
+    sign of v is the 2-way partition; |v| is distance from the cut.
+
+    The pca_power exactness contract, applied to a graph operator: start
+    vector is a deterministic md5 +/-1 (guaranteed mass on the Fiedler
+    component, unlike all-ones which IS the trivial eigenvector); each
+    round is (dmax - deg)*v + sum of neighbor v (one edge join + grouped
+    BIGINT sum), ones-deflation by subtracting the sign-split integer
+    mean, then max-renormalization to SPEC_Q with sign-split floor
+    division.  Every intermediate is BIGINT; the oracle unrolls the same
+    rounds.  Fixed ``iters`` is a fidelity knob, not a correctness one —
+    the gate checks the arithmetic, and more rounds sharpen the cut."""
+    edges = _edges(spark, sf_dir, min_docs).persist()
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist()
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"), F.max("deg").alias("dmax")
+    ).first()
+    n, dmax = int(row["n"]), int(row["dmax"])
+    v = deg.select(
+        F.col("src").alias("vi"),
+        (
+            (
+                F.conv(F.substring(F.md5("src"), 1, 15), 16, 10).cast("bigint")
+                % 2
+            )
+            * 2
+            - 1
+        ).cast("bigint")
+        * F.lit(SPEC_Q).cast("bigint"),
+    ).toDF("vi", "v").localCheckpoint(eager=True)
+    for _ in range(iters):
+        nb = (
+            edges.join(v, edges["dst"] == v["vi"])
+            .groupBy(edges["src"].alias("vi"))
+            .agg(F.sum("v").cast("bigint").alias("nb"))
+        )
+        u = (
+            deg.join(v, deg["src"] == v["vi"])
+            .join(nb, v["vi"] == nb["vi"], "left")
+            .select(
+                deg["src"].alias("vi"),
+                (
+                    (F.lit(dmax).cast("bigint") - F.col("deg")) * F.col("v")
+                    + F.coalesce(nb["nb"], F.lit(0))
+                ).alias("u"),
+            )
+        )
+        su = u.agg(F.sum("u").cast("bigint").alias("su"))
+        uc = u.crossJoin(F.broadcast(su)).select(
+            "vi",
+            F.expr(
+                f"u - (CASE WHEN su < 0 THEN -(abs(su) div {n}) "
+                f"ELSE abs(su) div {n} END)"
+            ).alias("u"),
+        )
+        m = uc.agg(
+            F.greatest(F.max(F.abs(F.col("u"))), F.lit(1).cast("bigint")).alias("m")
+        )
+        v = (
+            uc.crossJoin(F.broadcast(m))
+            .select(
+                "vi",
+                (
+                    F.signum(F.col("u")).cast("bigint")
+                    * F.floor(F.abs(F.col("u")) * SPEC_Q / F.col("m")).cast(
+                        "bigint"
+                    )
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    deg.unpersist()
+    return v.select(
+        F.col("vi").alias("CUI"), "v", (F.col("v") >= 0).alias("side")
+    )
+
+
+def sql_spectral_bisection(
+    iters: int = SPEC_ITERS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""nb{k} AS (
+  SELECT e.src AS vi, CAST(SUM(v.v) AS BIGINT) AS nb
+  FROM edges e JOIN v{k - 1} v ON v.vi = e.dst
+  GROUP BY e.src
+),
+u{k} AS (
+  SELECT d.src AS vi,
+         CAST(((SELECT dmax FROM dm) - d.deg) * v.v
+              + COALESCE(nb.nb, 0) AS BIGINT) AS u
+  FROM deg d JOIN v{k - 1} v ON v.vi = d.src
+  LEFT JOIN nb{k} nb ON nb.vi = d.src
+),
+su{k} AS (SELECT CAST(SUM(u) AS BIGINT) AS su FROM u{k}),
+uc{k} AS (
+  SELECT vi,
+         CAST(u - (CASE WHEN su < 0
+                        THEN -(ABS(su) // (SELECT n FROM nn))
+                        ELSE ABS(su) // (SELECT n FROM nn) END)
+              AS BIGINT) AS u
+  FROM u{k}, su{k}
+),
+m{k} AS (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM uc{k}),
+v{k} AS MATERIALIZED (
+  SELECT vi,
+         CAST(CASE WHEN u < 0 THEN -1 WHEN u > 0 THEN 1 ELSE 0 END
+              * FLOOR(ABS(u) * {SPEC_Q} / m) AS BIGINT) AS v
+  FROM uc{k}, m{k}
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+dm AS (SELECT MAX(deg) AS dmax FROM deg),
+v0 AS MATERIALIZED (
+  SELECT src AS vi,
+         CAST(((CAST('0x' || substring(md5(src), 1, 15) AS BIGINT) % 2)
+               * 2 - 1) * {SPEC_Q} AS BIGINT) AS v
+  FROM deg
+),
+{unrolled}
+SELECT vi AS CUI, v, v >= 0 AS side FROM v{iters}
+"""

@@ -1332,3 +1332,74 @@ SELECT term, df, s AS total_count,
 FROM stats CROSS JOIN n
 ORDER BY s DESC, term LIMIT {BURST_TOP_TERMS}
 """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-damage (mojibake) audit.
+# ---------------------------------------------------------------------------
+
+def mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_replacement_docs, n_control_docs, n_nonascii_docs,
+    replacement_ppm, control_ppm, nonascii_ppm): corpus-level encoding-
+    damage scorecard — documents containing U+FFFD replacement chars
+    (decode already failed upstream), C0/C1 control chars other than
+    tab/newline/CR (binary bleed-through), and any non-ASCII at all (the
+    denominator for judging the other two).  Mojibake is the web-crawl
+    failure mode quality classifiers are notoriously blind to, so this
+    gate runs BEFORE model-based scoring.
+
+    All three detectors are single regexp_like expressions riding the
+    scan (whole-stage codegen, no UDF); the rollup is one 1-row
+    aggregate.  The synthetic corpus is clean ASCII by construction —
+    zeros here are the assertion, and the unit test injects damaged rows
+    through the same expressions to prove the detectors fire."""
+    docs = _docs(spark, sf_dir)
+    repl = F.col("text").contains("�")
+    ctrl = F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+    nonascii = F.col("text").rlike("[^\\x00-\\x7f]")
+    agg = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(repl.cast("int")).cast("bigint").alias("n_replacement_docs"),
+        F.sum(ctrl.cast("int")).cast("bigint").alias("n_control_docs"),
+        F.sum(nonascii.cast("int")).cast("bigint").alias("n_nonascii_docs"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_replacement_docs",
+        "n_control_docs",
+        "n_nonascii_docs",
+        F.expr("n_replacement_docs * 1000000 div n_docs")
+        .cast("bigint")
+        .alias("replacement_ppm"),
+        F.expr("n_control_docs * 1000000 div n_docs")
+        .cast("bigint")
+        .alias("control_ppm"),
+        F.expr("n_nonascii_docs * 1000000 div n_docs")
+        .cast("bigint")
+        .alias("nonascii_ppm"),
+    )
+
+
+def sql_mojibake_audit() -> str:
+    return r"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(CASE WHEN contains(text, chr(65533))
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_replacement_docs,
+         CAST(COALESCE(SUM(CASE WHEN regexp_matches(text,
+                    '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_control_docs,
+         CAST(COALESCE(SUM(CASE WHEN regexp_matches(text, '[^\x00-\x7f]')
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_nonascii_docs
+  FROM documents
+)
+SELECT n_docs, n_replacement_docs, n_control_docs, n_nonascii_docs,
+       CAST(n_replacement_docs * 1000000 // n_docs AS BIGINT)
+         AS replacement_ppm,
+       CAST(n_control_docs * 1000000 // n_docs AS BIGINT) AS control_ppm,
+       CAST(n_nonascii_docs * 1000000 // n_docs AS BIGINT) AS nonascii_ppm
+FROM agg
+"""

@@ -1,0 +1,91 @@
+"""Round-3 twenty-sixth-batch operators: spectral bisection (integer
+Fiedler power iteration), mojibake audit — brute-force Python twins at
+sf0.001."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from sparkmedkg import graphalgo, textstats
+from sparkmedkg.graphalgo import SPEC_ITERS, SPEC_Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _sdiv(a: int, b: int) -> int:
+    """Sign-split truncating division (matches div on the magnitude)."""
+    return -(abs(a) // b) if a < 0 else abs(a) // b
+
+
+def test_spectral_bisection_matches_integer_iteration(spark):
+    edges = graphalgo._edges(spark, SF, 2).collect()
+    adj = defaultdict(list)
+    for r in edges:
+        adj[r["src"]].append(r["dst"])
+    deg = {v: len(n) for v, n in adj.items()}
+    n = len(deg)
+    dmax = max(deg.values())
+    v = {x: ((_h60(x) % 2) * 2 - 1) * SPEC_Q for x in deg}
+    for _ in range(SPEC_ITERS):
+        u = {
+            x: (dmax - deg[x]) * v[x] + sum(v[y] for y in adj[x])
+            for x in deg
+        }
+        su = sum(u.values())
+        mean = _sdiv(su, n)
+        uc = {x: ux - mean for x, ux in u.items()}
+        m = max(max(abs(x) for x in uc.values()), 1)
+        # FLOOR(ABS(u) * Q / m) goes through an IEEE double in both
+        # engines; mirror that here
+        v = {
+            x: (0 if ux == 0 else (1 if ux > 0 else -1))
+            * int(abs(ux) * SPEC_Q / m)
+            for x, ux in uc.items()
+        }
+    got = {
+        r["CUI"]: (r["v"], r["side"])
+        for r in graphalgo.q_spectral_bisection(spark, SF).collect()
+    }
+    assert got == {x: (vx, vx >= 0) for x, vx in v.items()}
+    # a bisection must actually split the graph into two non-empty sides
+    sides = {s for _, s in got.values()}
+    assert sides == {True, False}
+
+
+def test_mojibake_audit_clean_corpus_and_detectors_fire(spark):
+    row = textstats.mojibake_audit(spark, SF).collect()[0]
+    assert row["n_docs"] > 0
+    # the synthetic corpus is clean ASCII by construction
+    assert row["n_replacement_docs"] == 0
+    assert row["n_control_docs"] == 0
+    assert row["n_nonascii_docs"] == 0
+    assert row["replacement_ppm"] == 0
+
+    # inject damaged rows through the SAME expressions to prove the
+    # detectors fire
+    bad = spark.createDataFrame(
+        [
+            (1, "clean text"),
+            (2, "broken � here"),
+            (3, "binary \x01 bleed"),
+            (4, "café au lait"),
+        ],
+        "doc_id bigint, text string",
+    )
+    repl = F.col("text").contains("�")
+    ctrl = F.col("text").rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+    nonascii = F.col("text").rlike("[^\\x00-\\x7f]")
+    r = bad.agg(
+        F.sum(repl.cast("int")).alias("r"),
+        F.sum(ctrl.cast("int")).alias("c"),
+        F.sum(nonascii.cast("int")).alias("na"),
+    ).collect()[0]
+    assert (r["r"], r["c"]) == (1, 1)
+    assert r["na"] == 2  # U+FFFD and café (the \x01 row is still ASCII)
