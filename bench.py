@@ -252,6 +252,7 @@ BENCH_QUERIES = {
     "corpus_feature_correlation": corpusops.feature_correlation,
     "kg_spectral_bisection": graphalgo.q_spectral_bisection,
     "text_mojibake_audit": textstats.mojibake_audit,
+    "events_props_profile": relops.events_props_profile,
 }
 
 

@@ -4623,3 +4623,145 @@ SELECT decile, n_users, n_events,
          AS cum_events_ppm
 FROM per_dec CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props schema profiler.
+# ---------------------------------------------------------------------------
+
+def _props_rich():
+    """Deterministic enriched JSON sidecar: the driver's props column is
+    single-key, so optional keys are reconstructed from row identity (the
+    trainprep._tier_col convention) to give the profiler a real mixed
+    schema to discover — utm on every 3rd event, price on purchases,
+    flag on every 7th."""
+    base = F.get_json_object("props", "$.k")
+    return F.concat(
+        F.lit('{"k": '),
+        base,
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit(', "utm": "src'),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit('"'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit(', "price": '),
+                F.round(F.col("value"), 2).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("event_id") % 7 == 0, F.lit(', "flag": true')
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+
+
+def events_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, n_rows, presence_ppm, top_type, n_type_rows): generic schema
+    discovery over a JSON sidecar column — which keys exist, how often,
+    and each key's dominant value type (integer / double / bool /
+    string, inferred by pattern — the portable subset engines agree on).
+    The profiling pass every semi-structured ingest runs BEFORE writing
+    extraction expressions like events_json_props' `$.k`; schema DRIFT
+    in these sidecars is how upstream teams break downstream pipelines
+    silently.
+
+    Plan: json_object_keys + explode ride the scan (JVM expressions, no
+    UDF); per-(key, type) counts are map-side combinable; the dominant
+    type is a window over the keys-sized table.  Counts BIGINT, presence
+    exact ppm."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", _props_rich().alias("pj")
+    )
+    n_rows = ev.count()
+    # from_json to map<string,string> (explodes straight to key/val —
+    # get_json_object needs a FOLDABLE path, so it can't consume the
+    # discovered key column); numbers/bools coerce to their JSON text,
+    # matching DuckDB's json_extract_string
+    kv = ev.select(
+        F.explode(F.from_json("pj", "map<string,string>")).alias("key", "val")
+    )
+    typed = kv.select(
+        "key",
+        F.when(F.col("val").rlike("^-?[0-9]+$"), "integer")
+        .when(F.col("val").rlike("^-?[0-9]+\\.[0-9]+$"), "double")
+        .when(F.col("val").isin("true", "false"), "bool")
+        .otherwise("string")
+        .alias("vtype"),
+    )
+    per_type = typed.groupBy("key", "vtype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("c"), F.asc("vtype"))
+    per_key = (
+        per_type.withColumn("rk", F.row_number().over(w))
+        .groupBy("key")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.max(F.when(F.col("rk") == 1, F.col("vtype"))).alias("top_type"),
+            F.max(F.when(F.col("rk") == 1, F.col("c")))
+            .cast("bigint")
+            .alias("n_type_rows"),
+        )
+    )
+    return per_key.select(
+        "key",
+        "n_rows",
+        F.expr(f"n_rows * 1000000 div {n_rows}")
+        .cast("bigint")
+        .alias("presence_ppm"),
+        "top_type",
+        "n_type_rows",
+    )
+
+
+def sql_events_props_profile() -> str:
+    pj = (
+        "'{\"k\": ' || json_extract_string(props, '$.k')"
+        " || CASE WHEN event_id % 3 = 0"
+        " THEN ', \"utm\": \"src' || (event_id % 5) || '\"' ELSE '' END"
+        " || CASE WHEN event_type = 'purchase'"
+        " THEN ', \"price\": ' || CAST(round(value, 2) AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN event_id % 7 = 0 THEN ', \"flag\": true'"
+        " ELSE '' END || '}'"
+    )
+    return f"""
+WITH ev AS (SELECT event_id, {pj} AS pj FROM events),
+kv AS (
+  SELECT pj, unnest(json_keys(pj)) AS key FROM ev
+),
+typed AS (
+  SELECT key,
+         CASE WHEN regexp_matches(val, '^-?[0-9]+$') THEN 'integer'
+              WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$') THEN 'double'
+              WHEN val IN ('true', 'false') THEN 'bool'
+              ELSE 'string' END AS vtype
+  FROM (SELECT key, json_extract_string(pj, '$.' || key) AS val FROM kv)
+),
+per_type AS (
+  SELECT key, vtype, CAST(COUNT(*) AS BIGINT) AS c
+  FROM typed GROUP BY key, vtype
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                               ORDER BY c DESC, vtype) AS rk
+  FROM per_type
+),
+per_key AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS n_rows,
+         MAX(CASE WHEN rk = 1 THEN vtype END) AS top_type,
+         CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS n_type_rows
+  FROM ranked GROUP BY key
+)
+SELECT key, n_rows,
+       CAST(n_rows * 1000000 // (SELECT COUNT(*) FROM events) AS BIGINT)
+         AS presence_ppm,
+       top_type, n_type_rows
+FROM per_key
+"""

@@ -89,3 +89,45 @@ def test_mojibake_audit_clean_corpus_and_detectors_fire(spark):
     ).collect()[0]
     assert (r["r"], r["c"]) == (1, 1)
     assert r["na"] == 2  # U+FFFD and café (the \x01 row is still ASCII)
+
+
+def test_props_profile_matches_bruteforce(spark):
+    import json as _json
+
+    from sparkmedkg import relops
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    per_key = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        k = _json.loads(r["props"])["k"]
+        obj = {"k": str(k)}
+        if r["event_id"] % 3 == 0:
+            obj["utm"] = f"src{r['event_id'] % 5}"
+        if r["event_type"] == "purchase":
+            obj["price"] = str(round(r["value"], 2))
+        if r["event_id"] % 7 == 0:
+            obj["flag"] = "true"
+        for key, val in obj.items():
+            if val.lstrip("-").isdigit():
+                t = "integer"
+            elif val in ("true", "false"):
+                t = "bool"
+            else:
+                try:
+                    float(val)
+                    t = "double" if "." in val else "string"
+                except ValueError:
+                    t = "string"
+            per_key[key][t] += 1
+    got = {
+        r["key"]: (r["n_rows"], r["presence_ppm"], r["top_type"], r["n_type_rows"])
+        for r in relops.events_props_profile(spark, SF).collect()
+    }
+    assert set(got) == set(per_key)
+    n_events = len(rows)
+    for key, types in per_key.items():
+        n = sum(types.values())
+        top = sorted(types.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[key] == (n, n * 1_000_000 // n_events, top[0], top[1]), key
+    # the reconstructed schema must exercise all four types
+    assert {v[2] for v in got.values()} == {"integer", "double", "bool", "string"}
