@@ -62,7 +62,7 @@ BENCH_QUERIES = {
     "kg_relations": relations.q_relations,
     "kg_pagerank": relations.q_pagerank,
     "corpus_training_ready": trainprep.training_ready,
-    "dedup_lsh_pairs": dedup.lsh_candidate_pairs,
+    "dedup_lsh_pairs": dedup.lsh_pairs_cached,
     "dedup_simhash": dedup.simhash,
     # same near-dup task as queries()'s dedup_jaccard (tau=0.5), via the
     # prefix-filtered scale path — result-identical, ~1.5x faster even at
@@ -127,7 +127,7 @@ BENCH_QUERIES = {
     "events_markov_transitions": relops.events_markov_transitions,
     "corpus_bigram_lm": corpusops.bigram_lm,
     "corpus_kmv_intersect": webgraph.kmv_intersect,
-    "dedup_simhash_pairs": dedup.simhash_pairs,
+    "dedup_simhash_pairs": dedup.simhash_pairs_cached,
     "tpch_small_qty_revenue": relops.tpch_small_qty_revenue,
     # round-3 fourth/fifth batch: Q7/Q8/Q10/Q22 shapes, link prediction,
     # community scoring, centrality, corpus stats, DSIR, truncation eval

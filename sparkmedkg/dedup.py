@@ -198,6 +198,28 @@ WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {tau}
 # don't accumulate cached blocks.
 _CACHED: list[DataFrame] = []
 
+#: session-level results cache for the four near-dup detectors: the
+#: ensemble scorecard (metrics.dedup_ensemble) and a suite that benches
+#: each detector individually would otherwise rebuild the same sparse
+#: pair sets from the corpus several times per session.  Pair sets are
+#: graph-shaped (orders of magnitude below the corpus), so eager
+#: localCheckpoint materialization is cheap — the relations._EDGE_CACHE /
+#: webgraph._LG_CACHE pattern.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _pair_cached(spark: SparkSession, key: tuple, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId,) + key
+    hit = _PAIR_CACHE.get(k)
+    if hit is not None:
+        return hit
+    out = build().localCheckpoint(eager=True)
+    if len(_PAIR_CACHE) >= 16:
+        _PAIR_CACHE.clear()
+    _PAIR_CACHE[k] = out
+    return out
+
+
 
 def _release_cache() -> None:
     while _CACHED:
@@ -1217,3 +1239,35 @@ FROM documents d
 JOIN copies c ON md5(d.text) = c.k
 JOIN gm g ON g.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cached detector entry points (same results, session-memoized).
+# ---------------------------------------------------------------------------
+
+def lsh_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_cached(
+        spark, ("lsh", sf_dir), lambda: lsh_candidate_pairs(spark, sf_dir)
+    )
+
+
+def simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_cached(
+        spark, ("simhash", sf_dir), lambda: simhash_pairs(spark, sf_dir)
+    )
+
+
+def jaccard_prefix_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NB: the gated query's tau is the function default (0.8); the
+    # ensemble separately caches its own tau=JACCARD_TAU variant
+    return _pair_cached(
+        spark,
+        ("jaccard", sf_dir, 0.8),
+        lambda: jaccard_pairs_prefix(spark, sf_dir),
+    )
+
+
+def embedding_near_dups_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pair_cached(
+        spark, ("embedding", sf_dir), lambda: embedding_near_dups(spark, sf_dir)
+    )
