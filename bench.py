@@ -253,6 +253,7 @@ BENCH_QUERIES = {
     "kg_spectral_bisection": graphalgo.q_spectral_bisection,
     "text_mojibake_audit": textstats.mojibake_audit,
     "events_props_profile": relops.events_props_profile,
+    "kg_ppr_sweep_cut": graphalgo.q_ppr_sweep_cut,
 }
 
 

@@ -3891,3 +3891,143 @@ v0 AS MATERIALIZED (
 {unrolled}
 SELECT vi AS CUI, v, v >= 0 AS side FROM v{iters}
 """
+
+
+# ---------------------------------------------------------------------------
+# Local-community sweep cut over PPR (Andersen-Chung-Lang).
+# ---------------------------------------------------------------------------
+
+def q_ppr_sweep_cut(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(rank, CUI, vol, cut, conductance_ppm, is_best): the
+    Andersen-Chung-Lang sweep over the personalized-PageRank vector —
+    nodes sorted by ppr/deg, and for every prefix S_k the cut size,
+    volume, and conductance; the minimum-conductance prefix IS the
+    seed's local community, with a quality guarantee tied to the PPR
+    approximation.  This is how "find the community around THIS drug"
+    ships without running global community detection.
+
+    Exactness: ppr is the gated round(6) vector, deg is BIGINT, so the
+    sweep order (ppr/deg desc, CUI) is identical in both engines; cut
+    sizes come from the +1/-1 interval-delta trick (an edge crosses
+    prefix k iff min_rank <= k < max_rank), so cut/vol/conductance are
+    all exact integers.  Plan: every window runs over the NODE-sized
+    ranked table (the graph's node count, not the corpus); edges join
+    the rank map twice then reduce to two delta rows each."""
+    from sparkmedkg import relations
+
+    ppr = relations.q_ppr(spark, sf_dir, min_docs=min_docs)
+    deg = (
+        _edges(spark, sf_dir, min_docs)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    scored = ppr.join(deg.withColumnRenamed("src", "CUI"), "CUI")
+    w = Window.orderBy(
+        F.desc(F.col("ppr") / F.col("deg").cast("double")), F.asc("CUI")
+    )
+    ranked = scored.select(
+        "CUI", "deg", F.row_number().over(w).cast("bigint").alias("rank")
+    ).localCheckpoint(eager=True)
+    und = (
+        _edges(spark, sf_dir, min_docs)
+        .where(F.col("src") < F.col("dst"))
+        .join(
+            ranked.select(F.col("CUI").alias("src"), F.col("rank").alias("ra")),
+            "src",
+        )
+        .join(
+            ranked.select(F.col("CUI").alias("dst"), F.col("rank").alias("rb")),
+            "dst",
+        )
+        .select(
+            F.least("ra", "rb").alias("rmin"),
+            F.greatest("ra", "rb").alias("rmax"),
+        )
+    )
+    deltas = (
+        und.select(F.col("rmin").alias("k"), F.lit(1).alias("d"))
+        .unionByName(und.select(F.col("rmax").alias("k"), F.lit(-1).alias("d")))
+        .groupBy("k")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    wk = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    total_vol = ranked.agg(F.sum("deg").cast("bigint").alias("tv"))
+    pref = (
+        ranked.join(deltas, ranked["rank"] == deltas["k"], "left")
+        .crossJoin(F.broadcast(total_vol))
+        .select(
+            "rank",
+            "CUI",
+            F.sum("deg").over(wk).cast("bigint").alias("vol"),
+            F.sum(F.coalesce(F.col("delta"), F.lit(0)))
+            .over(wk)
+            .cast("bigint")
+            .alias("cut"),
+            "tv",
+        )
+        .where(F.col("vol") < F.col("tv"))  # drop the full-set prefix
+    )
+    cond = F.expr("cut * 1000000 div least(vol, tv - vol)").cast("bigint")
+    out = pref.select(
+        "rank", "CUI", "vol", "cut", cond.alias("conductance_ppm")
+    )
+    best = out.agg(F.min("conductance_ppm").alias("best"))
+    return out.crossJoin(F.broadcast(best)).select(
+        "rank",
+        "CUI",
+        "vol",
+        "cut",
+        "conductance_ppm",
+        (F.col("conductance_ppm") == F.col("best")).alias("is_best"),
+    )
+
+
+def sql_ppr_sweep_cut(min_docs: int = PR_MIN_DOCS) -> str:
+    from sparkmedkg import relations
+
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+ppr AS MATERIALIZED ({relations.sql_ppr(min_docs=min_docs)}),
+deg2 AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+swranked AS MATERIALIZED (
+  SELECT p.CUI, d.deg,
+         CAST(ROW_NUMBER() OVER (ORDER BY p.ppr / d.deg::DOUBLE DESC, p.CUI)
+              AS BIGINT) AS rank
+  FROM ppr p JOIN deg2 d ON d.src = p.CUI
+),
+swund AS MATERIALIZED (
+  SELECT least(ra.rank, rb.rank) AS rmin,
+         greatest(ra.rank, rb.rank) AS rmax
+  FROM edges e
+  JOIN swranked ra ON ra.CUI = e.src
+  JOIN swranked rb ON rb.CUI = e.dst
+  WHERE e.src < e.dst
+),
+deltas AS MATERIALIZED (
+  SELECT k, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT rmin AS k, 1 AS d FROM swund
+    UNION ALL SELECT rmax, -1 FROM swund
+  ) GROUP BY k
+),
+tv AS (SELECT CAST(SUM(deg) AS BIGINT) AS tv FROM swranked),
+pref AS (
+  SELECT r.rank, r.CUI,
+         CAST(SUM(r.deg) OVER wk AS BIGINT) AS vol,
+         CAST(SUM(COALESCE(dl.delta, 0)) OVER wk AS BIGINT) AS cut,
+         t.tv
+  FROM swranked r LEFT JOIN deltas dl ON dl.k = r.rank
+  CROSS JOIN tv t
+  WINDOW wk AS (ORDER BY r.rank ROWS UNBOUNDED PRECEDING)
+),
+cond AS (
+  SELECT rank, CUI, vol, cut,
+         CAST(cut * 1000000 // least(vol, tv - vol) AS BIGINT)
+           AS conductance_ppm
+  FROM pref WHERE vol < tv
+)
+SELECT rank, CUI, vol, cut, conductance_ppm,
+       conductance_ppm = (SELECT MIN(conductance_ppm) FROM cond) AS is_best
+FROM cond
+"""

@@ -131,3 +131,42 @@ def test_props_profile_matches_bruteforce(spark):
         assert got[key] == (n, n * 1_000_000 // n_events, top[0], top[1]), key
     # the reconstructed schema must exercise all four types
     assert {v[2] for v in got.values()} == {"integer", "double", "bool", "string"}
+
+
+def test_ppr_sweep_cut_matches_bruteforce(spark):
+    from sparkmedkg import graphalgo, relations
+
+    ppr = {
+        r["CUI"]: r["ppr"]
+        for r in relations.q_ppr(spark, SF, min_docs=2).collect()
+    }
+    edges = graphalgo._edges(spark, SF, 2).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["src"]].add(r["dst"])
+    deg = {v: len(n) for v, n in adj.items()}
+    order = sorted(deg, key=lambda v: (-(ppr[v] / deg[v]), v))
+    rank = {v: i + 1 for i, v in enumerate(order)}
+    tv = sum(deg.values())
+    got = {
+        r["rank"]: (r["CUI"], r["vol"], r["cut"], r["conductance_ppm"], r["is_best"])
+        for r in graphalgo.q_ppr_sweep_cut(spark, SF, min_docs=2).collect()
+    }
+    vol = cut = 0
+    conds = {}
+    in_s = set()
+    for k, v in enumerate(order[:-1], 1):
+        vol += deg[v]
+        cut += sum(1 for u in adj[v] if u not in in_s) - sum(
+            1 for u in adj[v] if u in in_s
+        )
+        in_s.add(v)
+        cond = cut * 1_000_000 // min(vol, tv - vol)
+        conds[k] = (v, vol, cut, cond)
+    best = min(c[3] for c in conds.values())
+    assert set(got) == set(conds)
+    for k, (v, vol_k, cut_k, cond_k) in conds.items():
+        assert got[k] == (v, vol_k, cut_k, cond_k, cond_k == best), k
+    # the sweep must find a non-trivial community (not a single node cut
+    # of everything)
+    assert any(flag for _, _, _, _, flag in got.values())
