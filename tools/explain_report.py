@@ -713,6 +713,23 @@ def main() -> None:
             lambda: relops.events_rfm_segments(spark, SF),
             ["HashAggregate", "!Window"],
         ),
+        "er_tfidf_pairs": (
+            # rare-token blocking + weighted-dot equi-joins: hash joins
+            # only, never all-pairs
+            lambda: er.tfidf_pairs(spark, SF),
+            ["!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "events_props_profile": (
+            # from_json map explode rides the scan; dominant type is a
+            # window over the keys-sized table
+            lambda: relops.events_props_profile(spark, SF),
+            ["Generate", "HashAggregate"],
+        ),
+        "corpus_shingle_growth": (
+            # first-seen bucket is one grouped MIN — no self-join, no sort
+            lambda: corpusops.shingle_growth(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!Window"],
+        ),
     }
 
     lines = [
