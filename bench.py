@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, statops, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -254,6 +254,13 @@ BENCH_QUERIES = {
     "text_mojibake_audit": textstats.mojibake_audit,
     "events_props_profile": relops.events_props_profile,
     "kg_ppr_sweep_cut": graphalgo.q_ppr_sweep_cut,
+    "events_benford": statops.events_benford,
+    "events_pettitt": statops.events_pettitt,
+    "events_acf": statops.events_acf,
+    "text_yule_k": textstats.yule_k,
+    "corpus_cluster_topics": curate.cluster_topics,
+    "corpus_mmr_topk": curate.mmr_topk,
+    "metric_sample_kl": curate.sample_kl,
 }
 
 

@@ -1403,3 +1403,78 @@ SELECT n_docs, n_replacement_docs, n_control_docs, n_nonascii_docs,
        CAST(n_nonascii_docs * 1000000 // n_docs AS BIGINT) AS nonascii_ppm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Yule's K vocabulary-richness characteristic.
+# ---------------------------------------------------------------------------
+
+def yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_tokens, n_types, hapax_types, dis_types, yule_k):
+    corpus-level Yule's K = 1e4 * (sum_m m^2*V_m - N) / N^2 over the
+    term-frequency spectrum V_m (# types occurring exactly m times), plus
+    the hapax/dis legomena counts — the classic vocabulary-richness
+    characteristic (length-invariant, unlike raw TTR), the aggregate
+    twin of the per-doc signals in ``quality``.
+
+    Determinism: N, sum m^2*V_m and the spectrum counts are exact BIGINTs
+    (two map-side-combinable aggregations); K divides exact integers
+    < 2^53 as doubles and rounds to 6dp — bit-identical across engines.
+
+    Plan: explode -> per-term count is ONE partial-aggregated shuffle on
+    the term key; the spectrum (group by m) and the final fold operate on
+    the type table, never the token stream.  No windows, no joins."""
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    spec = tf.groupBy("m").agg(F.count(F.lit(1)).alias("vm"))
+    agg = spec.agg(
+        F.sum(F.col("m") * F.col("vm")).alias("n_tokens"),
+        F.sum("vm").alias("n_types"),
+        F.sum(F.col("m") * F.col("m") * F.col("vm")).alias("s2"),
+        F.sum(F.when(F.col("m") == 1, F.col("vm")).otherwise(F.lit(0)))
+        .alias("hapax_types"),
+        F.sum(F.when(F.col("m") == 2, F.col("vm")).otherwise(F.lit(0)))
+        .alias("dis_types"),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "hapax_types",
+        "dis_types",
+        F.round(
+            F.lit(10_000.0)
+            * (F.col("s2") - F.col("n_tokens")).cast("double")
+            / (F.col("n_tokens") * F.col("n_tokens")).cast("double"),
+            6,
+        ).alias("yule_k"),
+    )
+
+
+def sql_yule_k() -> str:
+    return """
+WITH tf AS (
+  SELECT term, COUNT(*) AS m
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS term
+        FROM documents)
+  GROUP BY term
+),
+spec AS (SELECT m, COUNT(*) AS vm FROM tf GROUP BY m),
+agg AS (
+  SELECT CAST(SUM(m * vm) AS BIGINT) AS n_tokens,
+         CAST(SUM(vm) AS BIGINT) AS n_types,
+         CAST(SUM(m * m * vm) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN m = 1 THEN vm ELSE 0 END) AS BIGINT)
+           AS hapax_types,
+         CAST(SUM(CASE WHEN m = 2 THEN vm ELSE 0 END) AS BIGINT)
+           AS dis_types
+  FROM spec
+)
+SELECT n_tokens, n_types, hapax_types, dis_types,
+       round(10000.0 * CAST(s2 - n_tokens AS DOUBLE)
+             / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS yule_k
+FROM agg
+"""

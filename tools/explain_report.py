@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
-    from sparkmedkg import emblinalg, er, multimodal, trainprep, webclean, webgraph, webkg
+    from sparkmedkg import curate, emblinalg, er, multimodal, statops, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
     from pyspark.sql import functions as F
 
@@ -729,6 +729,50 @@ def main() -> None:
             # first-seen bucket is one grouped MIN — no self-join, no sort
             lambda: corpusops.shingle_growth(spark, SF),
             ["HashAggregate", "!SortMergeJoin", "!Window"],
+        ),
+        "events_benford": (
+            # one (type, digit) partial agg; per-type total is a window
+            # over the <=9-rows-per-type aggregate, never the raw log
+            lambda: statops.events_benford(spark, SF),
+            ["HashAggregate", "Window", "!SortMergeJoin"],
+        ),
+        "events_pettitt": (
+            # two per-type window sorts (rank by value, prefix-sum by
+            # time) — same budget as events_cusum; peak join is |types|
+            lambda: statops.events_pettitt(spark, SF),
+            ["Window", "!CartesianProduct"],
+        ),
+        "events_acf": (
+            # raw log collapses to (type, hour) in one partial agg; spine
+            # + lead windows ride the tiny hourly aggregate
+            lambda: statops.events_acf(spark, SF),
+            ["HashAggregate", "Window", "Generate"],
+        ),
+        "text_yule_k": (
+            # explode -> term count (one shuffle), spectrum + fold on the
+            # type table; scan prunes to text only
+            lambda: textstats.yule_k(spark, SF),
+            ["ReadSchema: struct<text:string>", "HashAggregate",
+             "!Window", "!SortMergeJoin"],
+        ),
+        "corpus_cluster_topics": (
+            # kmeans assignment is the map-only argmin; token counts one
+            # shuffle; idf/total ride window + 1-row broadcast over the
+            # (k x types) aggregate
+            lambda: curate.cluster_topics(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "corpus_mmr_topk": (
+            # shortlist via TakeOrdered off ONE corpus pass; final table
+            # is a 5-id pushed-down point lookup
+            lambda: curate.mmr_topk(spark, SF),
+            ["PushedFilters", "!SortMergeJoin"],
+        ),
+        "metric_sample_kl": (
+            # sampler is a map-only predicate; both count tables are tiny
+            # source-keyed partial aggs; totals are 1-row broadcasts
+            lambda: curate.sample_kl(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"],
         ),
     }
 
