@@ -1777,14 +1777,14 @@ def q_scc(
     return done
 
 
-def sql_scc(min_docs: int = PR_MIN_DOCS) -> str:
-    """Exact SCC via recursive transitive closure (tractable at oracle
-    scale): scc_id(v) = MIN({v} U {u : v ~> u AND u ~> v})."""
+def _sql_scc_ctes(min_docs: int = PR_MIN_DOCS) -> str:
+    """The directed-orientation + transitive-closure + SCC-label CTE
+    chain (ends with ``scc(cui, scc_id)``) shared by sql_scc and
+    sql_feedback_edges — one copy of the closure math, never two."""
     h = "CAST('0x' || substring(md5({e}), 1, 15) AS BIGINT)"
     hf = h.format(e="x || '>' || y")
     hb = h.format(e="y || '>' || x")
-    return f"""
-WITH RECURSIVE {sql_cooccur_edges_cte(min_docs)},
+    return f"""{sql_cooccur_edges_cte(min_docs)},
 pairs AS (SELECT x, y FROM und),
 dedges AS (
   SELECT x AS src, y AS dst FROM pairs WHERE {hf} % 3 <> 0
@@ -1800,11 +1800,77 @@ reach(a, b) AS (
 mutual AS (
   SELECT r1.a AS v, r1.b AS u
   FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+),
+scc AS (
+  SELECT vs.v AS cui,
+         LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc_id
+  FROM vs LEFT JOIN mutual m ON m.v = vs.v
+  GROUP BY vs.v
+)"""
+
+
+def sql_scc(min_docs: int = PR_MIN_DOCS) -> str:
+    """Exact SCC via recursive transitive closure (tractable at oracle
+    scale): scc_id(v) = MIN({v} U {u : v ~> u AND u ~> v})."""
+    return f"""
+WITH RECURSIVE {_sql_scc_ctes(min_docs)}
+SELECT cui, scc_id FROM scc
+"""
+
+
+def q_feedback_edges(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(src, dst, scc_id, scc_size): the cycle-closing edges of the
+    directed co-occurrence orientation — exactly the edges whose
+    endpoints share a strongly connected component.  An edge inside an
+    SCC lies on at least one directed cycle; every cross-SCC edge lies
+    on none, so this set is the exact "which edges create feedback
+    loops" audit an ontology/KG curation pass runs before forcing a DAG
+    (the full minimum feedback-arc set is NP-hard; the SCC membership
+    test is the exact superset every FAS heuristic starts from).
+
+    Composes the already-gated q_scc labels with two hash-joins back to
+    the edge list; scc_size (component member count) ranks which cores
+    to untangle first.
+
+    Plan: SCC labels via the trim+label peel (see q_scc — live-subgraph
+    frontier work only); the label table is node-sized, far smaller than
+    the edge set, so both endpoint joins broadcast at web scale; the
+    size lookup aggregates the node-sized label table."""
+    dedges = _scc_directed_edges(spark, sf_dir, min_docs)
+    scc = q_scc(spark, sf_dir, min_docs).localCheckpoint(eager=True)
+    sizes = scc.groupBy("scc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size")
+    )
+    return (
+        dedges.join(
+            scc.select(F.col("cui").alias("src"), F.col("scc_id").alias("s_id")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("cui").alias("dst"), F.col("scc_id").alias("d_id")),
+            "dst",
+        )
+        .where(F.col("s_id") == F.col("d_id"))
+        .select("src", "dst", F.col("s_id").alias("scc_id"))
+        .join(sizes, "scc_id")
+        .select("src", "dst", "scc_id", "scc_size")
+    )
+
+
+def sql_feedback_edges(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH RECURSIVE {_sql_scc_ctes(min_docs)},
+sizes AS (
+  SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+  FROM scc GROUP BY scc_id
 )
-SELECT vs.v AS cui,
-       LEAST(vs.v, COALESCE(MIN(m.u), vs.v)) AS scc_id
-FROM vs LEFT JOIN mutual m ON m.v = vs.v
-GROUP BY vs.v
+SELECT e.src, e.dst, s1.scc_id, z.scc_size
+FROM dedges e
+JOIN scc s1 ON s1.cui = e.src
+JOIN scc s2 ON s2.cui = e.dst AND s2.scc_id = s1.scc_id
+JOIN sizes z ON z.scc_id = s1.scc_id
 """
 
 

@@ -757,6 +757,53 @@ def _pq_train(emb, b: int, k: int = PQ_K, iters: int = PQ_ITERS):
     return cents
 
 
+def _sub_d2_py(vec: list[int], b: int, c: list[int]) -> int:
+    """Exact-integer squared L2 between subspace ``b`` of a full quantized
+    vector and a subspace centroid — the driver-side ADC table entry."""
+    lo = b * PQ_SUB
+    return sum((vec[lo + i] - c[i]) ** 2 for i in range(PQ_SUB))
+
+
+def _pq_adc_cols(books, qq: list[int]) -> list:
+    """Per-subspace ADC lookup columns for query vector ``qq``: each
+    column encodes a row's subspace code (expression-level argmin over
+    the codebook literals — zero shuffle) and maps it through the
+    query's precomputed ADC table as a literal CASE chain.  Shared by
+    ``pq_topk`` and ``annplus.ivfpq_topk`` so the two PQ paths can never
+    drift."""
+    # ADC lookup tables: dist2(query subvector, centroid) per (block, label)
+    adc = [
+        {lbl: _sub_d2_py(qq, b, c) for lbl, c in books[b]}
+        for b in range(PQ_M)
+    ]
+    adc_cols = []
+    for b in range(PQ_M):
+        lo = b * PQ_SUB + 1
+        qb = F.slice("q", lo, PQ_SUB)
+        d2s = F.array(
+            *[
+                sum(
+                    (F.element_at(qb, i + 1) - F.lit(c[i])) ** 2
+                    for i in range(PQ_SUB)
+                ).cast("bigint")
+                for _, c in books[b]
+            ]
+        )
+        labels = F.array(*[F.lit(lbl) for lbl, _ in books[b]])
+        code = F.element_at(
+            labels, F.array_position(d2s, F.array_min(d2s)).cast("int")
+        )
+        # code -> ADC table entry, as a literal CASE chain (PQ_K entries)
+        expr = None
+        for lbl, _ in books[b]:
+            branch = F.when(code == lbl, F.lit(adc[b][lbl]))
+            expr = branch if expr is None else expr.when(
+                code == lbl, F.lit(adc[b][lbl])
+            )
+        adc_cols.append(expr.cast("bigint"))
+    return adc_cols
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -784,41 +831,8 @@ def pq_topk(
     qrow = emb.where(F.col("vec_id") == query_id).collect()[0]
     qq = [int(v) for v in qrow["q"]]
 
-    def sub_d2(vec: list[int], b: int, c: list[int]) -> int:
-        lo = b * PQ_SUB
-        return sum((vec[lo + i] - c[i]) ** 2 for i in range(PQ_SUB))
-
-    # ADC lookup tables: dist2(query subvector, centroid) per (block, label)
-    adc = [
-        {lbl: sub_d2(qq, b, c) for lbl, c in books[b]} for b in range(PQ_M)
-    ]
-
     cand = emb.where(F.col("vec_id") != query_id)
-    adc_cols = []
-    for b in range(PQ_M):
-        lo = b * PQ_SUB + 1
-        qb = F.slice("q", lo, PQ_SUB)
-        d2s = F.array(
-            *[
-                sum(
-                    (F.element_at(qb, i + 1) - F.lit(c[i])) ** 2
-                    for i in range(PQ_SUB)
-                ).cast("bigint")
-                for _, c in books[b]
-            ]
-        )
-        labels = F.array(*[F.lit(lbl) for lbl, _ in books[b]])
-        code = F.element_at(
-            labels, F.array_position(d2s, F.array_min(d2s)).cast("int")
-        )
-        # code -> ADC table entry, as a literal CASE chain (PQ_K entries)
-        expr = None
-        for lbl, _ in books[b]:
-            branch = F.when(code == lbl, F.lit(adc[b][lbl]))
-            expr = branch if expr is None else expr.when(
-                code == lbl, F.lit(adc[b][lbl])
-            )
-        adc_cols.append(expr.cast("bigint"))
+    adc_cols = _pq_adc_cols(books, qq)
     scored = cand.select(
         "vec_id", "q", sum(adc_cols).alias("adc_dist2")
     )
@@ -840,16 +854,18 @@ def pq_topk(
     return out
 
 
-def sql_pq_topk(
+def _sql_pq_codebook_ctes(
     query_id: int = 0,
-    k: int = PQ_TOPK,
-    shortlist: int = PQ_SHORT,
     iters: int = PQ_ITERS,
-) -> str:
-    q = (
-        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
-        "for e in embedding]"
-    )
+    cand_alias: str = "s",
+) -> tuple[str, str]:
+    """(codebook CTE chain, ADC-sum expression): the per-subspace
+    sample-trained Lloyd's codebook CTEs (train + encode + the query's
+    ADC tables) and the correlated ADC-sum scalar referencing
+    ``cand_alias``.vec_id — factored out of sql_pq_topk so
+    annplus.sql_ivfpq_topk rides the identical oracle text (a candidate
+    CTE swap, never a second copy of the codebook math).  Assumes a
+    ``vq(vec_id, q)`` CTE is in scope."""
     dist = (
         f"list_aggregate([(v.qb[i] - c.qb[i]) * (v.qb[i] - c.qb[i]) "
         f"for i in generate_series(1, {PQ_SUB})], 'sum')"
@@ -908,9 +924,23 @@ b{b}adc AS (
     all_blocks = ",\n".join(blocks)
     adc_sum = " + ".join(
         f"(SELECT a.d FROM b{b}enc e JOIN b{b}adc a USING (cl) "
-        f"WHERE e.vec_id = s.vec_id)"
+        f"WHERE e.vec_id = {cand_alias}.vec_id)"
         for b in range(PQ_M)
     )
+    return all_blocks, adc_sum
+
+
+def sql_pq_topk(
+    query_id: int = 0,
+    k: int = PQ_TOPK,
+    shortlist: int = PQ_SHORT,
+    iters: int = PQ_ITERS,
+) -> str:
+    q = (
+        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "for e in embedding]"
+    )
+    all_blocks, adc_sum = _sql_pq_codebook_ctes(query_id, iters)
     return f"""
 WITH vq AS (SELECT vec_id, {q} AS q FROM embeddings),
 {all_blocks},

@@ -207,6 +207,147 @@ GROUP BY a.event_type, a.k_stat, a.n_events
 
 
 # ---------------------------------------------------------------------------
+# Mann-Kendall monotonic-trend test.
+# ---------------------------------------------------------------------------
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_hours, s_stat, var18, z): the Mann-Kendall trend
+    test per series over the DENSIFIED hourly count series — S =
+    sum_{i<j} sign(c_j - c_i), the non-parametric monotonic-trend screen
+    (is this stream's volume drifting up or down?) with the standard
+    tie-corrected variance 18*Var(S) = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)
+    and the continuity-corrected normal score z.
+
+    Determinism: S and var18 are exact BIGINT (signs and tie counts are
+    integers); z divides exact integers through IEEE sqrt — identical
+    doubles in both engines — and rounds to 6dp; null when var18 = 0
+    (degenerate constant series).
+
+    Plan: the raw log collapses to (type, hour) in ONE partial-aggregated
+    shuffle; the pairwise sign sum is a self-join of the HOURLY aggregate
+    (O(H^2) per type where H is the wall-clock bucket count — bounded by
+    the time span, independent of row volume; a year is 8.8k buckets /
+    38M sign pairs per type); tie correction is a second tiny groupBy of
+    the same aggregate."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts as timestamp)), {HOUR_US})")
+        .alias("hr"),
+    )
+    counts = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    series = spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    ).persist()
+    a, b = series.alias("a"), series.alias("b")
+    sgn = (
+        F.when(F.col("b.c") > F.col("a.c"), F.lit(1))
+        .when(F.col("b.c") < F.col("a.c"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.hr") < F.col("b.hr")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    ties = (
+        series.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").alias("n_hours"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18"),
+        )
+    )
+    n = F.col("n_hours")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie18")).cast("bigint")
+    zraw = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    ) / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    out = (
+        s.join(ties, "event_type")
+        .withColumn("var18", var18)
+        .select(
+            "event_type",
+            "n_hours",
+            "s_stat",
+            "var18",
+            F.when(F.col("var18") > 0, F.round(zraw, 6)).alias("z"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    series.unpersist()
+    return out
+
+
+def sql_events_mann_kendall() -> str:
+    v18 = "t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5) - t.tie18"
+    return f"""
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, g.hr
+  FROM bounds b, LATERAL UNNEST(generate_series(b.lo, b.hi)) AS g(hr)
+),
+series AS (
+  SELECT s.event_type, s.hr, COALESCE(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.hr = s.hr
+),
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.hr < b.hr
+  GROUP BY a.event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n_hours,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT event_type, c, COUNT(*) AS t FROM series GROUP BY 1, 2)
+  GROUP BY event_type
+)
+SELECT s.event_type, t.n_hours, s.s_stat,
+       CAST({v18} AS BIGINT) AS var18,
+       CASE WHEN {v18} > 0
+            THEN round((CASE WHEN s.s_stat > 0
+                             THEN CAST(s.s_stat - 1 AS DOUBLE)
+                             WHEN s.s_stat < 0
+                             THEN CAST(s.s_stat + 1 AS DOUBLE)
+                             ELSE 0.0 END)
+                       / sqrt(CAST({v18} AS DOUBLE) / 18.0), 6)
+            ELSE NULL END AS z
+FROM s JOIN ties t USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hourly-series autocorrelation function.
 # ---------------------------------------------------------------------------
 
