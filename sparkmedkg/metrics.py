@@ -665,3 +665,131 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM test_sh) AS n_test_shingles,
        CAST((SELECT COUNT(*) FROM leaked) * 1000000
             // (SELECT COUNT(*) FROM test_sh) AS BIGINT) AS leak_ppm
 """
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon-Matias-Szegedy) F2 sketch scorecard.
+# ---------------------------------------------------------------------------
+
+AMS_K = 16  # independent ±1 estimators; estimate = median of z_j^2
+
+
+def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_types, f2_exact, f2_est, err_ppm): the second frequency moment
+    of the corpus token distribution (F2 = sum_w f_w^2 — the self-join
+    size / collision mass behind skew detection and join-cost estimates)
+    computed exactly, next to its AMS sketch estimate — {AMS_K} ±1
+    counters z_j = sum_w sign_j(w) * f_w, estimate = median of z_j^2
+    (Alon, Matias & Szegedy's tug-of-war sketch).  The scorecard pattern
+    of cms_heavy_hitters / bloom_fpr: the approximation is measured
+    against ground truth so register-width drift is visible.
+
+    The z registers are MERGEABLE integers (per-shard sketches from
+    1000 executors combine by elementwise addition) while the exact F2
+    needs the full token shuffle — that asymmetry is the sketch's point.
+
+    Determinism: signs come from the repo's 60-bit md5 idiom (md5 of
+    "tok|j", bit-identical in DuckDB); every z, z^2 and the median
+    midpoint are exact BIGINT; err_ppm is integer floor division.
+
+    Plan: one vocab-sized token-count shuffle shared by both sides; the
+    sketch side is a {AMS_K}-way explode of the VOCAB table into one
+    {AMS_K}-row partial-agg groupBy; the median sorts {AMS_K} rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " +")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .persist()
+    )
+    exact = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+    )
+    j = F.explode(F.array(*[F.lit(i) for i in range(1, AMS_K + 1)]))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit("|"), F.col("j"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    signed = counts.select("tok", "f", j.alias("j")).select(
+        "j",
+        F.when(h == 0, F.col("f")).otherwise(-F.col("f")).alias("sf"),
+    )
+    est = (
+        signed.groupBy("j")
+        .agg(F.sum("sf").alias("z"))
+        .select("j", (F.col("z") * F.col("z")).alias("est"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("est", "j")
+    med = (
+        est.select("est", F.row_number().over(w).alias("rn"))
+        .agg(
+            (
+                F.min(F.when(F.col("rn") == AMS_K // 2, F.col("est")))
+                + F.min(F.when(F.col("rn") == AMS_K // 2 + 1, F.col("est")))
+            ).alias("two_mid")
+        )
+        .select(F.expr("div(two_mid, 2)").alias("f2_est"))
+    )
+    out = exact.crossJoin(med).select(
+        "n_types",
+        "f2_exact",
+        F.col("f2_est").cast("bigint").alias("f2_est"),
+        F.expr(
+            "div(1000000 * abs(f2_est - f2_exact), f2_exact)"
+        ).alias("err_ppm"),
+    ).localCheckpoint(eager=True)
+    counts.unpersist()
+    return out
+
+
+def sql_ams_f2() -> str:
+    mid_lo, mid_hi = AMS_K // 2, AMS_K // 2 + 1
+    return f"""
+WITH counts AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(f * f) AS BIGINT) AS f2_exact
+  FROM counts
+),
+signed AS (
+  SELECT g.j,
+         CASE WHEN CAST('0x' || substring(md5(c.tok || '|' || g.j), 1, 15)
+                   AS BIGINT) % 2 = 0
+              THEN c.f ELSE -c.f END AS sf
+  FROM counts c
+  CROSS JOIN (SELECT unnest(generate_series(1, {AMS_K})) AS j) g
+),
+est AS (
+  SELECT j, CAST(SUM(sf) AS BIGINT) * CAST(SUM(sf) AS BIGINT) AS est
+  FROM signed GROUP BY j
+),
+ranked AS (
+  SELECT est, row_number() OVER (ORDER BY est, j) AS rn FROM est
+),
+med AS (
+  SELECT CAST((MIN(CASE WHEN rn = {mid_lo} THEN est END)
+               + MIN(CASE WHEN rn = {mid_hi} THEN est END)) // 2
+              AS BIGINT) AS f2_est
+  FROM ranked
+)
+SELECT e.n_types, e.f2_exact, m.f2_est,
+       CAST((1000000 * abs(m.f2_est - e.f2_exact)) // e.f2_exact
+            AS BIGINT) AS err_ppm
+FROM exact e CROSS JOIN med m
+"""

@@ -210,6 +210,53 @@ GROUP BY a.event_type, a.k_stat, a.n_events
 # Mann-Kendall monotonic-trend test.
 # ---------------------------------------------------------------------------
 
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hr, c): the DENSIFIED hourly count series per type —
+    zero-count hours materialized from an integer hour spine, so
+    trend/ACF lags really are wall-clock hours.  Shared by the ACF,
+    Mann-Kendall and Theil-Sen operators; plan = the raw log collapses to
+    (type, hour) in ONE partial-aggregated shuffle, and the spine
+    explode works on the |types|-row bounds aggregate."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts as timestamp)), {HOUR_US})")
+        .alias("hr"),
+    )
+    counts = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    return spine.join(counts, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+
+
+_SQL_HOURLY = f"""counts AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, g.hr
+  FROM bounds b, LATERAL UNNEST(generate_series(b.lo, b.hi)) AS g(hr)
+),
+series AS (
+  SELECT s.event_type, s.hr, COALESCE(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.hr = s.hr
+)"""
+
+
 def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n_hours, s_stat, var18, z): the Mann-Kendall trend
     test per series over the DENSIFIED hourly count series — S =
@@ -229,25 +276,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time span, independent of row volume; a year is 8.8k buckets /
     38M sign pairs per type); tie correction is a second tiny groupBy of
     the same aggregate."""
-    ev = _ev(spark, sf_dir).select(
-        "event_type",
-        F.expr(f"div(unix_micros(cast(ts as timestamp)), {HOUR_US})")
-        .alias("hr"),
-    )
-    counts = ev.groupBy("event_type", "hr").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    spine = (
-        counts.groupBy("event_type")
-        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
-        .select(
-            "event_type",
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
-        )
-    )
-    series = spine.join(counts, ["event_type", "hr"], "left").select(
-        "event_type", "hr", F.coalesce(F.col("c"), F.lit(0)).alias("c")
-    ).persist()
+    series = _hourly_series(spark, sf_dir).persist()
     a, b = series.alias("a"), series.alias("b")
     sgn = (
         F.when(F.col("b.c") > F.col("a.c"), F.lit(1))
@@ -301,23 +330,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_events_mann_kendall() -> str:
     v18 = "t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5) - t.tie18"
     return f"""
-WITH counts AS (
-  SELECT event_type, epoch_us(ts) // {HOUR_US} AS hr, COUNT(*) AS c
-  FROM events GROUP BY 1, 2
-),
-bounds AS (
-  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi
-  FROM counts GROUP BY event_type
-),
-spine AS (
-  SELECT b.event_type, g.hr
-  FROM bounds b, LATERAL UNNEST(generate_series(b.lo, b.hi)) AS g(hr)
-),
-series AS (
-  SELECT s.event_type, s.hr, COALESCE(c.c, 0) AS c
-  FROM spine s LEFT JOIN counts c
-    ON c.event_type = s.event_type AND c.hr = s.hr
-),
+WITH {_SQL_HOURLY},
 s AS (
   SELECT a.event_type,
          CAST(SUM(CASE WHEN b.c > a.c THEN 1
@@ -483,4 +496,392 @@ agg AS (
   FROM lagged GROUP BY event_type, n_hours
 )
 {unions}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope (Sen's slope estimator).
+# ---------------------------------------------------------------------------
+
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_hours, n_pairs, sen_lo_micro, sen_hi_micro,
+    sen_micro): Sen's slope per series over the densified hourly count
+    series — the median of all pairwise slopes (c_j - c_i)/(hr_j -
+    hr_i), the robust trend-magnitude companion to the Mann-Kendall
+    direction test (the standard MK + Sen pairing in every
+    environmental/ops trend report).  Slopes are integerized to
+    micro-counts-per-hour FIRST (truncate-toward-zero division), so the
+    median is an exact integer order statistic; sen_lo/hi are the two
+    central order statistics and sen_micro their integer midpoint.
+
+    Determinism: every ranked value is BIGINT; row_number ties share the
+    same value so rank choice cannot change the output; division
+    truncation is matched by a sign-split in the oracle.
+
+    Plan: same O(H^2)-per-type pair join as events_mann_kendall (H =
+    wall-clock buckets, independent of row volume); the median sort
+    ranks only the pair table, partitioned per type."""
+    series = _hourly_series(spark, sf_dir).persist()
+    a, b = series.alias("a"), series.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.hr") < F.col("b.hr")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.lit(1_000_000) * (F.col("b.c") - F.col("a.c"))).alias("num"),
+        (F.col("b.hr") - F.col("a.hr")).alias("den"),
+    )
+    slopes = pairs.select(
+        "event_type", F.expr("div(num, den)").alias("slope_micro")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope_micro")
+    wt = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("m"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.min("m").alias("n_pairs"),
+        F.min(
+            F.when(F.col("rn") == F.expr("div(m + 1, 2)"), F.col("slope_micro"))
+        ).alias("sen_lo_micro"),
+        F.min(
+            F.when(F.col("rn") == F.expr("div(m, 2) + 1"), F.col("slope_micro"))
+        ).alias("sen_hi_micro"),
+    )
+    nh = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    out = (
+        agg.join(nh, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "n_pairs",
+            "sen_lo_micro",
+            "sen_hi_micro",
+            F.expr("div(sen_lo_micro + sen_hi_micro, 2)").alias("sen_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    series.unpersist()
+    return out
+
+
+def sql_events_theil_sen() -> str:
+    # Spark's div truncates toward zero; DuckDB's // floors -> sign-split.
+    tdiv = (
+        "CASE WHEN {x} >= 0 THEN ({x}) // ({y}) "
+        "ELSE -((-({x})) // ({y})) END"
+    )
+    slope = tdiv.format(x="1000000 * (b.c - a.c)", y="b.hr - a.hr")
+    mid = tdiv.format(x="sen_lo_micro + sen_hi_micro", y="2")
+    return f"""
+WITH {_SQL_HOURLY},
+slopes AS (
+  SELECT a.event_type, CAST({slope} AS BIGINT) AS slope_micro
+  FROM series a JOIN series b
+    ON a.event_type = b.event_type AND a.hr < b.hr
+),
+ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM slopes
+),
+agg AS (
+  SELECT event_type, CAST(MIN(m) AS BIGINT) AS n_pairs,
+         MIN(CASE WHEN rn = (m + 1) // 2 THEN slope_micro END)
+           AS sen_lo_micro,
+         MIN(CASE WHEN rn = m // 2 + 1 THEN slope_micro END)
+           AS sen_hi_micro
+  FROM ranked GROUP BY event_type
+),
+nh AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM series GROUP BY event_type
+)
+SELECT a.event_type, n.n_hours, a.n_pairs, a.sen_lo_micro,
+       a.sen_hi_micro, CAST({mid} AS BIGINT) AS sen_micro
+FROM agg a JOIN nh n USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (first half vs second half of each series).
+# ---------------------------------------------------------------------------
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_a, n_b, u2_a, tie_t, z): the Mann-Whitney /
+    Wilcoxon rank-sum test per series between the FIRST HALF and SECOND
+    HALF of the time-ordered events (the standard "did the value
+    distribution shift?" two-sample screen, the rank-robust sibling of
+    the Pettitt change-point).  Group A = the first n div 2 events by
+    (ts, event_id), B = the rest; u2_a = 2*U_A = R2_A - n_a*(n_a+1)
+    with R2 the doubled pooled average ranks (always integral, the
+    Pettitt convention); tie_t = sum_t (t^3 - t) over pooled value tie
+    groups; z applies the continuity correction against the
+    tie-corrected variance Var(U) = n_a*n_b/12 * ((n+1) -
+    tie_t/(n*(n-1))).
+
+    Determinism: u2_a and tie_t are exact BIGINT; z combines them in an
+    IDENTICALLY-SHAPED double expression in both engines (products stay
+    < 2^53 after the pre-division), rounded to 6dp; null when the
+    variance degenerates (all values tied).
+
+    Plan: two per-type window sorts (one by value for pooled ranks, one
+    by time for the half split) — the events_pettitt budget; everything
+    after is a per-type aggregate."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * V_SCALE).cast("bigint").alias("v"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type", "v")
+    wo = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "v",
+        (2 * F.rank().over(wv) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+        F.row_number().over(wo).alias("idx"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    half = ranked.select(
+        "event_type",
+        "v",
+        "r2",
+        "n",
+        (F.col("idx") <= F.expr("div(n, 2)")).alias("in_a"),
+    )
+    base = half.groupBy("event_type").agg(
+        F.min("n").alias("n"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("in_a"), F.col("r2"))).alias("r2_a"),
+    )
+    ties = (
+        half.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_t")
+        )
+    )
+    na, nn = F.col("n_a"), F.col("n")
+    nb = (nn - na).alias("n_b")
+    u2 = (F.col("r2_a") - na * (na + 1)).cast("bigint")
+    j = base.join(ties, "event_type").select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint"),
+        u2.alias("u2_a"),
+        F.col("tie_t").cast("bigint").alias("tie_t"),
+        nn.alias("n"),
+    )
+    nab = (F.col("n_a") * F.col("n_b")).cast("double")
+    var = (nab / F.lit(12.0)) * (
+        (F.col("n") + 1).cast("double")
+        - F.col("tie_t").cast("double")
+        / (F.col("n") * (F.col("n") - 1)).cast("double")
+    )
+    diff = F.col("u2_a").cast("double") - nab
+    cc = (
+        F.when(F.col("u2_a") > F.col("n_a") * F.col("n_b"), F.lit(1.0))
+        .when(F.col("u2_a") < F.col("n_a") * F.col("n_b"), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    z = (diff - cc) / (F.lit(2.0) * F.sqrt(var))
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "u2_a",
+        "tie_t",
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )
+
+
+def sql_events_mann_whitney() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * {V_SCALE}) AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY event_type, v) - 1 AS r2,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+half AS (
+  SELECT event_type, v, r2, n, idx <= n // 2 AS in_a FROM ranked
+),
+base AS (
+  SELECT event_type, CAST(MIN(n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN in_a THEN r2 END) AS BIGINT) AS r2_a
+  FROM half GROUP BY event_type
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+  FROM (SELECT event_type, v, COUNT(*) AS t FROM half GROUP BY 1, 2)
+  GROUP BY event_type
+),
+j AS (
+  SELECT b.event_type, b.n_a, b.n - b.n_a AS n_b,
+         b.r2_a - b.n_a * (b.n_a + 1) AS u2_a, t.tie_t, b.n
+  FROM base b JOIN ties t USING (event_type)
+)
+SELECT event_type, n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a, tie_t,
+       CASE WHEN CAST(n_a * n_b AS DOUBLE) / 12.0
+                 * (CAST(n + 1 AS DOUBLE)
+                    - CAST(tie_t AS DOUBLE)
+                      / CAST(n * (n - 1) AS DOUBLE)) > 0
+            THEN round((CAST(u2_a AS DOUBLE) - CAST(n_a * n_b AS DOUBLE)
+                        - CASE WHEN u2_a > n_a * n_b THEN 1.0
+                               WHEN u2_a < n_a * n_b THEN -1.0
+                               ELSE 0.0 END)
+                       / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+                          * (CAST(n + 1 AS DOUBLE)
+                             - CAST(tie_t AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE)))), 6)
+            ELSE NULL END AS z
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov distance vs the pooled corpus distribution.
+# ---------------------------------------------------------------------------
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_t, n_all, d_num, d_ppm, kn): the two-sample
+    Kolmogorov-Smirnov distance between each series' value distribution
+    and the POOLED all-types distribution — D = max_x |F_type(x) -
+    F_all(x)|, the distribution-drift screen that catches shape changes
+    rank tests miss.  Kept exact: D's numerator is the integer
+    max |cum_t * n_all - cum_all * n_t| over the distinct-value spine,
+    d_ppm its integer-division ppm form, and kn = sqrt(n_t*n_all /
+    (n_t+n_all)) * D the asymptotic test scale (double from exact
+    integers, rounded).
+
+    Plan: values collapse to per-(type, v) counts in one shuffle; the
+    distinct-value spine and both cumulative sums are windows over that
+    AGGREGATE (vocab-of-values-sized, not row-sized); the per-type ECDF
+    grid is |types| x |spine| — types is the small fixed dimension."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * V_SCALE).cast("bigint").alias("v"),
+    )
+    tv = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    allv = tv.groupBy("v").agg(F.sum("c").alias("c_all"))
+    types = tv.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    grid = types.crossJoin(allv.select("v"))
+    joined = grid.join(tv, ["event_type", "v"], "left").select(
+        "event_type",
+        "n_t",
+        "v",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = joined.withColumn("cum_t", F.sum("c").over(wcum))
+    spine = allv.select(
+        "v",
+        F.sum("c_all").over(wall).alias("cum_all"),
+        F.sum("c_all").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_all"),
+    )
+    scored = cum.join(spine, "v").select(
+        "event_type",
+        "n_t",
+        "n_all",
+        F.abs(
+            F.col("cum_t") * F.col("n_all") - F.col("cum_all") * F.col("n_t")
+        ).alias("gap"),
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.min("n_t").cast("bigint").alias("n_t"),
+        F.min("n_all").cast("bigint").alias("n_all"),
+        F.max("gap").cast("bigint").alias("d_num"),
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n_t") * F.col("n_all")
+    ).cast("double")
+    kn = F.sqrt(
+        (F.col("n_t") * F.col("n_all")).cast("double")
+        / (F.col("n_t") + F.col("n_all")).cast("double")
+    ) * d
+    return agg.select(
+        "event_type",
+        "n_t",
+        "n_all",
+        "d_num",
+        F.expr("div(1000000 * d_num, n_t * n_all)").alias("d_ppm"),
+        F.round(kn, 6).alias("kn"),
+    )
+
+
+def sql_events_ks_test() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * {V_SCALE}) AS BIGINT) AS v
+  FROM events
+),
+tv AS (
+  SELECT event_type, v, COUNT(*) AS c FROM ev GROUP BY 1, 2
+),
+allv AS (SELECT v, SUM(c) AS c_all FROM tv GROUP BY v),
+types AS (SELECT event_type, SUM(c) AS n_t FROM tv GROUP BY event_type),
+grid AS (SELECT t.event_type, t.n_t, a.v FROM types t CROSS JOIN allv a),
+joined AS (
+  SELECT g.event_type, g.n_t, g.v, COALESCE(tv.c, 0) AS c
+  FROM grid g LEFT JOIN tv ON tv.event_type = g.event_type AND tv.v = g.v
+),
+cum AS (
+  SELECT event_type, n_t, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum_t
+  FROM joined
+),
+spine AS (
+  SELECT v,
+         SUM(c_all) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_all,
+         SUM(c_all) OVER () AS n_all
+  FROM allv
+),
+agg AS (
+  SELECT c.event_type, CAST(MIN(c.n_t) AS BIGINT) AS n_t,
+         CAST(MIN(s.n_all) AS BIGINT) AS n_all,
+         CAST(MAX(abs(c.cum_t * s.n_all - s.cum_all * c.n_t)) AS BIGINT)
+           AS d_num
+  FROM cum c JOIN spine s USING (v)
+  GROUP BY c.event_type
+)
+SELECT event_type, n_t, n_all, d_num,
+       CAST((1000000 * d_num) // (n_t * n_all) AS BIGINT) AS d_ppm,
+       round(sqrt(CAST(n_t * n_all AS DOUBLE)
+                  / CAST(n_t + n_all AS DOUBLE))
+             * (CAST(d_num AS DOUBLE) / CAST(n_t * n_all AS DOUBLE)), 6)
+         AS kn
+FROM agg
 """

@@ -1478,3 +1478,108 @@ SELECT n_tokens, n_types, hapax_types, dis_types,
              / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS yule_k
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing frequency-of-frequencies smoothing.
+# ---------------------------------------------------------------------------
+
+GT_MAX_R = 10
+
+
+def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, n_r, n_r1, r_star_micro, unseen_ppm): the Good-Turing
+    frequency-of-frequencies table over corpus BIGRAMS, r =
+    1..{GT_MAX_R} — N_r = number of bigram types seen exactly r times,
+    the Turing-smoothed count r* = (r+1) * N_{{r+1}} / N_r (micro-units,
+    null when N_{{r+1}} = 0), and the unseen probability mass p_0 =
+    N_1 / n_bigrams in ppm (constant across rows; it is the corpus-level
+    headline the smoothing exists for).  This is GT in its classic LM
+    role — Katz-backoff bigram smoothing (Gale & Sampson's simple
+    Good-Turing, the unsmoothed head rows); bigrams, not unigrams,
+    because the n-gram tail is where unseen mass lives (the synthetic
+    unigram vocabulary is closed — every type occurs 29+ times).
+
+    Determinism: all counts are exact integers; r* and p_0 are integer
+    floor divisions to micro/ppm.
+
+    Plan: bigrams form in the scan projection (a transform over the
+    token array, zero shuffle), then ONE bigram-count shuffle
+    (bigram-vocab-sized output), a frequency-of-frequencies groupBy over
+    THAT table, a self-join on r+1 over the <= {GT_MAX_R}-row result,
+    and 1-row broadcasts of the totals.  Map-side combinable
+    throughout."""
+    bg = F.expr(
+        "transform(sequence(1, size(a) - 1), "
+        "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+    )
+    counts = (
+        _docs(spark, sf_dir)
+        .select(_toks().alias("a"))
+        .where(F.size(F.col("a")) >= 2)
+        .select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    fof = (
+        counts.groupBy(F.col("f").alias("r"))
+        .agg(F.count(F.lit(1)).alias("n_r"))
+    )
+    tot = counts.agg(
+        F.sum("f").alias("n_bigrams"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 1, 1)), F.lit(0)
+        ).cast("bigint").alias("n_1"),
+    )
+    nxt = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    return (
+        fof.where(F.col("r") <= GT_MAX_R)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce(F.col("n_r1"), F.lit(0)).cast("bigint").alias("n_r1"),
+            F.when(
+                F.coalesce(F.col("n_r1"), F.lit(0)) > 0,
+                F.expr("div(1000000 * (r + 1) * n_r1, n_r)"),
+            ).alias("r_star_micro"),
+            F.expr("div(1000000 * n_1, n_bigrams)").alias("unseen_ppm"),
+        )
+    )
+
+
+def sql_good_turing() -> str:
+    return f"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), ' +') AS a FROM documents
+),
+counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT a[i] || ' ' || a[i + 1] AS bigram
+        FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+        WHERE len(a) >= 2)
+  GROUP BY bigram
+),
+fof AS (
+  SELECT f AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS n_bigrams,
+         CAST(COALESCE(SUM(CASE WHEN f = 1 THEN 1 END), 0) AS BIGINT)
+           AS n_1
+  FROM counts
+)
+SELECT a.r, a.n_r,
+       CAST(COALESCE(b.n_r, 0) AS BIGINT) AS n_r1,
+       CASE WHEN COALESCE(b.n_r, 0) > 0
+            THEN CAST((1000000 * (a.r + 1) * b.n_r) // a.n_r AS BIGINT)
+            END AS r_star_micro,
+       CAST((1000000 * tot.n_1) // tot.n_bigrams AS BIGINT) AS unseen_ppm
+FROM fof a
+LEFT JOIN fof b ON b.r = a.r + 1
+CROSS JOIN tot
+WHERE a.r <= {GT_MAX_R}
+"""
