@@ -793,3 +793,115 @@ SELECT e.n_types, e.f2_exact, m.f2_est,
             AS BIGINT) AS err_ppm
 FROM exact e CROSS JOIN med m
 """
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index between two clusterings (k-means vs IVF cells).
+# ---------------------------------------------------------------------------
+
+def cluster_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n, s2ij, s2a, s2b, ari): the Adjusted Rand Index between the two
+    clusterings this engine already maintains over the embedding corpus
+    — Lloyd's k-means clusters (emb_kmeans) vs max-cosine IVF cells
+    (the knn_graph/semdedup substrate) — the standard
+    clustering-stability scorecard (Hubert & Arabie 1985): ARI = (sum_ij
+    C(n_ij,2) - sum_i C(a_i,2) * sum_j C(b_j,2) / C(n,2)) / (half-sum -
+    same product), 1 = identical partitions, ~0 = chance agreement.  A
+    curation pipeline runs exactly this when it swaps a clustering
+    implementation and needs "did the partition actually change?" as a
+    number.
+
+    Determinism: the contingency table and all pair-sums are exact
+    BIGINT (s2x = 2 * sum C(x,2) stays integral); ARI combines them in
+    an identically-shaped double expression in both engines, rounded to
+    6dp; null when the denominator degenerates (one side all-singleton
+    or a single cluster).
+
+    Plan: both assignments are expression-level argmins folded into
+    their scans (zero-shuffle projections); the join is vec_id-keyed
+    into a |clusters| x |cells| contingency — every aggregate after the
+    first groupBy runs on that tiny table."""
+    from .simsearch import _cells, kmeans
+
+    km = kmeans(spark, sf_dir).select("vec_id", "cluster")
+    cells = _cells(spark, sf_dir).select("vec_id", "cid")
+    cont = (
+        km.join(cells, "vec_id")
+        .groupBy("cluster", "cid")
+        .agg(F.count(F.lit(1)).alias("nij"))
+        .persist()
+    )
+    tot = cont.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.sum(F.col("nij") * (F.col("nij") - 1)).cast("bigint").alias("s2ij"),
+    )
+    rows = (
+        cont.groupBy("cluster")
+        .agg(F.sum("nij").alias("ai"))
+        .agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1)).cast("bigint").alias("s2a")
+        )
+    )
+    cols = (
+        cont.groupBy("cid")
+        .agg(F.sum("nij").alias("bj"))
+        .agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1)).cast("bigint").alias("s2b")
+        )
+    )
+    j = tot.crossJoin(rows).crossJoin(cols)
+    c2n2 = (F.col("n") * (F.col("n") - 1)).cast("double")
+    num = c2n2 * F.col("s2ij").cast("double") - F.col("s2a").cast(
+        "double"
+    ) * F.col("s2b").cast("double")
+    den = c2n2 * (F.col("s2a") + F.col("s2b")).cast("double") / F.lit(
+        2.0
+    ) - F.col("s2a").cast("double") * F.col("s2b").cast("double")
+    out = j.select(
+        "n",
+        "s2ij",
+        "s2a",
+        "s2b",
+        F.when(den != 0, F.round(num / den, 6)).alias("ari"),
+    ).localCheckpoint(eager=True)
+    cont.unpersist()
+    return out
+
+
+def sql_cluster_agreement() -> str:
+    from .simsearch import _sql_cells_cte, sql_kmeans
+
+    return f"""
+WITH {_sql_cells_cte()},
+km AS (SELECT vec_id, cluster FROM ({sql_kmeans()}) kq),
+cont AS (
+  SELECT k.cluster, a.cid, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM km k JOIN assigned a USING (vec_id)
+  GROUP BY k.cluster, a.cid
+),
+tot AS (
+  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         CAST(SUM(nij * (nij - 1)) AS BIGINT) AS s2ij
+  FROM cont
+),
+ra AS (
+  SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS s2a
+  FROM (SELECT SUM(nij) AS ai FROM cont GROUP BY cluster)
+),
+cb AS (
+  SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS s2b
+  FROM (SELECT SUM(nij) AS bj FROM cont GROUP BY cid)
+)
+SELECT n, s2ij, s2a, s2b,
+       CASE WHEN CAST(n * (n - 1) AS DOUBLE) * CAST(s2a + s2b AS DOUBLE)
+                 / 2.0
+                 - CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE) <> 0
+            THEN round((CAST(n * (n - 1) AS DOUBLE)
+                        * CAST(s2ij AS DOUBLE)
+                        - CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE))
+                       / (CAST(n * (n - 1) AS DOUBLE)
+                          * CAST(s2a + s2b AS DOUBLE) / 2.0
+                          - CAST(s2a AS DOUBLE) * CAST(s2b AS DOUBLE)), 6)
+            END AS ari
+FROM tot CROSS JOIN ra CROSS JOIN cb
+"""
