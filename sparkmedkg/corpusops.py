@@ -2389,3 +2389,246 @@ SELECT fa, fb, n AS n_docs,
        END AS r
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# LexRank extractive summarization (per-document sentence PageRank).
+# ---------------------------------------------------------------------------
+
+LEX_SENT_TOKS = 12      # sentence boundary: fixed token chunks (the
+                        # synthetic corpus has no punctuation; real text
+                        # swaps in a sentence splitter — the graph math
+                        # below is boundary-agnostic)
+LEX_TAU_PPM = 330_000   # cosine edge threshold (LexRank's 0.1-0.3 band)
+LEX_ITERS = 2           # PageRank iterations (oracle-unrolled)
+LEX_TOPK = 3            # summary sentences per document
+
+
+def lexrank_sentences(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = LEX_ITERS,
+    topk: int = LEX_TOPK,
+) -> DataFrame:
+    """(doc_id, rnk, sid, rank_micro, deg): per-document LexRank (Erkan
+    & Radev 2004) — sentences are nodes, edges connect sentence pairs
+    whose term-frequency cosine clears {LEX_TAU_PPM} ppm, and the
+    summary is the top-{LEX_TOPK} sentences by degree-normalized
+    PageRank.  The extractive-summary complement to textrank_keywords
+    (words) at the sentence granularity a training-data pipeline uses
+    for document condensation.  Sentences here are fixed
+    {LEX_SENT_TOKS}-token chunks (see LEX_SENT_TOKS note).
+
+    Determinism: the cosine threshold compares exact integers (1e12 *
+    dot^2 >= tau_ppm^2 * |a|^2 * |b|^2 — no sqrt); ranks live in exact
+    micro units with truncating division (base = div(150000, n_s),
+    contribution = div(17 * r_j, 20 * deg_j) per neighbor — 0.85 as
+    17/20), so both engines iterate bit-identically; top-k breaks ties
+    on sid.
+
+    Plan: tokenize + chunk in the scan projection; the tf table is one
+    (doc, sid, term) groupBy; the similarity join is DOC-LOCAL (equi-key
+    on (doc_id, term), sid_a < sid_b) so fan-out is bounded by sentences
+    per doc, never cross-document; every PageRank round is one
+    broadcast-joinable rank join + grouped sum over the sparse edge
+    set."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " +")).alias(
+            "pos", "term"
+        ),
+    ).select(
+        "doc_id", F.expr(f"div(pos, {LEX_SENT_TOKS})").alias("sid"), "term"
+    )
+    tf = ex.groupBy("doc_id", "sid", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    norm2 = tf.groupBy("doc_id", "sid").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    ).persist()
+    a = tf.select("doc_id", F.col("sid").alias("sa"), "term",
+                  F.col("tf").alias("tfa"))
+    b = tf.select("doc_id", F.col("sid").alias("sb"), "term",
+                  F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, ["doc_id", "term"])
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("doc_id", "sa", "sb")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    sim = (
+        dots.join(
+            norm2.select("doc_id", F.col("sid").alias("sa"),
+                         F.col("n2").alias("n2a")),
+            ["doc_id", "sa"],
+        )
+        .join(
+            norm2.select("doc_id", F.col("sid").alias("sb"),
+                         F.col("n2").alias("n2b")),
+            ["doc_id", "sb"],
+        )
+        .where(
+            F.col("dot") * F.col("dot") * F.lit(1_000_000_000_000)
+            >= F.lit(LEX_TAU_PPM * LEX_TAU_PPM)
+            * F.col("n2a")
+            * F.col("n2b")
+        )
+        .select("doc_id", "sa", "sb")
+    )
+    edges = sim.select(
+        "doc_id", F.col("sa").alias("src"), F.col("sb").alias("dst")
+    ).unionByName(
+        sim.select("doc_id", F.col("sb").alias("src"),
+                   F.col("sa").alias("dst"))
+    )
+    deg = edges.groupBy("doc_id", "src").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    ed = edges.join(
+        deg, ["doc_id", "src"]
+    ).localCheckpoint(eager=True)
+    nodes = norm2.select("doc_id", "sid").join(
+        norm2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s")),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "doc_id", "sid", F.expr("div(1000000, n_s)").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            ed.join(
+                ranks.select(
+                    "doc_id", F.col("sid").alias("src"),
+                    F.col("pr").alias("pr_src"),
+                ),
+                ["doc_id", "src"],
+            )
+            .select(
+                "doc_id",
+                F.col("dst").alias("sid"),
+                F.expr("div(17 * pr_src, 20 * deg)").alias("c"),
+            )
+            .groupBy("doc_id", "sid")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, ["doc_id", "sid"], "left")
+            .select(
+                "doc_id",
+                "sid",
+                (
+                    F.expr("div(150000, n_s)")
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("pr"), F.asc("sid")
+    )
+    out = (
+        ranks.join(
+            deg.select("doc_id", F.col("src").alias("sid"), "deg"),
+            ["doc_id", "sid"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("rnk"),
+            "sid",
+            F.col("pr").cast("bigint").alias("rank_micro"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("bigint").alias("deg"),
+        )
+        .where(F.col("rnk") <= topk)
+    )
+    tf.unpersist()
+    norm2.unpersist()
+    return out
+
+
+def sql_lexrank_sentences(
+    iters: int = LEX_ITERS, topk: int = LEX_TOPK
+) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""c{i} AS (
+  SELECT e.doc_id, e.dst AS sid,
+         SUM((17 * r.pr) // (20 * e.deg)) AS s
+  FROM ed e JOIN {prev} r ON r.doc_id = e.doc_id AND r.sid = e.src
+  GROUP BY e.doc_id, e.dst
+),
+r{i} AS (
+  SELECT n.doc_id, n.sid,
+         150000 // n.n_s + COALESCE(c.s, 0) AS pr
+  FROM nodes n LEFT JOIN c{i} c
+    ON c.doc_id = n.doc_id AND c.sid = n.sid
+)"""
+        )
+        prev = f"r{i}"
+    unrolled = ",\n".join(rounds)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, (g.i - 1) // {LEX_SENT_TOKS} AS sid, a[g.i] AS term
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS a
+        FROM documents) t,
+  LATERAL UNNEST(generate_series(1, len(a))) AS g(i)
+),
+tf AS (
+  SELECT doc_id, sid, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2, 3
+),
+norm2 AS (
+  SELECT doc_id, sid, SUM(tf * tf) AS n2 FROM tf GROUP BY 1, 2
+),
+dots AS (
+  SELECT a.doc_id, a.sid AS sa, b.sid AS sb, SUM(a.tf * b.tf) AS dot
+  FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term = b.term
+  WHERE a.sid < b.sid
+  GROUP BY 1, 2, 3
+),
+sim AS (
+  SELECT d.doc_id, d.sa, d.sb
+  FROM dots d
+  JOIN norm2 na ON na.doc_id = d.doc_id AND na.sid = d.sa
+  JOIN norm2 nb ON nb.doc_id = d.doc_id AND nb.sid = d.sb
+  WHERE d.dot * d.dot * 1000000000000
+        >= {LEX_TAU_PPM * LEX_TAU_PPM} * na.n2 * nb.n2
+),
+edges AS (
+  SELECT doc_id, sa AS src, sb AS dst FROM sim
+  UNION ALL
+  SELECT doc_id, sb AS src, sa AS dst FROM sim
+),
+deg AS (
+  SELECT doc_id, src, COUNT(*) AS deg FROM edges GROUP BY 1, 2
+),
+ed AS (
+  SELECT e.doc_id, e.src, e.dst, d.deg
+  FROM edges e JOIN deg d ON d.doc_id = e.doc_id AND d.src = e.src
+),
+nodes AS (
+  SELECT n.doc_id, n.sid, t.n_s
+  FROM norm2 n
+  JOIN (SELECT doc_id, COUNT(*) AS n_s FROM norm2 GROUP BY doc_id) t
+    ON t.doc_id = n.doc_id
+),
+r0 AS (
+  SELECT doc_id, sid, 1000000 // n_s AS pr FROM nodes
+),
+{unrolled}
+SELECT doc_id, CAST(rnk AS INT) AS rnk, sid,
+       CAST(pr AS BIGINT) AS rank_micro,
+       CAST(COALESCE(deg, 0) AS BIGINT) AS deg
+FROM (
+  SELECT r.doc_id, r.sid, r.pr, d.deg,
+         row_number() OVER (PARTITION BY r.doc_id
+                            ORDER BY r.pr DESC, r.sid ASC) AS rnk
+  FROM r{iters} r
+  LEFT JOIN deg d ON d.doc_id = r.doc_id AND d.src = r.sid
+)
+WHERE rnk <= {topk}
+"""

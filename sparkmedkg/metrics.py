@@ -905,3 +905,104 @@ SELECT n, s2ij, s2a, s2b,
             END AS ari
 FROM tot CROSS JOIN ra CROSS JOIN cb
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimator audit (textbook uniform estimate vs exact).
+# ---------------------------------------------------------------------------
+
+def join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_a, n_b, d_a, d_b, exact_rows, est_rows, err_ppm): the textbook
+    equi-join cardinality estimate |A join B| ~= n_a * n_b / max(d_a,
+    d_b) (uniform-frequency + containment assumption — what every
+    cost-based optimizer, Spark's included, uses without histograms)
+    audited against the EXACT join size, on a genuinely many-to-many
+    key: the even-event_id half of the log joined to the odd half on
+    (event_type, hour-of-day).  Skewed real keys violate the uniformity
+    assumption; err_ppm is the measured bias a plan reviewer reads
+    before trusting an optimizer row estimate at 10^12 rows.
+
+    Determinism: exact size is sum_k c_a(k)*c_b(k) over the per-key
+    count tables (never a materialized join); all terms exact BIGINT,
+    est and err integer floor divisions.
+
+    Plan: two passes collapse each half to (key, count) — map-side
+    combinable; the exact size is a broadcast-joinable key-table join;
+    distinct counts ride the same aggregates.  The join itself is never
+    executed."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("#"),
+            F.hour(F.col("ts").cast("timestamp")).cast("string"),
+        ).alias("k"),
+    )
+    a = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    sa = a.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.count(F.lit(1)).cast("bigint").alias("d_a"),
+    )
+    sb = b.agg(
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("d_b"),
+    )
+    ex = (
+        a.join(b, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_rows")
+        )
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(ex)
+        .select(
+            "n_a",
+            "n_b",
+            "d_a",
+            "d_b",
+            "exact_rows",
+            F.expr("div(n_a * n_b, greatest(d_a, d_b))").alias("est_rows"),
+            F.expr(
+                "div(1000000 * abs(div(n_a * n_b, greatest(d_a, d_b))"
+                " - exact_rows), greatest(exact_rows, 1))"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def sql_join_size_est() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id,
+         event_type || '#' || CAST(hour(ts) AS VARCHAR) AS k
+  FROM events
+),
+a AS (SELECT k, COUNT(*) AS ca FROM ev WHERE event_id % 2 = 0 GROUP BY k),
+b AS (SELECT k, COUNT(*) AS cb FROM ev WHERE event_id % 2 = 1 GROUP BY k),
+sa AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+              CAST(COUNT(*) AS BIGINT) AS d_a FROM a),
+sb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_b,
+              CAST(COUNT(*) AS BIGINT) AS d_b FROM b),
+ex AS (
+  SELECT CAST(COALESCE(SUM(a.ca * b.cb), 0) AS BIGINT) AS exact_rows
+  FROM a JOIN b USING (k)
+)
+SELECT n_a, n_b, d_a, d_b, exact_rows,
+       CAST((n_a * n_b) // GREATEST(d_a, d_b) AS BIGINT) AS est_rows,
+       CAST((1000000 * abs((n_a * n_b) // GREATEST(d_a, d_b)
+                           - exact_rows))
+            // GREATEST(exact_rows, 1) AS BIGINT) AS err_ppm
+FROM sa CROSS JOIN sb CROSS JOIN ex
+"""

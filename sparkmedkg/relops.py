@@ -4765,3 +4765,160 @@ SELECT key, n_rows,
        top_type, n_type_rows
 FROM per_key
 """
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (EMD between class and global sensitive distributions).
+# ---------------------------------------------------------------------------
+
+TCLOSE_T_PPM = 200_000  # release gate: EMD(class, global) <= 0.2
+
+
+def events_t_closeness(
+    spark: SparkSession, sf_dir: str, t_ppm: int = TCLOSE_T_PPM
+) -> DataFrame:
+    """(event_type, hour, n_c, m_vals, emd_num, emd_ppm, at_risk): the
+    t-closeness audit completing the k-anonymity / l-diversity release
+    trio — a QI class can pass both and still leak if its sensitive
+    DISTRIBUTION deviates from the table-wide one (skewness attack:
+    "people in this class mostly have the rare value").  Classes are the
+    same QI pair (event_type, hour-of-day) and the sensitive attribute
+    the same ``k`` payload prop as events_l_diversity; the distance is
+    the ordered-attribute Earth Mover's Distance of Li, Li &
+    Venkatasubramanian 2007: EMD = (1/(m-1)) * sum_i |CumP_class(i) -
+    CumP_global(i)| over the m global sensitive values.
+
+    Determinism: cumulative probabilities compare as integer
+    cross-products (|cum_c * n - cum_g * n_c|, never a float fraction);
+    emd_ppm is one integer floor division at the end.
+
+    Plan: the log collapses to (QI, sens) counts in one shuffle; the
+    grid is |classes| x |global sensitive domain| — both bounded (24 *
+    |types| classes, a payload-enum domain) — so every window after the
+    first groupBy runs on tiny aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    cls = ev.select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("bigint").alias("hour"),
+        F.get_json_object("props", "$.k").cast("int").alias("sens"),
+    ).where(F.col("sens").isNotNull())
+    cc = cls.groupBy("event_type", "hour", "sens").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gg = cls.groupBy("sens").agg(F.count(F.lit(1)).alias("g"))
+    classes = cc.groupBy("event_type", "hour").agg(
+        F.sum("c").alias("n_c")
+    )
+    grid = classes.crossJoin(F.broadcast(gg.select("sens")))
+    joined = grid.join(cc, ["event_type", "hour", "sens"], "left").select(
+        "event_type",
+        "hour",
+        "n_c",
+        "sens",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    wc = (
+        Window.partitionBy("event_type", "hour")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.orderBy("sens").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gg.select(
+        "sens",
+        F.sum("g").over(wg).alias("cum_g"),
+        F.sum("g").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m_vals"),
+    )
+    scored = (
+        joined.withColumn("cum_c", F.sum("c").over(wc))
+        .join(F.broadcast(gcum), "sens")
+        .select(
+            "event_type",
+            "hour",
+            "n_c",
+            "m_vals",
+            F.abs(
+                F.col("cum_c") * F.col("n") - F.col("cum_g") * F.col("n_c")
+            ).alias("gap"),
+            "n",
+        )
+    )
+    return scored.groupBy("event_type", "hour").agg(
+        F.min("n_c").cast("bigint").alias("n_c"),
+        F.min("m_vals").cast("bigint").alias("m_vals"),
+        F.sum("gap").cast("bigint").alias("emd_num"),
+        F.expr(
+            "div(1000000 * sum(gap),"
+            " greatest(min(m_vals) - 1, 1) * min(n_c) * min(n))"
+        ).alias("emd_ppm"),
+        (
+            F.expr(
+                "div(1000000 * sum(gap),"
+                " greatest(min(m_vals) - 1, 1) * min(n_c) * min(n))"
+            )
+            > t_ppm
+        ).alias("at_risk"),
+    )
+
+
+def sql_events_t_closeness(t_ppm: int = TCLOSE_T_PPM) -> str:
+    return f"""
+WITH cls AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(json_extract_string(props, '$.k') AS INT) AS sens
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+cc AS (
+  SELECT event_type, hour, sens, COUNT(*) AS c
+  FROM cls GROUP BY 1, 2, 3
+),
+gg AS (SELECT sens, COUNT(*) AS g FROM cls GROUP BY sens),
+classes AS (
+  SELECT event_type, hour, SUM(c) AS n_c FROM cc GROUP BY 1, 2
+),
+grid AS (
+  SELECT cl.event_type, cl.hour, cl.n_c, g.sens
+  FROM classes cl CROSS JOIN gg g
+),
+joined AS (
+  SELECT g.event_type, g.hour, g.n_c, g.sens, COALESCE(cc.c, 0) AS c
+  FROM grid g LEFT JOIN cc
+    ON cc.event_type = g.event_type AND cc.hour = g.hour
+   AND cc.sens = g.sens
+),
+gcum AS (
+  SELECT sens,
+         SUM(g) OVER (ORDER BY sens ROWS UNBOUNDED PRECEDING) AS cum_g,
+         SUM(g) OVER () AS n,
+         COUNT(*) OVER () AS m_vals
+  FROM gg
+),
+scored AS (
+  SELECT j.event_type, j.hour, j.n_c, gc.m_vals, gc.n,
+         abs(SUM(j.c) OVER (PARTITION BY j.event_type, j.hour
+                            ORDER BY j.sens ROWS UNBOUNDED PRECEDING)
+               * gc.n
+             - gc.cum_g * j.n_c) AS gap
+  FROM joined j JOIN gcum gc ON gc.sens = j.sens
+)
+SELECT event_type, hour,
+       CAST(MIN(n_c) AS BIGINT) AS n_c,
+       CAST(MIN(m_vals) AS BIGINT) AS m_vals,
+       CAST(SUM(gap) AS BIGINT) AS emd_num,
+       CAST((1000000 * SUM(gap))
+            // (GREATEST(MIN(m_vals) - 1, 1) * MIN(n_c) * MIN(n)) AS BIGINT)
+         AS emd_ppm,
+       CAST((1000000 * SUM(gap))
+            // (GREATEST(MIN(m_vals) - 1, 1) * MIN(n_c) * MIN(n)) AS BIGINT)
+         > {t_ppm} AS at_risk
+FROM scored GROUP BY event_type, hour
+"""
