@@ -4922,3 +4922,86 @@ SELECT event_type, hour,
          > {t_ppm} AS at_risk
 FROM scored GROUP BY event_type, hour
 """
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten delete-amplification plan.
+# ---------------------------------------------------------------------------
+
+DEL_MOD = 11   # victim selector: md5-bucket(user) % DEL_MOD == 0 (~9%)
+DAY_US = 86_400_000_000
+
+
+def events_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_rows, n_del, del_ppm, touched): the
+    delete-amplification plan for a right-to-be-forgotten batch — given
+    a deterministic ~9% victim set of users (md5 bucket, standing in
+    for the legal request list), report per storage partition
+    (event_type x epoch-day, the layout the engine's compaction/z-order
+    family assumes) how many rows live there, how many must be deleted,
+    and whether the partition is touched at all.  touched-partitions /
+    total-partitions IS the rewrite amplification: with copy-on-write
+    parquet every touched partition is rewritten wholesale, so a small
+    row delete can be a near-total data rewrite — this plan is the number a
+    platform reads before choosing merge-on-read or deletion vectors.
+
+    Determinism: the victim set is the md5-bucket idiom; everything
+    else is exact counts and one ppm floor division.
+
+    Plan: victim flag is a scan-projection expression (no join against
+    a victim table — the request list would broadcast); ONE partial-agg
+    groupBy on the partition key computes rows and deletes together."""
+    ev = _t(spark, sf_dir, "events")
+    victim = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % DEL_MOD
+        == 0
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"div(unix_micros(cast(ts as timestamp)), {DAY_US})"
+            ).alias("day"),
+            victim.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v"), 1).otherwise(0)).cast("bigint")
+            .alias("n_del"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_rows",
+            "n_del",
+            F.expr("div(1000000 * n_del, n_rows)").alias("del_ppm"),
+            (F.col("n_del") > 0).alias("touched"),
+        )
+    )
+
+
+def sql_events_delete_plan() -> str:
+    victim = (
+        "CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % {DEL_MOD} = 0"
+    )
+    return f"""
+WITH agg AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN {victim} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_del
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, day, n_rows, n_del,
+       CAST((1000000 * n_del) // n_rows AS BIGINT) AS del_ppm,
+       n_del > 0 AS touched
+FROM agg
+"""

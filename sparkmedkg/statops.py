@@ -885,3 +885,68 @@ SELECT event_type, n_t, n_all, d_num,
          AS kn
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Fano factor (index of dispersion) per hourly series.
+# ---------------------------------------------------------------------------
+
+def events_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_hours, sum_c, sum_c2, fano_micro, overdispersed):
+    the index of dispersion F = Var(c)/Mean(c) of the densified hourly
+    count series per type — F = 1 for a Poisson arrival process, F > 1
+    for bursty/clustered traffic, F < 1 for regular (rate-limited)
+    traffic.  The one-number companion to events_acf: ACF says WHERE the
+    memory is, Fano says HOW FAR from Poisson the stream sits.
+
+    Determinism: with n = hours, S = sum c, Q = sum c^2, the population
+    variance-to-mean ratio is exactly (n*Q - S^2)/(n*S) — emitted in
+    micro units by one truncating integer division (nonnegative, so
+    floor == trunc in both engines).
+
+    Plan: rides the shared hourly aggregate (_hourly_series — one
+    partial-agg shuffle over the log); the moments are a |types|-row
+    groupBy."""
+    series = _hourly_series(spark, sf_dir)
+    agg = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "sum_c",
+        "sum_c2",
+        F.expr(
+            "div(1000000 * (n_hours * sum_c2 - sum_c * sum_c),"
+            " n_hours * sum_c)"
+        ).alias("fano_micro"),
+        (
+            F.expr(
+                "div(1000000 * (n_hours * sum_c2 - sum_c * sum_c),"
+                " n_hours * sum_c)"
+            )
+            > 1_000_000
+        ).alias("overdispersed"),
+    )
+
+
+def sql_events_fano() -> str:
+    fano = (
+        "(1000000 * (n_hours * sum_c2 - sum_c * sum_c))"
+        " // (n_hours * sum_c)"
+    )
+    return f"""
+WITH {_SQL_HOURLY},
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(c) AS BIGINT) AS sum_c,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM series GROUP BY event_type
+)
+SELECT event_type, n_hours, sum_c, sum_c2,
+       CAST({fano} AS BIGINT) AS fano_micro,
+       CAST({fano} AS BIGINT) > 1000000 AS overdispersed
+FROM agg
+"""

@@ -23,7 +23,7 @@ operators (textstats, dedup) have been verified individually.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparkmedkg import dedup, textstats
@@ -698,4 +698,158 @@ SELECT tier, n_docs, n_tokens,
        CAST(floor(pow(n_docs::DOUBLE, {alpha}) / z * {MIX_BUDGET_DOCS})
             AS BIGINT) AS planned_docs
 FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling audit (Duffield-Lund-Thorup subset-sum estimator).
+# ---------------------------------------------------------------------------
+
+PS_K = 64            # sample size
+PS_HASH_HEX = 8      # 32-bit md5 prefix -> u in (0, 1] at 2^-32 grain
+
+
+def priority_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, total_w, k, tau_w, tau_h, n_above, est_w, err_ppm): the
+    priority-sampling scorecard — every doc draws u = h/2^32 from the
+    md5 bridge and priority q = w/u (w = text bytes); the top-{PS_K}
+    priorities form the sample, tau = the (k+1)-th priority, and the
+    Duffield-Lund-Thorup estimator sum(max(w_i, tau)) over the sample
+    estimates the EXACT corpus byte total (provably optimal variance
+    among k-sample subset-sum schemes).  A pipeline uses exactly this to
+    budget downstream stages from a fixed-size sample; the audit prints
+    the realized estimation error.
+
+    Determinism: u comes from a 32-bit md5 prefix (+1, so u > 0) and
+    every decision is exact-integer — the priority ORDER is a double
+    w/h, but both engines divide identical BIGINTs (identical IEEE
+    result) with doc_id tiebreak; the w >= tau test cross-multiplies
+    integers (w * tau_h vs tau_w * 2^32, all < 2^46); est_w returns to
+    weight units by one truncating division.  Degenerate corpus (<= k
+    docs): tau is null and est_w = total_w exactly.
+
+    Plan: weights and hashes fold into the scan projection; ONE top-(k+1)
+    sort bounded by rank (TakeOrdered-sized, never a full materialized
+    sort at scale — a k-sized heap per partition then a k-merge); the
+    estimator aggregates k rows against the 1-row tau broadcast."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("w"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1,
+                            PS_HASH_HEX),
+                16,
+                10,
+            ).cast("bigint")
+            + 1
+        ).alias("h"),
+    )
+    w_rank = Window.orderBy(
+        F.desc(F.col("w").cast("double") / F.col("h").cast("double")),
+        F.asc("doc_id"),
+    )
+    ranked = docs.select(
+        "w", "h", F.row_number().over(w_rank).alias("rn")
+    ).where(F.col("rn") <= PS_K + 1).localCheckpoint(eager=True)
+    tot = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_w"),
+    )
+    tau = ranked.agg(
+        F.min(F.when(F.col("rn") == PS_K + 1, F.col("w"))).alias("tau_w"),
+        F.min(F.when(F.col("rn") == PS_K + 1, F.col("h"))).alias("tau_h"),
+    )
+    two32 = 1 << (4 * PS_HASH_HEX)
+    samp = (
+        ranked.where(F.col("rn") <= PS_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.min("tau_w").cast("bigint").alias("tau_w"),
+            F.min("tau_h").cast("bigint").alias("tau_h"),
+            F.sum(
+                F.when(
+                    F.col("w") * F.col("tau_h")
+                    >= F.col("tau_w") * F.lit(two32),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_above"),
+            F.sum(
+                F.when(
+                    F.col("w") * F.col("tau_h")
+                    >= F.col("tau_w") * F.lit(two32),
+                    F.col("w") * F.col("tau_h"),
+                ).otherwise(F.col("tau_w") * F.lit(two32))
+            ).alias("est_num"),
+        )
+    )
+    return tot.crossJoin(samp).select(
+        "n_docs",
+        "total_w",
+        F.lit(PS_K).cast("bigint").alias("k"),
+        "tau_w",
+        "tau_h",
+        F.coalesce(F.col("n_above"), F.lit(0)).cast("bigint")
+        .alias("n_above"),
+        F.when(F.col("tau_w").isNull(), F.col("total_w"))
+        .otherwise(F.expr("div(est_num, tau_h)"))
+        .cast("bigint")
+        .alias("est_w"),
+        F.expr(
+            "div(1000000 * abs((CASE WHEN tau_w IS NULL THEN total_w"
+            " ELSE div(est_num, tau_h) END) - total_w), total_w)"
+        ).alias("err_ppm"),
+    )
+
+
+def sql_priority_sample_audit() -> str:
+    two32 = 1 << (4 * PS_HASH_HEX)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS w,
+         CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1,
+                                {PS_HASH_HEX}) AS BIGINT) + 1 AS h
+  FROM documents
+),
+ranked AS (
+  SELECT w, h,
+         row_number() OVER (ORDER BY CAST(w AS DOUBLE) / CAST(h AS DOUBLE)
+                            DESC, doc_id ASC) AS rn
+  FROM docs
+  QUALIFY rn <= {PS_K + 1}
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(w) AS BIGINT) AS total_w
+  FROM docs
+),
+tau AS (
+  SELECT MIN(CASE WHEN rn = {PS_K + 1} THEN w END) AS tau_w,
+         MIN(CASE WHEN rn = {PS_K + 1} THEN h END) AS tau_h
+  FROM ranked
+),
+samp AS (
+  SELECT CAST(MIN(t.tau_w) AS BIGINT) AS tau_w,
+         CAST(MIN(t.tau_h) AS BIGINT) AS tau_h,
+         CAST(SUM(CASE WHEN r.w * t.tau_h >= t.tau_w * {two32}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         SUM(CASE WHEN r.w * t.tau_h >= t.tau_w * {two32}
+                  THEN r.w * t.tau_h
+                  ELSE t.tau_w * {two32} END) AS est_num
+  FROM ranked r CROSS JOIN tau t
+  WHERE r.rn <= {PS_K}
+)
+SELECT tot.n_docs, tot.total_w, CAST({PS_K} AS BIGINT) AS k,
+       s.tau_w, s.tau_h,
+       CAST(COALESCE(s.n_above, 0) AS BIGINT) AS n_above,
+       CAST(CASE WHEN s.tau_w IS NULL THEN tot.total_w
+                 ELSE CAST(s.est_num AS BIGINT) // s.tau_h END AS BIGINT)
+         AS est_w,
+       CAST((1000000 * abs(CAST(CASE WHEN s.tau_w IS NULL
+                                     THEN tot.total_w
+                                     ELSE CAST(s.est_num AS BIGINT)
+                                          // s.tau_h END AS BIGINT)
+                           - tot.total_w)) // tot.total_w AS BIGINT)
+         AS err_ppm
+FROM tot CROSS JOIN samp s
 """
