@@ -950,3 +950,270 @@ SELECT event_type, n_hours, sum_c, sum_c2,
        CAST({fano} AS BIGINT) > 1000000 AS overdispersed
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier audit.
+# ---------------------------------------------------------------------------
+
+MAD_Z_MILLI = 3_500  # Iglewicz-Hoaglin flag threshold |M_i| > 3.5
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n, med_v, mad_v, n_outliers, outlier_ppm): the
+    median / median-absolute-deviation robust outlier audit per series
+    — the modified z-score M_i = 0.6745 * (v_i - med) / MAD with the
+    Iglewicz-Hoaglin 3.5 flag, the screen that survives the very
+    outliers a mean/stddev z-score (events_zscore) lets distort its own
+    baseline.
+
+    Determinism: med and MAD are LOWER-median order statistics (exact
+    integer picks at rank (n+1) div 2 of the millis values and the
+    absolute deviations); the flag test cross-multiplies integers
+    (6745 * |v - med| > 35000 * MAD — 0.6745 and 3.5 at the same 1e4
+    scale), so no float ever enters a decision.
+
+    Plan: two window sorts per series partition (values, then absolute
+    deviations) — the events_pettitt budget — then one per-type
+    aggregate."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * V_SCALE).cast("bigint").alias("v"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r1.where(F.col("rn") == F.expr("div(n + 1, 2)"))
+        .select("event_type", F.col("v").alias("med_v"))
+    )
+    dev = r1.join(med, "event_type").select(
+        "event_type",
+        "v",
+        "n",
+        "med_v",
+        F.abs(F.col("v") - F.col("med_v")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "v")
+    r2 = dev.select(
+        "event_type", "n", "med_v", "d",
+        F.row_number().over(wd).alias("rn"),
+    )
+    mad = (
+        r2.where(F.col("rn") == F.expr("div(n + 1, 2)"))
+        .select("event_type", F.col("d").alias("mad_v"))
+    )
+    flagged = dev.join(mad, "event_type").select(
+        "event_type",
+        "n",
+        "med_v",
+        "mad_v",
+        (
+            F.lit(6_745) * F.col("d")
+            > F.lit(10 * MAD_Z_MILLI) * F.col("mad_v")
+        ).alias("out"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.min("med_v").cast("bigint").alias("med_v"),
+        F.min("mad_v").cast("bigint").alias("mad_v"),
+        F.sum(F.when(F.col("out"), 1).otherwise(0)).cast("bigint")
+        .alias("n_outliers"),
+        F.expr(
+            "div(1000000 * sum(case when out then 1 else 0 end), min(n))"
+        ).alias("outlier_ppm"),
+    )
+
+
+def sql_events_mad_outliers() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * {V_SCALE}) AS BIGINT) AS v
+  FROM events
+),
+r1 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, v AS med_v FROM r1 WHERE rn = (n + 1) // 2
+),
+dev AS (
+  SELECT r.event_type, r.v, r.n, m.med_v, abs(r.v - m.med_v) AS d
+  FROM r1 r JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT event_type, n, d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d, v) AS rn
+  FROM dev
+),
+mad AS (
+  SELECT event_type, d AS mad_v FROM r2 WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type,
+       CAST(MIN(d.n) AS BIGINT) AS n,
+       CAST(MIN(d.med_v) AS BIGINT) AS med_v,
+       CAST(MIN(ma.mad_v) AS BIGINT) AS mad_v,
+       CAST(SUM(CASE WHEN 6745 * d.d > {10 * MAD_Z_MILLI} * ma.mad_v
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST((1000000 * SUM(CASE WHEN 6745 * d.d
+                                     > {10 * MAD_Z_MILLI} * ma.mad_v
+                                THEN 1 ELSE 0 END)) // MIN(d.n)
+            AS BIGINT) AS outlier_ppm
+FROM dev d JOIN mad ma USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for sequence randomness.
+# ---------------------------------------------------------------------------
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_above, n_below, runs, z): the Wald-Wolfowitz runs
+    test per series — dichotomize the time-ordered values at the lower
+    median (above vs not-above), count runs of equal signs, and score
+    against the randomness expectation E[R] = 1 + 2*n1*n2/n, Var[R] =
+    2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)).  Too FEW runs = trending /
+    sticky state; too MANY = oscillation — the sequence-randomness
+    screen that complements the value-distribution tests (KS,
+    Mann-Whitney) with ORDER information.
+
+    Determinism: the median is the exact order statistic, signs and the
+    run count are integers (a lag-compare prefix sum), and z combines
+    exact integers in an identically-shaped double expression in both
+    engines, rounded to 6dp; null when variance degenerates (one-sided
+    series).
+
+    Plan: one value sort for the median, one time sort for the lag
+    compare — per-type window budget; everything after is a per-type
+    aggregate."""
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * V_SCALE).cast("bigint").alias("v"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = ev.select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = (
+        r1.where(F.col("rn") == F.expr("div(n + 1, 2)"))
+        .select("event_type", F.col("v").alias("med_v"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    signed = r1.join(med, "event_type").select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("v") > F.col("med_v")).cast("int").alias("s"),
+    )
+    lagged = signed.select(
+        "event_type",
+        "s",
+        F.lag("s").over(wo).alias("prev"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n_below"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("bigint").alias("runs"),
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    two = (2 * n1 * n2).cast("double")
+    mu = F.lit(1.0) + two / n.cast("double")
+    var = (
+        two
+        * ((2 * n1 * n2) - n).cast("double")
+        / n.cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    z = (F.col("runs").cast("double") - mu) / F.sqrt(var)
+    return agg.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        "runs",
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )
+
+
+def sql_events_runs_test() -> str:
+    var = (
+        "CAST(2 * n_above * n_below AS DOUBLE)"
+        " * CAST(2 * n_above * n_below - (n_above + n_below) AS DOUBLE)"
+        " / CAST(n_above + n_below AS DOUBLE)"
+        " / CAST((n_above + n_below) * (n_above + n_below - 1) AS DOUBLE)"
+    )
+    mu = (
+        "1.0 + CAST(2 * n_above * n_below AS DOUBLE)"
+        " / CAST(n_above + n_below AS DOUBLE)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * {V_SCALE}) AS BIGINT) AS v
+  FROM events
+),
+r1 AS (
+  SELECT event_type, event_id, ts_us, v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, v AS med_v FROM r1 WHERE rn = (n + 1) // 2
+),
+signed AS (
+  SELECT r.event_type, r.ts_us, r.event_id,
+         CAST(r.v > m.med_v AS INT) AS s
+  FROM r1 r JOIN med m USING (event_type)
+),
+lagged AS (
+  SELECT event_type, s,
+         lag(s) OVER (PARTITION BY event_type
+                      ORDER BY ts_us, event_id) AS prev
+  FROM signed
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM(s) AS BIGINT) AS n_above,
+         CAST(SUM(1 - s) AS BIGINT) AS n_below,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_above, n_below, runs,
+       CASE WHEN {var} > 0
+            THEN round((CAST(runs AS DOUBLE) - ({mu})) / sqrt({var}), 6)
+            END AS z
+FROM agg
+"""

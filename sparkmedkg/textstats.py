@@ -1583,3 +1583,97 @@ LEFT JOIN fof b ON b.r = a.r + 1
 CROSS JOIN tot
 WHERE a.r <= {GT_MAX_R}
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness / coverage scorecard (Chao1 + Good + Simpson).
+# ---------------------------------------------------------------------------
+
+def corpus_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_types, n_tokens, n1, n2, chao1_types, coverage_ppm,
+    simpson_ppm): the species-richness scorecard over corpus BIGRAM
+    types — Chao1's lower-bound estimate of the TRUE type count
+    (observed + n1*(n1-1)/(2*(n2+1)), bias-corrected form, from the
+    hapax/dis counts), Good's sample coverage 1 - n1/N (what fraction
+    of the underlying bigram mass this crawl has already seen — the
+    "is more crawling worth it" number, the same question
+    shingle-novelty answers longitudinally), and Simpson concentration
+    sum f(f-1)/(N(N-1)) (repeat-collision probability, the diversity
+    twin of Yule's K).  Bigrams for the same reason as good_turing:
+    the synthetic unigram vocabulary is closed.
+
+    Determinism: every statistic is exact-integer (counts, one floor
+    division each) — no logs, no floats.
+
+    Plan: bigrams form in the scan projection; ONE bigram-count
+    shuffle; the spectrum fold is a single aggregate over the
+    type table.  Map-side combinable throughout."""
+    bg = F.expr(
+        "transform(sequence(1, size(a) - 1), "
+        "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"
+    )
+    counts = (
+        _docs(spark, sf_dir)
+        .select(_toks().alias("a"))
+        .where(F.size(F.col("a")) >= 2)
+        .select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("f") == 1, 1)), F.lit(0))
+        .cast("bigint").alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("f") == 2, 1)), F.lit(0))
+        .cast("bigint").alias("n2"),
+        F.sum(F.col("f") * (F.col("f") - 1)).cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "n_types",
+        "n_tokens",
+        "n1",
+        "n2",
+        (
+            F.col("n_types")
+            + F.expr("div(n1 * (n1 - 1), 2 * (n2 + 1))")
+        ).cast("bigint").alias("chao1_types"),
+        (
+            F.lit(1_000_000) - F.expr("div(1000000 * n1, n_tokens)")
+        ).cast("bigint").alias("coverage_ppm"),
+        F.expr("div(1000000 * s2, n_tokens * (n_tokens - 1))")
+        .alias("simpson_ppm"),
+    )
+
+
+def sql_corpus_richness() -> str:
+    return """
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), ' +') AS a FROM documents
+),
+counts AS (
+  SELECT bigram, CAST(COUNT(*) AS BIGINT) AS f
+  FROM (SELECT a[i] || ' ' || a[i + 1] AS bigram
+        FROM toks, LATERAL UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+        WHERE len(a) >= 2)
+  GROUP BY bigram
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(f) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CASE WHEN f = 1 THEN 1 END), 0) AS BIGINT)
+           AS n1,
+         CAST(COALESCE(SUM(CASE WHEN f = 2 THEN 1 END), 0) AS BIGINT)
+           AS n2,
+         CAST(SUM(f * (f - 1)) AS BIGINT) AS s2
+  FROM counts
+)
+SELECT n_types, n_tokens, n1, n2,
+       CAST(n_types + (n1 * (n1 - 1)) // (2 * (n2 + 1)) AS BIGINT)
+         AS chao1_types,
+       CAST(1000000 - (1000000 * n1) // n_tokens AS BIGINT)
+         AS coverage_ppm,
+       CAST((1000000 * s2) // (n_tokens * (n_tokens - 1)) AS BIGINT)
+         AS simpson_ppm
+FROM agg
+"""
