@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from sparkmedkg import dedup, er, fixtures, multimodal, pipeline, relops, simsearch, textstats  # noqa: E402
+from sparkmedkg import annplus, dedup, er, fixtures, multimodal, pipeline, relops, shardops, simsearch, textstats  # noqa: E402
 from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, statops, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
@@ -261,6 +261,30 @@ BENCH_QUERIES = {
     "corpus_cluster_topics": curate.cluster_topics,
     "corpus_mmr_topk": curate.mmr_topk,
     "metric_sample_kl": curate.sample_kl,
+    # round-3 final batches: graph-ANN + kNN outliers, trend/two-sample
+    # tests, Good-Turing/richness, AMS F2, placement planning, privacy
+    # EMD, optimizer audit, LexRank, DLT sampling, governance, robust
+    # stats
+    "ann_graph_topk": annplus.graph_topk,
+    "emb_knn_outliers": annplus.knn_outliers,
+    "events_mann_kendall": statops.events_mann_kendall,
+    "events_theil_sen": statops.events_theil_sen,
+    "events_mann_whitney": statops.events_mann_whitney,
+    "events_ks_test": statops.events_ks_test,
+    "events_fano": statops.events_fano,
+    "events_mad_outliers": statops.events_mad_outliers,
+    "events_runs_test": statops.events_runs_test,
+    "corpus_good_turing": textstats.good_turing,
+    "corpus_richness": textstats.corpus_richness,
+    "metric_ams_f2": metrics.ams_f2,
+    "metric_cluster_agreement": metrics.cluster_agreement,
+    "metric_join_size_est": metrics.join_size_est,
+    "shard_rendezvous_plan": shardops.rendezvous_plan,
+    "shard_move_audit": shardops.shard_move_audit,
+    "events_t_closeness": relops.events_t_closeness,
+    "corpus_lexrank": corpusops.lexrank_sentences,
+    "corpus_priority_sample": trainprep.priority_sample_audit,
+    "events_delete_plan": relops.events_delete_plan,
 }
 
 

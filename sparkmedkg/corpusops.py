@@ -2632,3 +2632,113 @@ FROM (
 )
 WHERE rnk <= {topk}
 """
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption masking plan (T5-style denoising objective).
+# ---------------------------------------------------------------------------
+
+SPAN_MOD = 7      # a span STARTS at pos iff h60(doc#pos) % SPAN_MOD == 0
+SPAN_LEN = 3      # tokens per raw span (overlaps merge)
+
+
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_masked, n_sentinels, mask_ppm): the
+    span-corruption masking plan of the T5 denoising objective — every
+    token position draws a deterministic coin (md5 bridge) to START a
+    {SPAN_LEN}-token span, overlapping spans merge, and each merged run
+    is replaced by one sentinel.  The plan reports per document how many
+    tokens fall under masks and how many sentinels the encoder input
+    will carry — the numbers that size a denoising pretraining batch
+    (expected corruption rate = 1 - (1-1/{SPAN_MOD})^{SPAN_LEN} ~ 37%).
+
+    The masking decision is RECOMPUTABLE per position from hashes alone:
+    masked(p) = any of positions p-2..p starts a span, and a merged run
+    begins where masked(p) and not masked(p-1) — so the whole plan is a
+    map-only expression pass (no window, no self-join) followed by one
+    per-doc aggregate.  That recomputability is the point at 10^12
+    tokens: no mask state is ever materialized or shuffled.
+
+    Determinism: coins are the 60-bit md5 idiom on "doc_id#pos"; all
+    counts exact; ppm one floor division."""
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " +")).alias(
+            "pos", "term"
+        ),
+    ).select("doc_id", "pos")
+
+    def starts(p) -> F.Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#"),
+                        p.cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return (p >= 0) & (h % SPAN_MOD == 0)
+
+    def masked(p) -> F.Column:
+        m = F.lit(False)
+        for back in range(SPAN_LEN):
+            m = m | starts(p - back)
+        return m
+
+    per = ex.select(
+        "doc_id",
+        masked(F.col("pos")).cast("int").alias("m"),
+        (
+            masked(F.col("pos"))
+            & ((F.col("pos") == 0) | ~masked(F.col("pos") - 1))
+        ).cast("int").alias("run_start"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("m").cast("bigint").alias("n_masked"),
+        F.sum("run_start").cast("bigint").alias("n_sentinels"),
+        F.expr("div(1000000 * sum(m), count(1))").alias("mask_ppm"),
+    )
+
+
+def sql_span_corruption_plan() -> str:
+    def starts(expr: str) -> str:
+        h = (
+            "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#' ||"
+            f" CAST({expr} AS VARCHAR)), 1, 15) AS BIGINT)"
+        )
+        return f"(({expr}) >= 0 AND {h} % {SPAN_MOD} = 0)"
+
+    def masked(expr: str) -> str:
+        return "(" + " OR ".join(
+            starts(f"({expr}) - {back}") for back in range(SPAN_LEN)
+        ) + ")"
+
+    return f"""
+WITH ex AS (
+  SELECT doc_id, g.i - 1 AS pos
+  FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS a
+        FROM documents) t,
+  LATERAL UNNEST(generate_series(1, len(a))) AS g(i)
+),
+per AS (
+  SELECT doc_id,
+         CAST({masked("pos")} AS INT) AS m,
+         CAST({masked("pos")}
+              AND (pos = 0 OR NOT {masked("pos - 1")}) AS INT)
+           AS run_start
+  FROM ex
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(m) AS BIGINT) AS n_masked,
+       CAST(SUM(run_start) AS BIGINT) AS n_sentinels,
+       CAST((1000000 * SUM(m)) // COUNT(*) AS BIGINT) AS mask_ppm
+FROM per GROUP BY doc_id
+"""

@@ -5005,3 +5005,168 @@ SELECT event_type, day, n_rows, n_del,
        n_del > 0 AS touched
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Backfill-parity audit (incremental view maintenance check).
+# ---------------------------------------------------------------------------
+
+BF_SPLIT_PPM = 800_000  # base = first 80% of days; delta = the rest
+
+
+def events_backfill_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, base_days, delta_days, merged_rows,
+    recomputed_rows, merged_sum_cents, recomputed_sum_cents, parity):
+    the backfill-parity audit every incremental pipeline runs after a
+    catch-up — maintain the daily (type, day) rollup incrementally
+    (base partition + delta partition, merged by re-aggregation) and
+    prove it equals the from-scratch recompute, per type.  The split
+    point is the {BF_SPLIT_PPM}-ppm quantile of the day range, standing
+    in for "yesterday's watermark"; parity must be TRUE on every row —
+    a FALSE here is how non-mergeable state (last-write-wins columns,
+    floats summed in different orders) reveals itself before it
+    corrupts a year of history.
+
+    Determinism: sums are exact BIGINT cents; merge = SUM of partial
+    SUMs, the associative path partial aggregation itself relies on.
+
+    Plan: base and delta are partition-pruned scans of the same table
+    (at scale: day-partitioned storage serves the delta from new files
+    only); each side is one map-side-combinable groupBy; the parity
+    join runs on the |types|-row aggregates."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts as timestamp)), {DAY_US})")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = ev.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    split = bounds.select(
+        (
+            F.col("lo")
+            + F.expr(f"div({BF_SPLIT_PPM} * (hi - lo), 1000000)")
+        ).alias("cut")
+    )
+    evc = ev.crossJoin(F.broadcast(split))
+
+    def daily(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("rows"), F.sum("cents").alias("sum_c")
+        )
+
+    base = daily(evc.where(F.col("day") <= F.col("cut")))
+    delta = daily(evc.where(F.col("day") > F.col("cut")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("rows").alias("rows"), F.sum("sum_c").alias("sum_c")
+        )
+    )
+    recomputed = daily(evc)
+
+    def per_type(df, pfx):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{pfx}_days"),
+            F.sum("rows").cast("bigint").alias(f"{pfx}_rows"),
+            F.sum("sum_c").cast("bigint").alias(f"{pfx}_sum_cents"),
+        )
+    m = per_type(merged, "merged")
+    r = per_type(recomputed, "recomputed")
+    sides = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("base_days")
+    ).join(
+        delta.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta_days")
+        ),
+        "event_type",
+        "outer",
+    ).select(
+        "event_type",
+        F.coalesce(F.col("base_days"), F.lit(0)).alias("base_days"),
+        F.coalesce(F.col("delta_days"), F.lit(0)).alias("delta_days"),
+    )
+    return (
+        m.join(r, "event_type")
+        .join(sides, "event_type")
+        .select(
+            "event_type",
+            F.col("recomputed_days").alias("n_days"),
+            "base_days",
+            "delta_days",
+            F.col("merged_rows").alias("merged_rows"),
+            F.col("recomputed_rows").alias("recomputed_rows"),
+            "merged_sum_cents",
+            "recomputed_sum_cents",
+            (
+                (F.col("merged_rows") == F.col("recomputed_rows"))
+                & (
+                    F.col("merged_sum_cents")
+                    == F.col("recomputed_sum_cents")
+                )
+                & (F.col("merged_days") == F.col("recomputed_days"))
+            ).alias("parity"),
+        )
+    )
+
+
+def sql_events_backfill_parity() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {DAY_US} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+split AS (
+  SELECT MIN(day) + ({BF_SPLIT_PPM} * (MAX(day) - MIN(day))) // 1000000
+           AS cut
+  FROM ev
+),
+base AS (
+  SELECT event_type, day, COUNT(*) AS rows_, SUM(cents) AS sum_c
+  FROM ev, split WHERE day <= cut GROUP BY 1, 2
+),
+delta AS (
+  SELECT event_type, day, COUNT(*) AS rows_, SUM(cents) AS sum_c
+  FROM ev, split WHERE day > cut GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, day, SUM(rows_) AS rows_, SUM(sum_c) AS sum_c
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY 1, 2
+),
+recomputed AS (
+  SELECT event_type, day, COUNT(*) AS rows_, SUM(cents) AS sum_c
+  FROM ev GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS merged_days,
+         CAST(SUM(rows_) AS BIGINT) AS merged_rows,
+         CAST(SUM(sum_c) AS BIGINT) AS merged_sum_cents
+  FROM merged GROUP BY event_type
+),
+r AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS recomputed_days,
+         CAST(SUM(rows_) AS BIGINT) AS recomputed_rows,
+         CAST(SUM(sum_c) AS BIGINT) AS recomputed_sum_cents
+  FROM recomputed GROUP BY event_type
+),
+sides AS (
+  SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+         CAST(COALESCE(b.n, 0) AS BIGINT) AS base_days,
+         CAST(COALESCE(d.n, 0) AS BIGINT) AS delta_days
+  FROM (SELECT event_type, COUNT(*) AS n FROM base GROUP BY 1) b
+  FULL OUTER JOIN
+       (SELECT event_type, COUNT(*) AS n FROM delta GROUP BY 1) d
+    ON d.event_type = b.event_type
+)
+SELECT m.event_type, r.recomputed_days AS n_days, s.base_days,
+       s.delta_days, m.merged_rows, r.recomputed_rows,
+       m.merged_sum_cents, r.recomputed_sum_cents,
+       (m.merged_rows = r.recomputed_rows
+        AND m.merged_sum_cents = r.recomputed_sum_cents
+        AND m.merged_days = r.recomputed_days) AS parity
+FROM m JOIN r USING (event_type) JOIN sides s USING (event_type)
+"""

@@ -32,7 +32,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
-    from sparkmedkg import curate, emblinalg, er, multimodal, statops, trainprep, webclean, webgraph, webkg
+    from sparkmedkg import curate, emblinalg, er, metrics, multimodal, shardops, statops, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
     from pyspark.sql import functions as F
 
@@ -773,6 +773,69 @@ def main() -> None:
             # source-keyed partial aggs; totals are 1-row broadcasts
             lambda: curate.sample_kl(spark, SF),
             ["BroadcastHashJoin", "HashAggregate", "!SortMergeJoin"],
+        ),
+        "events_mann_kendall": (
+            # the operator's returned DF is an eager localCheckpoint scan
+            # (lineage truncation); audit the constituent instead: the
+            # hourly collapse is ONE partial agg off the scan and the
+            # O(H^2) sign-pair join is an event_type equi-join over the
+            # tiny hourly aggregate — no Cartesian anywhere
+            lambda: (lambda s: s.alias("a").join(
+                s.alias("b"),
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.hr") < F.col("b.hr"))))(
+                statops._hourly_series(spark, SF)),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "events_theil_sen": (
+            # same checkpoint note; the median sort windows the PAIR
+            # table partitioned per type, never the raw log — audited on
+            # the slope-rank composition rebuilt from the shared hourly
+            # series
+            lambda: (lambda s, W: s.alias("a").join(
+                s.alias("b"),
+                (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("a.hr") < F.col("b.hr")))
+                .select(F.col("a.event_type").alias("event_type"),
+                        (F.col("b.c") - F.col("a.c")).alias("slope_micro"))
+                .withColumn("rn", F.row_number().over(
+                    W.partitionBy("event_type").orderBy("slope_micro"))))(
+                statops._hourly_series(spark, SF),
+                __import__("pyspark.sql", fromlist=["Window"]).Window),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "corpus_lexrank": (
+            # sentence chunking rides the scan (Generate); the similarity
+            # join is doc-local equi-keyed — no Cartesian / nested-loop
+            lambda: corpusops.lexrank_sentences(spark, SF),
+            ["Generate", "HashAggregate", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "shard_rendezvous_plan": (
+            # HRW argmax is a scan-projection expression: ONE shuffle
+            # (the 8-row shard groupBy), no join, no window over the log
+            lambda: shardops.rendezvous_plan(spark, SF),
+            ["ReadSchema: struct<doc_id:bigint,text:string>",
+             "HashAggregate", "!SortMergeJoin", "!BroadcastHashJoin"],
+        ),
+        "corpus_priority_sample": (
+            # the ranked stage is an eager localCheckpoint (lineage cut);
+            # the estimator itself aggregates k checkpointed rows against
+            # the 1-row tau broadcast — audit THAT composition
+            lambda: trainprep.priority_sample_audit(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
+        ),
+        "events_delete_plan": (
+            # victim flag is a scan expression; ONE partition-key groupBy
+            lambda: relops.events_delete_plan(spark, SF),
+            ["HashAggregate", "!Window", "!SortMergeJoin",
+             "!BroadcastHashJoin"],
+        ),
+        "metric_join_size_est": (
+            # two key-count aggregates + a broadcast-joinable key join;
+            # the estimated join itself never executes
+            lambda: metrics.join_size_est(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
         ),
     }
 
