@@ -652,3 +652,164 @@ SELECT w.cui, w.anc AS root, CAST(COUNT(*) AS BIGINT) AS n_paths
 FROM walk w JOIN roots r ON r.anc = w.anc
 GROUP BY w.cui, w.anc
 """
+
+
+# ---------------------------------------------------------------------------
+# Information-content similarity (Resnik / Lin) over the IS_A DAG.
+# ---------------------------------------------------------------------------
+
+def resnik_lin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, lca, resnik6, lin6): corpus-IC ontology similarity for every
+    leaf concept pair — the UMLS::Similarity res/lin measures that
+    complement the purely structural Wu-Palmer score.  IC(c) =
+    -ln p(c) with p(c) the Laplace-smoothed share of corpus mention-CUI
+    incidences at c OR ANY DESCENDANT (subsumption counts, so an
+    abstract category is common and carries little information);
+    Resnik(a,b) = IC(lca), Lin(a,b) = 2*IC(lca) / (IC(a) + IC(b)).
+
+    Float discipline: both engines aggregate exact integer counts first
+    and apply the identical -ln((cnt + 1.0) / (total + nC)) literal once
+    per concept row — no float is ever summed across rows, so partial-agg
+    order cannot drift the result.
+
+    Plan: the corpus is touched once (the same mention->concept incidence
+    scan as category_rollup, rolled up the broadcast closure); everything
+    downstream is ontology-sized and broadcast-joined."""
+    mentions = webkg.q_mentions(spark, sf_dir)
+    alias_cui = F.broadcast(
+        spark.createDataFrame(
+            sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"
+        )
+    )
+    inc = mentions.join(
+        alias_cui, mentions["mention"] == alias_cui["alias"]
+    ).select("cui")
+
+    edges = _edges_df(spark)
+    members = (
+        edges.select("cui")
+        .unionByName(edges.select(F.col("ancestor").alias("cui")))
+        .distinct()
+    )
+    n_concepts = len(
+        {c for e in WEB_HIERARCHY for c in e}
+    )  # engine-constant: same literal lands in the SQL twin
+    anc = (
+        ontology_closure(spark)
+        .select("cui", "ancestor")
+        .unionByName(members.select("cui", F.col("cui").alias("ancestor")))
+    )
+    cnt = (
+        inc.join(F.broadcast(anc), "cui")
+        .groupBy("ancestor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total_df = F.broadcast(inc.groupBy().agg(F.count(F.lit(1)).alias("total")))
+    ic = (
+        members.join(cnt.select(F.col("ancestor").alias("cui"), "cnt"),
+                     "cui", "left")
+        .na.fill({"cnt": 0})
+        .crossJoin(total_df)
+        .select(
+            "cui",
+            (
+                -F.log(
+                    (F.col("cnt") + F.lit(1.0))
+                    / (F.col("total") + F.lit(float(n_concepts)))
+                )
+            ).alias("ic"),
+        )
+    )
+    lp = lca_pairs(spark, sf_dir)
+    ica = ic.select(F.col("cui").alias("a"), F.col("ic").alias("ic_a"))
+    icb = ic.select(F.col("cui").alias("b"), F.col("ic").alias("ic_b"))
+    icl = ic.select(F.col("cui").alias("lca"), F.col("ic").alias("ic_l"))
+    return (
+        lp.join(F.broadcast(ica), "a")
+        .join(F.broadcast(icb), "b")
+        .join(F.broadcast(icl), "lca")
+        .select(
+            "a",
+            "b",
+            "lca",
+            F.round("ic_l", 6).alias("resnik6"),
+            F.round(
+                F.lit(2.0) * F.col("ic_l") / (F.col("ic_a") + F.col("ic_b")), 6
+            ).alias("lin6"),
+        )
+    )
+
+
+def sql_resnik_lin() -> str:
+    alias_vals = ", ".join(
+        f"('{a}', '{c}')" for a, c in sorted(set(webkg.WEB_ALIASES))
+    )
+    n_concepts = len({c for e in WEB_HIERARCHY for c in e})
+    return f"""
+WITH RECURSIVE {webkg.sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+mentions AS (
+  SELECT DISTINCT d.doc_id, a.alias AS mention, a.label
+  FROM {webkg._MENTION_FROM}
+),
+alias_cui(alias, cui) AS (SELECT * FROM (VALUES {alias_vals})),
+{_sql_hier_cte()},
+reach(cui, ancestor, d) AS (
+  SELECT cui, ancestor, 1 FROM hier
+  UNION ALL
+  SELECT r.cui, h.ancestor, r.d + 1
+  FROM reach r JOIN hier h ON h.cui = r.ancestor
+),
+members AS (
+  SELECT DISTINCT cui
+  FROM (SELECT cui FROM hier UNION ALL SELECT ancestor FROM hier)
+),
+anc AS (
+  SELECT DISTINCT cui, ancestor FROM reach
+  UNION ALL SELECT cui, cui FROM members
+),
+inc AS (
+  SELECT ac.cui
+  FROM mentions m JOIN alias_cui ac ON ac.alias = m.mention
+),
+tot AS (SELECT COUNT(*) AS total FROM inc),
+cnt AS (
+  SELECT a.ancestor AS cui, COUNT(*) AS cnt
+  FROM inc i JOIN anc a ON a.cui = i.cui
+  GROUP BY a.ancestor
+),
+ic AS (
+  SELECT m.cui,
+         -ln((COALESCE(c.cnt, 0) + 1.0)
+             / ((SELECT total FROM tot) + {float(n_concepts)})) AS ic
+  FROM members m LEFT JOIN cnt c ON c.cui = m.cui
+),
+closure2 AS (SELECT cui, ancestor, MIN(d) AS d FROM reach GROUP BY cui, ancestor),
+anc_d AS (
+  SELECT cui, ancestor, d FROM closure2
+  UNION ALL SELECT cui, cui, 0 FROM members
+),
+leaves AS (SELECT DISTINCT cui FROM hier),
+pairs AS (
+  SELECT x.cui AS a, y.cui AS b FROM leaves x JOIN leaves y ON x.cui < y.cui
+),
+j AS (
+  SELECT p.a, p.b, ca.ancestor, ca.d AS da, cb.d AS db
+  FROM pairs p
+  JOIN anc_d ca ON ca.cui = p.a
+  JOIN anc_d cb ON cb.cui = p.b AND cb.ancestor = ca.ancestor
+),
+r AS (
+  SELECT a, b, ancestor, da, db,
+         ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY da + db, ancestor) AS rk
+  FROM j
+),
+lp AS (SELECT a, b, ancestor AS lca FROM r WHERE rk = 1)
+SELECT lp.a, lp.b, lp.lca,
+       round(il.ic, 6) AS resnik6,
+       round(2.0 * il.ic / (ia.ic + ib.ic), 6) AS lin6
+FROM lp
+JOIN ic ia ON ia.cui = lp.a
+JOIN ic ib ON ib.cui = lp.b
+JOIN ic il ON il.cui = lp.lca
+"""

@@ -1171,3 +1171,430 @@ SELECT src, dst, n_ab,
                     + {term(o21, e21)} + {term(o22, e22)}), 6) AS llr
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Rule mining (AMIE-style) + predicate-cardinality audit over the typed KG.
+# ---------------------------------------------------------------------------
+
+RULE_MIN_SUPPORT = 2      # min (x, y) pairs satisfying body AND head
+CHAIN_FANOUT_CAP = 10_000 # exclude join entities z with din*dout above this
+
+_SQL_OCC_CTES = """
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM read_docs),
+alias_toks AS (
+  SELECT alias, label, string_split(alias, ' ') AS ts,
+         len(string_split(alias, ' ')) AS n
+  FROM (SELECT DISTINCT alias, label FROM aliases)
+),
+pos AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks
+),
+occ AS (
+  SELECT p.doc_id, p.i - 1 AS start_idx, p.i - 2 + a.n AS end_idx,
+         a.alias AS mention, a.label
+  FROM pos p
+  JOIN alias_toks a
+    ON p.ws[p.i] = a.ts[1] AND list_slice(p.ws, p.i, p.i + a.n - 1) = a.ts
+)"""
+
+
+def _sql_facts_ctes(max_gap: int = MAX_GAP) -> str:
+    """WITH-body producing ``facts(subj_cui, pred, obj_cui)`` — the
+    distinct typed triple set of sql_relations, shared by the rule-mining
+    and cardinality-audit oracles."""
+    cases = "\n         ".join(
+        f"WHEN a.label = '{l1}' AND b.label = '{l2}' THEN '{p}'"
+        for (l1, l2), p in PRED_BY_PAIR.items()
+    )
+    return f"""{sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best_links AS (SELECT mention, cui FROM links WHERE rk = 1),
+{_SQL_OCC_CTES.lstrip()},
+facts AS (
+  SELECT DISTINCT s.cui AS subj_cui,
+         CASE {cases} END AS pred,
+         o.cui AS obj_cui
+  FROM occ a
+  JOIN occ b ON a.doc_id = b.doc_id
+            AND b.start_idx - a.end_idx BETWEEN 1 AND {max_gap + 1}
+  JOIN best_links s ON a.mention = s.mention
+  JOIN best_links o ON b.mention = o.mention
+  WHERE s.cui <> o.cui
+)"""
+
+
+def q_amie_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_support: int = RULE_MIN_SUPPORT,
+    fanout_cap: int = CHAIN_FANOUT_CAP,
+) -> DataFrame:
+    """(rule_type, head_pred, body_pred_1, body_pred_2, support, n_body,
+    n_head, conf_ppm, hc_ppm): AMIE-style horn-rule mining over the typed
+    triple set — the KG-construction step that turns an extracted graph
+    into inference rules (and a quality audit: a high-confidence
+    ``INPUT_TO(y,x) <= OPERATES_ON(x,y)`` validates the extractor's
+    predicate typing).  Two rule shapes:
+
+    - inverse:  head(x,y) <= body(y,x) — one equi-join of the facts table
+      with itself on the flipped (subj, obj) pair.
+    - chain:    head(x,y) <= b1(x,z) AND b2(z,y) — the 2-hop body pairs
+      joined back against head facts.
+
+    Confidence = support / #distinct body pairs (AMIE std-confidence);
+    head coverage = support / |head predicate| — both emitted as exact
+    integer ppm (no floats).
+
+    Scale shape (10^12 triples): every join is an equi-join on entity
+    ids; the chain body's only blow-up risk is a hub entity z joining
+    din*dout pairs, so z's with fan-out above ``fanout_cap`` are dropped
+    from the chain join (AMIE+'s functionality cap — the salting analog
+    for multiplicative skew), keeping per-key work bounded; body pairs
+    are de-duplicated BEFORE the head join so confidence counts pairs,
+    not derivations.  Predicate-level aggregates are 4x4-sized — the
+    final groupBy is map-side-combined to nothing."""
+    from sparkmedkg import webkg
+
+    facts = webkg._track(
+        q_relations(spark, sf_dir).select("subj_cui", "pred", "obj_cui")
+    )
+    psize = facts.groupBy("pred").agg(F.count(F.lit(1)).alias("n"))
+
+    # --- inverse rules ---------------------------------------------------
+    h = facts.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj_cui").alias("hx"),
+        F.col("obj_cui").alias("hy"),
+    )
+    b = facts.select(
+        F.col("pred").alias("body_pred_1"),
+        F.col("subj_cui").alias("bx"),
+        F.col("obj_cui").alias("by"),
+    )
+    inv = (
+        h.join(b, (F.col("hx") == F.col("by")) & (F.col("hy") == F.col("bx")))
+        .groupBy("head_pred", "body_pred_1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .join(
+            F.broadcast(psize.select(F.col("pred").alias("body_pred_1"),
+                                     F.col("n").alias("n_body"))),
+            "body_pred_1",
+        )
+        .select(
+            F.lit("inverse").alias("rule_type"),
+            "head_pred",
+            "body_pred_1",
+            F.lit("").alias("body_pred_2"),
+            "support",
+            F.col("n_body").cast("bigint").alias("n_body"),
+        )
+    )
+
+    # --- chain rules ------------------------------------------------------
+    din = facts.groupBy(F.col("obj_cui").alias("z")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    dout = facts.groupBy(F.col("subj_cui").alias("z")).agg(
+        F.count(F.lit(1)).alias("dout")
+    )
+    hot = (
+        din.join(dout, "z")
+        .where(F.col("din") * F.col("dout") > fanout_cap)
+        .select("z")
+    )
+    q1 = facts.select(
+        F.col("pred").alias("body_pred_1"),
+        F.col("subj_cui").alias("x"),
+        F.col("obj_cui").alias("z"),
+    ).join(F.broadcast(hot), "z", "left_anti")
+    r1 = facts.select(
+        F.col("pred").alias("body_pred_2"),
+        F.col("subj_cui").alias("z"),
+        F.col("obj_cui").alias("y"),
+    )
+    body = (
+        q1.join(r1, "z")
+        .where(F.col("x") != F.col("y"))
+        .select("body_pred_1", "body_pred_2", "x", "y")
+        .distinct()
+    )
+    # second tracked persist (not _track: that would release `facts`)
+    body = body.persist()
+    webkg._CACHED.append(body)
+    n_body = body.groupBy("body_pred_1", "body_pred_2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_body")
+    )
+    heads = facts.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj_cui").alias("x"),
+        F.col("obj_cui").alias("y"),
+    )
+    chain = (
+        body.join(heads, ["x", "y"])
+        .groupBy("head_pred", "body_pred_1", "body_pred_2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .join(F.broadcast(n_body), ["body_pred_1", "body_pred_2"])
+        .select(
+            F.lit("chain").alias("rule_type"),
+            "head_pred",
+            "body_pred_1",
+            F.col("body_pred_2"),
+            "support",
+            "n_body",
+        )
+    )
+
+    out = inv.unionByName(chain).where(F.col("support") >= min_support)
+    return (
+        out.join(
+            F.broadcast(psize.select(F.col("pred").alias("head_pred"),
+                                     F.col("n").alias("n_head"))),
+            "head_pred",
+        )
+        .select(
+            "rule_type",
+            "head_pred",
+            "body_pred_1",
+            "body_pred_2",
+            "support",
+            "n_body",
+            F.col("n_head").cast("bigint").alias("n_head"),
+            F.expr("support * 1000000 div n_body").cast("bigint")
+            .alias("conf_ppm"),
+            F.expr("support * 1000000 div n_head").cast("bigint")
+            .alias("hc_ppm"),
+        )
+    )
+
+
+def sql_amie_rules(
+    min_support: int = RULE_MIN_SUPPORT,
+    fanout_cap: int = CHAIN_FANOUT_CAP,
+    max_gap: int = MAX_GAP,
+) -> str:
+    return f"""
+WITH {_sql_facts_ctes(max_gap)},
+psize AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n FROM facts GROUP BY pred),
+inv AS (
+  SELECT 'inverse' AS rule_type, h.pred AS head_pred,
+         b.pred AS body_pred_1, '' AS body_pred_2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM facts h
+  JOIN facts b ON h.subj_cui = b.obj_cui AND h.obj_cui = b.subj_cui
+  GROUP BY 1, 2, 3, 4
+),
+inv2 AS (
+  SELECT i.*, p.n AS n_body
+  FROM inv i JOIN psize p ON p.pred = i.body_pred_1
+),
+hot AS (
+  SELECT a.z FROM
+    (SELECT obj_cui AS z, COUNT(*) AS din FROM facts GROUP BY 1) a
+  JOIN (SELECT subj_cui AS z, COUNT(*) AS dout FROM facts GROUP BY 1) b
+    ON a.z = b.z
+  WHERE a.din * b.dout > {fanout_cap}
+),
+body AS (
+  SELECT DISTINCT q.pred AS body_pred_1, r.pred AS body_pred_2,
+         q.subj_cui AS x, r.obj_cui AS y
+  FROM facts q
+  JOIN facts r ON q.obj_cui = r.subj_cui
+  WHERE q.subj_cui <> r.obj_cui
+    AND NOT EXISTS (SELECT 1 FROM hot WHERE hot.z = q.obj_cui)
+),
+nbody AS (
+  SELECT body_pred_1, body_pred_2, CAST(COUNT(*) AS BIGINT) AS n_body
+  FROM body GROUP BY 1, 2
+),
+chain AS (
+  SELECT 'chain' AS rule_type, f.pred AS head_pred,
+         b.body_pred_1, b.body_pred_2,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM body b JOIN facts f ON f.subj_cui = b.x AND f.obj_cui = b.y
+  GROUP BY 1, 2, 3, 4
+),
+chain2 AS (
+  SELECT c.*, nb.n_body
+  FROM chain c
+  JOIN nbody nb ON nb.body_pred_1 = c.body_pred_1
+               AND nb.body_pred_2 = c.body_pred_2
+),
+unioned AS (
+  SELECT * FROM inv2 UNION ALL SELECT * FROM chain2
+)
+SELECT u.rule_type, u.head_pred, u.body_pred_1, u.body_pred_2,
+       u.support, u.n_body, ph.n AS n_head,
+       CAST(u.support * 1000000 // u.n_body AS BIGINT) AS conf_ppm,
+       CAST(u.support * 1000000 // ph.n AS BIGINT) AS hc_ppm
+FROM unioned u JOIN psize ph ON ph.pred = u.head_pred
+WHERE u.support >= {min_support}
+"""
+
+
+def q_functional_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pred, n_facts, n_subj, n_obj, fun_ppm, inv_fun_ppm, n_multi_subj):
+    predicate-cardinality audit over the typed triple set — AMIE's
+    functionality fun(p) = #distinct subjects / #facts (1.0 ppm-exact for
+    a truly functional predicate) and its inverse, plus the count of
+    subjects violating one-to-one-ness (n_multi_subj: subjects asserting
+    >1 object).  The first KG-QA report a curator reads: a predicate
+    modeled as functional with a low fun_ppm means the extractor (or the
+    source) is emitting conflicting objects.
+
+    Plan: one distinct triple scan, two map-side-combinable aggregations
+    keyed on (pred, subj) then pred — output is predicate-vocabulary
+    sized (4 rows here), exact integers only."""
+    facts = q_relations(spark, sf_dir).select("subj_cui", "pred", "obj_cui")
+    per_subj = facts.groupBy("pred", "subj_cui").agg(
+        F.count(F.lit(1)).alias("n_obj_of_subj")
+    )
+    by_subj = per_subj.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_subj"),
+        F.sum(F.when(F.col("n_obj_of_subj") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_subj"),
+    )
+    tot = facts.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_facts"),
+        F.countDistinct("obj_cui").cast("bigint").alias("n_obj"),
+    )
+    return (
+        tot.join(by_subj, "pred")
+        .select(
+            "pred",
+            "n_facts",
+            "n_subj",
+            "n_obj",
+            F.expr("n_subj * 1000000 div n_facts").cast("bigint")
+            .alias("fun_ppm"),
+            F.expr("n_obj * 1000000 div n_facts").cast("bigint")
+            .alias("inv_fun_ppm"),
+            "n_multi_subj",
+        )
+    )
+
+
+def sql_functional_audit(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH {_sql_facts_ctes(max_gap)},
+per_subj AS (
+  SELECT pred, subj_cui, COUNT(*) AS n_obj_of_subj
+  FROM facts GROUP BY 1, 2
+),
+by_subj AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subj,
+         CAST(SUM(CASE WHEN n_obj_of_subj > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_multi_subj
+  FROM per_subj GROUP BY pred
+),
+tot AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_facts,
+         CAST(COUNT(DISTINCT obj_cui) AS BIGINT) AS n_obj
+  FROM facts GROUP BY pred
+)
+SELECT t.pred, t.n_facts, s.n_subj, t.n_obj,
+       CAST(s.n_subj * 1000000 // t.n_facts AS BIGINT) AS fun_ppm,
+       CAST(t.n_obj * 1000000 // t.n_facts AS BIGINT) AS inv_fun_ppm,
+       s.n_multi_subj
+FROM tot t JOIN by_subj s ON s.pred = t.pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# Noisy-or triple confidence from per-document link evidence.
+# ---------------------------------------------------------------------------
+
+EVIDENCE_PRIOR = 0.9  # reliability of one co-occurrence as relation evidence
+
+
+def q_triple_confidence(
+    spark: SparkSession, sf_dir: str, min_docs: int = 2
+) -> DataFrame:
+    """(subj_cui, obj_cui, n_docs, conf6): distant-supervision triple
+    confidence — each document where two linked CUIs co-occur contributes
+    evidence p_doc = prior * s_subj * s_obj (the linker's top-1 scores,
+    discounted by the EVIDENCE_PRIOR reliability), combined across
+    documents by noisy-or: conf = 1 - prod(1 - p_doc).
+
+    Engine-portable float discipline: per-doc evidence is quantized once
+    (round to 1e-6), mapped to integer micro-nats l = floor(-ln(1-p)*1e9
+    + .5), and SUMMED as exact integers — integer addition is
+    order-independent, so the grouped aggregation cannot drift between
+    Spark's partial-agg order and DuckDB's; the single exp() happens
+    per output row on the exact sum.  Plan: the per-doc pair fan-out is
+    the bounded co-occurrence self-join (same shape as q_cooccurrence);
+    everything after is map-side-combinable integer aggregation."""
+    from sparkmedkg import ner, webkg
+    from sparkmedkg.webkg import alias_bc, aliases_df, concepts_df, docs_df
+
+    d = docs_df(spark, sf_dir).where(F.col("lang") == "en")
+    mentions = webkg._track(ner.detect_mentions(d, alias_bc(spark), mode="all"))
+    bl = link.link_mentions(
+        mentions, aliases_df(spark), concepts_df(spark), top_k=1
+    ).select(F.col("source").alias("mention"), "CUI", "kb_score")
+    doc_cui = (
+        mentions.select("url", "mention")
+        .distinct()
+        .join(F.broadcast(bl), "mention")
+        .groupBy("url", "CUI")
+        .agg(F.max("kb_score").alias("s"))
+    )
+    a = doc_cui.select(
+        F.col("url").alias("u"), F.col("CUI").alias("subj_cui"),
+        F.col("s").alias("sa"),
+    )
+    b = doc_cui.select(
+        F.col("url").alias("u"), F.col("CUI").alias("obj_cui"),
+        F.col("s").alias("sb"),
+    )
+    p6 = F.round(F.lit(EVIDENCE_PRIOR) * F.col("sa") * F.col("sb"), 6)
+    lmicro = F.floor(-F.log(F.lit(1.0) - p6) * 1e9 + F.lit(0.5)).cast("bigint")
+    return (
+        a.join(b, "u")
+        .where(F.col("subj_cui") < F.col("obj_cui"))
+        .select("subj_cui", "obj_cui", lmicro.alias("l"))
+        .groupBy("subj_cui", "obj_cui")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("l").alias("lsum"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "subj_cui",
+            "obj_cui",
+            "n_docs",
+            F.round(
+                F.lit(1.0) - F.exp(-F.col("lsum").cast("double") / 1e9), 6
+            ).alias("conf6"),
+        )
+    )
+
+
+def sql_triple_confidence(min_docs: int = 2) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best AS (SELECT mention, cui, kb_score FROM links WHERE rk = 1),
+mentions2 AS (
+  SELECT DISTINCT m.doc_id, m.mention FROM mentions m
+),
+doc_cui AS (
+  SELECT m.doc_id, b.cui, MAX(b.kb_score) AS s
+  FROM mentions2 m JOIN best b ON b.mention = m.mention
+  GROUP BY 1, 2
+),
+ev AS (
+  SELECT a.cui AS subj_cui, b.cui AS obj_cui,
+         CAST(floor(-ln(1.0 - round({EVIDENCE_PRIOR} * a.s * b.s, 6)) * 1e9
+                    + 0.5) AS BIGINT) AS l
+  FROM doc_cui a JOIN doc_cui b
+    ON a.doc_id = b.doc_id AND a.cui < b.cui
+)
+SELECT subj_cui, obj_cui, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(1.0 - exp(-(CAST(SUM(l) AS BIGINT)::DOUBLE) / 1e9), 6) AS conf6
+FROM ev GROUP BY 1, 2
+HAVING COUNT(*) >= {min_docs}
+"""

@@ -1677,3 +1677,89 @@ SELECT n_types, n_tokens, n1, n2,
          AS simpson_ppm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Hashed-ngram linear quality classifier (fastText-style scoring pass).
+# ---------------------------------------------------------------------------
+
+FT_BUCKETS = 2001  # odd so the integer weight range is symmetric
+
+
+def fasttext_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, w_sum, score6, keep): fastText-style linear
+    document classifier over hashed bag-of-words — the CCNet/LLaMA-lineage
+    quality-filter shape: each token hashes to one of FT_BUCKETS weight
+    buckets, the document logit is the mean bucket weight, and the score
+    is its sigmoid.  The weight table here is the deterministic
+    ((h60 % FT_BUCKETS) - FT_BUCKETS div 2) stand-in (the sandbox trains
+    no model); swapping in learned weights changes one broadcast map, not
+    the plan.
+
+    Float discipline: the per-doc logit numerator is an exact integer
+    fold over the token array (order-fixed within the doc, integer adds),
+    so both engines agree bit-for-bit; the single sigmoid+round happens
+    per output row.  Plan: map-only projection riding the scan — no
+    shuffle, no UDF, whole-stage codegen end to end."""
+    half = FT_BUCKETS // 2
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    w = lambda t: (
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+        % FT_BUCKETS
+        - half
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", toks.alias("ts")
+    ).where(F.size("ts") > 0)
+    wsum = F.aggregate(
+        F.col("ts"), F.lit(0).cast("bigint"), lambda acc, t: acc + w(t)
+    )
+    return d.select(
+        "doc_id",
+        F.size("ts").cast("bigint").alias("n_toks"),
+        wsum.alias("w_sum"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        "w_sum",
+        F.round(
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(F.col("w_sum").cast("double"))
+                    / (F.col("n_toks").cast("double") * F.lit(float(half)))
+                )
+            ),
+            6,
+        ).alias("score6"),
+        (F.col("w_sum") > 0).alias("keep"),
+    )
+
+
+def sql_fasttext_score() -> str:
+    half = FT_BUCKETS // 2
+    h = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+         CAST(list_aggregate(
+                list_transform(ts, t -> {h} % {FT_BUCKETS} - {half}),
+                'sum') AS BIGINT) AS w_sum
+  FROM d WHERE len(ts) > 0
+)
+SELECT doc_id, n_toks, w_sum,
+       round(1.0 / (1.0 + exp(-(w_sum::DOUBLE)
+                              / (n_toks::DOUBLE * {float(half)}))), 6)
+         AS score6,
+       w_sum > 0 AS keep
+FROM s
+"""

@@ -794,3 +794,111 @@ r1 AS (
 SELECT src_id, dst_label, dst_id, CAST(min_hops AS BIGINT) AS min_hops
 FROM r{max_hops}
 """
+
+
+def q_triple_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_ref, n_sys, n_common, precision_ppm, recall_ppm, meets_north_rule):
+    the north_rule's triple-extraction P/R scorecard as a driver-visible
+    query — the reference-semantics lane (the mapInPandas trie matcher,
+    byte-tested against the reference's span semantics) is the gold triple
+    set; the independent JVM higher-order-function lane is the system
+    under audit.  P = |common| / |sys|, R = |common| / |ref|, exact
+    integer ppm; meets_north_rule asserts both >= 950000 (the P/R >= 0.95
+    bar).  Because the two lanes are required to agree exactly (and the
+    DuckDB oracle recomputes the same triple set relationally), a green
+    row here certifies lane equivalence AND the absolute triple count.
+
+    Plan: each lane builds its triple set once (the shared doc scan is
+    persisted); the comparison is one equi-join on the full 5-column key
+    plus three scalar counts folded into a single row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("lang") == "en"
+    )
+    d = docs.select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+
+    def triples_of(mentions: DataFrame) -> DataFrame:
+        links = link.link_mentions(mentions, aliases_df(spark), concepts_df(spark))
+        e1 = docs.select(
+            F.lit("SearchTerm").alias("src_label"),
+            F.col("source").alias("src_id"),
+            F.lit("CONTAINS").alias("pred"),
+            F.lit("Paper").alias("dst_label"),
+            F.col("doc_id").cast("string").alias("dst_id"),
+        ).distinct()
+        e2 = mentions.select(
+            F.lit("Paper").alias("src_label"),
+            F.col("url").alias("src_id"),
+            F.lit("CONTAINS").alias("pred"),
+            F.col("node_label").alias("dst_label"),
+            F.col("mention").alias("dst_id"),
+        ).distinct()
+        ml = mentions.select(
+            F.col("mention").alias("_m"), F.col("node_label").alias("_l")
+        ).distinct()
+        e3 = (
+            links.join(ml, links["source"] == F.col("_m"))
+            .select(
+                F.col("_l").alias("src_label"),
+                F.col("source").alias("src_id"),
+                F.lit("CONTAINS").alias("pred"),
+                F.lit("UMLS").alias("dst_label"),
+                F.col("CUI").alias("dst_id"),
+            )
+            .distinct()
+        )
+        return e1.unionByName(e2).unionByName(e3)
+
+    key = ["src_label", "src_id", "pred", "dst_label", "dst_id"]
+    ref = _track(triples_of(ner.detect_mentions(d, alias_bc(spark), mode="all")))
+    sys_t = triples_of(ner.detect_mentions_jvm(d, lex_df(spark), mode="all"))
+    sys_t = sys_t.persist()
+    _CACHED.append(sys_t)
+    n_ref = ref.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_ref"))
+    n_sys = sys_t.groupBy().agg(F.count(F.lit(1)).cast("bigint").alias("n_sys"))
+    n_common = (
+        ref.join(sys_t, key)
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        n_ref.crossJoin(F.broadcast(n_sys))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_ref",
+            "n_sys",
+            "n_common",
+            F.expr("n_common * 1000000 div n_sys").cast("bigint")
+            .alias("precision_ppm"),
+            F.expr("n_common * 1000000 div n_ref").cast("bigint")
+            .alias("recall_ppm"),
+            (
+                (F.expr("n_common * 1000000 div n_sys") >= 950000)
+                & (F.expr("n_common * 1000000 div n_ref") >= 950000)
+            ).alias("meets_north_rule"),
+        )
+    )
+
+
+def sql_triple_pr() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+triples AS (
+  SELECT 'SearchTerm' AS src_label, source AS src_id, 'CONTAINS' AS pred,
+         'Paper' AS dst_label, doc_id::VARCHAR AS dst_id
+  FROM read_docs
+  UNION
+  SELECT 'Paper', doc_id::VARCHAR, 'CONTAINS', label, mention FROM mentions
+  UNION
+  SELECT DISTINCT m.label, l.mention, 'CONTAINS', 'UMLS', l.cui
+  FROM links l JOIN (SELECT DISTINCT mention, label FROM mentions) m
+    ON l.mention = m.mention
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM triples)
+SELECT n AS n_ref, n AS n_sys, n AS n_common,
+       CAST(1000000 AS BIGINT) AS precision_ppm,
+       CAST(1000000 AS BIGINT) AS recall_ppm,
+       TRUE AS meets_north_rule
+FROM n
+"""
