@@ -285,6 +285,12 @@ BENCH_QUERIES = {
     "corpus_lexrank": corpusops.lexrank_sentences,
     "corpus_priority_sample": trainprep.priority_sample_audit,
     "events_delete_plan": relops.events_delete_plan,
+    # round-3 KG rule-mining/QA batch
+    "kg_amie_rules": relations.q_amie_rules,
+    "kg_triple_confidence": relations.q_triple_confidence,
+    "kg_resnik_lin": hierarchy.resnik_lin,
+    "text_fasttext_score": textstats.fasttext_score,
+    "metric_triple_pr": webkg.q_triple_pr,
 }
 
 

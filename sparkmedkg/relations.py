@@ -1598,3 +1598,225 @@ SELECT subj_cui, obj_cui, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM ev GROUP BY 1, 2
 HAVING COUNT(*) >= {min_docs}
 """
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision label model over candidate triple pairs.
+# ---------------------------------------------------------------------------
+
+LLR_CRIT_95 = 3.841459  # chi-square 0.95 critical value, 1 dof
+
+
+def q_weak_supervision_vote(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(subj_cui, obj_cui, n_ab, lf_support, lf_pmi, lf_llr, votes, label):
+    Snorkel-style weak supervision over candidate relation pairs — three
+    independent labeling functions vote on every co-occurring concept
+    pair, and the label model (unweighted majority here; learned weights
+    swap in without changing the plan) decides which candidate triples
+    enter KG training data:
+
+    - lf_support: seen in >= 2 documents (repetition = not an accident);
+    - lf_pmi:     pointwise mutual information > 0, tested EXACTLY as the
+      integer cross-product N * n_ab > n_a * n_b (no logs, no floats);
+    - lf_llr:     Dunning G^2 significant at 95% (same closed-form
+      per-row expression as q_llr_scores, whose cross-engine float parity
+      is already oracle-proven).
+
+    Plan: one candidate-pair groupBy (the bounded co-occurrence
+    self-join) + two broadcast marginal joins — identical shuffle shape
+    to q_llr_scores; the vote itself is a map-only projection."""
+    doc_cui = _doc_cui(spark, sf_dir)
+    n_docs = doc_cui.select("url").distinct().count()
+    marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
+    a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("subj_cui"))
+    b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("obj_cui"))
+    pairs = (
+        a.join(b, "u")
+        .where(F.col("subj_cui") < F.col("obj_cui"))
+        .groupBy("subj_cui", "obj_cui")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    N = F.lit(float(n_docs))
+    o11 = F.col("n_ab").cast("double")
+    o12 = (F.col("n_a") - F.col("n_ab")).cast("double")
+    o21 = (F.col("n_b") - F.col("n_ab")).cast("double")
+    o22 = N - F.col("n_a") - F.col("n_b") + F.col("n_ab")
+    e11 = F.col("n_a") * F.col("n_b") / N
+    e12 = F.col("n_a") * (N - F.col("n_b")) / N
+    e21 = (N - F.col("n_a")) * F.col("n_b") / N
+    e22 = (N - F.col("n_a")) * (N - F.col("n_b")) / N
+
+    def term(o, e):
+        return F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0))
+
+    llr6 = F.round(
+        F.lit(2.0)
+        * (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)),
+        6,
+    )
+    lf_support = F.col("n_ab") >= 2
+    lf_pmi = (F.lit(n_docs).cast("bigint") * F.col("n_ab")) > (
+        F.col("n_a").cast("bigint") * F.col("n_b").cast("bigint")
+    )
+    lf_llr = llr6 >= F.lit(LLR_CRIT_95)
+    votes = (
+        lf_support.cast("int") + lf_pmi.cast("int") + lf_llr.cast("int")
+    ).cast("bigint")
+    return (
+        pairs.join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("subj_cui"),
+                            F.col("n_c").alias("n_a"))
+            ),
+            "subj_cui",
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("CUI").alias("obj_cui"),
+                            F.col("n_c").alias("n_b"))
+            ),
+            "obj_cui",
+        )
+        .select(
+            "subj_cui",
+            "obj_cui",
+            "n_ab",
+            lf_support.alias("lf_support"),
+            lf_pmi.alias("lf_pmi"),
+            lf_llr.alias("lf_llr"),
+            votes.alias("votes"),
+            (votes >= 2).alias("label"),
+        )
+    )
+
+
+def sql_weak_supervision_vote() -> str:
+    def term(o, e):
+        return (
+            f"CASE WHEN {o} > 0 THEN ({o})::DOUBLE * ln(({o})::DOUBLE / ({e}))"
+            " ELSE 0.0 END"
+        )
+
+    o11, o12, o21, o22 = (
+        "n_ab",
+        "n_a - n_ab",
+        "n_b - n_ab",
+        "N - n_a - n_b + n_ab",
+    )
+    e11 = "n_a::DOUBLE * n_b / N"
+    e12 = "n_a::DOUBLE * (N - n_b) / N"
+    e21 = "(N - n_a)::DOUBLE * n_b / N"
+    e22 = "(N - n_a)::DOUBLE * (N - n_b) / N"
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM doc_cui),
+marg AS (SELECT cui, COUNT(*) AS n_c FROM doc_cui GROUP BY cui),
+pairs AS (
+  SELECT a.cui AS subj_cui, b.cui AS obj_cui,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.subj_cui, p.obj_cui, p.n_ab,
+         ma.n_c AS n_a, mb.n_c AS n_b, nn.n::DOUBLE AS N,
+         CAST(nn.n AS BIGINT) AS n_int
+  FROM pairs p
+  JOIN marg ma ON p.subj_cui = ma.cui
+  JOIN marg mb ON p.obj_cui = mb.cui
+  CROSS JOIN nn
+),
+v AS (
+  SELECT subj_cui, obj_cui, n_ab,
+         n_ab >= 2 AS lf_support,
+         n_int * n_ab > CAST(n_a AS BIGINT) * CAST(n_b AS BIGINT) AS lf_pmi,
+         round(2.0 * ({term(o11, e11)} + {term(o12, e12)}
+                      + {term(o21, e21)} + {term(o22, e22)}), 6)
+           >= {LLR_CRIT_95} AS lf_llr
+  FROM j
+)
+SELECT subj_cui, obj_cui, n_ab, lf_support, lf_pmi, lf_llr,
+       CAST(lf_support::INT + lf_pmi::INT + lf_llr::INT AS BIGINT) AS votes,
+       (lf_support::INT + lf_pmi::INT + lf_llr::INT) >= 2 AS label
+FROM v
+"""
+
+
+def q_domain_range_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pred, subj_semtype, obj_semtype, n_facts, conforms): domain/range
+    conformance of extracted triples against the predicate schema —
+    every predicate was typed from the SURFACE-FORM label pair
+    (PRED_BY_PAIR), but the linked CUIs carry their own KB semantic
+    types; a row where the linked types disagree with the predicate's
+    declared (domain, range) is extraction noise (an ambiguous alias
+    linked across types) that a curator quarantines before load.  The
+    OWL-ish domain/range audit next to q_functional_audit's cardinality
+    check.
+
+    Plan: facts joined to the broadcast concept table twice (subj/obj
+    semtype lookup), then one schema-sized rollup — conformance is a
+    map-only comparison against the PRED_BY_PAIR literal."""
+    from sparkmedkg.webkg import concepts_df
+
+    facts = q_relations(spark, sf_dir).select("subj_cui", "pred", "obj_cui")
+    sem = concepts_df(spark).select("CUI", "semtype")
+    withsem = facts.join(
+        F.broadcast(sem.select(F.col("CUI").alias("subj_cui"),
+                               F.col("semtype").alias("subj_semtype"))),
+        "subj_cui",
+    ).join(
+        F.broadcast(sem.select(F.col("CUI").alias("obj_cui"),
+                               F.col("semtype").alias("obj_semtype"))),
+        "obj_cui",
+    )
+    conforms = F.lit(False)
+    for (l1, l2), p in PRED_BY_PAIR.items():
+        conforms = F.when(
+            (F.col("pred") == p)
+            & (F.col("subj_semtype") == l1)
+            & (F.col("obj_semtype") == l2),
+            F.lit(True),
+        ).otherwise(conforms)
+    return (
+        withsem.groupBy("pred", "subj_semtype", "obj_semtype")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_facts"))
+        .withColumn(
+            "conforms",
+            conforms,
+        )
+    )
+
+
+def sql_domain_range_audit(max_gap: int = MAX_GAP) -> str:
+    cases = " OR ".join(
+        f"(pred = '{p}' AND subj_semtype = '{l1}' AND obj_semtype = '{l2}')"
+        for (l1, l2), p in PRED_BY_PAIR.items()
+    )
+    from sparkmedkg.webkg import WEB_CONCEPTS
+
+    concept_vals = ", ".join(
+        f"('{c[0]}', '{c[3]}')" for c in sorted(WEB_CONCEPTS)
+    )
+    return f"""
+WITH {_sql_facts_ctes(max_gap)},
+sem(cui, semtype) AS (SELECT * FROM (VALUES {concept_vals})),
+withsem AS (
+  SELECT f.pred, ss.semtype AS subj_semtype, so.semtype AS obj_semtype
+  FROM facts f
+  JOIN sem ss ON ss.cui = f.subj_cui
+  JOIN sem so ON so.cui = f.obj_cui
+)
+SELECT pred, subj_semtype, obj_semtype,
+       CAST(COUNT(*) AS BIGINT) AS n_facts,
+       ({cases}) AS conforms
+FROM withsem
+GROUP BY 1, 2, 3
+"""

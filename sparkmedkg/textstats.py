@@ -1763,3 +1763,79 @@ SELECT doc_id, n_toks, w_sum,
        w_sum > 0 AS keep
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation profile (packing / curriculum layout signal).
+# ---------------------------------------------------------------------------
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sents, n_toks, mean_sent_toks_milli, max_sent_toks,
+    n_short_sents): regex sentence segmentation with per-document length
+    profile — the layout signal sequence-packing and curriculum samplers
+    read (short choppy sentences = listy/boilerplate text; one giant
+    run-on = extraction failure).  Sentences split on [.!?]+ runs,
+    trimmed, empties dropped; token counts per sentence; the mean is
+    exact integer milli-tokens (sum * 1000 div n).
+
+    Plan: map-only array expressions riding the scan — no shuffle, no
+    UDF, the same single-pass shape as the other textstats signals."""
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    ntoks = F.transform(
+        F.col("sents"),
+        lambda s: F.size(F.filter(F.split(s, " +"), lambda t: t != "")),
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", sents.alias("sents"))
+        .where(F.size("sents") > 0)
+        .select("doc_id", F.size("sents").cast("bigint").alias("n_sents"),
+                ntoks.alias("nt"))
+    )
+    tot = F.aggregate(
+        F.col("nt"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x.cast("bigint"),
+    )
+    return d.select(
+        "doc_id",
+        "n_sents",
+        tot.alias("n_toks"),
+        F.expr(
+            "aggregate(nt, CAST(0 AS BIGINT), (a, x) -> a + x) * 1000"
+            " div n_sents"
+        ).cast("bigint").alias("mean_sent_toks_milli"),
+        F.array_max("nt").cast("bigint").alias("max_sent_toks"),
+        F.size(F.filter(F.col("nt"), lambda x: x <= F.lit(3)))
+        .cast("bigint")
+        .alias("n_short_sents"),
+    )
+
+
+def sql_sentence_stats() -> str:
+    sents = (
+        "list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),"
+        " s -> trim(s)), s -> s <> '')"
+    )
+    nt = (
+        "list_transform(sents, s -> len(list_filter("
+        "regexp_split_to_array(s, ' +'), t -> t <> '')))"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {sents} AS sents FROM documents
+),
+e AS (
+  SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sents, {nt} AS nt
+  FROM d WHERE len(sents) > 0
+)
+SELECT doc_id, n_sents,
+       CAST(list_aggregate(nt, 'sum') AS BIGINT) AS n_toks,
+       CAST(CAST(list_aggregate(nt, 'sum') AS BIGINT) * 1000 // n_sents
+            AS BIGINT) AS mean_sent_toks_milli,
+       CAST(list_max(nt) AS BIGINT) AS max_sent_toks,
+       CAST(len(list_filter(nt, x -> x <= 3)) AS BIGINT) AS n_short_sents
+FROM e
+"""
