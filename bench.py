@@ -291,6 +291,13 @@ BENCH_QUERIES = {
     "kg_resnik_lin": hierarchy.resnik_lin,
     "text_fasttext_score": textstats.fasttext_score,
     "metric_triple_pr": webkg.q_triple_pr,
+    # round-3 curation/QA batch
+    "kg_weak_supervision": relations.q_weak_supervision_vote,
+    "kg_truth_discovery": relations.q_truth_discovery,
+    "kg_conflict_resolution": relations.q_conflict_resolution,
+    "corpus_doc_skyline": trainprep.doc_skyline,
+    "metric_retrieval_ndcg": metrics.retrieval_ndcg,
+    "text_sentence_stats": textstats.sentence_stats,
 }
 
 

@@ -1006,3 +1006,144 @@ SELECT n_a, n_b, d_a, d_b, exact_rows,
             // GREATEST(exact_rows, 1) AS BIGINT) AS err_ppm
 FROM sa CROSS JOIN sb CROSS JOIN ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking quality: nDCG@k of BM25 against tf-graded relevance.
+# ---------------------------------------------------------------------------
+
+NDCG_REL_CAP = 4  # graded relevance = min(total query-term tf, cap)
+
+
+def retrieval_ndcg(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str] | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """(k, n_rel_docs, dcg6, idcg6, ndcg6): nDCG@k of the BM25 top-k
+    ranking (corpus_bm25_topk, already oracle-gated) against a graded
+    relevance oracle rel(doc) = min(total tf of the query terms,
+    NDCG_REL_CAP) — the standard ranking scorecard a retrieval stack
+    publishes next to recall@k.
+
+    Float discipline: each rank's gain (2^rel - 1) / log2(rank + 1) is
+    quantized ONCE to integer nano-units (floor(g * 1e9 + .5)) and the
+    k-term DCG/IDCG sums run as exact integers — order-independent, so
+    Spark's partial aggregation and DuckDB's scan order cannot drift.
+    Plan: ranking is a TakeOrdered over k rows; relevance is a map-only
+    array-filter on the scan; the ideal ranking is a second TakeOrdered —
+    nothing here touches more than the corpus scan plus two k-row sets."""
+    from pyspark.sql import Window as W
+
+    from sparkmedkg import corpusops
+
+    terms = terms or corpusops.BM25_TERMS
+    k = k or corpusops.BM25_TOPK
+
+    toks = F.split(F.col("text"), " +")
+
+    def _eq(term):
+        # NB: exactly one lambda arg — a second one would be bound to the
+        # element index by F.filter (see bm25_topk's note).
+        return lambda x: x == F.lit(term)
+
+    tf_total = None
+    for t in terms:
+        c = F.size(F.filter(toks, _eq(t)))
+        tf_total = c if tf_total is None else tf_total + c
+    rel_df = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.least(tf_total, F.lit(NDCG_REL_CAP)).cast("bigint").alias("rel"),
+        )
+    )
+
+    def gain_nano(rel_col, rank_col):
+        g = (F.pow(F.lit(2.0), rel_col.cast("double")) - F.lit(1.0)) / F.log2(
+            rank_col.cast("double") + F.lit(1.0)
+        )
+        return F.floor(g * 1e9 + F.lit(0.5)).cast("bigint")
+
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        corpusops.bm25_topk(spark, sf_dir, terms, k)
+        .withColumn("r", F.row_number().over(w))
+        .join(rel_df, "doc_id")
+    )
+    dcg = ranked.agg(
+        F.sum(gain_nano(F.col("rel"), F.col("r"))).alias("dcg_nano")
+    )
+    ideal = (
+        rel_df.where(F.col("rel") > 0)
+        .orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("r", F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id"))))
+    )
+    idcg = ideal.agg(
+        F.sum(gain_nano(F.col("rel"), F.col("r"))).alias("idcg_nano")
+    )
+    n_rel = rel_df.agg(
+        F.sum((F.col("rel") > 0).cast("bigint")).alias("n_rel_docs")
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .crossJoin(n_rel)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_rel_docs",
+            F.round(F.col("dcg_nano").cast("double") / 1e9, 6).alias("dcg6"),
+            F.round(F.col("idcg_nano").cast("double") / 1e9, 6).alias("idcg6"),
+            F.round(
+                F.col("dcg_nano").cast("double") / F.col("idcg_nano"), 6
+            ).alias("ndcg6"),
+        )
+    )
+
+
+def sql_retrieval_ndcg(
+    terms: list[str] | None = None, k: int | None = None
+) -> str:
+    from sparkmedkg import corpusops
+
+    terms = terms or corpusops.BM25_TERMS
+    k = k or corpusops.BM25_TOPK
+    toks = "regexp_split_to_array(text, ' +')"
+    tf_sum = " + ".join(
+        f"len(list_filter({toks}, x -> x = '{t}'))" for t in terms
+    )
+
+    def gain(rel, r):
+        return (
+            f"CAST(floor((pow(2.0, CAST({rel} AS DOUBLE)) - 1.0)"
+            f" / log2(CAST({r} AS DOUBLE) + 1.0) * 1e9 + 0.5) AS BIGINT)"
+        )
+
+    return f"""
+WITH bm AS ({corpusops.sql_bm25_topk(terms, k)}),
+rel AS (
+  SELECT doc_id,
+         CAST(least({tf_sum}, {NDCG_REL_CAP}) AS BIGINT) AS rel
+  FROM documents
+),
+ranked AS (
+  SELECT b.doc_id, r.rel,
+         ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id ASC) AS r
+  FROM bm b JOIN rel r ON b.doc_id = r.doc_id
+),
+dcg AS (SELECT SUM({gain('rel', 'r')}) AS dcg_nano FROM ranked),
+ideal AS (
+  SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS r
+  FROM rel WHERE rel > 0
+  ORDER BY rel DESC, doc_id ASC LIMIT {k}
+),
+idcg AS (SELECT SUM({gain('rel', 'r')}) AS idcg_nano FROM ideal),
+nr AS (SELECT CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rel_docs FROM rel)
+SELECT CAST({k} AS BIGINT) AS k, nr.n_rel_docs,
+       round(dcg_nano::DOUBLE / 1e9, 6) AS dcg6,
+       round(idcg_nano::DOUBLE / 1e9, 6) AS idcg6,
+       round(dcg_nano::DOUBLE / idcg_nano, 6) AS ndcg6
+FROM dcg CROSS JOIN idcg CROSS JOIN nr
+"""

@@ -1820,3 +1820,292 @@ SELECT pred, subj_semtype, obj_semtype,
 FROM withsem
 GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Truth discovery: Sums-style source-reliability / fact-belief iteration.
+# ---------------------------------------------------------------------------
+
+TRUST_ITERS = 2  # fixed mutual-reinforcement rounds (unrolled in the oracle)
+
+
+def _doc_facts(
+    spark: SparkSession, sf_dir: str, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """(doc_id, subj_cui, pred, obj_cui) — the DISTINCT per-document typed
+    triple set (same extraction as q_relations, provenance kept)."""
+    from sparkmedkg import webkg
+
+    occ = webkg._track(mention_occurrences(spark, sf_dir))
+    subj = occ.select(
+        "doc_id",
+        F.col("mention").alias("m1"),
+        F.col("label").alias("l1"),
+        F.explode(
+            F.sequence(F.col("end_idx") + 1, F.col("end_idx") + 1 + max_gap)
+        ).alias("tgt"),
+    )
+    obj = occ.select(
+        F.col("doc_id").alias("o_doc"),
+        F.col("start_idx").alias("b_start"),
+        F.col("mention").alias("m2"),
+        F.col("label").alias("l2"),
+    )
+    pairs = subj.join(
+        obj,
+        (subj["doc_id"] == obj["o_doc"]) & (subj["tgt"] == obj["b_start"]),
+    )
+    pred = F.lit(None).cast("string")
+    for (l1, l2), p in PRED_BY_PAIR.items():
+        pred = F.when(
+            (F.col("l1") == l1) & (F.col("l2") == l2), F.lit(p)
+        ).otherwise(pred)
+    bl = _best_links(spark, occ)
+    s = bl.select(F.col("mention").alias("m1"), F.col("CUI").alias("subj_cui"))
+    o = bl.select(F.col("mention").alias("m2"), F.col("CUI").alias("obj_cui"))
+    return (
+        pairs.withColumn("pred", pred)
+        .join(F.broadcast(s), "m1")
+        .join(F.broadcast(o), "m2")
+        .where(F.col("subj_cui") != F.col("obj_cui"))
+        .select("doc_id", "subj_cui", "pred", "obj_cui")
+        .distinct()
+    )
+
+
+def _claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, subj_cui, pred, obj_cui) — the DISTINCT source->fact claim
+    bipartite edge set (a source claiming a fact in many docs counts once)."""
+    from sparkmedkg import webkg
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return webkg._track(
+        _doc_facts(spark, sf_dir)
+        .join(src, "doc_id")
+        .select("source", "subj_cui", "pred", "obj_cui")
+        .distinct()
+    )
+
+
+FACT = ["subj_cui", "pred", "obj_cui"]
+
+
+def _sums_chain(spark: SparkSession, sf_dir: str):
+    """Two unrolled Sums iterations (Kleinberg hubs/authorities on the
+    source-claims-fact bipartite graph, TruthFinder's simplest ancestor)
+    in EXACT integer arithmetic: belief starts at 1 per fact, trust(s) =
+    sum of beliefs of s's claims, belief(f) = sum of trusts of f's
+    sources.  Integer sums are order-independent, so the grouped
+    aggregations cannot drift between engines; normalization is integer
+    ppm against the max.  Returns (claims, t2, b2)."""
+    c = _claims(spark, sf_dir)
+    # iter 1: b0 = 1  =>  t1(s) = n_claims(s)
+    t1 = c.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t1"))
+    b1 = (
+        c.join(F.broadcast(t1), "source")
+        .groupBy(*FACT)
+        .agg(F.sum("t1").alias("b1"))
+    )
+    # iter 2
+    t2 = (
+        c.join(b1, FACT)
+        .groupBy("source")
+        .agg(F.sum("b1").alias("t2"))
+    )
+    b2 = (
+        c.join(F.broadcast(t2), "source")
+        .groupBy(*FACT)
+        .agg(
+            F.sum("t2").alias("b2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+    )
+    return c, t2, b2
+
+
+def q_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj_cui, pred, obj_cui, n_sources, belief, belief_ppm): fact
+    belief after TRUST_ITERS unrolled Sums iterations over the
+    source-claims-fact bipartite graph — the truth-discovery step that
+    ranks extracted triples by the collective reliability of the sources
+    asserting them (a fact claimed by many well-connected sources beats
+    one claimed by a single thin source).  belief_ppm normalizes by the
+    max belief as exact integer ppm.
+
+    Scale shape: claims is the sparse bipartite edge set; each iteration
+    is one map-side-combinable integer groupBy per side plus an equi-join
+    (the per-source aggregate is tiny -> broadcast back).  No floats, no
+    driver loops, fixed iteration count."""
+    _, _, b2 = _sums_chain(spark, sf_dir)
+    mx = b2.agg(F.max("b2").alias("mx"))
+    return b2.crossJoin(F.broadcast(mx)).select(
+        *FACT,
+        "n_sources",
+        F.col("b2").alias("belief"),
+        F.expr("b2 * 1000000 div mx").cast("bigint").alias("belief_ppm"),
+    )
+
+
+def q_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_claims, trust, trust_ppm): per-source reliability after
+    the same unrolled Sums iterations as q_truth_discovery — the
+    provenance-weighting table a KG loader uses to discount facts from
+    low-trust hosts.  Same exact-integer discipline."""
+    c, t2, _ = _sums_chain(spark, sf_dir)
+    n = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_claims")
+    )
+    j = n.join(t2, "source")
+    mx = j.agg(F.max("t2").alias("mx"))
+    return j.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_claims",
+        F.col("t2").alias("trust"),
+        F.expr("t2 * 1000000 div mx").cast("bigint").alias("trust_ppm"),
+    )
+
+
+def _sql_claims_ctes(max_gap: int = MAX_GAP) -> str:
+    cases = "\n         ".join(
+        f"WHEN a.label = '{l1}' AND b.label = '{l2}' THEN '{p}'"
+        for (l1, l2), p in PRED_BY_PAIR.items()
+    )
+    return f"""{sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best_links AS (SELECT mention, cui FROM links WHERE rk = 1),
+{_SQL_OCC_CTES.lstrip()},
+doc_facts AS (
+  SELECT DISTINCT a.doc_id, s.cui AS subj_cui,
+         CASE {cases} END AS pred,
+         o.cui AS obj_cui
+  FROM occ a
+  JOIN occ b ON a.doc_id = b.doc_id
+            AND b.start_idx - a.end_idx BETWEEN 1 AND {max_gap + 1}
+  JOIN best_links s ON a.mention = s.mention
+  JOIN best_links o ON b.mention = o.mention
+  WHERE s.cui <> o.cui
+),
+claims AS (
+  SELECT DISTINCT d.source, f.subj_cui, f.pred, f.obj_cui
+  FROM doc_facts f JOIN documents d ON d.doc_id = f.doc_id
+),
+t1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t1 FROM claims GROUP BY 1),
+b1 AS (
+  SELECT c.subj_cui, c.pred, c.obj_cui, SUM(t1.t1) AS b1
+  FROM claims c JOIN t1 ON c.source = t1.source
+  GROUP BY 1, 2, 3
+),
+t2 AS (
+  SELECT c.source, SUM(b1.b1) AS t2
+  FROM claims c
+  JOIN b1 ON c.subj_cui = b1.subj_cui AND c.pred = b1.pred
+         AND c.obj_cui = b1.obj_cui
+  GROUP BY 1
+),
+b2 AS (
+  SELECT c.subj_cui, c.pred, c.obj_cui,
+         CAST(SUM(t2.t2) AS BIGINT) AS b2,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM claims c JOIN t2 ON c.source = t2.source
+  GROUP BY 1, 2, 3
+)"""
+
+
+def sql_truth_discovery(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH {_sql_claims_ctes(max_gap)},
+mx AS (SELECT MAX(b2) AS mx FROM b2)
+SELECT subj_cui, pred, obj_cui, n_sources, b2 AS belief,
+       CAST(b2 * 1000000 // mx.mx AS BIGINT) AS belief_ppm
+FROM b2 CROSS JOIN mx
+"""
+
+
+def sql_source_trust(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH {_sql_claims_ctes(max_gap)},
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_claims
+      FROM claims GROUP BY 1),
+j AS (SELECT n.source, n.n_claims, CAST(t2.t2 AS BIGINT) AS trust
+      FROM n JOIN t2 ON n.source = t2.source),
+mx AS (SELECT MAX(trust) AS mx FROM j)
+SELECT source, n_claims, trust,
+       CAST(trust * 1000000 // mx.mx AS BIGINT) AS trust_ppm
+FROM j CROSS JOIN mx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Functional-slot conflict resolution (argmax-support object per subject).
+# ---------------------------------------------------------------------------
+
+def q_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(subj_cui, pred, kept_obj, n_objects, kept_docs, total_docs,
+    kept_share_ppm): for every (subject, predicate) slot asserted with
+    MORE THAN ONE object, the resolution a curator loads — keep the
+    object with the strongest support (n_docs desc, then n_occ desc,
+    then obj_cui asc as the deterministic tiebreak), report how
+    contested the slot was.  The action half of q_functional_audit:
+    where the audit says a predicate leaks multi-objects, this picks the
+    winner per slot.
+
+    Plan: one window ranked by support within the (subj, pred) slot —
+    slot groups are bounded by the object vocabulary, so the window
+    partition key is never skewed; the slot rollup is map-side
+    combinable."""
+    from pyspark.sql import Window as W
+
+    rel = q_relations(spark, sf_dir)
+    w = W.partitionBy("subj_cui", "pred").orderBy(
+        F.desc("n_docs"), F.desc("n_occ"), F.asc("obj_cui")
+    )
+    ranked = rel.withColumn("rk", F.row_number().over(w))
+    slot = rel.groupBy("subj_cui", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+    )
+    return (
+        ranked.where(F.col("rk") == 1)
+        .join(slot, ["subj_cui", "pred"])
+        .where(F.col("n_objects") >= 2)
+        .select(
+            "subj_cui",
+            "pred",
+            F.col("obj_cui").alias("kept_obj"),
+            "n_objects",
+            F.col("n_docs").cast("bigint").alias("kept_docs"),
+            "total_docs",
+            F.expr("CAST(n_docs AS BIGINT) * 1000000 div total_docs")
+            .cast("bigint")
+            .alias("kept_share_ppm"),
+        )
+    )
+
+
+def sql_conflict_resolution(max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH rel AS ({sql_relations(max_gap)}),
+ranked AS (
+  SELECT subj_cui, pred, obj_cui, n_docs, n_occ,
+         ROW_NUMBER() OVER (
+           PARTITION BY subj_cui, pred
+           ORDER BY n_docs DESC, n_occ DESC, obj_cui ASC
+         ) AS rk
+  FROM rel
+),
+slot AS (
+  SELECT subj_cui, pred, CAST(COUNT(*) AS BIGINT) AS n_objects,
+         CAST(SUM(n_docs) AS BIGINT) AS total_docs
+  FROM rel GROUP BY 1, 2
+)
+SELECT r.subj_cui, r.pred, r.obj_cui AS kept_obj, s.n_objects,
+       CAST(r.n_docs AS BIGINT) AS kept_docs, s.total_docs,
+       CAST(CAST(r.n_docs AS BIGINT) * 1000000 // s.total_docs AS BIGINT)
+         AS kept_share_ppm
+FROM ranked r
+JOIN slot s ON r.subj_cui = s.subj_cui AND r.pred = s.pred
+WHERE r.rk = 1 AND s.n_objects >= 2
+"""

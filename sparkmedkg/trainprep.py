@@ -853,3 +853,87 @@ SELECT tot.n_docs, tot.total_w, CAST({PS_K} AS BIGINT) AS k,
          AS err_ppm
 FROM tot CROSS JOIN samp s
 """
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto skyline over (length, lexical diversity).
+# ---------------------------------------------------------------------------
+
+SKY_GRID = 64  # token-count bucket width for the distributed prune
+
+
+def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, distinct_ppm): the Pareto skyline of the corpus
+    over x = token count and y = lexical diversity (distinct tokens per
+    million tokens) — the multi-criteria selection operator ("longest
+    docs that are also the least repetitive") data-curation UIs expose;
+    a doc survives iff NO other doc is >= on both axes and > on one.
+    Duplicates of a skyline point all survive (neither dominates).
+
+    Scale shape (the classic distributed-skyline recipe): a GRID PRUNE
+    first — per x-bucket (n_toks div SKY_GRID) max-y is a tiny aggregate;
+    a row dominated by the best y of any strictly-higher bucket is
+    provably dominated (that bucket's witness has strictly greater x),
+    so the broadcast-joined suffix-max eliminates all but a
+    near-skyline-sized survivor set BEFORE the exact pass.  The exact
+    pass then runs two range-frame windows (max y over x' > x, max y
+    over x' = x) on the survivors only; skyline rows are never pruned
+    and dominance is transitive, so checking survivors against survivors
+    is exact.  No crossJoin anywhere; the oracle is the naive
+    NOT EXISTS all-pairs twin."""
+    ts = F.split(F.col("text"), " +")
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            F.size("ts").cast("bigint").alias("x"),
+            F.expr(
+                "CAST(size(array_distinct(ts)) AS BIGINT) * 1000000"
+                " div size(ts)"
+            ).alias("y"),
+        )
+    )
+    buckets = d.groupBy(F.expr("x div 64").alias("b")).agg(
+        F.max("y").alias("by")
+    )
+    wb = Window.orderBy("b").rangeBetween(1, Window.unboundedFollowing)
+    suffix = buckets.select("b", F.max("by").over(wb).alias("hi_b"))
+    survivors = d.join(
+        F.broadcast(suffix), F.expr("x div 64") == F.col("b")
+    ).where(F.col("hi_b").isNull() | (F.col("hi_b") < F.col("y")))
+    w_gt = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    w_eq = Window.orderBy("x").rangeBetween(0, 0)
+    out = (
+        survivors.withColumn("hi_gt", F.max("y").over(w_gt))
+        .withColumn("hi_eq", F.max("y").over(w_eq))
+        .where(
+            (F.col("hi_gt").isNull() | (F.col("hi_gt") < F.col("y")))
+            & (F.col("hi_eq") <= F.col("y"))
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.col("x").alias("n_toks"),
+        F.col("y").alias("distinct_ppm"),
+    )
+
+
+def sql_doc_skyline() -> str:
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len(ts) AS BIGINT) AS x,
+         CAST(CAST(len(list_distinct(ts)) AS BIGINT) * 1000000 // len(ts)
+              AS BIGINT) AS y
+  FROM (SELECT doc_id, {toks} AS ts FROM documents)
+  WHERE len(ts) > 0
+)
+SELECT r.doc_id, r.x AS n_toks, r.y AS distinct_ppm
+FROM d r
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.x >= r.x AND q.y >= r.y AND (q.x > r.x OR q.y > r.y)
+)
+"""
