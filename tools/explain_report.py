@@ -837,6 +837,63 @@ def main() -> None:
             lambda: metrics.join_size_est(spark, SF),
             ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
         ),
+        "kg_amie_rules": (
+            # rule bodies are entity-id equi-joins over the distinct fact
+            # set; predicate-level rollups are 4x4-sized
+            lambda: relations.q_amie_rules(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_triple_confidence": (
+            # bounded per-doc pair self-join + exact integer micro-nat agg
+            lambda: relations.q_triple_confidence(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_weak_supervision": (
+            # same shuffle shape as q_llr_scores: one pair groupBy +
+            # broadcast marginals; the three-LF vote is a map projection
+            lambda: relations.q_weak_supervision_vote(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_domain_range_audit": (
+            # two broadcast semtype lookups + one schema-sized rollup
+            lambda: relations.q_domain_range_audit(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "text_sentence_stats": (
+            # map-only array expressions riding the scan
+            lambda: textstats.sentence_stats(spark, SF),
+            ["ReadSchema: struct<doc_id:bigint,text:string>",
+             "!Exchange", "!BroadcastHashJoin"],
+        ),
+        "text_fasttext_score": (
+            # hashed-bucket scoring is a scan projection, shuffle-free
+            lambda: textstats.fasttext_score(spark, SF),
+            ["ReadSchema: struct<doc_id:bigint,text:string>", "!Exchange"],
+        ),
+        "kg_truth_discovery": (
+            # Sums iterations: integer groupBy per bipartite side + an
+            # equi-join; per-source aggregates broadcast back
+            lambda: relations.q_truth_discovery(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_conflict_resolution": (
+            # one slot-partitioned support window + map-side slot rollup
+            lambda: relations.q_conflict_resolution(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "metric_retrieval_ndcg": (
+            # both rankings are TakeOrdered k-row sets; stats are 1-row
+            # broadcasts — nothing beyond the corpus scan is big
+            lambda: metrics.retrieval_ndcg(spark, SF),
+            ["TakeOrderedAndProject", "HashAggregate"],
+        ),
+        "corpus_doc_skyline": (
+            # grid prune: tiny bucket aggregate broadcast back; exact pass
+            # windows run on the pruned survivor set only
+            lambda: trainprep.doc_skyline(spark, SF),
+            ["BroadcastHashJoin", "Window", "!CartesianProduct",
+             "!SortMergeJoin"],
+        ),
     }
 
     lines = [
