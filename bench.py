@@ -298,6 +298,11 @@ BENCH_QUERIES = {
     "corpus_doc_skyline": trainprep.doc_skyline,
     "metric_retrieval_ndcg": metrics.retrieval_ndcg,
     "text_sentence_stats": textstats.sentence_stats,
+    "kg_entity_salience": relations.q_entity_salience,
+    "metric_confidence_ece": metrics.confidence_ece,
+    "emb_kcenter_seeds": simsearch.kcenter_seeds,
+    "corpus_prf_expansion": corpusops.prf_expansion,
+    "kg_double_sweep": graphalgo.q_double_sweep,
 }
 
 

@@ -2742,3 +2742,92 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST((1000000 * SUM(m)) // COUNT(*) AS BIGINT) AS mask_ppm
 FROM per GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback: RM1-style query expansion terms.
+# ---------------------------------------------------------------------------
+
+PRF_K_TERMS = 5
+
+
+def prf_expansion(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str] | None = None,
+    k_docs: int = BM25_TOPK,
+    k_terms: int = PRF_K_TERMS,
+) -> DataFrame:
+    """(term, weight, n_docs): RM1-style pseudo-relevance-feedback
+    expansion terms — take the BM25 top-``k_docs`` documents (the gated
+    corpus_bm25_topk ranking), weight every non-query term by
+    sum over those docs of tf(t, d) / |d| * score(d), and emit the
+    top-``k_terms`` candidates a retrieval stack appends to the query.
+
+    Float discipline: the per-(doc, term) contribution is quantized ONCE
+    to integer nano-units (floor(tf * score * 1e9 / dl + .5)) and summed
+    exactly, the repo's standard order-independent pattern.
+
+    Plan: everything downstream of the ranking touches only k_docs rows
+    — the explode, the (doc, term) count, and the term rollup are all
+    k-row-bounded; the final cut is a TakeOrdered."""
+    terms = terms or BM25_TERMS
+    bm = bm25_topk(spark, sf_dir, terms, k_docs)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _toks().alias("ts"), F.size(_toks()).alias("dl")
+    )
+    tok = (
+        bm.join(docs, "doc_id")
+        .select("doc_id", "score", "dl", F.explode("ts").alias("term"))
+        .where(~F.col("term").isin(terms))
+    )
+    per = tok.groupBy("doc_id", "term", "score", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    w_nano = F.floor(
+        F.col("tf").cast("double") * F.col("score") * F.lit(1e9)
+        / F.col("dl")
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per.select("doc_id", "term", w_nano.alias("w"))
+        .groupBy("term")
+        .agg(
+            F.sum("w").alias("weight"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(k_terms)
+    )
+
+
+def sql_prf_expansion(
+    terms: list[str] | None = None,
+    k_docs: int = BM25_TOPK,
+    k_terms: int = PRF_K_TERMS,
+) -> str:
+    terms = terms or BM25_TERMS
+    not_in = ", ".join(f"'{t}'" for t in terms)
+    toks = "regexp_split_to_array(text, ' +')"
+    return f"""
+WITH bm AS ({sql_bm25_topk(terms, k_docs)}),
+d AS (SELECT doc_id, {toks} AS ts, len({toks}) AS dl FROM documents),
+tok AS (
+  SELECT b.doc_id, b.score, d.dl, unnest(d.ts) AS term
+  FROM bm b JOIN d ON b.doc_id = d.doc_id
+),
+per AS (
+  SELECT doc_id, term, score, dl, COUNT(*) AS tf
+  FROM tok WHERE term NOT IN ({not_in})
+  GROUP BY 1, 2, 3, 4
+),
+w AS (
+  SELECT term,
+         CAST(SUM(CAST(floor(tf::DOUBLE * score * 1e9 / dl + 0.5)
+                       AS BIGINT)) AS BIGINT) AS weight,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM per GROUP BY 1
+)
+SELECT term, weight, n_docs FROM w
+ORDER BY weight DESC, term ASC LIMIT {k_terms}
+"""

@@ -4097,3 +4097,119 @@ SELECT rank, CUI, vol, cut, conductance_ppm,
        conductance_ppm = (SELECT MIN(conductance_ppm) FROM cond) AS is_best
 FROM cond
 """
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter bound (pseudo-peripheral BFS pair).
+# ---------------------------------------------------------------------------
+
+SWEEP_HOPS = 6  # per-sweep hop cap (>= graph diameter on this edge set)
+
+
+def _sweep(visited0: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """Frontier BFS closure from a 1-row (CUI, dist=0) seed — the same
+    per-round shape as q_bfs_reach (frontier join + visited anti-join,
+    eager localCheckpoint lineage cuts)."""
+    visited = visited0.localCheckpoint(eager=True)
+    frontier = visited
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["CUI"] == edges["src"])
+            .select(F.col("dst").alias("CUI"))
+            .distinct()
+            .join(visited.select("CUI"), "CUI", "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+    return visited
+
+
+def q_double_sweep(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hops: int = SWEEP_HOPS,
+    min_docs: int = PR_MIN_DOCS,
+) -> DataFrame:
+    """(seed, far_node, ecc_seed, diameter_lb, n_reached): the
+    double-sweep diameter lower bound — BFS from a deterministic seed
+    (min CUI), hop to the farthest node found (ties to min CUI), BFS
+    again from there; the second eccentricity is the classic
+    near-tight diameter estimate (exact on trees) that sizes iteration
+    counts for every fixed-hop graph job here without an all-pairs
+    sweep.  Both sweeps are hop-capped at ``max_hops`` (set above this
+    edge set's diameter; the cap keeps the oracle unrollable and the
+    job bounded on adversarial graphs).
+
+    Plan: two frontier BFS closures (per-round cost tracks the
+    frontier), one k-row TakeOrdered between them, and a 1-row final
+    aggregate — the driver only ever sees the pivot row."""
+    edges = _edges(spark, sf_dir, min_docs)
+    seed_id = edges.select(F.min("src").alias("CUI"))
+    v1 = _sweep(seed_id.withColumn("dist", F.lit(0)), edges, max_hops)
+    far = (
+        v1.orderBy(F.desc("dist"), F.asc("CUI")).limit(1).collect()[0]
+    )
+    v2 = _sweep(
+        spark.createDataFrame([(far["CUI"], 0)], "CUI string, dist int"),
+        edges,
+        max_hops,
+    )
+    return (
+        v2.agg(
+            F.max("dist").cast("bigint").alias("diameter_lb"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+        )
+        .crossJoin(F.broadcast(seed_id.select(F.col("CUI").alias("seed"))))
+        .select(
+            "seed",
+            F.lit(far["CUI"]).alias("far_node"),
+            F.lit(int(far["dist"])).cast("bigint").alias("ecc_seed"),
+            "diameter_lb",
+            "n_reached",
+        )
+    )
+
+
+def sql_double_sweep(
+    max_hops: int = SWEEP_HOPS, min_docs: int = PR_MIN_DOCS
+) -> str:
+    # MATERIALIZED on every step: each r{k} references r{k-1} twice, so
+    # default CTE inlining expands 2^max_hops copies of the whole NER
+    # chain (DuckDB runs out of file handles re-opening the parquet).
+    def unroll(prefix: str, seed_cte: str) -> str:
+        steps = [f"{prefix}0 AS MATERIALIZED ({seed_cte})"]
+        for k in range(1, max_hops + 1):
+            steps.append(
+                f"""{prefix}{k} AS MATERIALIZED (
+  SELECT cui, MIN(dist) AS dist FROM (
+    SELECT cui, dist FROM {prefix}{k - 1}
+    UNION ALL
+    SELECT e.dst AS cui, p.dist + 1 AS dist
+    FROM {prefix}{k - 1} p JOIN ed e ON e.src = p.cui
+  ) GROUP BY cui
+)"""
+            )
+        return ",\n".join(steps)
+    r = unroll(
+        "r", "SELECT (SELECT MIN(src) FROM ed) AS cui, 0 AS dist"
+    )
+    far = f"""far AS MATERIALIZED (
+  SELECT cui FROM r{max_hops} ORDER BY dist DESC, cui ASC LIMIT 1
+)"""
+    s = unroll("s", "SELECT cui, 0 AS dist FROM far")
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+ed AS MATERIALIZED (SELECT src, dst FROM edges),
+{r},
+{far},
+{s}
+SELECT (SELECT MIN(src) FROM ed) AS seed,
+       (SELECT cui FROM far) AS far_node,
+       (SELECT CAST(MAX(dist) AS BIGINT) FROM r{max_hops}
+        WHERE cui = (SELECT cui FROM far)) AS ecc_seed,
+       CAST((SELECT MAX(dist) FROM s{max_hops}) AS BIGINT) AS diameter_lb,
+       CAST((SELECT COUNT(*) FROM s{max_hops}) AS BIGINT) AS n_reached
+"""

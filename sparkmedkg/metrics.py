@@ -1147,3 +1147,86 @@ SELECT CAST({k} AS BIGINT) AS k, nr.n_rel_docs,
        round(dcg_nano::DOUBLE / idcg_nano, 6) AS ndcg6
 FROM dcg CROSS JOIN idcg CROSS JOIN nr
 """
+
+
+# ---------------------------------------------------------------------------
+# Confidence calibration: ECE-style reliability table for triple scores.
+# ---------------------------------------------------------------------------
+
+ECE_BINS = 10
+
+
+def confidence_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_pairs, avg_conf_ppm, pos_ppm, gap_ppm): the reliability
+    table behind Expected Calibration Error — q_triple_confidence's
+    noisy-or score (the model's stated probability) binned into deciles
+    and compared, per bin, against the weak-supervision majority label
+    (the proxy ground truth) on the SAME candidate pairs.  A calibrated
+    scorer has gap_ppm near 0 everywhere; a systematic gap says the
+    evidence prior is mis-set before anyone loads those triples.
+
+    Exactness: conf6 is already a cross-engine-stable rounded double;
+    each row quantizes it ONCE to integer ppm, and every bin statistic
+    is an exact integer sum/div.  Plan: both constituents are the
+    already-gated bounded pair pipelines; the join is a (subj, obj)
+    equi-join between two sparse pair sets; the rollup is 10 bins."""
+    from sparkmedkg import relations
+
+    conf = relations.q_triple_confidence(spark, sf_dir)
+    ws = relations.q_weak_supervision_vote(spark, sf_dir).select(
+        "subj_cui", "obj_cui", "label"
+    )
+    j = conf.join(ws, ["subj_cui", "obj_cui"])
+    b = F.least(
+        F.floor(F.col("conf6") * 10).cast("bigint"), F.lit(9).cast("bigint")
+    )
+    conf_ppm = F.round(F.col("conf6") * 1e6).cast("bigint")
+    return (
+        j.select(
+            b.alias("bin"),
+            conf_ppm.alias("c"),
+            F.col("label").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("c").alias("cs"),
+            F.sum("pos").cast("bigint").alias("np"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            F.expr("cs div n_pairs").cast("bigint").alias("avg_conf_ppm"),
+            F.expr("np * 1000000 div n_pairs").cast("bigint").alias("pos_ppm"),
+            F.expr(
+                "abs(cs div n_pairs - np * 1000000 div n_pairs)"
+            ).cast("bigint").alias("gap_ppm"),
+        )
+    )
+
+
+def sql_confidence_ece() -> str:
+    from sparkmedkg import relations
+
+    return f"""
+WITH conf AS ({relations.sql_triple_confidence()}),
+ws AS ({relations.sql_weak_supervision_vote()}),
+j AS (
+  SELECT LEAST(CAST(floor(c.conf6 * 10) AS BIGINT), 9) AS bin,
+         CAST(round(c.conf6 * 1e6) AS BIGINT) AS c,
+         CASE WHEN w.label THEN 1 ELSE 0 END AS pos
+  FROM conf c
+  JOIN ws w ON c.subj_cui = w.subj_cui AND c.obj_cui = w.obj_cui
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(c) AS BIGINT) AS cs, CAST(SUM(pos) AS BIGINT) AS np
+  FROM j GROUP BY 1
+)
+SELECT bin, n_pairs,
+       CAST(cs // n_pairs AS BIGINT) AS avg_conf_ppm,
+       CAST(np * 1000000 // n_pairs AS BIGINT) AS pos_ppm,
+       CAST(abs(cs // n_pairs - np * 1000000 // n_pairs) AS BIGINT)
+         AS gap_ppm
+FROM g
+"""

@@ -2109,3 +2109,87 @@ FROM ranked r
 JOIN slot s ON r.subj_cui = s.subj_cui AND r.pred = s.pred
 WHERE r.rk = 1 AND s.n_objects >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-document entity salience (position + frequency signal).
+# ---------------------------------------------------------------------------
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, CUI, tf, first_idx, n_toks, early_ppm, salience_ppm):
+    per-document entity salience — the signal an entity-centric indexer
+    stores so "documents ABOUT hash join" outranks "documents that
+    mention hash join once in a footer".  Two classic features, fused in
+    exact integer arithmetic:
+
+    - early_ppm = (n_toks - first_idx) * 1e6 div n_toks — how early the
+      FIRST mention lands (title/lede mentions score near 1e6);
+    - salience_ppm = early_ppm * tf div (tf + 1) — earliness damped by
+      the saturating frequency ratio tf/(tf+1), so a second mention
+      matters a lot and the twentieth barely moves it.
+
+    Plan: the occurrence scan (posexplode + broadcast lexicon join, one
+    codegen stage) feeds ONE (doc, CUI) groupBy; doc lengths ride the
+    same corpus scan and join back on doc_id.  No windows, no floats."""
+    from sparkmedkg import webkg
+
+    occ = webkg._track(mention_occurrences(spark, sf_dir))
+    bl = _best_links(spark, occ)
+    lens = _read_docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("n_toks"),
+    )
+    per = (
+        occ.join(F.broadcast(bl), "mention")
+        .groupBy("doc_id", "CUI")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.min("start_idx").cast("bigint").alias("first_idx"),
+        )
+    )
+    return (
+        per.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "CUI",
+            "tf",
+            "first_idx",
+            "n_toks",
+            F.expr("(n_toks - first_idx) * 1000000 div n_toks")
+            .cast("bigint")
+            .alias("early_ppm"),
+            F.expr(
+                "((n_toks - first_idx) * 1000000 div n_toks) * tf"
+                " div (tf + 1)"
+            )
+            .cast("bigint")
+            .alias("salience_ppm"),
+        )
+    )
+
+
+def sql_entity_salience() -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best_links AS (SELECT mention, cui FROM links WHERE rk = 1),
+{_SQL_OCC_CTES.lstrip()},
+lens AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+  FROM read_docs
+),
+per AS (
+  SELECT o.doc_id, b.cui, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(o.start_idx) AS BIGINT) AS first_idx
+  FROM occ o JOIN best_links b ON b.mention = o.mention
+  GROUP BY 1, 2
+)
+SELECT p.doc_id, p.cui AS CUI, p.tf, p.first_idx, l.n_toks,
+       CAST((l.n_toks - p.first_idx) * 1000000 // l.n_toks AS BIGINT)
+         AS early_ppm,
+       CAST(((l.n_toks - p.first_idx) * 1000000 // l.n_toks) * p.tf
+            // (p.tf + 1) AS BIGINT) AS salience_ppm
+FROM per p JOIN lens l ON p.doc_id = l.doc_id
+"""

@@ -2059,3 +2059,91 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
        round(COUNT(*)::DOUBLE / (SUM(q)::DOUBLE / 1000000.0), 6) AS id_est
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy seeds (Gonzalez) — coreset / diverse-init selection.
+# ---------------------------------------------------------------------------
+
+KC_K = 4
+
+
+def kcenter_seeds(
+    spark: SparkSession, sf_dir: str, k: int = KC_K
+) -> DataFrame:
+    """(seed_rank, vec_id, dist2): Gonzalez's greedy k-center over the
+    integer-quantized embeddings — the classic 2-approximation coreset /
+    diverse-initialization selector (pick the point FARTHEST from the
+    already-chosen set, repeat).  Seed 1 is the min vec_id (deterministic
+    without configuration); dist2 is the squared L2 distance from each
+    chosen seed to the set chosen before it (0 for seed 1).
+
+    Exactness: the same KM_SCALE integer quantization as kmeans — every
+    distance is an exact BIGINT, argmax ties break to the lowest vec_id,
+    so the unrolled oracle matches bit-for-bit.
+
+    Scale shape: each of the k-1 rounds is ONE map-only distance
+    projection over the corpus (the chosen seeds fold in as literal
+    arrays — no join, no shuffle) followed by a TakeOrdered(1); the
+    driver holds only k 64-int arrays.  k is a small constant, so total
+    work is k corpus scans off the persisted quantized table."""
+    vq = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _qvec().alias("q"))
+        .persist()
+    )
+    first = vq.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(1, int(first["vec_id"]), 0, list(first["q"]))]
+    for rank in range(2, k + 1):
+        dmin = None
+        for _, _, _, sq in seeds:
+            d = _dist2(F.col("q"), sq)
+            dmin = d if dmin is None else F.least(dmin, d)
+        far = (
+            vq.select("vec_id", "q", dmin.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((rank, int(far["vec_id"]), int(far["d"]), list(far["q"])))
+    vq.unpersist()
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d, _ in seeds],
+        "seed_rank bigint, vec_id bigint, dist2 bigint",
+    )
+
+
+def sql_kcenter_seeds(k: int = KC_K) -> str:
+    q = (
+        "[CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) "
+        "for e in embedding]"
+    )
+
+    def dist(a, b):
+        return (
+            f"list_aggregate([({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) "
+            "for i in generate_series(1, 64)], 'sum')"
+        )
+
+    ctes = [
+        f"vq AS (SELECT vec_id, {q} AS q FROM embeddings)",
+        "s1 AS (SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT 1)",
+    ]
+    selects = ["SELECT 1 AS seed_rank, vec_id, CAST(0 AS BIGINT) AS dist2 FROM s1"]
+    for rank in range(2, k + 1):
+        prior = ", ".join(f"s{i}" for i in range(1, rank))
+        dmin = f"LEAST({', '.join(dist('v.q', f's{i}.q') for i in range(1, rank))})"
+        ctes.append(
+            f"""s{rank} AS (
+  SELECT v.vec_id, v.q, CAST({dmin} AS BIGINT) AS d
+  FROM vq v, {prior}
+  ORDER BY {dmin} DESC, v.vec_id ASC LIMIT 1
+)"""
+        )
+        selects.append(
+            f"SELECT {rank} AS seed_rank, vec_id, d AS dist2 FROM s{rank}"
+        )
+    return (
+        "\nWITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\n"
+    )

@@ -894,6 +894,23 @@ def main() -> None:
             ["BroadcastHashJoin", "Window", "!CartesianProduct",
              "!SortMergeJoin"],
         ),
+        "kg_entity_salience": (
+            # occurrence scan + broadcast link lookup into ONE (doc, CUI)
+            # groupBy; doc lengths join back on doc_id
+            lambda: relations.q_entity_salience(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
+        "metric_confidence_ece": (
+            # two sparse pair sets equi-joined, 10-bin integer rollup
+            lambda: metrics.confidence_ece(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
+        "corpus_prf_expansion": (
+            # explode + rollup touch only the k ranked docs; final cut is
+            # a TakeOrdered
+            lambda: corpusops.prf_expansion(spark, SF),
+            ["Generate", "TakeOrderedAndProject", "HashAggregate"],
+        ),
     }
 
     lines = [
