@@ -303,6 +303,10 @@ BENCH_QUERIES = {
     "emb_kcenter_seeds": simsearch.kcenter_seeds,
     "corpus_prf_expansion": corpusops.prf_expansion,
     "kg_double_sweep": graphalgo.q_double_sweep,
+    "metric_triple_classification": kgembed.q_triple_classification,
+    "events_fd_candidates": relops.events_fd_candidates,
+    "events_column_entropy": relops.events_column_entropy,
+    "metric_selectivity_est": metrics.selectivity_est,
 }
 
 

@@ -394,3 +394,136 @@ SELECT pred,
 FROM rel
 GROUP BY pred
 """
+
+
+# ---------------------------------------------------------------------------
+# Triple classification accuracy (per-predicate learned threshold).
+# ---------------------------------------------------------------------------
+
+def q_triple_classification(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(pred, n_pos, n_neg, thr_milli, tp, tn, acc_ppm): the standard
+    triple-classification evaluation (Socher et al.'s protocol) over the
+    deterministic hash-embedding TransE scores — per predicate, learn the
+    midpoint threshold between the mean positive and mean negative
+    score2, classify every scored triple (a triple is accepted iff
+    score2 < threshold; LOWER is better in TransE), and report accuracy.
+    The per-predicate row a KG-embedding training loop watches next to
+    MRR (q_transe_rank).
+
+    Exactness: score2 is already an exact integer; means are integer
+    milli-units (sum * 1000 div n) and the midpoint threshold their
+    integer average, so classification compares exact integers — no
+    float drift.  Plan: the scored candidate set is the bounded
+    negative-sampling join (already gated); everything after is two
+    predicate-keyed partial aggregates and a broadcast threshold join —
+    predicate cardinality is the 4-row schema."""
+    neg = relations.q_negative_triples(spark, sf_dir, k=k, max_gap=max_gap)
+    scored = neg.select(
+        "pred",
+        "subj_cui",
+        "obj_cui",
+        _transe_score2("subj_cui", "pred", "obj_cui").alias("pos_score2"),
+        _transe_score2("subj_cui", "pred", "neg_obj_cui").alias("neg_score2"),
+    )
+    pos = scored.select("pred", "subj_cui", "obj_cui", "pos_score2").distinct()
+    pstat = pos.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+        F.sum("pos_score2").cast("bigint").alias("ps"),
+    )
+    nstat = scored.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neg"),
+        F.sum("neg_score2").cast("bigint").alias("ns"),
+    )
+    thr = (
+        pstat.join(nstat, "pred")
+        .select(
+            "pred",
+            "n_pos",
+            "n_neg",
+            F.expr("(ps * 1000 div n_pos + ns * 1000 div n_neg) div 2")
+            .cast("bigint")
+            .alias("thr_milli"),
+        )
+    )
+    tp = (
+        pos.join(F.broadcast(thr.select("pred", "thr_milli")), "pred")
+        .where(F.expr("pos_score2 * 1000 < thr_milli"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    tn = (
+        scored.join(F.broadcast(thr.select("pred", "thr_milli")), "pred")
+        .where(F.expr("neg_score2 * 1000 >= thr_milli"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tn"))
+    )
+    return (
+        thr.join(tp, "pred", "left")
+        .join(tn, "pred", "left")
+        .select(
+            "pred",
+            "n_pos",
+            "n_neg",
+            "thr_milli",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("tn", F.lit(0)).cast("bigint").alias("tn"),
+            F.expr(
+                "(coalesce(tp, 0) + coalesce(tn, 0)) * 1000000"
+                " div (n_pos + n_neg)"
+            )
+            .cast("bigint")
+            .alias("acc_ppm"),
+        )
+    )
+
+
+def sql_triple_classification(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH neg AS ({relations.sql_negative_triples(k, max_gap)}),
+scored AS (
+  SELECT pred, subj_cui, obj_cui,
+         {_sql_score2('subj_cui', 'pred', 'obj_cui')} AS pos_score2,
+         {_sql_score2('subj_cui', 'pred', 'neg_obj_cui')} AS neg_score2
+  FROM neg
+),
+pos AS (SELECT DISTINCT pred, subj_cui, obj_cui, pos_score2 FROM scored),
+pstat AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(pos_score2) AS BIGINT) AS ps
+  FROM pos GROUP BY 1
+),
+nstat AS (
+  SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_neg,
+         CAST(SUM(neg_score2) AS BIGINT) AS ns
+  FROM scored GROUP BY 1
+),
+thr AS (
+  SELECT p.pred, p.n_pos, n.n_neg,
+         CAST((p.ps * 1000 // p.n_pos + n.ns * 1000 // n.n_neg) // 2
+              AS BIGINT) AS thr_milli
+  FROM pstat p JOIN nstat n ON p.pred = n.pred
+),
+tp AS (
+  SELECT p.pred, CAST(COUNT(*) AS BIGINT) AS tp
+  FROM pos p JOIN thr t ON p.pred = t.pred
+  WHERE p.pos_score2 * 1000 < t.thr_milli GROUP BY 1
+),
+tn AS (
+  SELECT s.pred, CAST(COUNT(*) AS BIGINT) AS tn
+  FROM scored s JOIN thr t ON s.pred = t.pred
+  WHERE s.neg_score2 * 1000 >= t.thr_milli GROUP BY 1
+)
+SELECT t.pred, t.n_pos, t.n_neg, t.thr_milli,
+       CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+       CAST(COALESCE(tn.tn, 0) AS BIGINT) AS tn,
+       CAST((COALESCE(tp.tp, 0) + COALESCE(tn.tn, 0)) * 1000000
+            // (t.n_pos + t.n_neg) AS BIGINT) AS acc_ppm
+FROM thr t
+LEFT JOIN tp ON t.pred = tp.pred
+LEFT JOIN tn ON t.pred = tn.pred
+"""

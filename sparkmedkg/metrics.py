@@ -1230,3 +1230,118 @@ SELECT bin, n_pairs,
          AS gap_ppm
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram selectivity estimator audit (optimizer-statistics quality).
+# ---------------------------------------------------------------------------
+
+SEL_BUCKETS = 16
+
+
+def selectivity_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_rows, lo_cents, hi_cents, p1, p2, est_rows, actual_rows,
+    err_ppm): equi-width-histogram selectivity estimation audited against
+    ground truth — build a SEL_BUCKETS histogram over events.value (in
+    exact integer cents), estimate the row count of the fixed range
+    predicate [lo + span/4, lo + span/2] by uniform-within-bucket
+    interpolation (the textbook optimizer estimate), and compare to the
+    true count.  The statistics-quality audit next to metric_join_size_est.
+
+    Exactness: bucket width w = (hi-lo) div B + 1, bucket ids and
+    overlap lengths are pure integer arithmetic; the estimate sums
+    c*overlap exactly and divides once.  Plan: one 1-row min/max/count
+    aggregate broadcast back over the scan, one B-row bucket groupBy,
+    one filtered count — three passes, all map-side combinable, no
+    windows, no collects."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    stats = ev.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    wexpr = "((hi - lo) div %d + 1)" % SEL_BUCKETS
+    j = ev.crossJoin(F.broadcast(stats))
+    hist = (
+        j.select(F.expr(f"(cents - lo) div {wexpr}").alias("b"), "lo", "hi")
+        .groupBy("b", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    p1 = "(lo + (hi - lo) div 4)"
+    p2 = "(lo + (hi - lo) div 2)"
+    blo = f"(lo + b * {wexpr})"
+    bhi = f"({blo} + {wexpr} - 1)"
+    overlap = (
+        f"greatest(CAST(0 AS BIGINT), least({p2}, {bhi})"
+        f" - greatest({p1}, {blo}) + 1)"
+    )
+    est = hist.agg(
+        F.expr(f"sum(c * ({overlap})) div first({wexpr})")
+        .cast("bigint")
+        .alias("est_rows")
+    )
+    actual = (
+        j.where(F.expr(f"cents BETWEEN {p1} AND {p2}"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_rows",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            F.expr(p1).cast("bigint").alias("p1"),
+            F.expr(p2).cast("bigint").alias("p2"),
+            "est_rows",
+            "actual_rows",
+            F.expr(
+                "abs(est_rows - actual_rows) * 1000000"
+                " div greatest(actual_rows, 1)"
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
+
+
+def sql_selectivity_est() -> str:
+    b = SEL_BUCKETS
+    w = f"((hi - lo) // {b} + 1)"
+    p1 = "(lo + (hi - lo) // 4)"
+    p2 = "(lo + (hi - lo) // 2)"
+    blo = f"(lo + bk * {w})"
+    bhi = f"({blo} + {w} - 1)"
+    overlap = (
+        f"GREATEST(CAST(0 AS BIGINT), LEAST({p2}, {bhi})"
+        f" - GREATEST({p1}, {blo}) + 1)"
+    )
+    return f"""
+WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+stats AS (
+  SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM ev
+),
+hist AS (
+  SELECT (cents - lo) // {w} AS bk, lo, hi, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ev CROSS JOIN stats GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT CAST(SUM(c * ({overlap})) // ANY_VALUE({w}) AS BIGINT) AS est_rows
+  FROM hist
+),
+act AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+  FROM ev CROSS JOIN stats
+  WHERE cents BETWEEN {p1} AND {p2}
+)
+SELECT s.n_rows, s.lo AS lo_cents, s.hi AS hi_cents,
+       CAST({p1} AS BIGINT) AS p1, CAST({p2} AS BIGINT) AS p2,
+       e.est_rows, a.actual_rows,
+       CAST(abs(e.est_rows - a.actual_rows) * 1000000
+            // GREATEST(a.actual_rows, 1) AS BIGINT) AS err_ppm
+FROM stats s CROSS JOIN est e CROSS JOIN act a
+"""

@@ -5170,3 +5170,169 @@ SELECT m.event_type, r.recomputed_days AS n_days, s.base_days,
         AND m.merged_days = r.recomputed_days) AS parity
 FROM m JOIN r USING (event_type) JOIN sides s USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery (TANE-style single-attribute candidates).
+# ---------------------------------------------------------------------------
+
+FD_CANDIDATES = [
+    ("event_id", "user_id"),    # key -> anything: must hold
+    ("user_id", "event_type"),
+    ("event_type", "user_id"),
+    ("props", "event_type"),
+]
+
+
+def events_fd_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lhs, rhs, n_lhs, n_pairs, fd_holds, violation_ppm): single-
+    attribute functional-dependency check over the events log — the
+    TANE/data-profiling primitive: lhs -> rhs holds iff every lhs value
+    maps to exactly one rhs value, i.e. COUNT(DISTINCT lhs) =
+    COUNT(DISTINCT (lhs, rhs)).  The candidate list covers the key
+    column (must hold — a failing row here means corrupt data) and the
+    plausible-but-false pairs a schema-inference tool must reject;
+    violation_ppm = (n_pairs - n_lhs) * 1e6 div n_lhs quantifies HOW
+    false.
+
+    Plan: one distinct-aggregate pair per candidate (Spark rewrites
+    count-distinct into expand + two-phase aggregate — map-side
+    combinable); candidates are a fixed constant, results union to a
+    4-row table.  At 100 TB swap in approx_count_distinct per the
+    module-wide sampling note."""
+    ev = _t(spark, sf_dir, "events")
+    outs = []
+    for lhs, rhs in FD_CANDIDATES:
+        outs.append(
+            ev.agg(
+                F.countDistinct(F.col(lhs)).cast("bigint").alias("n_lhs"),
+                F.countDistinct(F.col(lhs), F.col(rhs))
+                .cast("bigint")
+                .alias("n_pairs"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs",
+                "n_pairs",
+                (F.col("n_pairs") == F.col("n_lhs")).alias("fd_holds"),
+                F.expr("(n_pairs - n_lhs) * 1000000 div n_lhs")
+                .cast("bigint")
+                .alias("violation_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_events_fd_candidates() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+       CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT) AS n_pairs,
+       COUNT(DISTINCT ({lhs}, {rhs})) = COUNT(DISTINCT {lhs}) AS fd_holds,
+       CAST((COUNT(DISTINCT ({lhs}, {rhs})) - COUNT(DISTINCT {lhs}))
+            * 1000000 // COUNT(DISTINCT {lhs}) AS BIGINT) AS violation_ppm
+FROM events"""
+        )
+    return "\n" + "\nUNION ALL\n".join(parts) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# Per-column Shannon entropy profile (compressibility / key-quality).
+# ---------------------------------------------------------------------------
+
+ENTROPY_COLS = ["event_type", "user_id", "cents", "props"]
+
+
+def events_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, n_rows, n_distinct, entropy_micro_nats, max_micro_nats,
+    norm_ppm): exact Shannon entropy per profiled column — the
+    data-profiler signal that ranks columns by information content
+    (dictionary-encoding candidates near 0; key-quality candidates near
+    ln(n_distinct)).  H = ln(N) - (sum over values of c*ln(c)) / N.
+
+    Float discipline: the per-distinct-value term c*ln(c) is quantized
+    ONCE to integer micro-nats and summed exactly; ln(N)/ln(n_distinct)
+    are single-row computations — nothing float ever crosses a grouped
+    aggregation.  Plan per column: one value-keyed partial-agg count,
+    then a 1-row rollup; the four results union to a 4-row table."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "props",
+    )
+    outs = []
+    for c in ENTROPY_COLS:
+        cnt = ev.groupBy(F.col(c).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        term = F.floor(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+            * 1e6 + F.lit(0.5)
+        ).cast("bigint")
+        agg = cnt.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum(term).alias("s"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                "n_distinct",
+                F.expr(
+                    "(CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1e6 + 0.5)"
+                    " AS BIGINT) * n_rows - s) div n_rows"
+                )
+                .cast("bigint")
+                .alias("entropy_micro_nats"),
+                F.expr(
+                    "CAST(floor(ln(CAST(n_distinct AS DOUBLE)) * 1e6 + 0.5)"
+                    " AS BIGINT)"
+                ).alias("max_micro_nats"),
+                F.expr(
+                    "((CAST(floor(ln(CAST(n_rows AS DOUBLE)) * 1e6 + 0.5)"
+                    " AS BIGINT) * n_rows - s) div n_rows) * 1000000"
+                    " div greatest(CAST(floor(ln(CAST(n_distinct AS DOUBLE))"
+                    " * 1e6 + 0.5) AS BIGINT), 1)"
+                )
+                .cast("bigint")
+                .alias("norm_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def sql_events_column_entropy() -> str:
+    parts = []
+    for c in ENTROPY_COLS:
+        expr = (
+            "CAST(round(value * 100) AS BIGINT)" if c == "cents" else c
+        )
+        parts.append(
+            f"""SELECT '{c}' AS col_name, n_rows, n_distinct,
+       CAST((CAST(floor(ln(n_rows::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+             * n_rows - s) // n_rows AS BIGINT) AS entropy_micro_nats,
+       CAST(floor(ln(n_distinct::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         AS max_micro_nats,
+       CAST(((CAST(floor(ln(n_rows::DOUBLE) * 1e6 + 0.5) AS BIGINT)
+              * n_rows - s) // n_rows) * 1000000
+            // GREATEST(CAST(floor(ln(n_distinct::DOUBLE) * 1e6 + 0.5)
+                             AS BIGINT), 1) AS BIGINT) AS norm_ppm
+FROM (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(floor(c::DOUBLE * ln(c::DOUBLE) * 1e6 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM (SELECT {expr} AS v, COUNT(*) AS c FROM events GROUP BY 1)
+)"""
+        )
+    return "\n" + "\nUNION ALL\n".join(parts) + "\n"

@@ -911,6 +911,30 @@ def main() -> None:
             lambda: corpusops.prf_expansion(spark, SF),
             ["Generate", "TakeOrderedAndProject", "HashAggregate"],
         ),
+        "metric_triple_classification": (
+            # bounded negative-sampling join + predicate-keyed aggregates
+            # + broadcast 4-row threshold join
+            lambda: kgembed.q_triple_classification(spark, SF),
+            ["HashAggregate", "BroadcastHashJoin", "!CartesianProduct"],
+        ),
+        "events_fd_candidates": (
+            # per-candidate expand + two-phase distinct aggregate; union
+            # of 1-row results
+            lambda: relops.events_fd_candidates(spark, SF),
+            ["HashAggregate", "Union", "!SortMergeJoin"],
+        ),
+        "events_column_entropy": (
+            # per-column value-keyed partial agg then 1-row rollup
+            lambda: relops.events_column_entropy(spark, SF),
+            ["HashAggregate", "Union", "!SortMergeJoin",
+             "!BroadcastHashJoin"],
+        ),
+        "metric_selectivity_est": (
+            # 1-row stats broadcast over the scan, B-row bucket groupBy,
+            # filtered count — no windows, no big joins
+            lambda: metrics.selectivity_est(spark, SF),
+            ["HashAggregate", "!SortMergeJoin", "!Window"],
+        ),
     }
 
     lines = [
