@@ -307,6 +307,8 @@ BENCH_QUERIES = {
     "events_fd_candidates": relops.events_fd_candidates,
     "events_column_entropy": relops.events_column_entropy,
     "metric_selectivity_est": metrics.selectivity_est,
+    "kg_ontology_cycle_check": hierarchy.cycle_check,
+    "events_grouping_sets": relops.events_grouping_sets,
 }
 
 

@@ -813,3 +813,75 @@ JOIN ic ia ON ia.cui = lp.a
 JOIN ic ib ON ib.cui = lp.b
 JOIN ic il ON il.cui = lp.lca
 """
+
+
+# ---------------------------------------------------------------------------
+# Ontology DAG integrity: cycle audit over the IS_A closure.
+# ---------------------------------------------------------------------------
+
+def cycle_check(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """(n_nodes, n_edges, n_closure_pairs, n_self_reach, is_dag): the
+    ontology-integrity audit a KG loader runs before trusting IS_A
+    subsumption — a hierarchy with a cycle makes every closure-based
+    rollup wrong (category counts double, depths diverge), so the gate
+    is: no concept may be its own ancestor.  n_self_reach counts closure
+    rows with concept = ancestor; is_dag iff zero.
+
+    Plan: composes the already-gated semi-naive closure; the audit
+    itself is one row-count aggregate per side over the (tiny, broadcast
+    -scale) hierarchy tables."""
+    edges = _edges_df(spark)
+    clo = ontology_closure(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("cui").alias("n"))
+        .unionByName(edges.select(F.col("ancestor").alias("n")))
+        .distinct()
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .crossJoin(
+            F.broadcast(
+                edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                clo.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_closure_pairs"),
+                    F.sum(
+                        (F.col("cui") == F.col("ancestor")).cast("int")
+                    )
+                    .cast("bigint")
+                    .alias("n_self_reach"),
+                )
+            )
+        )
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_closure_pairs",
+            "n_self_reach",
+            (F.col("n_self_reach") == 0).alias("is_dag"),
+        )
+    )
+
+
+def sql_cycle_check() -> str:
+    return f"""
+WITH clo AS ({sql_ontology_closure()}),
+{_sql_hier_cte().lstrip()},
+nodes AS (
+  SELECT cui AS n FROM hier UNION SELECT ancestor FROM hier
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_closure_pairs,
+         CAST(SUM(CASE WHEN cui = ancestor THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_self_reach
+  FROM clo
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hier) AS n_edges,
+       a.n_closure_pairs, a.n_self_reach,
+       a.n_self_reach = 0 AS is_dag
+FROM a
+"""

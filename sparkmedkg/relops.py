@@ -5336,3 +5336,55 @@ FROM (
 )"""
         )
     return "\n" + "\nUNION ALL\n".join(parts) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS rollup (multi-granularity report in one pass).
+# ---------------------------------------------------------------------------
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hod, gid, n, sum_cents): the four report grains —
+    (type, hour-of-day), (type), (hour-of-day), grand total — computed in
+    ONE scan via GROUP BY GROUPING SETS, with GROUPING_ID disambiguating
+    the all-NULL placeholder rows.  The multi-granularity dashboard shape
+    that CUBE (events_cube) generalizes; spelled with explicit sets here
+    because real reports want a chosen subset, not the full lattice.
+
+    hod is the tz-proof integer hour-of-day (epoch-us div hour mod 24).
+    Plan: Spark expands the input once per set and runs a single
+    partial-aggregated shuffle — same cost profile as one groupBy, no
+    self-union of four scans."""
+    _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"div(unix_micros(cast(ts as timestamp)), {3_600_000_000})")
+        .__mod__(24)
+        .alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+SELECT event_type, hod,
+       CAST(grouping_id(event_type, hod) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM _gs_events
+GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+"""
+    )
+
+
+def sql_events_grouping_sets() -> str:
+    return """
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, hod,
+       CAST(grouping_id(event_type, hod) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM e
+GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
+"""

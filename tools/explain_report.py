@@ -935,6 +935,12 @@ def main() -> None:
             lambda: metrics.selectivity_est(spark, SF),
             ["HashAggregate", "!SortMergeJoin", "!Window"],
         ),
+        "events_grouping_sets": (
+            # Expand feeding ONE partial-aggregated shuffle — not four
+            # scans unioned
+            lambda: relops.events_grouping_sets(spark, SF),
+            ["Expand", "HashAggregate", "!Union", "!SortMergeJoin"],
+        ),
     }
 
     lines = [
