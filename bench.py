@@ -309,6 +309,7 @@ BENCH_QUERIES = {
     "metric_selectivity_est": metrics.selectivity_est,
     "kg_ontology_cycle_check": hierarchy.cycle_check,
     "events_grouping_sets": relops.events_grouping_sets,
+    "mm_video_neardup": multimodal.video_neardup_pairs,
 }
 
 

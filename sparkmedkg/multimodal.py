@@ -593,3 +593,159 @@ SELECT modality, n_items, total_bytes,
        CAST(total_bytes * 1000000 // all_bytes AS BIGINT) AS pct_bytes_ppm
 FROM per CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate pairs: sampled-frame perceptual-hash containment.
+# ---------------------------------------------------------------------------
+
+FR_CELLS = 16        # per-frame average-hash cells
+FR_HOT_CAP = 32      # drop frame hashes seen in more than this many videos
+FR_TAU_PPM = 500_000  # containment threshold
+FR_MIN_FRAMES = 4     # ignore clips with fewer distinct frame hashes
+
+FRAME_HASH_SCHEMA = "doc_id bigint, fh string"
+
+
+def _frame_hash(data: bytes, i: int, nf: int) -> str:
+    """FR_CELLS-bit average-hash of fake frame ``i`` of ``nf`` (the frame
+    'pixels' are the payload's i-th length-L/nf byte slice — the decode
+    stand-in shared with _phash_bits' grid)."""
+    ln = len(data)
+    s = data[(i * ln) // nf:((i + 1) * ln) // nf]
+    m = len(s)
+    cells = [
+        sum(s[(j * m) // FR_CELLS:((j + 1) * m) // FR_CELLS])
+        for j in range(FR_CELLS)
+    ]
+    total = sum(cells)
+    return "".join("1" if c * FR_CELLS > total else "0" for c in cells)
+
+
+def video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, n_shared, na, nb, containment_ppm): near-duplicate VIDEO
+    pairs by sampled-frame fingerprint containment — the multimodal
+    sibling of dedup_containment: sample ~FRAME_BUDGET frames per clip
+    (the frame_sample stride), perceptual-hash each frame, and call two
+    clips near-dups when the smaller clip's distinct frame-hash set is
+    >= FR_TAU_PPM contained in the other's.  Catches re-encodes, trims
+    and resolution changes that byte-exact dedup misses.  Clips with
+    fewer than FR_MIN_FRAMES distinct kept frame hashes are excluded
+    (a 1-frame fingerprint matches by chance).
+
+    Scale shape: candidates come ONLY from the frame-hash equi-join —
+    never a clip-pair cross join; boilerplate frame hashes (test
+    patterns, black frames) are dropped by the FR_HOT_CAP document-
+    frequency cap on BOTH the numerator and the per-clip denominators
+    (the dedup_containment recipe), so no hash bucket explodes.  The
+    hashing itself rides the Arrow mapInPandas decode lane; real codecs
+    slot into ``decode_image`` without changing the plan."""
+    docs = with_payload(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "payload")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                nf = len(data) % FAKE_FPS_MOD + 1
+                st = max(1, nf // FRAME_BUDGET)
+                for i in range(0, nf, st):
+                    rows.append((int(doc_id), _frame_hash(data, i, nf)))
+            yield pd.DataFrame(rows, columns=["doc_id", "fh"])
+
+    fhs = docs.mapInPandas(fn, FRAME_HASH_SCHEMA).distinct()
+    df_cap = (
+        fhs.groupBy("fh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") <= FR_HOT_CAP)
+        .select("fh")
+    )
+    kept = fhs.join(F.broadcast(df_cap), "fh")
+    sizes = (
+        kept.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nsz"))
+        .where(F.col("nsz") >= FR_MIN_FRAMES)
+    )
+    kept = kept.join(sizes.select("doc_id"), "doc_id")
+    a = kept.select(F.col("doc_id").alias("a"), "fh")
+    b = kept.select(F.col("doc_id").alias("b"), "fh")
+    pairs = (
+        a.join(b, "fh")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("a"),
+                                F.col("nsz").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("nsz").alias("nb")), "b")
+        .where(
+            F.expr(f"n_shared * 1000000 div least(na, nb) >= {FR_TAU_PPM}")
+        )
+        .select(
+            "a", "b", "n_shared", "na", "nb",
+            F.expr("n_shared * 1000000 div least(na, nb)")
+            .cast("bigint")
+            .alias("containment_ppm"),
+        )
+    )
+
+
+def sql_video_neardup_pairs() -> str:
+    ln = "length(text)"
+    nf = f"({ln} % {FAKE_FPS_MOD} + 1)"
+    st = f"greatest(1, {nf} // {FRAME_BUDGET})"
+    # frame i slice bounds over the ASCII payload (1-based list_slice)
+    sl = "list_slice(cs, (i * ln) // nf + 1, ((i + 1) * ln) // nf)"
+    cell = (
+        "COALESCE(list_sum([ascii(c) for c in "
+        "list_slice(s, (j * len(s)) // 16 + 1, ((j + 1) * len(s)) // 16)]),"
+        " 0)"
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, string_split(text, '') AS cs, {nf} AS nf, {st} AS st,
+         {ln} AS ln
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, {sl} AS s
+  FROM raw, UNNEST(range(0, nf, st)) AS t(i)
+),
+cells AS (
+  SELECT doc_id,
+         [{cell} for j in generate_series(0, {FR_CELLS - 1})] AS cl
+  FROM frames
+),
+fhs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(
+           [CASE WHEN c * {FR_CELLS} > list_sum(cl) THEN '1' ELSE '0' END
+            for c in cl], '') AS fh
+  FROM cells
+),
+kept AS (
+  SELECT f.doc_id, f.fh FROM fhs f
+  JOIN (SELECT fh FROM fhs GROUP BY fh
+        HAVING COUNT(*) <= {FR_HOT_CAP}) ok ON f.fh = ok.fh
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsz
+          FROM kept GROUP BY 1
+          HAVING COUNT(*) >= {FR_MIN_FRAMES}),
+kept2 AS (SELECT k.* FROM kept k JOIN sizes s ON k.doc_id = s.doc_id),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept2 x JOIN kept2 y ON x.fh = y.fh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, p.n_shared, sa.nsz AS na, sb.nsz AS nb,
+       CAST(p.n_shared * 1000000 // LEAST(sa.nsz, sb.nsz) AS BIGINT)
+         AS containment_ppm
+FROM pairs p
+JOIN sizes sa ON p.a = sa.doc_id
+JOIN sizes sb ON p.b = sb.doc_id
+WHERE p.n_shared * 1000000 // LEAST(sa.nsz, sb.nsz) >= {FR_TAU_PPM}
+"""
