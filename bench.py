@@ -310,6 +310,7 @@ BENCH_QUERIES = {
     "kg_ontology_cycle_check": hierarchy.cycle_check,
     "events_grouping_sets": relops.events_grouping_sets,
     "mm_video_neardup": multimodal.video_neardup_pairs,
+    "kg_context_patterns": relations.q_context_patterns,
 }
 
 

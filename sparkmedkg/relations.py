@@ -2193,3 +2193,189 @@ SELECT p.doc_id, p.cui AS CUI, p.tf, p.first_idx, l.n_toks,
             // (p.tf + 1) AS BIGINT) AS salience_ppm
 FROM per p JOIN lens l ON p.doc_id = l.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Predicate surface-pattern mining (lexicalized relation induction).
+# ---------------------------------------------------------------------------
+
+PATTERN_TOPK = 3
+
+
+def q_context_patterns(
+    spark: SparkSession,
+    sf_dir: str,
+    max_gap: int = MAX_GAP,
+    topk: int = PATTERN_TOPK,
+) -> DataFrame:
+    """(l1, l2, pattern, n_occ, rk): the top-``topk`` intervening token
+    sequences between subject and object occurrences, per (subject
+    label, object label) pair — Hearst-style lexicalized pattern
+    induction: where PRED_BY_PAIR types the predicate from the schema,
+    this mines WHAT THE TEXT SAYS between the arguments ('' = adjacent),
+    the evidence a curator reads before naming a new predicate.
+
+    Plan: the bounded (doc, position) pair join (same shape as
+    q_relations) re-joins the token arrays by doc_id to slice the gap
+    span JVM-side; the rollup groups by the 16-ish (label-pair, pattern)
+    key and the top-k window runs over that aggregate, never the
+    occurrence stream."""
+    from pyspark.sql import Window as W
+
+    occ = mention_occurrences(spark, sf_dir)
+    subj = occ.select(
+        "doc_id",
+        F.col("end_idx").alias("a_end"),
+        F.col("label").alias("l1"),
+        F.explode(
+            F.sequence(F.col("end_idx") + 1, F.col("end_idx") + 1 + max_gap)
+        ).alias("tgt"),
+    )
+    obj = occ.select(
+        F.col("doc_id").alias("o_doc"),
+        F.col("start_idx").alias("b_start"),
+        F.col("label").alias("l2"),
+    )
+    words = _read_docs(spark, sf_dir).select(
+        "doc_id", F.split(F.lower("text"), " ").alias("ws")
+    )
+    pairs = (
+        subj.join(
+            obj,
+            (subj["doc_id"] == obj["o_doc"])
+            & (subj["tgt"] == obj["b_start"]),
+        )
+        .join(words, "doc_id")
+        .select(
+            "l1",
+            "l2",
+            F.array_join(
+                F.slice(
+                    F.col("ws"),
+                    F.col("a_end") + 2,
+                    F.greatest(
+                        F.col("b_start") - F.col("a_end") - 1, F.lit(0)
+                    ),
+                ),
+                " ",
+            ).alias("pattern"),
+        )
+    )
+    counts = pairs.groupBy("l1", "l2", "pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    w = W.partitionBy("l1", "l2").orderBy(
+        F.desc("n_occ"), F.asc("pattern")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= topk)
+    )
+
+
+def sql_context_patterns(
+    max_gap: int = MAX_GAP, topk: int = PATTERN_TOPK
+) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_SQL_OCC_CTES.lstrip()},
+pairs AS (
+  SELECT a.label AS l1, b.label AS l2,
+         -- COALESCE: an empty slice stringifies to NULL in DuckDB,
+         -- '' in Spark's array_join
+         COALESCE(array_to_string(
+           list_slice(t.ws, a.end_idx + 2, b.start_idx), ' '), '')
+           AS pattern
+  FROM occ a
+  JOIN occ b ON a.doc_id = b.doc_id
+            AND b.start_idx - a.end_idx BETWEEN 1 AND {max_gap + 1}
+  JOIN toks t ON t.doc_id = a.doc_id
+),
+counts AS (
+  SELECT l1, l2, pattern, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT l1, l2, pattern, n_occ, rk FROM (
+  SELECT l1, l2, pattern, n_occ,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY l1, l2 ORDER BY n_occ DESC, pattern ASC
+         ) AS BIGINT) AS rk
+  FROM counts
+) WHERE rk <= {topk}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction-sensitivity ablation: fact overlap across gap settings.
+# ---------------------------------------------------------------------------
+
+def q_gap_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_facts_g1, n_facts_g2, n_shared, jaccard_ppm, growth_ppm): how
+    sensitive the extracted fact set is to the co-occurrence window —
+    the distinct typed triples at max_gap=1 vs the default max_gap=2.
+    A small Jaccard says the window is load-bearing (facts are
+    window-artifacts); growth_ppm = extra facts per million when the
+    window widens.  The ablation a KG builder publishes with the
+    extraction config.
+
+    Plan: two runs of the bounded extraction chain (the narrower one
+    strictly cheaper), one (3-col) distinct join for the intersection,
+    1-row rollup."""
+    g1 = q_relations(spark, sf_dir, max_gap=1).select(*FACT).distinct()
+    g2 = q_relations(spark, sf_dir, max_gap=MAX_GAP).select(*FACT).distinct()
+    shared = g1.join(g2, FACT)
+    return (
+        g1.agg(F.count(F.lit(1)).cast("bigint").alias("n_facts_g1"))
+        .crossJoin(
+            F.broadcast(
+                g2.agg(F.count(F.lit(1)).cast("bigint").alias("n_facts_g2"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                shared.agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+            )
+        )
+        .select(
+            "n_facts_g1",
+            "n_facts_g2",
+            "n_shared",
+            F.expr(
+                "n_shared * 1000000"
+                " div (n_facts_g1 + n_facts_g2 - n_shared)"
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+            F.expr(
+                "(n_facts_g2 - n_shared) * 1000000"
+                " div greatest(n_facts_g1, 1)"
+            )
+            .cast("bigint")
+            .alias("growth_ppm"),
+        )
+    )
+
+
+def sql_gap_ablation() -> str:
+    return f"""
+WITH g1 AS (
+  SELECT DISTINCT subj_cui, pred, obj_cui FROM ({sql_relations(1)}) x
+),
+g2 AS (
+  SELECT DISTINCT subj_cui, pred, obj_cui FROM ({sql_relations(MAX_GAP)}) y
+),
+sh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM g1 JOIN g2 USING (subj_cui, pred, obj_cui)
+),
+c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_facts_g1 FROM g1),
+c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_facts_g2 FROM g2)
+SELECT c1.n_facts_g1, c2.n_facts_g2, sh.n_shared,
+       CAST(sh.n_shared * 1000000
+            // (c1.n_facts_g1 + c2.n_facts_g2 - sh.n_shared) AS BIGINT)
+         AS jaccard_ppm,
+       CAST((c2.n_facts_g2 - sh.n_shared) * 1000000
+            // GREATEST(c1.n_facts_g1, 1) AS BIGINT) AS growth_ppm
+FROM c1 CROSS JOIN c2 CROSS JOIN sh
+"""
