@@ -941,6 +941,24 @@ def main() -> None:
             lambda: relops.events_grouping_sets(spark, SF),
             ["Expand", "HashAggregate", "!Union", "!SortMergeJoin"],
         ),
+        "mm_video_neardup": (
+            # Arrow decode lane; candidates only via the frame-hash
+            # equi-join (df-capped) — never a clip-pair cross join
+            lambda: multimodal.video_neardup_pairs(spark, SF),
+            ["MapInPandas", "HashAggregate", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
+        "kg_context_patterns": (
+            # bounded pair join + token-array re-join; top-k window over
+            # the label-pair aggregate only
+            lambda: relations.q_context_patterns(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "metric_gap_ablation": (
+            # two bounded extraction chains + a 3-col distinct join
+            lambda: relations.q_gap_ablation(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
     }
 
     lines = [
