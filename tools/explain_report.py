@@ -103,8 +103,11 @@ def main() -> None:
         "kg_relations": (
             # posexplode + broadcast lexicon join fuse (Generate feeding a
             # BroadcastHashJoin); the pair join is a (doc_id, position)
-            # equi-join — no Cartesian / nested-loop anywhere
-            lambda: relations.q_relations(spark, SF),
+            # equi-join — no Cartesian / nested-loop anywhere.
+            # use_cache=False: audit the full declarative plan (the
+            # session-memoized variant runs this exact plan once, then
+            # serves the checkpointed 4x4-bounded result table)
+            lambda: relations.q_relations(spark, SF, use_cache=False),
             ["Generate", "BroadcastHashJoin", "!CartesianProduct",
              "!BroadcastNestedLoop"],
         ),
