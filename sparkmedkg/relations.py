@@ -2435,3 +2435,165 @@ SELECT c1.n_facts_g1, c2.n_facts_g2, sh.n_shared,
             // GREATEST(c1.n_facts_g1, 1) AS BIGINT) AS growth_ppm
 FROM c1 CROSS JOIN c2 CROSS JOIN sh
 """
+
+
+# ---------------------------------------------------------------------------
+# Forward-chaining rule application (KG completion from mined rules).
+# ---------------------------------------------------------------------------
+
+RULE_CONF_MIN_PPM = 500_000  # apply only rules with std-confidence >= 0.5
+
+
+def q_rule_inference(
+    spark: SparkSession,
+    sf_dir: str,
+    min_conf_ppm: int = RULE_CONF_MIN_PPM,
+    fanout_cap: int = CHAIN_FANOUT_CAP,
+) -> DataFrame:
+    """(rule_type, head_pred, body_pred_1, body_pred_2, subj_cui,
+    obj_cui, conf_ppm): ONE forward-chaining step of the mined AMIE
+    rules — every NEW fact (not already extracted from text) that a
+    confident rule derives, tagged with the rule that produced it and
+    its confidence.  This is the KG-completion payoff of rule mining:
+    inverse rules materialize the missing direction of asymmetric
+    extractions; chain rules bridge 2-hop compositions.  One fact can
+    appear once per deriving rule (it's a provenance table — the loader
+    aggregates confidence, e.g. by noisy-or, before merging).
+
+    Scale shape: rules are a broadcast-sized table joined on the
+    predicate column; the chain body reuses the SAME hot-mid cap
+    (din*dout > fanout_cap) as the miner, so inference can never blow up
+    on a hub the miner refused to count; the new-fact check is one
+    anti-join against the fact table."""
+    facts = q_relations(spark, sf_dir).select(*FACT).distinct()
+    rules = q_amie_rules(spark, sf_dir, fanout_cap=fanout_cap).where(
+        F.col("conf_ppm") >= min_conf_ppm
+    )
+    inv_rules = rules.where(F.col("rule_type") == "inverse").select(
+        "head_pred", "body_pred_1", "conf_ppm"
+    )
+    inv = (
+        facts.join(
+            F.broadcast(inv_rules),
+            facts["pred"] == inv_rules["body_pred_1"],
+        )
+        .select(
+            F.lit("inverse").alias("rule_type"),
+            "head_pred",
+            "body_pred_1",
+            F.lit("").alias("body_pred_2"),
+            F.col("obj_cui").alias("s"),
+            F.col("subj_cui").alias("o"),
+            "conf_ppm",
+        )
+    )
+    ch_rules = rules.where(F.col("rule_type") == "chain").select(
+        "head_pred", "body_pred_1", "body_pred_2", "conf_ppm"
+    )
+    din = facts.groupBy(F.col("obj_cui").alias("z")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    dout = facts.groupBy(F.col("subj_cui").alias("z")).agg(
+        F.count(F.lit(1)).alias("dout")
+    )
+    hot = (
+        din.join(dout, "z")
+        .where(F.col("din") * F.col("dout") > fanout_cap)
+        .select("z")
+    )
+    b1 = facts.select(
+        F.col("pred").alias("p1"),
+        F.col("subj_cui").alias("x"),
+        F.col("obj_cui").alias("z"),
+    ).join(F.broadcast(hot), "z", "left_anti")
+    b2 = facts.select(
+        F.col("pred").alias("p2"),
+        F.col("subj_cui").alias("z"),
+        F.col("obj_cui").alias("y"),
+    )
+    chain = (
+        b1.join(b2, "z")
+        .where(F.col("x") != F.col("y"))
+        .join(
+            F.broadcast(ch_rules),
+            (F.col("p1") == F.col("body_pred_1"))
+            & (F.col("p2") == F.col("body_pred_2")),
+        )
+        .select(
+            F.lit("chain").alias("rule_type"),
+            "head_pred",
+            "body_pred_1",
+            "body_pred_2",
+            F.col("x").alias("s"),
+            F.col("y").alias("o"),
+            "conf_ppm",
+        )
+        .distinct()
+    )
+    cand = inv.unionByName(chain)
+    existing = facts.select(
+        F.col("pred").alias("head_pred"),
+        F.col("subj_cui").alias("s"),
+        F.col("obj_cui").alias("o"),
+    )
+    return (
+        cand.join(existing, ["head_pred", "s", "o"], "left_anti")
+        .where(F.col("s") != F.col("o"))
+        .select(
+            "rule_type",
+            "head_pred",
+            "body_pred_1",
+            "body_pred_2",
+            F.col("s").alias("subj_cui"),
+            F.col("o").alias("obj_cui"),
+            "conf_ppm",
+        )
+        .distinct()
+    )
+
+
+def sql_rule_inference(
+    min_conf_ppm: int = RULE_CONF_MIN_PPM,
+    fanout_cap: int = CHAIN_FANOUT_CAP,
+    max_gap: int = MAX_GAP,
+) -> str:
+    return f"""
+WITH {_sql_facts_ctes(max_gap)},
+rules AS MATERIALIZED (
+  SELECT * FROM ({sql_amie_rules()}) r WHERE r.conf_ppm >= {min_conf_ppm}
+),
+f AS MATERIALIZED (SELECT subj_cui, pred, obj_cui FROM facts),
+inv AS (
+  SELECT 'inverse' AS rule_type, r.head_pred, r.body_pred_1,
+         '' AS body_pred_2, f.obj_cui AS s, f.subj_cui AS o, r.conf_ppm
+  FROM f JOIN rules r
+    ON r.rule_type = 'inverse' AND f.pred = r.body_pred_1
+),
+din AS (SELECT obj_cui AS z, COUNT(*) AS din FROM f GROUP BY 1),
+dout AS (SELECT subj_cui AS z, COUNT(*) AS dout FROM f GROUP BY 1),
+hot AS (
+  SELECT din.z FROM din JOIN dout ON din.z = dout.z
+  WHERE din.din * dout.dout > {fanout_cap}
+),
+b1 AS (
+  SELECT pred AS p1, subj_cui AS x, obj_cui AS z FROM f
+  WHERE obj_cui NOT IN (SELECT z FROM hot)
+),
+chain AS (
+  SELECT DISTINCT 'chain' AS rule_type, r.head_pred, r.body_pred_1,
+         r.body_pred_2, b1.x AS s, b2.obj_cui AS o, r.conf_ppm
+  FROM b1
+  JOIN f b2 ON b1.z = b2.subj_cui AND b1.x <> b2.obj_cui
+  JOIN rules r ON r.rule_type = 'chain'
+             AND b1.p1 = r.body_pred_1 AND b2.pred = r.body_pred_2
+),
+cand AS (SELECT * FROM inv UNION ALL SELECT * FROM chain)
+SELECT DISTINCT c.rule_type, c.head_pred, c.body_pred_1, c.body_pred_2,
+       c.s AS subj_cui, c.o AS obj_cui, c.conf_ppm
+FROM cand c
+WHERE c.s <> c.o
+  AND NOT EXISTS (
+    SELECT 1 FROM f WHERE f.pred = c.head_pred
+      AND f.subj_cui = c.s AND f.obj_cui = c.o
+  )
+"""
