@@ -311,6 +311,7 @@ BENCH_QUERIES = {
     "events_grouping_sets": relops.events_grouping_sets,
     "mm_video_neardup": multimodal.video_neardup_pairs,
     "kg_context_patterns": relations.q_context_patterns,
+    "kg_rule_inference": relations.q_rule_inference,
 }
 
 

@@ -962,6 +962,13 @@ def main() -> None:
             lambda: relations.q_gap_ablation(spark, SF),
             ["HashAggregate", "!CartesianProduct"],
         ),
+        "kg_rule_inference": (
+            # broadcast rule joins on the predicate column; chain body is
+            # the capped z equi-join; new-fact check is one anti-join
+            lambda: relations.q_rule_inference(spark, SF),
+            ["BroadcastHashJoin", "!CartesianProduct",
+             "!BroadcastNestedLoop"],
+        ),
     }
 
     lines = [
