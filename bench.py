@@ -312,6 +312,8 @@ BENCH_QUERIES = {
     "mm_video_neardup": multimodal.video_neardup_pairs,
     "kg_context_patterns": relations.q_context_patterns,
     "kg_rule_inference": relations.q_rule_inference,
+    "corpus_pii_residual_audit": webclean.pii_residual_audit,
+    "emb_class_balance": trainprep.class_balance_plan,
 }
 
 

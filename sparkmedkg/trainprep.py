@@ -937,3 +937,75 @@ WHERE NOT EXISTS (
   WHERE q.x >= r.x AND q.y >= r.y AND (q.x > r.x OR q.y > r.y)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling plan (training-label rebalance).
+# ---------------------------------------------------------------------------
+
+def class_balance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_before, n_after, kept_share_ppm): deterministic
+    balanced-downsample plan over the labeled embedding table — every
+    class is cut to the minority class's size by keeping the md5-lowest
+    vec_ids (the same engine-reproducible hash-order trick as
+    stratified_sample: no rand(), no seed drift on partition retry).
+    The summary a training-data pipeline logs before fitting anything on
+    an imbalanced label.
+
+    Plan: one class-count aggregate (broadcast back as the 1-row min),
+    one per-class hash-rank window (classes are the bounded partition
+    key), one class-sized rollup."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    counts = e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    target = counts.agg(F.min("n_before").alias("target"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(target)
+    )
+    after = (
+        ranked.where(F.col("rn") <= F.col("target"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_after"))
+    )
+    return (
+        counts.join(after, "label")
+        .select(
+            "label",
+            "n_before",
+            "n_after",
+            F.expr("n_after * 1000000 div n_before")
+            .cast("bigint")
+            .alias("kept_share_ppm"),
+        )
+    )
+
+
+def sql_class_balance_plan() -> str:
+    return """
+WITH e AS (SELECT vec_id, label FROM embeddings),
+counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_before FROM e GROUP BY 1
+),
+t AS (SELECT MIN(n_before) AS target FROM counts),
+ranked AS (
+  SELECT label,
+         ROW_NUMBER() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rn
+  FROM e
+),
+after AS (
+  SELECT r.label, CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM ranked r CROSS JOIN t WHERE r.rn <= t.target GROUP BY 1
+)
+SELECT c.label, c.n_before, a.n_after,
+       CAST(a.n_after * 1000000 // c.n_before AS BIGINT) AS kept_share_ppm
+FROM counts c JOIN after a ON c.label = a.label
+"""

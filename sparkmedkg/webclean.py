@@ -1208,3 +1208,56 @@ dups AS (
 SELECT p.doc_id, p.n_chunks, COALESCE(x.n_dup_chunks, 0) AS n_dup_chunks
 FROM per_doc p LEFT JOIN dups x ON p.doc_id = x.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction residual audit (governance release gate).
+# ---------------------------------------------------------------------------
+
+def pii_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_rows, phones_redacted, nums_redacted, residual_phones,
+    residual_nums, clean): the release gate on top of pii_redact — after
+    redaction, re-scan the OUTPUT with the SAME patterns and prove the
+    residual match count is zero.  Redaction without a residual audit is
+    a claim, not a control: a pattern drift (new phone format, partial
+    replace) shows up here as clean=false before any data ships.
+
+    Plan: composes the gated map-only redaction pass; the audit adds two
+    more regexp counts to the same projection and one 1-row rollup."""
+    r = pii_redact(spark, sf_dir)
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("n_phones").cast("bigint").alias("phones_redacted"),
+        F.sum("n_nums").cast("bigint").alias("nums_redacted"),
+        F.sum(F.regexp_count(F.col("redacted"), F.lit(PHONE_RE)))
+        .cast("bigint")
+        .alias("residual_phones"),
+        F.sum(F.regexp_count(F.col("redacted"), F.lit(NUM_RE)))
+        .cast("bigint")
+        .alias("residual_nums"),
+    ).select(
+        "n_rows",
+        "phones_redacted",
+        "nums_redacted",
+        "residual_phones",
+        "residual_nums",
+        ((F.col("residual_phones") == 0) & (F.col("residual_nums") == 0))
+        .alias("clean"),
+    )
+
+
+def sql_pii_residual_audit() -> str:
+    return rf"""
+WITH r AS ({sql_pii_redact()})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_redacted,
+       CAST(SUM(n_nums) AS BIGINT) AS nums_redacted,
+       CAST(SUM(len(regexp_extract_all(redacted, '{PHONE_RE}')))
+            AS BIGINT) AS residual_phones,
+       CAST(SUM(len(regexp_extract_all(redacted, '{NUM_RE}')))
+            AS BIGINT) AS residual_nums,
+       SUM(len(regexp_extract_all(redacted, '{PHONE_RE}'))) = 0
+         AND SUM(len(regexp_extract_all(redacted, '{NUM_RE}'))) = 0
+         AS clean
+FROM r
+"""
