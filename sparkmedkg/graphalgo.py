@@ -4213,3 +4213,67 @@ SELECT (SELECT MIN(src) FROM ed) AS seed,
        CAST((SELECT MAX(dist) FROM s{max_hops}) AS BIGINT) AS diameter_lb,
        CAST((SELECT COUNT(*) FROM s{max_hops}) AS BIGINT) AS n_reached
 """
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style one-layer neighbor aggregation.
+# ---------------------------------------------------------------------------
+
+def q_sage_agg(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(CUI, deg, nbr_deg_sum, nbr_deg_max, nbr_deg_mean_milli): one
+    GraphSAGE aggregation layer over the co-occurrence KG with the node's
+    degree as the input feature — h1(v) = concat(own feature, pooled
+    neighbor features) with mean AND max pooling, the message-passing
+    primitive every GNN stack (SAGE/GCN/GIN) builds on.  The mean rides
+    exact integer milli floor-division, so the layer is bit-identical
+    cross-engine (a float GNN would train on these exact shapes).
+
+    Scale: degrees are one partial-agg shuffle over edges; the
+    neighbor-feature fetch is ONE self-equi-join of edges against the
+    |V|-row degree table (broadcast-able for dimension-sized graphs, AQE
+    picks otherwise); pooling re-uses the edge shuffle key.  Deeper
+    layers iterate the same join — cost O(layers * |E|), the standard
+    distributed GNN aggregation schedule, with hub skew handled by the
+    same AQE skew-split as the wedge ops."""
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = edges.join(
+        deg.select(F.col("src").alias("dst"), F.col("deg").alias("ndeg")),
+        "dst",
+    )
+    agg = nbr.groupBy("src").agg(
+        F.sum("ndeg").alias("nbr_deg_sum"),
+        F.max("ndeg").alias("nbr_deg_max"),
+        F.count(F.lit(1)).alias("n_nbr"),
+    )
+    return deg.join(agg, "src").select(
+        F.col("src").alias("CUI"),
+        "deg",
+        "nbr_deg_sum",
+        "nbr_deg_max",
+        F.expr("div(nbr_deg_sum * 1000, n_nbr)")
+        .cast("bigint")
+        .alias("nbr_deg_mean_milli"),
+    )
+
+
+def sql_sage_agg(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nbr AS (
+  SELECT e.src, d.deg AS ndeg
+  FROM edges e JOIN deg d ON d.src = e.dst
+),
+agg AS (
+  SELECT src, SUM(ndeg) AS s, MAX(ndeg) AS m, COUNT(*) AS n
+  FROM nbr GROUP BY src
+)
+SELECT d.src AS CUI, CAST(d.deg AS BIGINT) AS deg,
+       CAST(a.s AS BIGINT) AS nbr_deg_sum,
+       CAST(a.m AS BIGINT) AS nbr_deg_max,
+       CAST(a.s * 1000 // a.n AS BIGINT) AS nbr_deg_mean_milli
+FROM deg d JOIN agg a ON a.src = d.src
+"""

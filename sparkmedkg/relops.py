@@ -5388,3 +5388,114 @@ SELECT event_type, hod,
 FROM e
 GROUP BY GROUPING SETS ((event_type, hod), (event_type), (hod), ())
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (PrefixSpan-style length-2 patterns).
+# ---------------------------------------------------------------------------
+
+SEQ_PPM = 1_000_000
+
+
+def events_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(type_a, type_b, n_users, support_ppm, lift_ppm): distinct-user
+    support of the sequential pattern "some `type_a` event happens strictly
+    before some `type_b` event" — the length-2 core of PrefixSpan-style
+    sequential pattern mining, which (unlike the consecutive-transition
+    Markov table, events_markov_transitions) counts ANY-gap ordered
+    occurrence.  `lift_ppm` rates the pattern against independence:
+    n_users * n_total * 1e6 div (n_users_with_a * n_users_with_b), exact
+    integer.  A user supports a->b iff min_ts(a) < max_ts(b); a->a
+    requires two occurrences at distinct timestamps.
+
+    Scale: the raw stream collapses to one (user, type) partial-agg
+    shuffle (<= |users|*|types| rows); the per-user self-join fans out at
+    most |types|^2 per user on the already-aggregated table; the final
+    pattern count is map-side combinable, and both marginal tables ride
+    broadcast joins.  No window over the raw stream, no per-user
+    sequence materialization — 10^12 events reduce before any join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts_us").alias("min_ts"), F.max("ts_us").alias("max_ts")
+    )
+    tot = per.select(F.countDistinct("user_id").alias("n_total"))
+    tu = per.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = per.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("min_ts").alias("a_min"),
+    )
+    b = per.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("max_ts").alias("b_max"),
+    )
+    counts = (
+        a.join(b, "user_id")
+        .where(F.col("a_min") < F.col("b_max"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(
+                tu.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_type").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                tu.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_type").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            F.expr(f"div(n_users * {SEQ_PPM}, n_total)")
+            .cast("bigint")
+            .alias("support_ppm"),
+            F.expr(f"div(n_users * n_total * {SEQ_PPM}, n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+def sql_events_seq_patterns() -> str:
+    return f"""
+WITH per AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM per),
+tu AS (SELECT event_type, COUNT(*) AS n_type FROM per GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM per a JOIN per b ON a.user_id = b.user_id
+  WHERE a.min_ts < b.max_ts
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_users,
+       CAST(n_users * {SEQ_PPM} // t.n_total AS BIGINT) AS support_ppm,
+       CAST(n_users * t.n_total * {SEQ_PPM} // (ta.n_type * tb.n_type)
+            AS BIGINT) AS lift_ppm
+FROM pairs
+CROSS JOIN tot t
+JOIN tu ta ON ta.event_type = pairs.type_a
+JOIN tu tb ON tb.event_type = pairs.type_b
+"""

@@ -1217,3 +1217,77 @@ SELECT event_type, n_above, n_below, runs,
             END AS z
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# SAX motif discovery over the densified hourly series.
+# ---------------------------------------------------------------------------
+
+SAX_ALPHA = 4   # alphabet size (quartile symbols)
+SAX_WORD = 3    # motif word length (hours)
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, word, n_occ): repeated SAX words per series — each
+    hour of the DENSIFIED hourly count series is symbolized to a quartile
+    symbol 1..SAX_ALPHA (rank-based SAX: NTILE over (count, hour), which is
+    the integer-exact stand-in for Gaussian-breakpoint SAX and needs no
+    float mean/stddev), consecutive symbols form sliding words of
+    ``SAX_WORD`` hours, and a word occurring >= 2 times inside one series
+    is a motif — the classic time-series motif-discovery primitive
+    (recurring daily/weekly shapes, periodicity fingerprints).
+
+    Determinism: NTILE over a TOTAL order (c, hr) is identical in Spark
+    and DuckDB (standard leading-groups-one-larger semantics); words are
+    digit strings; counts are exact.
+
+    Scale: the raw stream collapses to the (type, hour) partial-agg
+    shuffle first; both windows then run per-series on the aggregated
+    table (|types| * |hours| rows), and the motif count is map-side
+    combinable.  Hot series cost O(hours log hours) in their partition —
+    at 10^6 series x 10^4 hours this is embarrassingly parallel."""
+    series = _hourly_series(spark, sf_dir)
+    w_rank = Window.partitionBy("event_type").orderBy("c", "hr")
+    sym = series.select(
+        "event_type", "hr", F.ntile(SAX_ALPHA).over(w_rank).alias("sym")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("hr")
+    words = sym.select(
+        "event_type",
+        F.concat_ws(
+            "",
+            F.col("sym"),
+            F.lead("sym", 1).over(w_t),
+            F.lead("sym", 2).over(w_t),
+        ).alias("word"),
+        F.lead("sym", SAX_WORD - 1).over(w_t).alias("s_last"),
+    ).where(F.col("s_last").isNotNull())
+    return (
+        words.groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+    )
+
+
+def sql_events_sax_motifs() -> str:
+    return f"""
+WITH {_SQL_HOURLY},
+sym AS (
+  SELECT event_type, hr,
+         NTILE({SAX_ALPHA}) OVER (PARTITION BY event_type
+                                  ORDER BY c, hr) AS sym
+  FROM series
+),
+words AS (
+  SELECT event_type,
+         CAST(sym AS VARCHAR)
+           || CAST(LEAD(sym, 1) OVER w AS VARCHAR)
+           || CAST(LEAD(sym, 2) OVER w AS VARCHAR) AS word,
+         LEAD(sym, {SAX_WORD - 1}) OVER w AS s_last
+  FROM sym
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+)
+SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM words WHERE s_last IS NOT NULL
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
