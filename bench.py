@@ -314,6 +314,9 @@ BENCH_QUERIES = {
     "kg_rule_inference": relations.q_rule_inference,
     "corpus_pii_residual_audit": webclean.pii_residual_audit,
     "emb_class_balance": trainprep.class_balance_plan,
+    "events_seq_patterns": relops.events_seq_patterns,
+    "events_sax_motifs": statops.events_sax_motifs,
+    "kg_sage_agg": graphalgo.q_sage_agg,
 }
 
 
