@@ -317,6 +317,9 @@ BENCH_QUERIES = {
     "events_seq_patterns": relops.events_seq_patterns,
     "events_sax_motifs": statops.events_sax_motifs,
     "kg_sage_agg": graphalgo.q_sage_agg,
+    "kg_pathsim": relations.q_pathsim,
+    "events_stl_decompose": statops.events_stl_decompose,
+    "mm_audio_fingerprint": multimodal.audio_fingerprint_pairs,
 }
 
 

@@ -749,3 +749,131 @@ JOIN sizes sa ON p.a = sa.doc_id
 JOIN sizes sb ON p.b = sb.doc_id
 WHERE p.n_shared * 1000000 // LEAST(sa.nsz, sb.nsz) >= {FR_TAU_PPM}
 """
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint matching (landmark anchor-target pairs, Shazam-style).
+# ---------------------------------------------------------------------------
+
+AFP_FRAME = 16       # samples (bytes) per analysis frame
+AFP_FANOUT = 3       # target frames paired with each anchor frame
+AFP_MIN_SHARED = 4   # emit clip pairs sharing >= this many fingerprints
+AFP_HOT_CAP = 64     # drop fingerprints present in more clips than this
+
+
+def audio_fingerprint_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = AFP_MIN_SHARED,
+    hot_cap: int = AFP_HOT_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): clip pairs sharing >= ``min_shared``
+    landmark fingerprints — the constellation-map audio matcher
+    (Wang 2003, the Shazam paper): each AFP_FRAME-sample frame's peak
+    value is a landmark, and every (anchor_peak, target_peak, dt) triple
+    for targets within AFP_FANOUT frames packs into one integer
+    fingerprint.  Same fake-decode convention as the VAD op (sample value
+    = byte value; real codecs plug in at the decode seam), so the whole
+    matcher is exercised end to end on deterministic bytes.
+
+    Plan: framing, peak extraction and fingerprint packing are row-local
+    HOF arithmetic (map-only, the Arrow lane's JVM twin); per-clip
+    fingerprints dedup BEFORE the join; candidates come ONLY from the
+    fingerprint equi-join with a doc-frequency cap on hot fingerprints
+    (same contract as containment_pairs' hot-shingle cap) — never
+    all-pairs.  At 10^9 clips the fingerprint table is the only shuffle
+    and each key's fan-out is bounded by hot_cap^2."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    codes = F.transform(
+        F.filter(F.split(F.col("text"), ""), lambda c: c != ""),
+        lambda c: F.ascii(c),
+    )
+
+    def fps_of(pk):
+        idx = F.sequence(F.lit(1), F.size(pk))
+        per_anchor = F.transform(
+            idx,
+            lambda i: F.when(
+                F.size(pk) - i >= 1,
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(AFP_FANOUT), F.size(pk) - i)
+                    ),
+                    lambda dt: (
+                        F.element_at(pk, i) * 2048
+                        + F.element_at(pk, i + dt) * 8
+                        + dt
+                    ).cast("bigint"),
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        return F.flatten(per_anchor)
+
+    def of(cs):
+        nf = F.floor((F.size(cs) - 1) / AFP_FRAME).cast("int") + 1
+        peaks = F.transform(
+            F.sequence(F.lit(1), nf),
+            lambda f: F.array_max(
+                F.slice(cs, (f - 1) * AFP_FRAME + 1, AFP_FRAME)
+            ),
+        )
+        return F.element_at(F.transform(F.array(peaks), fps_of), 1)
+
+    fps = F.when(
+        F.length(F.col("text")) >= 1,
+        F.element_at(F.transform(F.array(codes), of), 1),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
+    )
+    ok = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .where(F.col("dfreq") <= hot_cap)
+        .select("fp")
+    )
+    f2 = ex.join(ok, "fp", "left_semi")
+    a = f2.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_a"))
+    b = f2.select(F.col("fp").alias("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_audio_fingerprint_pairs(
+    min_shared: int = AFP_MIN_SHARED, hot_cap: int = AFP_HOT_CAP
+) -> str:
+    codes = (
+        "[ascii(substring(text, i, 1)) "
+        "for i in generate_series(1, length(text))]"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {codes} AS cs FROM documents
+           WHERE length(text) >= 1),
+p AS (
+  SELECT doc_id,
+         [list_max(cs[(f - 1) * {AFP_FRAME} + 1 :
+                      (f - 1) * {AFP_FRAME} + {AFP_FRAME}])
+          for f in generate_series(1, (len(cs) - 1) // {AFP_FRAME} + 1)]
+         AS pk
+  FROM c
+),
+fps AS (
+  SELECT DISTINCT doc_id, CAST(u AS BIGINT) AS fp
+  FROM p, LATERAL UNNEST(
+    flatten([[pk[i] * 2048 + pk[i + dt] * 8 + dt
+              for dt in generate_series(1, least({AFP_FANOUT}, len(pk) - i))]
+             for i in generate_series(1, len(pk))])) t(u)
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {hot_cap}),
+f2 AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN ok o ON f.fp = o.fp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

@@ -2597,3 +2597,88 @@ WHERE c.s <> c.o
       AND f.subj_cui = c.s AND f.obj_cui = c.o
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# PathSim: metapath-normalized similarity (Sun et al., VLDB 2011).
+# ---------------------------------------------------------------------------
+
+PATHSIM_PPM = 1_000_000
+
+
+def q_pathsim(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(cui_a, cui_b, n_shared_docs, pathsim_ppm): PathSim similarity over
+    the symmetric Entity-Document-Entity metapath — s(i, j) = 2 * M_ij /
+    (M_ii + M_jj), where M_ij counts documents mentioning both entities
+    and M_ii the documents mentioning i at all.  Unlike the raw
+    co-occurrence count (kg_cooccurrence), PathSim normalizes away hub
+    visibility: two mid-frequency entities that always appear together
+    outrank a rare entity glued to a hub — the heterogeneous-graph
+    similarity used for typed top-k entity retrieval.  Exact integer ppm.
+
+    Plan: the (url, CUI) incidence builds once (shared _doc_cui lineage,
+    persisted); the commuting-matrix entries come from the SAME
+    support-thresholded pair join as the edge builder (never all-pairs —
+    candidates are bounded by per-doc entity counts); the |V|-row
+    diagonal broadcasts onto the pair aggregate."""
+    dc = _doc_cui(spark, sf_dir)
+    a = dc.select(F.col("url").alias("u"), F.col("CUI").alias("cui_a"))
+    b = dc.select(F.col("url").alias("u"), F.col("CUI").alias("cui_b"))
+    pair = (
+        a.join(b, "u")
+        .where(F.col("cui_a") < F.col("cui_b"))
+        .groupBy("cui_a", "cui_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+        .where(F.col("n_shared_docs") >= min_docs)
+    )
+    diag = dc.groupBy("CUI").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pair.join(
+            F.broadcast(
+                diag.select(F.col("CUI").alias("cui_a"), F.col("n").alias("na"))
+            ),
+            "cui_a",
+        )
+        .join(
+            F.broadcast(
+                diag.select(F.col("CUI").alias("cui_b"), F.col("n").alias("nb"))
+            ),
+            "cui_b",
+        )
+        .select(
+            "cui_a",
+            "cui_b",
+            "n_shared_docs",
+            F.expr(f"div(2 * n_shared_docs * {PATHSIM_PPM}, na + nb)")
+            .cast("bigint")
+            .alias("pathsim_ppm"),
+        )
+    )
+
+
+def sql_pathsim(min_docs: int = PR_MIN_DOCS) -> str:
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+pair AS (
+  SELECT a.cui AS cui_a, b.cui AS cui_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_docs
+  FROM doc_cui a JOIN doc_cui b
+    ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_docs}
+),
+diag AS (SELECT cui, CAST(COUNT(*) AS BIGINT) AS n FROM doc_cui GROUP BY cui)
+SELECT cui_a, cui_b, n_shared_docs,
+       CAST(2 * n_shared_docs * {PATHSIM_PPM} // (da.n + db.n)
+            AS BIGINT) AS pathsim_ppm
+FROM pair JOIN diag da ON da.cui = pair.cui_a
+          JOIN diag db ON db.cui = pair.cui_b
+"""

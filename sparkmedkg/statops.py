@@ -1291,3 +1291,104 @@ SELECT event_type, word, CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM words WHERE s_last IS NOT NULL
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# STL-style trend/seasonal/residual decomposition (moving-average trend).
+# ---------------------------------------------------------------------------
+
+STL_HALF = 12               # centered trend window: 12 hours each side
+STL_W = 2 * STL_HALF + 1    # full window width (25 hours)
+STL_OFF = 1_000_000_000     # positive offset so floor-division of possibly
+#                             negative milli sums is identical cross-engine
+#                             (floor == trunc once the dividend is positive)
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hr, c, trend_milli, seasonal_milli, resid_milli):
+    classical seasonal-trend decomposition of each DENSIFIED hourly count
+    series — trend = centered 25-hour moving average, seasonal = the
+    per-hour-of-day mean of the DETRENDED series, residual = the rest.
+    events_seasonality profiles raw hour-of-day means; decomposing the
+    trend out FIRST is what separates "traffic is growing" from "3pm is
+    always busy" and leaves a residual a monitor can threshold.  Rows are
+    emitted only where the full trend window exists (the standard STL
+    edge-trim).  All milli-quantized exact integers.
+
+    Scale: the stream collapses to the (type, hour) partial agg first;
+    the trend is a per-series rows-frame window on the aggregated table;
+    the seasonal profile is a 24-rows-per-type aggregate broadcast back.
+    Nothing beyond the hourly aggregate ever shuffles twice."""
+    series = _hourly_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-STL_HALF, STL_HALF)
+    )
+    t = series.select(
+        "event_type",
+        "hr",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w) == STL_W,
+            F.expr(f"div(sum(c) over (partition by event_type order by hr "
+                   f"rows between {STL_HALF} preceding and {STL_HALF} "
+                   f"following) * 1000, {STL_W})"),
+        ).alias("trend_milli"),
+    ).where(F.col("trend_milli").isNotNull())
+    t = t.withColumn("detr_milli", F.col("c") * 1000 - F.col("trend_milli"))
+    t = t.withColumn("hod", F.col("hr") % 24)
+    seas = t.groupBy("event_type", "hod").agg(
+        F.sum("detr_milli").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select(
+        "event_type",
+        "hod",
+        (F.expr(f"div(s + n * {STL_OFF}, n)") - STL_OFF)
+        .cast("bigint")
+        .alias("seasonal_milli"),
+    )
+    return (
+        t.join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hr",
+            "c",
+            F.col("trend_milli").cast("bigint").alias("trend_milli"),
+            "seasonal_milli",
+            (F.col("detr_milli") - F.col("seasonal_milli"))
+            .cast("bigint")
+            .alias("resid_milli"),
+        )
+    )
+
+
+def sql_events_stl_decompose() -> str:
+    return f"""
+WITH {_SQL_HOURLY},
+tr AS (
+  SELECT event_type, hr, c,
+         CASE WHEN COUNT(*) OVER w = {STL_W}
+              THEN SUM(c) OVER w * 1000 // {STL_W}
+         END AS trend_milli
+  FROM series
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN {STL_HALF} PRECEDING AND {STL_HALF} FOLLOWING)
+),
+det AS (
+  SELECT event_type, hr, c, trend_milli,
+         c * 1000 - trend_milli AS detr_milli, hr % 24 AS hod
+  FROM tr WHERE trend_milli IS NOT NULL
+),
+seas AS (
+  SELECT event_type, hod,
+         CAST((SUM(detr_milli) + COUNT(*) * {STL_OFF}) // COUNT(*)
+              - {STL_OFF} AS BIGINT) AS seasonal_milli
+  FROM det GROUP BY 1, 2
+)
+SELECT d.event_type, d.hr, d.c,
+       CAST(d.trend_milli AS BIGINT) AS trend_milli,
+       s.seasonal_milli,
+       CAST(d.detr_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+FROM det d JOIN seas s
+  ON s.event_type = d.event_type AND s.hod = d.hod
+"""

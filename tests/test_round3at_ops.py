@@ -1,0 +1,140 @@
+"""Round-3 PathSim/STL/audio-fingerprint batch — brute-force Python
+twins over the sf0.001 tables."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+
+from sparkmedkg import multimodal, relations, statops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pathsim_matches_bruteforce(spark):
+    inc = {
+        (r["url"], r["CUI"])
+        for r in relations._doc_cui(spark, SF).collect()
+    }
+    diag = Counter(c for _, c in inc)
+    by_doc = defaultdict(set)
+    for u, c in inc:
+        by_doc[u].add(c)
+    m = Counter()
+    for cuis in by_doc.values():
+        cs = sorted(cuis)
+        for i, a in enumerate(cs):
+            for b in cs[i + 1 :]:
+                m[(a, b)] += 1
+    exp = {
+        (a, b): n
+        for (a, b), n in m.items()
+        if n >= relations.PR_MIN_DOCS
+    }
+    got = {
+        (r["cui_a"], r["cui_b"]): r
+        for r in relations.q_pathsim(spark, SF).collect()
+    }
+    assert set(got) == set(exp)
+    for (a, b), n in exp.items():
+        r = got[(a, b)]
+        assert int(r["n_shared_docs"]) == n
+        assert int(r["pathsim_ppm"]) == (
+            2 * n * relations.PATHSIM_PPM // (diag[a] + diag[b])
+        )
+        # PathSim is bounded by 1 and symmetric in its inputs
+        assert 0 < int(r["pathsim_ppm"]) <= relations.PATHSIM_PPM
+
+
+def test_stl_decompose_matches_bruteforce(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, epoch_us(ts) // {statops.HOUR_US}, COUNT(*) "
+        f"FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    con.close()
+    series = defaultdict(dict)
+    for t, hr, c in rows:
+        series[t][hr] = c
+    exp = {}
+    for t, by_hr in series.items():
+        hrs = list(range(min(by_hr), max(by_hr) + 1))
+        dense = [by_hr.get(h, 0) for h in hrs]
+        half, wdt = statops.STL_HALF, statops.STL_W
+        det = {}
+        for i, h in enumerate(hrs):
+            if i - half < 0 or i + half >= len(dense):
+                continue
+            trend = sum(dense[i - half : i + half + 1]) * 1000 // wdt
+            det[h] = (dense[i], trend, dense[i] * 1000 - trend)
+        seas_acc = defaultdict(list)
+        for h, (_, _, d) in det.items():
+            seas_acc[h % 24].append(d)
+        seas = {
+            hod: (sum(ds) + len(ds) * statops.STL_OFF) // len(ds)
+            - statops.STL_OFF
+            for hod, ds in seas_acc.items()
+        }
+        for h, (c, trend, d) in det.items():
+            s = seas[h % 24]
+            exp[(t, h)] = (c, trend, s, d - s)
+    got = {
+        (r["event_type"], r["hr"]): (
+            int(r["c"]),
+            int(r["trend_milli"]),
+            int(r["seasonal_milli"]),
+            int(r["resid_milli"]),
+        )
+        for r in statops.events_stl_decompose(spark, SF).collect()
+    }
+    assert got == exp
+    # decomposition identity: c*1000 == trend + seasonal + resid
+    for c, trend, s, r in got.values():
+        assert c * 1000 == trend + s + r
+
+
+def _afp_fingerprints(text: str) -> set[int]:
+    cs = [ord(ch) for ch in text]
+    if not cs:
+        return set()
+    w = multimodal.AFP_FRAME
+    nf = (len(cs) - 1) // w + 1
+    pk = [max(cs[(f - 1) * w : (f - 1) * w + w]) for f in range(1, nf + 1)]
+    out = set()
+    for i in range(len(pk)):
+        for dt in range(1, min(multimodal.AFP_FANOUT, len(pk) - 1 - i) + 1):
+            out.add(pk[i] * 2048 + pk[i + dt] * 8 + dt)
+    return out
+
+
+def test_audio_fingerprint_matches_bruteforce(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    fps = {d: _afp_fingerprints(t or "") for d, t in rows}
+    dfreq = Counter(f for s in fps.values() for f in s)
+    kept = {f for f, n in dfreq.items() if n <= multimodal.AFP_HOT_CAP}
+    exp = {}
+    docs = sorted(fps)
+    inv = defaultdict(set)
+    for d, s in fps.items():
+        for f in s & kept:
+            inv[f].add(d)
+    pair_n = Counter()
+    for f, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                pair_n[(a, b)] += 1
+    exp = {
+        p: n for p, n in pair_n.items() if n >= multimodal.AFP_MIN_SHARED
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): int(r["n_shared"])
+        for r in multimodal.audio_fingerprint_pairs(spark, SF).collect()
+    }
+    assert got == exp
+    assert len(got) > 0
