@@ -320,6 +320,7 @@ BENCH_QUERIES = {
     "kg_pathsim": relations.q_pathsim,
     "events_stl_decompose": statops.events_stl_decompose,
     "mm_audio_fingerprint": multimodal.audio_fingerprint_pairs,
+    "events_zonemap_prune": relops.events_zonemap_prune,
 }
 
 

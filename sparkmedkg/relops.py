@@ -5499,3 +5499,91 @@ CROSS JOIN tot t
 JOIN tu ta ON ta.event_type = pairs.type_a
 JOIN tu tb ON tb.event_type = pairs.type_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max) data-skipping audit.
+# ---------------------------------------------------------------------------
+
+ZM_PROBE_CENTS = 7_000   # probe predicate: value >= $70 (~p75 of values)
+ZM_ZONES = 32            # simulated file count for the clustered layout
+
+
+def events_zonemap_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_cents: int = ZM_PROBE_CENTS,
+    zones: int = ZM_ZONES,
+) -> DataFrame:
+    """(zone, n_rows, min_cents, max_cents, pruned): the per-file zone
+    map (min/max of the value column) of the VALUE-CLUSTERED layout —
+    rows range-partitioned into ``zones`` files at exact percentile
+    boundaries (what a repartitionByRange + sortWithinPartitions write
+    produces) — and whether the standing probe predicate
+    ``value >= $probe`` skips each file (max < probe).  This is the
+    data-skipping payoff check for the layout family: events_zorder_key
+    picks the clustering, corpus_compaction_plan sizes the files, and
+    this audit measures the number a lakehouse publishes as "files
+    skipped" — on a clustered layout a selective probe prunes a stable
+    PREFIX of files at any scale, which is the whole argument for paying
+    the clustered write.  Exact integer cents.
+
+    Scale: ntile(zones) OVER (ORDER BY cents) would collapse the table
+    into ONE window partition — so, exactly as text_quality_deciles, the
+    zone boundaries come from one exact-percentile aggregate row
+    broadcast back (zone = 1 + #cutpoints strictly below the row), and
+    the zone map is then a map-side-combinable |zones|-row aggregate
+    with the probe check a projection on it.  Two corpus passes, zero
+    global sort — the same passes the clustered writer itself makes."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    qs = [i / zones for i in range(1, zones)]
+    cuts = ev.agg(
+        F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    )
+    zone = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("cents") > c, 1).otherwise(0),
+    )
+    zm = (
+        ev.crossJoin(F.broadcast(cuts))
+        .select("cents", zone.cast("bigint").alias("zone"))
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    return zm.select(
+        "zone",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        (F.col("max_cents") < probe_cents).alias("pruned"),
+    )
+
+
+def sql_events_zonemap_prune(
+    probe_cents: int = ZM_PROBE_CENTS, zones: int = ZM_ZONES
+) -> str:
+    qs = ", ".join(str(i / zones) for i in range(1, zones))
+    return f"""
+WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+cuts AS (SELECT quantile_cont(cents, [{qs}]) AS cuts FROM ev),
+zoned AS (
+  SELECT cents,
+         CAST(1 + len(list_filter(cuts, c -> cents > c)) AS BIGINT) AS zone
+  FROM ev CROSS JOIN cuts
+),
+zm AS (
+  SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(cents) AS min_cents, MAX(cents) AS max_cents
+  FROM zoned GROUP BY 1
+)
+SELECT zone, n_rows, min_cents, max_cents,
+       max_cents < {probe_cents} AS pruned
+FROM zm
+"""

@@ -138,3 +138,52 @@ def test_audio_fingerprint_matches_bruteforce(spark):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_zonemap_prune_matches_bruteforce(spark):
+    from sparkmedkg import relops
+
+    con = duckdb.connect()
+    cents = [
+        r[0]
+        for r in con.execute(
+            f"SELECT CAST(round(value * 100) AS BIGINT) "
+            f"FROM read_parquet('{SF}/events.parquet')"
+        ).fetchall()
+    ]
+    cuts = con.execute(
+        "SELECT quantile_cont(c, ["
+        + ", ".join(str(i / relops.ZM_ZONES) for i in range(1, relops.ZM_ZONES))
+        + "]) FROM (SELECT unnest(?) AS c)",
+        [cents],
+    ).fetchone()[0]
+    con.close()
+    by_zone = defaultdict(list)
+    for c in cents:
+        z = 1 + sum(1 for cut in cuts if c > cut)
+        by_zone[z].append(c)
+    got = {
+        int(r["zone"]): r
+        for r in relops.events_zonemap_prune(spark, SF).collect()
+    }
+    assert set(got) == set(by_zone)
+    pruned_zones = 0
+    for z, cs in by_zone.items():
+        r = got[z]
+        assert int(r["n_rows"]) == len(cs)
+        assert int(r["min_cents"]) == min(cs)
+        assert int(r["max_cents"]) == max(cs)
+        assert bool(r["pruned"]) == (max(cs) < relops.ZM_PROBE_CENTS)
+        pruned_zones += bool(r["pruned"])
+    # a clustered layout must actually skip files for the standing probe
+    # AND keep some — a degenerate all/none outcome would mean the probe
+    # constant no longer audits anything
+    assert 0 < pruned_zones < len(by_zone)
+    # zone maps of a range-partitioned layout are disjoint: a pruned
+    # zone's max sits below every kept zone's min-above-probe region
+    kept_min = min(
+        int(got[z]["max_cents"]) for z in by_zone if not got[z]["pruned"]
+    )
+    for z in by_zone:
+        if got[z]["pruned"]:
+            assert int(got[z]["max_cents"]) <= kept_min
