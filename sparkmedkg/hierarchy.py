@@ -61,15 +61,80 @@ def _edges_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(WEB_HIERARCHY, "cui string, ancestor string")
 
 
+#: Session-scoped literal ontology tables.  The hierarchy is KB-sized
+#: engine metadata (UMLS MRHIER is ~GB — still driver-sized), so its
+#: derived tables (closure, layering, path counts) are computed ONCE on
+#: the driver and enter every plan as broadcast literals — zero Spark
+#: jobs, zero iterative isEmpty probes.  Corpus-scale tables never flow
+#: through these functions; the distributed semi-naive shape is kept (and
+#: tested equal) in ``closure_distributed`` for hierarchies too big to
+#: hold driver-side.
+_ONTO_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _onto_cached(spark: SparkSession, tag: str, builder) -> DataFrame:
+    key = (spark.sparkContext.applicationId, tag)
+    hit = _ONTO_CACHE.get(key)
+    if hit is None:
+        hit = builder()
+        if len(_ONTO_CACHE) >= 16:
+            _ONTO_CACHE.clear()
+        _ONTO_CACHE[key] = hit
+    return hit
+
+
+def closure_rows() -> list[tuple[str, str, int]]:
+    """Driver-side BFS transitive closure of WEB_HIERARCHY with shortest
+    derivation depth — the literal behind ``ontology_closure``."""
+    from collections import defaultdict, deque
+
+    parents = defaultdict(list)
+    for c, p in WEB_HIERARCHY:
+        parents[c].append(p)
+    out = []
+    for start in sorted({c for c, _ in WEB_HIERARCHY}):
+        depth = {start: 0}
+        dq = deque([start])
+        while dq:
+            u = dq.popleft()
+            for p in parents.get(u, ()):
+                if p not in depth:
+                    depth[p] = depth[u] + 1
+                    dq.append(p)
+        out.extend(
+            (start, anc, d) for anc, d in sorted(depth.items()) if d > 0
+        )
+    return out
+
+
 def ontology_closure(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     """(cui, ancestor, min_depth): transitive closure of the IS_A DAG.
 
-    Semi-naive iteration: the frontier (paths discovered last round) joins
-    the broadcast edge set; fixpoint when a round adds nothing.  Distinct
-    per round keeps diamond fan-out from exploding path counts; the final
-    groupBy takes the shortest derivation.  ``sf_dir`` is unused (the
-    hierarchy is engine-constant data) but kept for the queries() calling
-    convention."""
+    The ontology is engine metadata, not data — so the closure is a
+    driver-side BFS over the edge list, memoized per session and handed
+    to Catalyst as a literal (broadcastable) DataFrame: every consumer
+    (rollup, coverage, LCA, Wu-Palmer, Resnik/Lin, reduction, cycle
+    audit) composes it with ZERO extra jobs.  ``closure_distributed``
+    keeps the semi-naive join loop for hierarchies beyond driver memory,
+    and the tests pin both paths row-identical.  ``sf_dir`` is unused
+    (engine-constant data) but kept for the queries() convention."""
+    return _onto_cached(
+        spark,
+        "closure",
+        lambda: spark.createDataFrame(
+            closure_rows(), "cui string, ancestor string, min_depth int"
+        ),
+    )
+
+
+def closure_distributed(spark: SparkSession, sf_dir: str = "") -> DataFrame:
+    """The distributed semi-naive closure (the shape you run when the
+    hierarchy itself is data-scale): the frontier (paths discovered last
+    round) joins the broadcast edge set; fixpoint when a round adds
+    nothing.  Distinct per round keeps diamond fan-out from exploding
+    path counts; per-round localCheckpoint keeps round k from re-running
+    rounds 1..k-1 under the isEmpty probe; the final groupBy takes the
+    shortest derivation."""
     edges = _edges_df(spark)
     step = F.broadcast(
         edges.select(
@@ -83,6 +148,7 @@ def ontology_closure(spark: SparkSession, sf_dir: str = "") -> DataFrame:
             frontier.join(step, frontier["ancestor"] == step["_from"])
             .select("cui", F.col("_to").alias("ancestor"), (F.col("d") + 1).alias("d"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
@@ -110,6 +176,18 @@ FROM reach GROUP BY cui, ancestor
 """
 
 
+def _mentions_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """webkg.q_mentions, checkpointed once per session+sf_dir (the
+    relations._KG_CACHE materialized-view strategy): category_rollup,
+    coverage_report and resnik_lin all start from the same corpus-sized
+    NER pass, and a suite of ontology queries should pay it once."""
+    from sparkmedkg.relations import _kg_cached
+
+    return _kg_cached(
+        spark, "webm", (sf_dir,), lambda: webkg.q_mentions(spark, sf_dir)
+    )
+
+
 def category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ancestor, n_docs, n_mentions): corpus mention volume per ontology
     category, counting a mention toward EVERY ancestor on its IS_A chain
@@ -121,7 +199,7 @@ def category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the corpus-sized mention stream is joined once against the
     broadcast (alias -> concept -> ancestor) expansion, then a single
     partial/final count-distinct aggregation on the ancestor id."""
-    mentions = webkg.q_mentions(spark, sf_dir)  # (doc_id, mention, label)
+    mentions = _mentions_cached(spark, sf_dir)  # (doc_id, mention, label)
     alias_cui = F.broadcast(
         spark.createDataFrame(
             sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"
@@ -326,7 +404,7 @@ def coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicon-sized table after the mention distinct) against the same
     broadcast closure — the corpus is scanned once by the mention pass,
     everything downstream is ontology-sized."""
-    mentions = webkg.q_mentions(spark, sf_dir)
+    mentions = _mentions_cached(spark, sf_dir)
     alias_cui = F.broadcast(
         spark.createDataFrame(
             sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"
@@ -416,46 +494,37 @@ def topo_layers(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     what a cycle check falls out of for free (a node never peeled has a
     cycle under it — impossible here by construction, asserted in tests).
 
-    Shape mirrors ``ontology_closure``: the path table grows by semi-naive
-    frontier extension against the broadcast edge set (rounds = DAG height,
-    ~15 for SNOMED, never |V|), then ONE groupBy takes the longest
-    derivation ending at each node.  Nodes with no incoming edge join the
-    result via a left anti union at layer 0.  ``sf_dir`` unused (engine-
-    constant data), kept for the queries() convention."""
-    edges = _edges_df(spark)
-    step = F.broadcast(
-        edges.select(
-            F.col("cui").alias("_from"), F.col("ancestor").alias("_to")
-        )
-    )
-    paths = edges.withColumn("d", F.lit(1))
-    frontier = paths
-    for _ in range(32):  # bound = DAG height
-        nxt = (
-            frontier.join(step, frontier["ancestor"] == step["_from"])
-            .select(
-                "cui", F.col("_to").alias("ancestor"),
-                (F.col("d") + 1).alias("d"),
+    Like ``ontology_closure``, this is engine metadata: the longest-path
+    DP runs driver-side over the edge list (memoized per session) and
+    lands in the plan as a literal DataFrame — no iterative frontier
+    jobs for a KB-sized hierarchy.  A data-scale hierarchy would reuse
+    the ``closure_distributed`` frontier shape with a MAX fold.
+    ``sf_dir`` unused (engine-constant data), kept for the queries()
+    convention."""
+
+    def build() -> DataFrame:
+        from collections import defaultdict
+        from functools import lru_cache
+
+        children = defaultdict(list)
+        for c, p in WEB_HIERARCHY:
+            children[p].append(c)
+
+        @lru_cache(maxsize=None)
+        def longest_ending_at(n: str) -> int:
+            # M(n) = longest edge-path ending at n (0 when no child)
+            return max(
+                (longest_ending_at(c) + 1 for c in children.get(n, ())),
+                default=0,
             )
-            .distinct()
+
+        nodes = sorted(
+            {c for e in WEB_HIERARCHY for c in e}
         )
-        if nxt.isEmpty():
-            break
-        paths = paths.unionByName(nxt)
-        frontier = nxt
-    inner = paths.groupBy(F.col("ancestor").alias("node")).agg(
-        F.max("d").cast("bigint").alias("layer")
-    )
-    leaves = (
-        edges.select(F.col("cui").alias("node"))
-        .union(edges.select(F.col("ancestor").alias("node")))
-        .distinct()
-        # the hierarchy is ontology-sized (engine-constant here, ~GB for
-        # UMLS) — broadcast the anti-join side, never sort-merge it
-        .join(F.broadcast(inner.select("node")), "node", "left_anti")
-        .select("node", F.lit(0).cast("bigint").alias("layer"))
-    )
-    return inner.unionByName(leaves)
+        rows = [(n, longest_ending_at(n)) for n in nodes]
+        return spark.createDataFrame(rows, "node string, layer bigint")
+
+    return _onto_cached(spark, "topo", build)
 
 
 def sql_topo_layers() -> str:
@@ -601,39 +670,45 @@ def path_counts(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     Length-stratified dynamic program, all BIGINT: L1 = the edge set with
     multiplicity 1; L(k) extends L(k-1) by one broadcast edge join and
     compacts with a (cui, anc) grouped SUM, so diamond fan-out costs one
-    integer add, never an enumerated path.  ``PATHS_MAX_DEPTH`` bounds the
-    loop (DAG height; real ontologies ~15); the per-round isEmpty probe is
-    frontier-sized.  Roots = ancestors that are never a child."""
-    edges = _edges_df(spark)
-    step = F.broadcast(
-        edges.select(
-            F.col("cui").alias("_from"), F.col("ancestor").alias("_to")
+    integer add, never an enumerated path.  As with the closure, the
+    hierarchy is engine metadata, so the DP runs driver-side (memoized
+    per session, ``PATHS_MAX_DEPTH`` bounding path length exactly like
+    the distributed rounds would) and enters the plan as a literal;
+    the ``closure_distributed`` frontier shape with a SUM fold is the
+    data-scale variant.  Roots = ancestors that are never a child."""
+
+    def build() -> DataFrame:
+        from collections import defaultdict
+
+        children = {c for c, _ in WEB_HIERARCHY}
+        roots = sorted(
+            {p for _, p in WEB_HIERARCHY if p not in children}
         )
-    )
-    level = edges.select(
-        "cui", F.col("ancestor").alias("anc"), F.lit(1).cast("bigint").alias("n")
-    )
-    total = level
-    for _ in range(PATHS_MAX_DEPTH - 1):
-        level = (
-            level.join(step, level["anc"] == step["_from"])
-            .groupBy("cui", F.col("_to").alias("anc"))
-            .agg(F.sum("n").cast("bigint").alias("n"))
+        # level[k][(cui, anc)] = #paths of length k; accumulate root hits
+        level = defaultdict(int)
+        for c, p in WEB_HIERARCHY:
+            level[(c, p)] += 1
+        step = defaultdict(list)
+        for c, p in WEB_HIERARCHY:
+            step[c].append(p)
+        total = defaultdict(int)
+        for _ in range(PATHS_MAX_DEPTH):
+            for (c, a), n in level.items():
+                if a in roots:
+                    total[(c, a)] += n
+            nxt = defaultdict(int)
+            for (c, a), n in level.items():
+                for p in step.get(a, ()):
+                    nxt[(c, p)] += n
+            if not nxt:
+                break
+            level = nxt
+        rows = sorted((c, r, n) for (c, r), n in total.items())
+        return spark.createDataFrame(
+            rows, "cui string, root string, n_paths bigint"
         )
-        if level.isEmpty():
-            break
-        total = total.unionByName(level)
-    children = edges.select("cui").distinct()
-    roots = (
-        edges.select(F.col("ancestor").alias("anc"))
-        .distinct()
-        .join(children.withColumnRenamed("cui", "anc"), "anc", "left_anti")
-    )
-    return (
-        total.join(F.broadcast(roots), "anc")
-        .groupBy("cui", F.col("anc").alias("root"))
-        .agg(F.sum("n").cast("bigint").alias("n_paths"))
-    )
+
+    return _onto_cached(spark, "paths", build)
 
 
 def sql_path_counts() -> str:
@@ -675,7 +750,7 @@ def resnik_lin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the corpus is touched once (the same mention->concept incidence
     scan as category_rollup, rolled up the broadcast closure); everything
     downstream is ontology-sized and broadcast-joined."""
-    mentions = webkg.q_mentions(spark, sf_dir)
+    mentions = _mentions_cached(spark, sf_dir)
     alias_cui = F.broadcast(
         spark.createDataFrame(
             sorted(set(webkg.WEB_ALIASES)), "alias string, cui string"

@@ -316,6 +316,15 @@ def best_links_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_cui_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_doc_cui, checkpointed once per session+sf_dir — shared by the
+    edge builder and PathSim so the NER -> link lineage behind the
+    incidence table is paid once per session, not per query."""
+    return _kg_cached(
+        spark, "dc", (sf_dir,), lambda: _doc_cui(spark, sf_dir)
+    )
+
+
 def _cooccur_edges(
     spark: SparkSession, sf_dir: str, min_docs: int
 ) -> DataFrame:
@@ -326,7 +335,7 @@ def _cooccur_edges(
     hit = _EDGE_CACHE.get(key)
     if hit is not None:
         return hit
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
     b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
     und = (
@@ -2623,7 +2632,7 @@ def q_pathsim(
     support-thresholded pair join as the edge builder (never all-pairs —
     candidates are bounded by per-doc entity counts); the |V|-row
     diagonal broadcasts onto the pair aggregate."""
-    dc = _doc_cui(spark, sf_dir)
+    dc = doc_cui_cached(spark, sf_dir)
     a = dc.select(F.col("url").alias("u"), F.col("CUI").alias("cui_a"))
     b = dc.select(F.col("url").alias("u"), F.col("CUI").alias("cui_b"))
     pair = (

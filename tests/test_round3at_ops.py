@@ -187,3 +187,20 @@ def test_zonemap_prune_matches_bruteforce(spark):
     for z in by_zone:
         if got[z]["pruned"]:
             assert int(got[z]["max_cents"]) <= kept_min
+
+
+def test_closure_distributed_equals_driver_side(spark):
+    """The data-scale semi-naive closure and the driver-side literal
+    must be row-identical (same pairs, same min depths)."""
+    from sparkmedkg import hierarchy
+
+    lit = {
+        (r["cui"], r["ancestor"]): int(r["min_depth"])
+        for r in hierarchy.ontology_closure(spark).collect()
+    }
+    dist = {
+        (r["cui"], r["ancestor"]): int(r["min_depth"])
+        for r in hierarchy.closure_distributed(spark).collect()
+    }
+    assert lit == dist
+    assert len(lit) > len(set(hierarchy.WEB_HIERARCHY))  # true transitivity
