@@ -398,7 +398,7 @@ def q_weighted_sssp(
     O(1) at deep round counts."""
     from sparkmedkg import relations as _r
 
-    doc_cui = _r._doc_cui(spark, sf_dir)
+    doc_cui = _r.doc_cui_cached(spark, sf_dir)
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
     b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
     und = (
@@ -3403,7 +3403,7 @@ def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     usual skew point — AQE splits them); C(cd, 2) is row-local integer
     math; the per-node rollup is one map-side-combinable SUM.  All-BIGINT,
     hash-stable."""
-    dc = relations._doc_cui(spark, sf_dir)
+    dc = relations.doc_cui_cached(spark, sf_dir)
     a = dc.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
     b = dc.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
     codeg = (

@@ -341,15 +341,23 @@ def ann_ivf_curve(
     more, pay more).  Completes the approximation scorecard family
     (LSH recall, PQ recall) with the IVF knob.
 
-    Plan: the brute-force top-k runs once and persists; each probe level
-    touches only n_probe cells of the corpus (ivf_topk's pruned scan).
-    The curve is |probes| tiny joins over k-row sets."""
+    Plan: the brute-force top-k runs once and persists; the IVF side is
+    ONE probe-ranked shortlist pass (simsearch.ivf_shortlist at the
+    widest probe level — result-identical to per-level ivf_topk, pinned
+    by test) materialized once, so every curve point is a filter + top-k
+    over the checkpointed shortlist instead of its own corpus scan.
+    The curve itself is |probes| tiny joins over k-row sets."""
     exact_ids = simsearch.cosine_topk(spark, sf_dir, k=k).select("vec_id")
     exact_ids = exact_ids.localCheckpoint(eager=True)
+    short = simsearch.ivf_shortlist(
+        spark, sf_dir, n_probe=max(IVF_CURVE_PROBES)
+    ).localCheckpoint(eager=True)
     out = None
     for p in IVF_CURVE_PROBES:
         hits = (
-            simsearch.ivf_topk(spark, sf_dir, k=k, n_probe=p)
+            short.where(F.col("prank") <= p)
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(k)
             .select("vec_id")
             .join(exact_ids, "vec_id")
             .agg(F.count(F.lit(1)).alias("n_hits"))

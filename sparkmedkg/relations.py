@@ -479,7 +479,7 @@ def q_pmi_edges(
     N.  Marginals are lexicon-bounded (|concepts| rows) so both joins onto
     the pair set are explicit broadcasts — the only real shuffle is the
     pair groupBy."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     n_docs = doc_cui.select("url").distinct().count()
     marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
@@ -917,7 +917,7 @@ def q_edge_history(
     (doc-keyed equi-join); the snapshot annotations ride the existing
     groupBy(x, y) as three extra partial aggregates — temporal lineage
     costs zero additional shuffles over the static graph build."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     snap = (F.col("url").cast("bigint") % KG_N_SNAPSHOTS).alias("snap")
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"), snap)
     b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
@@ -983,7 +983,7 @@ def q_edge_provenance(
     Plan: the SAME doc-keyed pair join as the static edge build; the
     provenance array rides the existing groupBy as a slice(sort(collect))
     aggregate — exact count + capped exemplars, zero extra shuffles."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("x"))
     b = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("y"))
     return (
@@ -1046,7 +1046,7 @@ def q_collocation_scores(
     rounded at emit.  Plan: identical to q_pmi_edges (one pair groupBy,
     broadcast marginals); the contingency cells derive from the same four
     integers row-locally."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     n_docs = doc_cui.select("url").distinct().count()
     marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
@@ -1150,7 +1150,7 @@ def q_llr_scores(
     expression (no accumulation across rows), rounded at 6 — the same
     cross-engine argument as q_pmi_edges.  Plan: identical to
     q_collocation_scores (one pair groupBy, broadcast marginals)."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     n_docs = doc_cui.select("url").distinct().count()
     marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("src"))
@@ -1691,7 +1691,7 @@ def q_weak_supervision_vote(
     Plan: one candidate-pair groupBy (the bounded co-occurrence
     self-join) + two broadcast marginal joins — identical shuffle shape
     to q_llr_scores; the vote itself is a map-only projection."""
-    doc_cui = _doc_cui(spark, sf_dir)
+    doc_cui = doc_cui_cached(spark, sf_dir)
     n_docs = doc_cui.select("url").distinct().count()
     marg = doc_cui.groupBy("CUI").agg(F.count(F.lit(1)).alias("n_c"))
     a = doc_cui.select(F.col("url").alias("u"), F.col("CUI").alias("subj_cui"))

@@ -169,6 +169,65 @@ def ivf_topk(
     )
 
 
+def ivf_shortlist(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    n_cells: int = N_CELLS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """(vec_id, prank, cos): the probe-RANKED IVF candidate set — every
+    vector in the query's ``n_probe`` nearest cells, tagged with its
+    cell's probe rank and its exact query cosine.  One corpus assignment
+    scan serves EVERY probe level <= n_probe: filtering prank <= p and
+    taking top-k by (cos desc, vec_id) reproduces ``ivf_topk(n_probe=p)``
+    exactly (same argmax assignment, same probe ordering, same rerank
+    tie-breaks) — metrics.ann_ivf_curve uses this to draw the whole
+    latency/recall curve from a single pass instead of one scan per
+    level.  The probe-rank window runs on the |n_cells|-row quantizer
+    table only."""
+    emb = _emb(spark, sf_dir)
+    cent_rows = (
+        emb.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_cells))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents_local = [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows]
+    cents = spark.createDataFrame(
+        cents_local, "cid bigint, cv array<double>"
+    )
+    sim_structs = F.array(
+        *[
+            F.struct(
+                (_dot("v", _plane_lit(cv)) / (_norm("v") * _norm(_plane_lit(cv))))
+                .alias("sim"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, cv in cents_local
+        ]
+    )
+    best = F.array_max(sim_structs)
+    assigned = emb.select("vec_id", "v", (-best["negcid"]).alias("cid"))
+
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    qsim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    w = Window.orderBy(F.desc("qsim"), F.asc("cid"))  # quantizer-sized
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("qsim", qsim)
+        .withColumn("prank", F.row_number().over(w))
+        .where(F.col("prank") <= n_probe)
+        .select("cid", "prank")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos", _dot("v", "qv") / (_norm("v") * _norm("qv")))
+        .select("vec_id", "prank", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB).
 # ---------------------------------------------------------------------------

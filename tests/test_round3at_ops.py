@@ -204,3 +204,29 @@ def test_closure_distributed_equals_driver_side(spark):
     }
     assert lit == dist
     assert len(lit) > len(set(hierarchy.WEB_HIERARCHY))  # true transitivity
+
+
+def test_ivf_shortlist_reproduces_per_level_topk(spark):
+    """Filtering the one-pass probe-ranked shortlist at each level must
+    reproduce ivf_topk(n_probe=p) exactly (ids AND rounded cosines)."""
+    from pyspark.sql import functions as F
+
+    from sparkmedkg import metrics, simsearch
+
+    short = simsearch.ivf_shortlist(
+        spark, SF, n_probe=max(metrics.IVF_CURVE_PROBES)
+    ).localCheckpoint(eager=True)
+    for p in metrics.IVF_CURVE_PROBES:
+        via_short = [
+            (r["vec_id"], r["cos"])
+            for r in short.where(F.col("prank") <= p)
+            .orderBy(F.desc("cos"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id", F.round("cos", 6).alias("cos"))
+            .collect()
+        ]
+        direct = [
+            (r["vec_id"], r["cos"])
+            for r in simsearch.ivf_topk(spark, SF, k=10, n_probe=p).collect()
+        ]
+        assert via_short == direct
