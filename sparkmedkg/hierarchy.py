@@ -357,15 +357,17 @@ def ontology_reduction(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     mid = (
         closure.select(F.col("cui"), F.col("ancestor").alias("m"))
         .join(
-            closure.select(
-                F.col("cui").alias("m"), F.col("ancestor")
+            F.broadcast(
+                closure.select(F.col("cui").alias("m"), F.col("ancestor"))
             ),
             "m",
         )
         .select("cui", "ancestor")
         .distinct()
     )
-    return closure.join(mid, ["cui", "ancestor"], "left_anti")
+    # ontology-sized both sides: broadcast the derivable-pair set into the
+    # anti-join rather than letting the unknown-stats aggregate fall to SMJ
+    return closure.join(F.broadcast(mid), ["cui", "ancestor"], "left_anti")
 
 
 def sql_ontology_reduction() -> str:
