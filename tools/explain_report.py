@@ -483,7 +483,7 @@ def main() -> None:
             # per-cell exact-int64 pair scoring in ONE Arrow-grouped
             # applyInPandas (never corpus^2); mutual flag is an equi-join
             # of the k*n kNN edge set
-            lambda: simsearch.knn_graph(spark, SF),
+            lambda: simsearch.knn_graph(spark, SF, use_cache=False),
             ["FlatMapGroupsInPandas", "!CartesianProduct",
              "!BroadcastNestedLoop"],
         ),
