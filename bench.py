@@ -321,6 +321,7 @@ BENCH_QUERIES = {
     "events_stl_decompose": statops.events_stl_decompose,
     "mm_audio_fingerprint": multimodal.audio_fingerprint_pairs,
     "events_zonemap_prune": relops.events_zonemap_prune,
+    "kg_rank_fusion": graphalgo.q_rank_fusion,
 }
 
 

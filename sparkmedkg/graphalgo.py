@@ -4277,3 +4277,152 @@ SELECT d.src AS CUI, CAST(d.deg AS BIGINT) AS deg,
        CAST(a.s * 1000 // a.n AS BIGINT) AS nbr_deg_mean_milli
 FROM deg d JOIN agg a ON a.src = d.src
 """
+
+
+# ---------------------------------------------------------------------------
+# Borda rank fusion: consensus centrality over exact-integer rankings.
+# ---------------------------------------------------------------------------
+
+def q_rank_fusion(
+    spark: SparkSession, sf_dir: str, min_docs: int = PR_MIN_DOCS
+) -> DataFrame:
+    """(CUI, r_deg, r_katz, r_tri, borda, consensus_rank): Borda-count
+    consensus over three exact-integer centrality rankings of the
+    co-occurrence KG — degree, truncated-Katz walk mass (katz_num) and
+    triangle participation.  Each ranking awards n - rank points; the
+    consensus orders by total points.  Rank aggregation is the standard
+    way to stabilize "most important entities" against any single
+    centrality's bias (degree loves hubs, Katz loves dense neighborhoods,
+    triangles love cliques) — the graph-side sibling of the retrieval
+    stack's reciprocal-rank fusion (corpus_hybrid_rrf), and (unlike RRF's
+    1/(k+rank) floats) exact BIGINT end to end.
+
+    Determinism: every ranking is a row_number over the total order
+    (score desc, CUI) — no ties left to the engine.
+
+    Scale: all three inputs are |V|-row node aggregates off the
+    session-cached edge set (Katz's walk counts and the wedge-join
+    triangles are each audited in their own queries); the ranking
+    windows run on the |V|-row node table — node-sized, the same
+    allowance as every other per-node centrality here, with
+    repartitionByRange + zone-offset ranking as the 10^9-node variant."""
+    from sparkmedkg import trainprep
+
+    edges = _edges(spark, sf_dir, min_docs)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("CUI"), "deg"
+    )
+    kz = q_katz(spark, sf_dir, min_docs=min_docs).select("CUI", "katz_num")
+    tri = trainprep.kg_triangles(spark, sf_dir, min_docs).select(
+        "CUI", "n_triangles"
+    )
+    base = (
+        deg.join(kz, "CUI", "left")
+        .join(tri, "CUI", "left")
+        .na.fill({"katz_num": 0, "n_triangles": 0})
+    )
+    n1 = F.broadcast(base.agg(F.count(F.lit(1)).alias("n")))
+    r_deg = F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("CUI")))
+    r_katz = F.row_number().over(
+        Window.orderBy(F.desc("katz_num"), F.asc("CUI"))
+    )
+    r_tri = F.row_number().over(
+        Window.orderBy(F.desc("n_triangles"), F.asc("CUI"))
+    )
+    ranked = base.crossJoin(n1).select(
+        "CUI",
+        r_deg.cast("bigint").alias("r_deg"),
+        r_katz.cast("bigint").alias("r_katz"),
+        r_tri.cast("bigint").alias("r_tri"),
+        F.col("n"),
+    )
+    borda = (3 * F.col("n") - F.col("r_deg") - F.col("r_katz") - F.col("r_tri"))
+    return ranked.select(
+        "CUI",
+        "r_deg",
+        "r_katz",
+        "r_tri",
+        borda.cast("bigint").alias("borda"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(borda), F.asc("CUI")))
+        .cast("bigint")
+        .alias("consensus_rank"),
+    )
+
+
+def sql_rank_fusion(min_docs: int = PR_MIN_DOCS) -> str:
+    # One NER -> link -> edge chain, MATERIALIZED once, feeds all three
+    # rankings (naively nesting the standalone katz/triangle oracles
+    # re-derives that chain per ranking — measured 60s vs 4s at sf0.001).
+    lvl = ["p1 AS (SELECT dst AS cui, CAST(COUNT(*) AS BIGINT) AS p"
+           " FROM e GROUP BY dst)"]
+    for k in range(2, KATZ_LEVELS + 1):
+        lvl.append(
+            f"""p{k} AS (
+  SELECT e.dst AS cui, CAST(SUM(p.p) AS BIGINT) AS p
+  FROM e JOIN p{k - 1} p ON p.cui = e.src GROUP BY e.dst
+)"""
+        )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT cui, p * {KATZ_INV_ALPHA ** (KATZ_LEVELS - k)} AS w FROM p{k}"
+        for k in range(1, KATZ_LEVELS + 1)
+    )
+    return f"""
+WITH {sql_cooccur_edges_cte(min_docs)},
+e AS MATERIALIZED (SELECT * FROM edges),
+dg AS MATERIALIZED (
+  SELECT src AS CUI, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+),
+{",".join(lvl)},
+u AS (
+  {unions}
+),
+kz AS (SELECT cui AS CUI, CAST(SUM(w) AS BIGINT) AS katz_num
+       FROM u GROUP BY cui),
+oriented AS MATERIALIZED (
+  SELECT s.src, s.dst
+  FROM e s JOIN dg d1 ON s.src = d1.CUI JOIN dg d2 ON s.dst = d2.CUI
+  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND s.src < s.dst)
+),
+wedges AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+tris AS (
+  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  JOIN oriented c ON wg.v = c.src AND wg.w = c.dst
+  UNION ALL
+  SELECT wg.u, wg.v, wg.w FROM wedges wg
+  JOIN oriented c ON wg.w = c.src AND wg.v = c.dst
+),
+tri AS (
+  SELECT cui AS CUI, COUNT(*) AS n_triangles
+  FROM (SELECT u AS cui FROM tris UNION ALL SELECT v FROM tris
+        UNION ALL SELECT w FROM tris)
+  GROUP BY cui
+),
+base AS (
+  SELECT d.CUI, d.deg,
+         COALESCE(k.katz_num, 0) AS katz_num,
+         COALESCE(t.n_triangles, 0) AS n_triangles
+  FROM dg d
+  LEFT JOIN kz k ON k.CUI = d.CUI
+  LEFT JOIN tri t ON t.CUI = d.CUI
+),
+r AS (
+  SELECT CUI,
+         CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, CUI) AS BIGINT) AS r_deg,
+         CAST(ROW_NUMBER() OVER (ORDER BY katz_num DESC, CUI) AS BIGINT)
+           AS r_katz,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_triangles DESC, CUI) AS BIGINT)
+           AS r_tri,
+         COUNT(*) OVER () AS n
+  FROM base
+)
+SELECT CUI, r_deg, r_katz, r_tri,
+       CAST(3 * n - r_deg - r_katz - r_tri AS BIGINT) AS borda,
+       CAST(ROW_NUMBER() OVER (ORDER BY 3 * n - r_deg - r_katz - r_tri DESC,
+                               CUI) AS BIGINT) AS consensus_rank
+FROM r
+"""

@@ -230,3 +230,50 @@ def test_ivf_shortlist_reproduces_per_level_topk(spark):
             for r in simsearch.ivf_topk(spark, SF, k=10, n_probe=p).collect()
         ]
         assert via_short == direct
+
+
+def test_rank_fusion_matches_bruteforce(spark):
+    from sparkmedkg import graphalgo, trainprep
+
+    deg = Counter(
+        r["src"]
+        for r in relations._cooccur_edges(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    )
+    kz = {
+        r["CUI"]: int(r["katz_num"])
+        for r in graphalgo.q_katz(spark, SF).collect()
+    }
+    tri = {
+        r["CUI"]: int(r["n_triangles"])
+        for r in trainprep.kg_triangles(
+            spark, SF, relations.PR_MIN_DOCS
+        ).collect()
+    }
+    nodes = sorted(deg)
+    n = len(nodes)
+
+    def ranks(score):
+        order = sorted(nodes, key=lambda c: (-score.get(c, 0), c))
+        return {c: i + 1 for i, c in enumerate(order)}
+
+    r_deg, r_kz, r_tri = ranks(deg), ranks(kz), ranks(tri)
+    borda = {c: 3 * n - r_deg[c] - r_kz[c] - r_tri[c] for c in nodes}
+    cons = {
+        c: i + 1
+        for i, c in enumerate(sorted(nodes, key=lambda c: (-borda[c], c)))
+    }
+    got = {
+        r["CUI"]: r for r in graphalgo.q_rank_fusion(spark, SF).collect()
+    }
+    assert set(got) == set(nodes)
+    for c in nodes:
+        r = got[c]
+        assert int(r["r_deg"]) == r_deg[c]
+        assert int(r["r_katz"]) == r_kz[c]
+        assert int(r["r_tri"]) == r_tri[c]
+        assert int(r["borda"]) == borda[c]
+        assert int(r["consensus_rank"]) == cons[c]
+    # Borda total points are conserved: sum over nodes = 3 * C(n,2)
+    assert sum(borda.values()) == 3 * n * (n - 1) // 2
