@@ -1211,8 +1211,12 @@ def inverted_index(
     ex = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " +")).alias("pos", "term")
     )
+    # positions is serialized to a canonical comma-joined string (scalar-only
+    # result schemas — list cells are unhashable in pandas-side comparators).
     postings = ex.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list("pos")).alias("positions")
+        F.array_join(
+            F.sort_array(F.collect_list("pos")).cast("array<string>"), ","
+        ).alias("positions")
     )
     df_t = (
         postings.groupBy("term")
@@ -1235,7 +1239,8 @@ WITH ex AS (
 ),
 flat AS (SELECT doc_id, u.pos AS pos, u.term AS term FROM ex),
 postings AS (
-  SELECT term, doc_id, list(pos ORDER BY pos) AS positions
+  SELECT term, doc_id,
+         array_to_string(list(pos ORDER BY pos), ',') AS positions
   FROM flat GROUP BY term, doc_id
 ),
 df_t AS (

@@ -992,10 +992,16 @@ def q_edge_provenance(
         .groupBy("x", "y")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.slice(
-                F.sort_array(F.collect_list(F.col("u").cast("bigint"))),
-                1,
-                max_docs,
+            # Serialized as a canonical comma-joined string (not array<bigint>)
+            # so the result schema stays scalar-only — downstream hashers and
+            # cross-engine comparators treat list cells as unhashable.
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list(F.col("u").cast("bigint"))),
+                    1,
+                    max_docs,
+                ).cast("array<string>"),
+                ",",
             ).alias("doc_ids"),
         )
         .where(F.col("n_docs") >= min_docs)
@@ -1022,7 +1028,7 @@ pairs AS (
   FROM doc_cui a JOIN doc_cui b ON a.doc_id = b.doc_id AND a.cui < b.cui
 )
 SELECT x AS src, y AS dst, COUNT(*) AS n_docs,
-       list_slice(list(doc_id ORDER BY doc_id), 1, {max_docs}) AS doc_ids
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {max_docs}), ',') AS doc_ids
 FROM pairs GROUP BY x, y HAVING COUNT(*) >= {min_docs}
 """
 

@@ -435,13 +435,13 @@ def test_inverted_index_and_phrase_bruteforce(spark):
         for i, t in enumerate(text.split()):
             postings[t].setdefault(doc_id, []).append(i)
     want_idx = {
-        (t, len(ds), d, tuple(ps))
+        (t, len(ds), d, ",".join(map(str, ps)))
         for t, ds in postings.items()
         if len(ds) >= corpusops.INV_MIN_DF
         for d, ps in ds.items()
     }
     got_idx = {
-        (r["term"], r["df"], r["doc_id"], tuple(r["positions"]))
+        (r["term"], r["df"], r["doc_id"], r["positions"])
         for r in corpusops.inverted_index(spark, SF).collect()
     }
     assert got_idx == want_idx
@@ -618,19 +618,22 @@ def test_edge_provenance_bruteforce(spark):
                 if x < y:
                     agg[(x, y)].append(doc)
     want = {
-        (x, y): (len(ds), tuple(sorted(ds)[: relations.PROV_MAX_DOCS]))
+        (x, y): (
+            len(ds),
+            ",".join(map(str, sorted(ds)[: relations.PROV_MAX_DOCS])),
+        )
         for (x, y), ds in agg.items()
         if len(ds) >= relations.PR_MIN_DOCS
     }
     got = {
-        (r["src"], r["dst"]): (r["n_docs"], tuple(r["doc_ids"]))
+        (r["src"], r["dst"]): (r["n_docs"], r["doc_ids"])
         for r in relations.q_edge_provenance(spark, SF).collect()
     }
     assert got == want
     # at least one edge's exemplar list is capped below its exact count
     # OR all edges fit — either way counts must exceed list length never
     for (n, ds) in got.values():
-        assert len(ds) == min(n, relations.PROV_MAX_DOCS)
+        assert len(ds.split(",")) == min(n, relations.PROV_MAX_DOCS)
 
 
 def test_ivf_curve_monotone(spark):
