@@ -5464,10 +5464,19 @@ def events_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_a",
             "type_b",
             "n_users",
-            F.expr(f"div(n_users * {SEQ_PPM}, n_total)")
+            # widened to decimal(38,0) before the triple product: in int64
+            # n_users * n_total * 1e6 overflows past ~3M distinct users —
+            # Spark (non-ANSI) would wrap silently while DuckDB raises,
+            # so the engines would diverge exactly at scale.
+            F.expr(
+                f"div(cast(n_users as decimal(38,0)) * {SEQ_PPM}, n_total)"
+            )
             .cast("bigint")
             .alias("support_ppm"),
-            F.expr(f"div(n_users * n_total * {SEQ_PPM}, n_a * n_b)")
+            F.expr(
+                f"div(cast(n_users as decimal(38,0)) * n_total * {SEQ_PPM},"
+                f" cast(n_a as decimal(38,0)) * n_b)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )
@@ -5491,8 +5500,10 @@ pairs AS (
   GROUP BY 1, 2
 )
 SELECT type_a, type_b, n_users,
-       CAST(n_users * {SEQ_PPM} // t.n_total AS BIGINT) AS support_ppm,
-       CAST(n_users * t.n_total * {SEQ_PPM} // (ta.n_type * tb.n_type)
+       CAST(CAST(n_users AS HUGEINT) * {SEQ_PPM} // t.n_total
+            AS BIGINT) AS support_ppm,
+       CAST(CAST(n_users AS HUGEINT) * t.n_total * {SEQ_PPM}
+            // (CAST(ta.n_type AS HUGEINT) * tb.n_type)
             AS BIGINT) AS lift_ppm
 FROM pairs
 CROSS JOIN tot t
@@ -5538,9 +5549,37 @@ def events_zonemap_prune(
     ev = _t(spark, sf_dir, "events").select(
         F.round(F.col("value") * 100).cast("bigint").alias("cents")
     )
-    qs = [i / zones for i in range(1, zones)]
-    cuts = ev.agg(
-        F.percentile("cents", F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    # Rank-based DISCRETE cut points, all-integer: cut_i = the smallest
+    # cents value whose cumulative count reaches ceil(i*n/zones).  An
+    # interpolated percentile (Spark percentile vs DuckDB quantile_cont)
+    # is a float seam — a last-ulp difference between engines can flip a
+    # boundary row's zone; discrete cuts are decided by exact bigint
+    # comparison in both.  The cumulative window runs over the VALUE
+    # HISTOGRAM (|distinct cents| rows, bounded by the price domain),
+    # never the corpus, so the single-partition window is safe at scale.
+    hist = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    tot = hist.agg(F.sum("cnt").alias("n"))
+    cutrows = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            "cnt",
+            "cum",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(zones - 1))).alias("i"),
+        )
+        .withColumn("target", F.expr(f"div(i * n + {zones} - 1, {zones})"))
+        .where(
+            (F.col("target") > F.col("cum") - F.col("cnt"))
+            & (F.col("target") <= F.col("cum"))
+        )
+    )
+    cuts = cutrows.groupBy().agg(
+        F.sort_array(F.collect_list("cents")).alias("cuts")
     )
     zone = F.lit(1) + F.aggregate(
         F.col("cuts"),
@@ -5569,13 +5608,29 @@ def events_zonemap_prune(
 def sql_events_zonemap_prune(
     probe_cents: int = ZM_PROBE_CENTS, zones: int = ZM_ZONES
 ) -> str:
-    qs = ", ".join(str(i / zones) for i in range(1, zones))
     return f"""
 WITH ev AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-cuts AS (SELECT quantile_cont(cents, [{qs}]) AS cuts FROM ev),
+hist AS (SELECT cents, COUNT(*) AS cnt FROM ev GROUP BY 1),
+cum AS (
+  SELECT cents, cnt,
+         SUM(cnt) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+cutrows AS (
+  SELECT c.cents
+  FROM cum c CROSS JOIN tot t
+  CROSS JOIN LATERAL UNNEST(generate_series(1, {zones - 1})) AS g(i)
+  WHERE (g.i * t.n + {zones} - 1) // {zones} > c.cum - c.cnt
+    AND (g.i * t.n + {zones} - 1) // {zones} <= c.cum
+),
+cuts AS (SELECT list(cents ORDER BY cents) AS cuts FROM cutrows),
 zoned AS (
-  SELECT cents,
-         CAST(1 + len(list_filter(cuts, c -> cents > c)) AS BIGINT) AS zone
+  SELECT ev.cents,
+         CAST(1 + len(list_filter(cuts, c -> ev.cents > c)) AS BIGINT)
+           AS zone
   FROM ev CROSS JOIN cuts
 ),
 zm AS (

@@ -1252,14 +1252,14 @@ def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "hr", F.ntile(SAX_ALPHA).over(w_rank).alias("sym")
     )
     w_t = Window.partitionBy("event_type").orderBy("hr")
+    # the lead list is generated from SAX_WORD so changing the word length
+    # cannot desync the word from the completeness guard (or the oracle)
+    lead_cols = [F.col("sym")] + [
+        F.lead("sym", i).over(w_t) for i in range(1, SAX_WORD)
+    ]
     words = sym.select(
         "event_type",
-        F.concat_ws(
-            "",
-            F.col("sym"),
-            F.lead("sym", 1).over(w_t),
-            F.lead("sym", 2).over(w_t),
-        ).alias("word"),
+        F.concat_ws("", *lead_cols).alias("word"),
         F.lead("sym", SAX_WORD - 1).over(w_t).alias("s_last"),
     ).where(F.col("s_last").isNotNull())
     return (
@@ -1280,9 +1280,13 @@ sym AS (
 ),
 words AS (
   SELECT event_type,
-         CAST(sym AS VARCHAR)
-           || CAST(LEAD(sym, 1) OVER w AS VARCHAR)
-           || CAST(LEAD(sym, 2) OVER w AS VARCHAR) AS word,
+         {" || ".join(
+             ["CAST(sym AS VARCHAR)"]
+             + [
+                 f"CAST(LEAD(sym, {i}) OVER w AS VARCHAR)"
+                 for i in range(1, SAX_WORD)
+             ]
+         )} AS word,
          LEAD(sym, {SAX_WORD - 1}) OVER w AS s_last
   FROM sym
   WINDOW w AS (PARTITION BY event_type ORDER BY hr)

@@ -151,13 +151,12 @@ def test_zonemap_prune_matches_bruteforce(spark):
             f"FROM read_parquet('{SF}/events.parquet')"
         ).fetchall()
     ]
-    cuts = con.execute(
-        "SELECT quantile_cont(c, ["
-        + ", ".join(str(i / relops.ZM_ZONES) for i in range(1, relops.ZM_ZONES))
-        + "]) FROM (SELECT unnest(?) AS c)",
-        [cents],
-    ).fetchone()[0]
     con.close()
+    # rank-based discrete cuts: cut_i = sorted[ceil(i*n/zones) - 1] — the
+    # all-integer definition the op uses (no interpolated-percentile seam)
+    srt = sorted(cents)
+    n, zones = len(srt), relops.ZM_ZONES
+    cuts = [srt[-(-i * n // zones) - 1] for i in range(1, zones)]
     by_zone = defaultdict(list)
     for c in cents:
         z = 1 + sum(1 for cut in cuts if c > cut)
