@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sparkmedkg import exactq
+
 QUANT = 1024          # embedding quantization scale (2^10)
 PCA_ITERS = 2         # unrolled power-iteration steps
 GRAM_BITS = 20        # post-shift bound: max|g| < 2^GRAM_BITS
@@ -554,18 +556,16 @@ def probe_calibration(
         .groupBy("vec_id", "label")
         .agg(F.sum(F.col("qi") * F.col("w")).cast("bigint").alias("s"))
     )
-    qs = [i / 10.0 for i in range(1, 10)]
-    cuts = scored.agg(
-        F.percentile(F.col("s").cast("double"), F.array(*[F.lit(x) for x in qs])).alias("cuts")
-    )
-    decile = F.lit(1) + F.aggregate(
-        F.col("cuts"),
-        F.lit(0),
-        lambda acc, c: acc + F.when(F.col("s").cast("double") > c, 1).otherwise(0),
+    # integer-exact decile cuts over the BIGINT scores (exactq) — the
+    # previous double-cast percentile was a cross-engine ulp seam
+    cuts = exactq.quantile_cuts_scaled(
+        scored, "s", list(range(1, 10)), 10
     )
     return (
         scored.crossJoin(F.broadcast(cuts))
-        .select("s", "label", decile.alias("decile"))
+        .select(
+            "s", "label", exactq.bucket_expr("s", 10).alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -586,7 +586,6 @@ def probe_calibration(
 
 
 def sql_probe_calibration(iters: int = PROBE_ITERS) -> str:
-    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
     return f"""
 WITH w AS ({sql_linear_probe(iters)}),
 scored AS (
@@ -596,11 +595,11 @@ scored AS (
   FROM embeddings e, w
   GROUP BY e.vec_id, e.label
 ),
-cuts AS (SELECT quantile_cont(s::DOUBLE, [{qs}]) AS cuts FROM scored),
+{exactq.sql_cuts_cte("scored", "s", list(range(1, 10)), 10)},
 dec AS (
   SELECT s, label,
-         1 + len(list_filter(cuts, c -> s::DOUBLE > c)) AS decile
-  FROM scored CROSS JOIN cuts
+         1 + len(list_filter(cuts_scaled, c -> 10 * s > c)) AS decile
+  FROM scored CROSS JOIN qc_cuts
 )
 SELECT decile, COUNT(*) AS n,
        CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkmedkg import exactq
+
 SESSION_GAP_SEC = 1800
 
 
@@ -495,33 +497,45 @@ FROM events GROUP BY user_id
 
 def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, n, p50, p90, p99): exact per-type value percentiles
-    (linear interpolation — Spark ``percentile`` and DuckDB
-    ``quantile_cont`` share the (p*(n-1)) definition).  One partial-final
-    aggregation pass; exact percentile holds a per-group sorted buffer,
-    fine for bounded group counts — at unbounded cardinality switch to
+    (quantile_cont's (p*(n-1)) linear interpolation, computed through
+    exactq's all-integer closed form over the cent domain, so the emitted
+    doubles are one division of identical bigints in both engines — no
+    engine-side float-fold seam).  The per-type value histogram is
+    group-count x price-domain sized; at unbounded cardinality switch to
     ``approx_percentile`` (t-digest, mergeable)."""
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.round(F.percentile("value", F.lit(p)), 6).alias(name)
-                for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
-            ],
-        )
-        .select("event_type", "n", "p50", "p90", "p99")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = exactq.grouped_quantile_cuts_scaled(
+        ev, "event_type", "cents", [50, 90, 99], 100
+    )
+    # cut_scaled units: cents * den(=100) -> dollars * 10000
+    return cuts.select(
+        "event_type",
+        F.col("n").alias("n"),
+        *[
+            F.round(
+                F.element_at(F.col("cuts_scaled"), i) / 10_000.0, 6
+            ).alias(name)
+            for i, name in [(1, "p50"), (2, "p90"), (3, "p99")]
+        ],
     )
 
 
 def sql_events_percentiles() -> str:
-    return """
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+{exactq.sql_grouped_cuts_cte("ev", "event_type", "cents", [50, 90, 99], 100)}
 SELECT event_type,
-       COUNT(*) AS n,
-       round(quantile_cont(value, 0.5), 6) AS p50,
-       round(quantile_cont(value, 0.9), 6) AS p90,
-       round(quantile_cont(value, 0.99), 6) AS p99
-FROM events GROUP BY event_type
+       CAST(n AS BIGINT) AS n,
+       round(cuts_scaled[1] / 10000.0, 6) AS p50,
+       round(cuts_scaled[2] / 10000.0, 6) AS p90,
+       round(cuts_scaled[3] / 10000.0, 6) AS p99
+FROM gqc_cuts
 """
 
 
@@ -2337,48 +2351,73 @@ def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     least/greatest, and the winsorized sum accumulates in DECIMAL
     (order-independent).  At unbounded type cardinality swap in
     approx_percentile; plan unchanged."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    cuts = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(WINSOR_LO)).alias("lo"),
-        F.percentile("value", F.lit(WINSOR_HI)).alias("hi"),
+    # all-integer lane (exactq): values -> cents, p01/p99 cuts in units of
+    # cents*100 (den=100 -> dollars*10000).  Cap flags and the clamp are
+    # exact bigint comparisons; the winsorized sum accumulates in scaled
+    # bigints (order-independent) and divides once for display.
+    lo_num = round(WINSOR_LO * 100)
+    hi_num = round(WINSOR_HI * 100)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    w = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    cuts = exactq.grouped_quantile_cuts_scaled(
+        ev, "event_type", "cents", [lo_num, hi_num], 100
+    ).select(
+        "event_type",
+        F.element_at("cuts_scaled", 1).alias("lo_s"),
+        F.element_at("cuts_scaled", 2).alias("hi_s"),
+    )
+    v_s = F.lit(100) * F.col("cents")
+    w_s = F.least(F.greatest(v_s, F.col("lo_s")), F.col("hi_s"))
     return (
         ev.join(F.broadcast(cuts), "event_type")
         .select(
             "event_type",
-            (F.col("value") < F.col("lo")).cast("int").alias("c_lo"),
-            (F.col("value") > F.col("hi")).cast("int").alias("c_hi"),
-            w.cast("decimal(18,6)").alias("wv"),
+            (v_s < F.col("lo_s")).cast("int").alias("c_lo"),
+            (v_s > F.col("hi_s")).cast("int").alias("c_hi"),
+            w_s.alias("wv_s"),
         )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("c_lo").cast("bigint").alias("n_capped_lo"),
             F.sum("c_hi").cast("bigint").alias("n_capped_hi"),
-            F.round(F.sum("wv").cast("double"), 4).alias("sum_winsorized"),
+            # decimal(38,0) accumulator: sum of dollars*1e4 units clears
+            # int64 around 10^12 rows (DuckDB side is HUGEINT already)
+            F.round(
+                F.sum(F.col("wv_s").cast("decimal(38,0)")).cast("double")
+                / 10_000.0,
+                4,
+            ).alias("sum_winsorized"),
         )
     )
 
 
 def sql_events_winsorize() -> str:
+    lo_num = round(WINSOR_LO * 100)
+    hi_num = round(WINSOR_HI * 100)
     return f"""
-WITH cuts AS (
-  SELECT event_type,
-         quantile_cont(value, {WINSOR_LO}) AS lo,
-         quantile_cont(value, {WINSOR_HI}) AS hi
-  FROM events GROUP BY event_type
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+{exactq.sql_grouped_cuts_cte("ev", "event_type", "cents",
+                             [lo_num, hi_num], 100, prefix="wq")},
+cuts AS (
+  SELECT event_type, cuts_scaled[1] AS lo_s, cuts_scaled[2] AS hi_s
+  FROM wq_cuts
 )
 SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_capped_lo,
-       CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_capped_hi,
-       round(CAST(SUM(CAST(least(greatest(e.value, c.lo), c.hi)
-                           AS DECIMAL(18,6))) AS DOUBLE), 4)
+       CAST(SUM(CASE WHEN 100 * e.cents < c.lo_s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_lo,
+       CAST(SUM(CASE WHEN 100 * e.cents > c.hi_s THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_capped_hi,
+       round(SUM(least(greatest(100 * e.cents, c.lo_s), c.hi_s))
+             / 10000.0, 4)
          AS sum_winsorized
-FROM events e JOIN cuts c USING (event_type)
+FROM ev e JOIN cuts c USING (event_type)
 GROUP BY e.event_type
 """
 
@@ -2398,26 +2437,48 @@ def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two grouped exact-percentile passes (median, then MAD over the
     residuals), each group-count-sized and broadcast back; the flag is a
     row-local comparison of identically-computed doubles."""
-    ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    # all-integer lane (exactq): values -> cents; the median of ints is a
+    # half-integer -> med_scaled in HALF-CENTS (den=2); residuals are then
+    # exact half-cent bigints; the MAD median lands in QUARTER-CENTS.
+    # The anomaly flag |v-med| > K*mad becomes 2*r_hc > K*mad_scaled —
+    # exact bigint both engines (K integral).
+    k_int = int(MAD_K)
+    assert k_int == MAD_K, "MAD_K must stay integral for the exact lane"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = exactq.grouped_quantile_cuts_scaled(
+        ev, "event_type", "cents", [1], 2
+    ).select(
+        "event_type",
+        F.element_at("cuts_scaled", 1).alias("med_scaled"),
     )
     resid = ev.join(F.broadcast(med), "event_type").select(
-        "event_type", "value", "med",
-        F.abs(F.col("value") - F.col("med")).alias("r"),
+        "event_type",
+        "med_scaled",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med_scaled")).alias(
+            "r_hc"
+        ),
     )
-    mad = resid.groupBy("event_type").agg(
-        F.percentile("r", F.lit(0.5)).alias("mad")
+    mad = exactq.grouped_quantile_cuts_scaled(
+        resid, "event_type", "r_hc", [1], 2
+    ).select(
+        "event_type",
+        F.element_at("cuts_scaled", 1).alias("mad_scaled"),
     )
     return (
         resid.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.first("med"), 6).alias("median"),
-            F.round(F.first("mad"), 6).alias("mad"),
+            F.round(F.first("med_scaled") / 200.0, 6).alias("median"),
+            F.round(F.first("mad_scaled") / 400.0, 6).alias("mad"),
             F.sum(
-                (F.col("r") > F.lit(MAD_K) * F.col("mad")).cast("int")
+                (
+                    F.lit(2) * F.col("r_hc")
+                    > F.lit(k_int) * F.col("mad_scaled")
+                ).cast("int")
             )
             .cast("bigint")
             .alias("n_anomalies"),
@@ -2426,24 +2487,33 @@ def events_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_events_robust_zscore() -> str:
+    k_int = int(MAD_K)
     return f"""
-WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY event_type
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+{exactq.sql_grouped_cuts_cte("ev", "event_type", "cents", [1], 2,
+                             prefix="mq")},
+med AS (
+  SELECT event_type, cuts_scaled[1] AS med_scaled FROM mq_cuts
 ),
 resid AS (
-  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS r
-  FROM events e JOIN med m USING (event_type)
+  SELECT e.event_type, m.med_scaled,
+         abs(2 * e.cents - m.med_scaled) AS r_hc
+  FROM ev e JOIN med m USING (event_type)
 ),
+{exactq.sql_grouped_cuts_cte("resid", "event_type", "r_hc", [1], 2,
+                             prefix="dq")},
 mad AS (
-  SELECT event_type, quantile_cont(r, 0.5) AS mad
-  FROM resid GROUP BY event_type
+  SELECT event_type, cuts_scaled[1] AS mad_scaled FROM dq_cuts
 )
 SELECT r.event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(ANY_VALUE(r.med), 6) AS median,
-       round(ANY_VALUE(d.mad), 6) AS mad,
-       CAST(SUM(CASE WHEN r.r > {MAD_K} * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+       round(ANY_VALUE(r.med_scaled) / 200.0, 6) AS median,
+       round(ANY_VALUE(d.mad_scaled) / 400.0, 6) AS mad,
+       CAST(SUM(CASE WHEN 2 * r.r_hc > {k_int} * d.mad_scaled
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS n_anomalies
 FROM resid r JOIN mad d USING (event_type)
 GROUP BY r.event_type
@@ -4206,12 +4276,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "mon",
     )
-    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-    cuts = users.agg(
-        F.percentile("rec", qs).alias("rc"),
-        F.percentile("freq", qs).alias("fc"),
-        F.percentile("mon", qs).alias("mc"),
-    )
+    # integer-exact quartile cuts per measure (exactq, den=4) — all three
+    # measures are bigint, so bucket membership is decided by exact
+    # 4*v-vs-cut_scaled comparison in both engines
+    def _cuts(col: str, alias: str):
+        return F.broadcast(
+            exactq.quantile_cuts_scaled(users, col, [1, 2, 3], 4).select(
+                F.col("cuts_scaled").alias(alias)
+            )
+        )
 
     def bucket(v, c):
         return (
@@ -4219,12 +4292,17 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.aggregate(
                 F.col(c),
                 F.lit(0),
-                lambda acc, cut: acc + F.when(F.col(v) > cut, 1).otherwise(0),
+                lambda acc, cut: acc
+                + F.when(
+                    F.col(v).cast("bigint") * 4 > cut, 1
+                ).otherwise(0),
             )
         ).cast("int")
 
     return (
-        users.crossJoin(F.broadcast(cuts))
+        users.crossJoin(_cuts("rec", "rc"))
+        .crossJoin(_cuts("freq", "fc"))
+        .crossJoin(_cuts("mon", "mc"))
         .select(
             bucket("rec", "rc").alias("r_q"),
             bucket("freq", "fc").alias("f_q"),
@@ -4240,7 +4318,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_events_rfm_segments() -> str:
-    return """
+    return f"""
 WITH per_user AS (
   SELECT user_id,
          MAX(epoch_us(ts) // 1000000) AS last_sec,
@@ -4256,18 +4334,18 @@ users AS (
          freq, mon
   FROM per_user
 ),
-cuts AS (
-  SELECT quantile_cont(rec, [0.25, 0.5, 0.75]) AS rc,
-         quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
-         quantile_cont(mon, [0.25, 0.5, 0.75]) AS mc
-  FROM users
-),
+{exactq.sql_cuts_cte("users", "rec", [1, 2, 3], 4, prefix="rq")},
+{exactq.sql_cuts_cte("users", "freq", [1, 2, 3], 4, prefix="fq")},
+{exactq.sql_cuts_cte("users", "mon", [1, 2, 3], 4, prefix="mq")},
 assigned AS (
-  SELECT CAST(1 + len(list_filter(rc, c -> rec > c)) AS INT) AS r_q,
-         CAST(1 + len(list_filter(fc, c -> freq > c)) AS INT) AS f_q,
-         CAST(1 + len(list_filter(mc, c -> mon > c)) AS INT) AS m_q,
+  SELECT CAST(1 + len(list_filter(rq_cuts.cuts_scaled, c -> 4 * rec > c))
+              AS INT) AS r_q,
+         CAST(1 + len(list_filter(fq_cuts.cuts_scaled, c -> 4 * freq > c))
+              AS INT) AS f_q,
+         CAST(1 + len(list_filter(mq_cuts.cuts_scaled, c -> 4 * mon > c))
+              AS INT) AS m_q,
          mon
-  FROM users CROSS JOIN cuts
+  FROM users CROSS JOIN rq_cuts CROSS JOIN fq_cuts CROSS JOIN mq_cuts
 )
 SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
        CAST(SUM(mon) AS BIGINT) AS total_monetary_micros
@@ -4565,19 +4643,18 @@ def events_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    qs = [i / 10.0 for i in range(1, 10)]
-    cuts = per.agg(
-        F.percentile("c", F.array(*[F.lit(q) for q in qs])).alias("cuts")
-    )
+    # integer-exact decile cuts (exactq): counts are bigint, so the
+    # interpolated cut is exact in tenths — no cross-engine float seam
+    cuts = exactq.quantile_cuts_scaled(per, "c", list(range(1, 10)), 10)
     # decile 1 = heaviest users: 1 + #{cuts strictly ABOVE this count}
-    decile = F.lit(1) + F.aggregate(
-        F.col("cuts"),
-        F.lit(0),
-        lambda acc, cut: acc + F.when(F.col("c") < cut, 1).otherwise(0),
-    )
     per_dec = (
         per.crossJoin(F.broadcast(cuts))
-        .select(decile.cast("int").alias("decile"), "c")
+        .select(
+            exactq.bucket_expr("c", 10, reverse=True)
+            .cast("int")
+            .alias("decile"),
+            "c",
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -4601,15 +4678,15 @@ def events_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_events_pareto_curve() -> str:
-    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
     return f"""
 WITH per AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY user_id
 ),
-cuts AS (SELECT quantile_cont(c, [{qs}]) AS cuts FROM per),
+{exactq.sql_cuts_cte("per", "c", list(range(1, 10)), 10)},
 assigned AS (
-  SELECT CAST(1 + len(list_filter(cuts, cut -> c < cut)) AS INT) AS decile, c
-  FROM per CROSS JOIN cuts
+  SELECT CAST(1 + len(list_filter(cuts_scaled, cut -> 10 * c < cut))
+              AS INT) AS decile, c
+  FROM per CROSS JOIN qc_cuts
 ),
 per_dec AS (
   SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,

@@ -2065,9 +2065,16 @@ def norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     division) and the median is the exact interpolated percentile of
     integers — no order-dependent double accumulation anywhere.
     Map-only projection + one 1-row aggregate."""
+    from sparkmedkg import exactq
+
     emb = _emb(spark, sf_dir)
     qn = F.floor(_norm(F.col("v")) * 1_000_000 + F.lit(0.5)).cast("bigint")
     per = emb.select(qn.alias("qn"))
+    # median via exactq (den=2): half-integers are exact doubles, so the
+    # emitted p50 is bit-identical cross-engine by construction
+    med = exactq.quantile_cuts_scaled(per, "qn", [1], 2).select(
+        (F.element_at("cuts_scaled", 1) / 2.0).alias("p50_norm_e6")
+    )
     return per.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum(F.when(F.col("qn") == 0, 1).otherwise(0))
@@ -2076,24 +2083,26 @@ def norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("qn").alias("min_norm_e6"),
         F.max("qn").alias("max_norm_e6"),
         F.expr("sum(qn) div count(1)").cast("bigint").alias("avg_norm_e6"),
-        F.round(F.percentile("qn", F.lit(0.5)), 6).alias("p50_norm_e6"),
-    )
+    ).crossJoin(F.broadcast(med))
 
 
 def sql_norm_profile() -> str:
+    from sparkmedkg import exactq
+
     nrm = _SQL_NORM.format(a="embedding")
     return f"""
 WITH per AS (
   SELECT CAST(floor(({nrm}) * 1000000 + 0.5) AS BIGINT) AS qn
   FROM embeddings
-)
+),
+{exactq.sql_cuts_cte("per", "qn", [1], 2, prefix="nq")}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
        CAST(COALESCE(SUM(CASE WHEN qn = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS n_zero,
        MIN(qn) AS min_norm_e6,
        MAX(qn) AS max_norm_e6,
        CAST(SUM(qn) // COUNT(*) AS BIGINT) AS avg_norm_e6,
-       round(quantile_cont(qn, 0.5), 6) AS p50_norm_e6
+       (SELECT cuts_scaled[1] / 2.0 FROM nq_cuts) AS p50_norm_e6
 FROM per
 """
 

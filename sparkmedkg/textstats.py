@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sparkmedkg import exactq
+
 EN_MARKERS = ["the", "a", "of", "and", "is", "to"]
 STOPWORDS = EN_MARKERS
 FP_MOD = 1_000_000_007
@@ -297,19 +299,20 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    scored = _docs(spark, sf_dir).select("doc_id", score.alias("s"))
-    qs = [i / 10.0 for i in range(1, 10)]
-    cuts = scored.agg(
-        F.percentile("s", F.array(*[F.lit(q) for q in qs])).alias("cuts")
+    # scores are 6dp-rounded -> micro-unit bigints, so the decile cuts run
+    # through exactq's integer-exact interpolation (last-ulp percentile
+    # differences between engines can flip boundary rows' deciles)
+    scored = _docs(spark, sf_dir).select(
+        "doc_id",
+        score.alias("s"),
+        F.round(score * 1_000_000).cast("bigint").alias("s_micro"),
     )
-    decile = F.lit(1) + F.aggregate(
-        F.col("cuts"),
-        F.lit(0),
-        lambda acc, c: acc + F.when(F.col("s") > c, 1).otherwise(0),
+    cuts = exactq.quantile_cuts_scaled(
+        scored, "s_micro", list(range(1, 10)), 10
     )
     return (
         scored.crossJoin(F.broadcast(cuts))
-        .select("s", decile.alias("decile"))
+        .select("s", exactq.bucket_expr("s_micro", 10).alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -326,13 +329,17 @@ def sql_quality_deciles() -> str:
         f"round(least(len({toks})::DOUBLE / 100.0, 1.0) * "
         f"round(len(list_distinct({toks}))::DOUBLE / len({toks})::DOUBLE, 6), 6)"
     )
-    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
     return f"""
-WITH scored AS (SELECT doc_id, {score} AS s FROM documents),
-cuts AS (SELECT quantile_cont(s, [{qs}]) AS cuts FROM scored),
+WITH scored AS (
+  SELECT doc_id, {score} AS s,
+         CAST(round(({score}) * 1000000) AS BIGINT) AS s_micro
+  FROM documents
+),
+{exactq.sql_cuts_cte("scored", "s_micro", list(range(1, 10)), 10)},
 assigned AS (
-  SELECT s, 1 + len(list_filter(cuts, c -> s > c)) AS decile
-  FROM scored CROSS JOIN cuts
+  SELECT s,
+         1 + len(list_filter(cuts_scaled, c -> 10 * s_micro > c)) AS decile
+  FROM scored CROSS JOIN qc_cuts
 )
 SELECT decile, COUNT(*) AS n_docs,
        round(MIN(s), 6) AS min_score,

@@ -300,37 +300,82 @@ QUALITY_PCT = 0.5
 def quality_filter(
     spark: SparkSession, sf_dir: str, pct: float = QUALITY_PCT
 ) -> DataFrame:
-    """(doc_id, quality_score, p_cut): documents at or above the exact
+    """(doc_id, quality_score, p_cut): documents at or above the discrete
     corpus ``pct``-quantile of textstats.quality's score — the
     "keep the top half by quality" training-mix gate.
 
-    Plan: the quantile is ONE scalar from a partial-aggregatable
-    percentile over the score column, broadcast back over the corpus
-    (BroadcastNestedLoopJoin on a 1-row side == a literal); the corpus is
-    scanned twice but never shuffled.  At 100 TB swap the exact percentile
-    for approx_percentile with a pinned accuracy and the plan is
-    unchanged."""
+    The cut is RANK-BASED and integer-exact: quality_score is already
+    rounded to 6dp, so scores map losslessly to micro-units (bigint), and
+    p_cut = the smallest score whose cumulative count reaches
+    ceil(pct * n).  An interpolated percentile (Spark ``percentile`` vs
+    DuckDB ``quantile_cont``) is a float seam — a last-ulp difference
+    between engines flips boundary rows in/out of the release set.
+
+    Plan: the cumulative window runs over the micro-unit VALUE HISTOGRAM
+    (<= 1e6 + 1 distinct values by construction — bounded regardless of
+    corpus size), the 1-row cut broadcasts back, and the corpus is
+    scanned twice but never shuffled."""
     from sparkmedkg.textstats import quality
 
-    q = quality(spark, sf_dir).select("doc_id", "quality_score")
-    cut = q.agg(
-        F.expr(f"percentile(quality_score, {pct})").alias("p_cut")
+    q = quality(spark, sf_dir).select(
+        "doc_id",
+        "quality_score",
+        F.round(F.col("quality_score") * 1_000_000)
+        .cast("bigint")
+        .alias("s_micro"),
+    )
+    hist = q.groupBy("s_micro").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("s_micro").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    pnum = round(pct * 1_000_000)
+    cut = (
+        cum.crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+        .where(
+            F.col("cum")
+            >= F.expr(f"div(n * {pnum} + 999999, 1000000)")
+        )
+        .agg(F.min("s_micro").alias("cut_micro"))
     )
     return (
         q.crossJoin(F.broadcast(cut))
-        .where(F.col("quality_score") >= F.col("p_cut"))
-        .select("doc_id", "quality_score", F.round("p_cut", 6).alias("p_cut"))
+        .where(F.col("s_micro") >= F.col("cut_micro"))
+        .select(
+            "doc_id",
+            "quality_score",
+            F.round(F.col("cut_micro") / 1_000_000, 6).alias("p_cut"),
+        )
     )
 
 
 def sql_quality_filter(pct: float = QUALITY_PCT) -> str:
     from sparkmedkg.textstats import sql_quality
 
+    pnum = round(pct * 1_000_000)
     return f"""
-WITH q AS (SELECT doc_id, quality_score FROM ({sql_quality()})),
-cut AS (SELECT quantile_cont(quality_score, {pct}) AS p_cut FROM q)
-SELECT doc_id, quality_score, round(cut.p_cut, 6) AS p_cut
-FROM q, cut WHERE quality_score >= cut.p_cut
+WITH q AS (
+  SELECT doc_id, quality_score,
+         CAST(round(quality_score * 1000000) AS BIGINT) AS s_micro
+  FROM ({sql_quality()})
+),
+hist AS (SELECT s_micro, COUNT(*) AS cnt FROM q GROUP BY 1),
+cum AS (
+  SELECT s_micro, cnt,
+         SUM(cnt) OVER (ORDER BY s_micro
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tot AS (SELECT SUM(cnt) AS n FROM hist),
+cut AS (
+  SELECT MIN(s_micro) AS cut_micro
+  FROM cum, tot
+  WHERE cum >= (n * {pnum} + 999999) // 1000000
+)
+SELECT doc_id, quality_score,
+       round(cut.cut_micro / 1000000.0, 6) AS p_cut
+FROM q, cut WHERE q.s_micro >= cut.cut_micro
 """
 
 

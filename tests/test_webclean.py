@@ -115,9 +115,10 @@ def test_quality_filter_median(spark):
     # at-or-above it
     assert all(r["quality_score"] >= cut for r in rows)
     assert len(rows) == sum(1 for s in scores if s >= cut)
-    # the cut is the interpolated median of the score distribution
+    # the cut is the rank-based discrete median: the smallest score whose
+    # cumulative count reaches ceil(n/2) (integer-exact in both engines)
     n = len(scores)
-    exp = (scores[(n - 1) // 2] + scores[n // 2]) / 2
+    exp = scores[(n + 1) // 2 - 1]
     assert abs(cut - exp) < 1e-6
 
 
