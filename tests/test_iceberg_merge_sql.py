@@ -67,3 +67,49 @@ def test_merge_sql_custom_view_name(spark):
     sql = iceberg_merge_nodes_sql("c.d.nodes", updates_view="staged")
     assert "FROM staged) s" in sql
     assert _parse(spark, sql).getClass().getSimpleName() == "MergeIntoTable"
+
+
+def test_merge_sql_keys_drive_the_executed_fallback(spark, tmp_path):
+    """Tie the (never-executed) MERGE string to the (executed) fallback:
+    replay insert-if-absent using the key columns PARSED OUT of the SQL's
+    ON clause and assert the result equals what GraphStore.merge_nodes
+    actually materializes.  If the string's keys ever drift from the
+    fallback's, this fails without needing an Iceberg runtime."""
+    import re
+
+    from sparkmedkg import schemas
+    from sparkmedkg.materialize import GraphStore
+
+    sql = iceberg_merge_nodes_sql("cat.db.nodes")
+    on_line = next(ln for ln in sql.splitlines() if ln.startswith("ON "))
+    keys = re.findall(r"t\.(\w+) = s\.\1", on_line)
+    assert keys, on_line
+
+    base = [
+        ("Gene", "g1", '{"sym":"A"}'),
+        ("Disease", "d1", "{}"),
+    ]
+    updates = [
+        ("Gene", "g1", '{"sym":"CHANGED"}'),  # matched -> must NOT insert
+        ("Gene", "g2", "{}"),                 # new
+        ("Gene", "g2", "{}"),                 # dup inside updates -> once
+        ("Disease", "d2", "{}"),              # new
+    ]
+    store = GraphStore(spark, str(tmp_path / "g"))
+    n0 = store.merge_nodes(
+        spark.createDataFrame(base, schemas.NODES_SCHEMA)
+    )
+    upd = spark.createDataFrame(updates, schemas.NODES_SCHEMA)
+    n1 = store.merge_nodes(upd)
+    assert (n0, n1) == (2, 2)
+
+    # replay MERGE semantics with the parsed keys
+    tgt = spark.createDataFrame(base, schemas.NODES_SCHEMA)
+    replayed = tgt.unionByName(
+        upd.dropDuplicates().join(tgt, on=keys, how="left_anti")
+    )
+    got = {tuple(r) for r in store.read_nodes().collect()}
+    want = {tuple(r) for r in replayed.collect()}
+    assert got == want
+    # matched row kept the TARGET's props (insert-if-absent, no update)
+    assert ("Gene", "g1", '{"sym":"A"}') in got
