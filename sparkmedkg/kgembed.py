@@ -350,6 +350,198 @@ GROUP BY subj_cui, pred, obj_cui, pos_score
 
 
 # ---------------------------------------------------------------------------
+# ComplEx link-prediction ranking (complex bilinear, integer lane).
+# ---------------------------------------------------------------------------
+
+def _complex_score(subj: str, pred: str, obj: str) -> Column:
+    """Exact ComplEx score Re(<h, r, conj(t)>) in BIGINT: entities and
+    relations carry integer (re, im) component pairs (kinds cr/ci and
+    rr2/ri), and the standard four-term expansion
+
+        sum_i  re_h*re_r*re_t + im_h*re_r*im_t
+             + re_h*im_r*im_t - im_h*im_r*re_t
+
+    is a sum of triple products of components < EMB_MOD — each term
+    < 2001^3 ~ 8e9, the 4*EMB_DIM-term sum < 2.6e11, far inside int64."""
+    total = F.lit(0).cast("bigint")
+    for i in range(EMB_DIM):
+        hr = _emb_component(subj, "cr", i)
+        hi = _emb_component(subj, "ci", i)
+        rr = _emb_component(pred, "rr2", i)
+        ri = _emb_component(pred, "ri", i)
+        tr = _emb_component(obj, "cr", i)
+        ti = _emb_component(obj, "ci", i)
+        total = total + (
+            hr * rr * tr + hi * rr * ti + hr * ri * ti - hi * ri * tr
+        )
+    return total
+
+
+def q_complex_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(subj_cui, pred, obj_cui, pos_score, n_neg, pos_rank): ComplEx twin
+    of q_distmult_rank — DistMult cannot model asymmetric relations
+    (score(h,r,t) = score(t,r,h) by construction); ComplEx's imaginary
+    parts break that tie, which is why it's the standard next rung on a
+    KG-embedding eval ladder.  Higher is better, so rank counts strictly
+    HIGHER-scoring negatives.  Same plan as TransE/DistMult: map-only
+    scoring + one partial-agg-combinable groupBy on the triple key."""
+    neg = relations.q_negative_triples(spark, sf_dir, k=k, max_gap=max_gap)
+    scored = neg.select(
+        "subj_cui",
+        "pred",
+        "obj_cui",
+        _complex_score("subj_cui", "pred", "obj_cui").alias("pos_score"),
+        _complex_score("subj_cui", "pred", "neg_obj_cui").alias(
+            "neg_score"
+        ),
+    )
+    return scored.groupBy("subj_cui", "pred", "obj_cui", "pos_score").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("neg_score") > F.col("pos_score"), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pos_rank"),
+    )
+
+
+def _sql_complex(subj: str, pred: str, obj: str) -> str:
+    terms = []
+    for i in range(EMB_DIM):
+        hr = _sql_emb(subj, "cr", str(i))
+        hi = _sql_emb(subj, "ci", str(i))
+        rr = _sql_emb(pred, "rr2", str(i))
+        ri = _sql_emb(pred, "ri", str(i))
+        tr = _sql_emb(obj, "cr", str(i))
+        ti = _sql_emb(obj, "ci", str(i))
+        terms.append(
+            f"({hr} * {rr} * {tr} + {hi} * {rr} * {ti}"
+            f" + {hr} * {ri} * {ti} - {hi} * {ri} * {tr})"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_complex_rank(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH neg AS ({relations.sql_negative_triples(k, max_gap)}),
+scored AS (
+  SELECT subj_cui, pred, obj_cui,
+         {_sql_complex('subj_cui', 'pred', 'obj_cui')} AS pos_score,
+         {_sql_complex('subj_cui', 'pred', 'neg_obj_cui')} AS neg_score
+  FROM neg
+)
+SELECT subj_cui, pred, obj_cui,
+       CAST(pos_score AS BIGINT) AS pos_score,
+       CAST(COUNT(*) AS BIGINT) AS n_neg,
+       CAST(1 + SUM(CASE WHEN neg_score > pos_score THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos_rank
+FROM scored
+GROUP BY subj_cui, pred, obj_cui, pos_score
+"""
+
+
+# ---------------------------------------------------------------------------
+# RotatE-analog link-prediction ranking (modular phase rotation).
+# ---------------------------------------------------------------------------
+
+def _rotate_score(subj: str, pred: str, obj: str) -> Column:
+    """Exact modular-rotation distance: components are phases in
+    Z_EMB_MOD, the relation ADDS its phase (RotatE's Hadamard rotation on
+    the unit circle, discretized to EMB_MOD ticks), and the per-dimension
+    penalty is the CIRCULAR distance min(d, M-d) where
+    d = (h_i + r_i - t_i) mod M.  All bigint; lower is better."""
+    total = F.lit(0).cast("bigint")
+    for i in range(EMB_DIM):
+        d = F.pmod(
+            _emb_component(subj, "e", i)
+            + _emb_component(pred, "ph", i)
+            - _emb_component(obj, "e", i),
+            F.lit(EMB_MOD),
+        )
+        total = total + F.least(d, F.lit(EMB_MOD) - d)
+    return total
+
+
+def q_rotate_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(subj_cui, pred, obj_cui, pos_dist, n_neg, pos_rank): RotatE-analog
+    twin of q_transe_rank — relations act as phase rotations, so
+    composition (r1 then r2 = phases adding) and inversion (negated
+    phase) are modeled exactly, the properties TransE's plain translation
+    lacks on cyclic relation families.  Distance, so rank counts strictly
+    LOWER-scoring negatives.  Entity phases reuse the shared 'e'
+    embedding space (same entity table, one more relation lane) — with a
+    trained model both become broadcast lookups, plan unchanged."""
+    neg = relations.q_negative_triples(spark, sf_dir, k=k, max_gap=max_gap)
+    scored = neg.select(
+        "subj_cui",
+        "pred",
+        "obj_cui",
+        _rotate_score("subj_cui", "pred", "obj_cui").alias("pos_dist"),
+        _rotate_score("subj_cui", "pred", "neg_obj_cui").alias("neg_dist"),
+    )
+    return scored.groupBy("subj_cui", "pred", "obj_cui", "pos_dist").agg(
+        F.count(F.lit(1)).alias("n_neg"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("neg_dist") < F.col("pos_dist"), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("pos_rank"),
+    )
+
+
+def _sql_rotate(subj: str, pred: str, obj: str) -> str:
+    terms = []
+    for i in range(EMB_DIM):
+        raw = (
+            f"({_sql_emb(subj, 'e', str(i))} + {_sql_emb(pred, 'ph', str(i))}"
+            f" - {_sql_emb(obj, 'e', str(i))})"
+        )
+        # DuckDB % keeps the dividend's sign; normalize to [0, M)
+        d = f"((({raw} % {EMB_MOD}) + {EMB_MOD}) % {EMB_MOD})"
+        terms.append(f"least({d}, {EMB_MOD} - {d})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def sql_rotate_rank(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    return f"""
+WITH neg AS ({relations.sql_negative_triples(k, max_gap)}),
+scored AS (
+  SELECT subj_cui, pred, obj_cui,
+         {_sql_rotate('subj_cui', 'pred', 'obj_cui')} AS pos_dist,
+         {_sql_rotate('subj_cui', 'pred', 'neg_obj_cui')} AS neg_dist
+  FROM neg
+)
+SELECT subj_cui, pred, obj_cui,
+       CAST(pos_dist AS BIGINT) AS pos_dist,
+       CAST(COUNT(*) AS BIGINT) AS n_neg,
+       CAST(1 + SUM(CASE WHEN neg_dist < pos_dist THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos_rank
+FROM scored
+GROUP BY subj_cui, pred, obj_cui, pos_dist
+"""
+
+
+# ---------------------------------------------------------------------------
 # KG schema statistics (VoID-style dataset description).
 # ---------------------------------------------------------------------------
 
