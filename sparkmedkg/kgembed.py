@@ -542,6 +542,94 @@ GROUP BY subj_cui, pred, obj_cui, pos_dist
 
 
 # ---------------------------------------------------------------------------
+# KGE scorecard: MRR / Hits@k across all four scoring lanes.
+# ---------------------------------------------------------------------------
+
+MRR_PPM = 1_000_000
+
+
+def q_kge_scorecard(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """(model, n_triples, mrr_ppm, hits1, hits3, hits10): the standard
+    link-prediction eval table over ALL FOUR scoring lanes (TransE,
+    DistMult, ComplEx, RotatE-analog) on the same positives/negatives —
+    the model-selection artifact a KG team actually reads.  MRR is
+    integer-exact: per-triple reciprocal rank as 1e6 div rank (floor),
+    averaged by integer division — identical in both engines.
+
+    Plan: each lane is the same map-only score + one groupBy; the union
+    is 4x that, and the final aggregate is 4 rows.  Model tags ride a
+    literal column, so the union stays partial-agg combinable."""
+    lanes = [
+        ("transe", q_transe_rank(spark, sf_dir, k, max_gap)),
+        ("distmult", q_distmult_rank(spark, sf_dir, k, max_gap)),
+        ("complex", q_complex_rank(spark, sf_dir, k, max_gap)),
+        ("rotate", q_rotate_rank(spark, sf_dir, k, max_gap)),
+    ]
+    unioned = None
+    for name, df in lanes:
+        cur = df.select(
+            F.lit(name).alias("model"), F.col("pos_rank").alias("rank")
+        )
+        unioned = cur if unioned is None else unioned.unionByName(cur)
+    return (
+        unioned.groupBy("model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_triples"),
+            F.expr(f"sum(div({MRR_PPM}, rank))").alias("_rr_sum"),
+            F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits1"),
+            F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits3"),
+            F.sum(F.when(F.col("rank") <= 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits10"),
+        )
+        .select(
+            "model",
+            "n_triples",
+            F.expr("div(_rr_sum, n_triples)")
+            .cast("bigint")
+            .alias("mrr_ppm"),
+            "hits1",
+            "hits3",
+            "hits10",
+        )
+    )
+
+
+def sql_kge_scorecard(k: int = NEG_K, max_gap: int = MAX_GAP) -> str:
+    lanes = [
+        ("transe", sql_transe_rank(k, max_gap)),
+        ("distmult", sql_distmult_rank(k, max_gap)),
+        ("complex", sql_complex_rank(k, max_gap)),
+        ("rotate", sql_rotate_rank(k, max_gap)),
+    ]
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS model, pos_rank AS rank FROM ({sql})"
+        for name, sql in lanes
+    )
+    return f"""
+WITH ranks AS (
+{unions}
+)
+SELECT model,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM({MRR_PPM} // rank) // COUNT(*) AS BIGINT) AS mrr_ppm,
+       CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits1,
+       CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits3,
+       CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits10
+FROM ranks GROUP BY model
+"""
+
+
+# ---------------------------------------------------------------------------
 # KG schema statistics (VoID-style dataset description).
 # ---------------------------------------------------------------------------
 

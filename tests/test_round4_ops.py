@@ -100,3 +100,27 @@ def test_rotate_phase_composition():
         r2 = _emb("causes", "ph", i)
         h = _emb("C010", "e", i)
         assert ((h + r1) % m + r2) % m == (h + (r1 + r2) % m) % m
+
+
+def test_kge_scorecard_consistency(spark):
+    """The scorecard rows must be recomputable from the four rank tables:
+    exact integer MRR and monotone hits1 <= hits3 <= hits10 <= n."""
+    ranks = {
+        "transe": [r["pos_rank"] for r in kgembed.q_transe_rank(spark, SF).collect()],
+        "distmult": [r["pos_rank"] for r in kgembed.q_distmult_rank(spark, SF).collect()],
+        "complex": [r["pos_rank"] for r in kgembed.q_complex_rank(spark, SF).collect()],
+        "rotate": [r["pos_rank"] for r in kgembed.q_rotate_rank(spark, SF).collect()],
+    }
+    got = {
+        r["model"]: r for r in kgembed.q_kge_scorecard(spark, SF).collect()
+    }
+    assert set(got) == set(ranks)
+    for model, rs in ranks.items():
+        row = got[model]
+        assert row["n_triples"] == len(rs)
+        assert row["mrr_ppm"] == sum(1_000_000 // r for r in rs) // len(rs)
+        h1 = sum(1 for r in rs if r <= 1)
+        h3 = sum(1 for r in rs if r <= 3)
+        h10 = sum(1 for r in rs if r <= 10)
+        assert (row["hits1"], row["hits3"], row["hits10"]) == (h1, h3, h10)
+        assert h1 <= h3 <= h10 <= len(rs)
