@@ -902,3 +902,116 @@ SELECT n AS n_ref, n AS n_sys, n AS n_common,
        TRUE AS meets_north_rule
 FROM n
 """
+
+
+# ---------------------------------------------------------------------------
+# Assertion-status / qualifier detection (NegEx-style window triggers).
+# ---------------------------------------------------------------------------
+
+#: window-before-mention trigger vocabulary.  In the medical deployment
+#: this is the NegEx cue list ("no", "not", "without", "denies", ... —
+#: Chapman et al. 2001, the assertion-status pass every clinical NER
+#: pipeline runs after span detection); the driver corpus's qualifier
+#: vocabulary plays that role here so the oracle-gated query is
+#: non-vacuous on the sf tables.  tests/test_round4_ops.py exercises the
+#: same operator with real negation cues on the medical fixture corpus.
+QUAL_TRIGGERS = ("slow", "fast", "big", "small")
+QUAL_WINDOW = 2
+
+
+def q_mention_qualifiers(
+    spark: SparkSession,
+    sf_dir: str,
+    triggers: tuple = QUAL_TRIGGERS,
+    window: int = QUAL_WINDOW,
+    lexicon: tuple | None = None,
+) -> DataFrame:
+    """(mention, qualifier, n_occ): every single-token lexicon mention
+    occurrence, grouped by the NEAREST trigger token in the ``window``
+    tokens before it ('' when unqualified) — the assertion-status /
+    attribute-extraction primitive of KG construction: a mention's edge
+    is written with (or suppressed by) its qualifier, so this table is
+    what turns raw spans into asserted vs negated vs modified triples.
+
+    Determinism: nearest = max trigger position (positions are distinct
+    integers, max_by is tie-free); tokenization is the corpus-wide
+    split-on-spaces convention.
+
+    Scale: one token posexplode feeds BOTH sides (mentions filter vs an
+    in-lexicon literal set, triggers vs the cue set — each a pushed-down
+    IN filter on the same scan); the proximity join is doc-keyed with a
+    +-window position band, so fan-out is bounded by cues-per-window,
+    never cross-document; the final count is map-side combinable."""
+    single = (
+        sorted(lexicon)
+        if lexicon is not None
+        else sorted({a for a, _ in alias_label_pairs() if " " not in a})
+    )
+    toks = (
+        docs_df(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select(
+            "url",
+            F.posexplode(F.split(F.lower(F.col("text")), " +")).alias(
+                "pos", "tok"
+            ),
+        )
+    )
+    m = toks.where(F.col("tok").isin(single)).select(
+        "url", F.col("pos").alias("mpos"), F.col("tok").alias("mention")
+    )
+    t = toks.where(F.col("tok").isin(list(triggers))).select(
+        "url", F.col("pos").alias("tpos"), F.col("tok").alias("trig")
+    )
+    per_occ = (
+        m.join(
+            t,
+            (m["url"] == t["url"])
+            & (t["tpos"] >= m["mpos"] - window)
+            & (t["tpos"] < m["mpos"]),
+            "left",
+        )
+        .groupBy(m["url"], "mpos", "mention")
+        .agg(F.max_by("trig", "tpos").alias("q"))
+    )
+    return (
+        per_occ.groupBy(
+            "mention", F.coalesce("q", F.lit("")).alias("qualifier")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+
+
+def sql_mention_qualifiers(
+    triggers: tuple = QUAL_TRIGGERS, window: int = QUAL_WINDOW
+) -> str:
+    single = sorted(
+        {a for a, _ in alias_label_pairs() if " " not in a}
+    )
+    lex = ", ".join(f"'{a}'" for a in single)
+    cues = ", ".join(f"'{t}'" for t in triggers)
+    return f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS url, u.pos, u.tok
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'tok': t[i]}}
+                   for i in generate_series(1, len(t))]) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS t
+          FROM documents WHERE lang = 'en')
+  )
+),
+m AS (SELECT url, pos AS mpos, tok AS mention FROM toks
+      WHERE tok IN ({lex})),
+trg AS (SELECT url, pos AS tpos, tok AS trig FROM toks
+        WHERE tok IN ({cues})),
+per_occ AS (
+  SELECT m.url, m.mpos, m.mention, max_by(t.trig, t.tpos) AS q
+  FROM m LEFT JOIN trg t
+    ON t.url = m.url AND t.tpos >= m.mpos - {window} AND t.tpos < m.mpos
+  GROUP BY m.url, m.mpos, m.mention
+)
+SELECT mention, COALESCE(q, '') AS qualifier,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM per_occ GROUP BY mention, COALESCE(q, '')
+"""

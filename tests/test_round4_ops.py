@@ -124,3 +124,84 @@ def test_kge_scorecard_consistency(spark):
         h10 = sum(1 for r in rs if r <= 10)
         assert (row["hits1"], row["hits3"], row["hits10"]) == (h1, h3, h10)
         assert h1 <= h3 <= h10 <= len(rs)
+
+
+# ---------------------------------------------------------------------------
+# Assertion status / mention qualifiers (NegEx-style window triggers)
+# ---------------------------------------------------------------------------
+
+def test_mention_qualifiers_bruteforce(spark):
+    """Recompute (mention, nearest-qualifier, count) in pure Python from
+    the same tokenization and window rule."""
+    import duckdb as _dd
+    from collections import Counter
+
+    from sparkmedkg import webkg
+
+    con = _dd.connect()
+    docs = con.execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE lang = 'en'"
+    ).fetchall()
+    con.close()
+    single = {a for a, _ in webkg.alias_label_pairs() if " " not in a}
+    trigs = set(webkg.QUAL_TRIGGERS)
+    want: Counter = Counter()
+    for (text,) in docs:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        for p, tok in enumerate(toks):
+            if tok not in single:
+                continue
+            q = ""
+            for j in range(max(0, p - webkg.QUAL_WINDOW), p):
+                if toks[j] in trigs:
+                    q = toks[j]  # later (nearer) trigger wins
+            want[(tok, q)] += 1
+    got = {
+        (r["mention"], r["qualifier"]): r["n_occ"]
+        for r in webkg.q_mention_qualifiers(spark, SF).collect()
+    }
+    assert got == dict(want)
+    # non-vacuous: some occurrences are qualified, some are not
+    assert any(q for (_, q) in got)
+    assert any(not q for (_, q) in got)
+
+
+def test_mention_qualifiers_negex_on_medical_corpus(spark, tmp_path):
+    """The medical deployment of the same operator: real NegEx cues over
+    the medical fixture corpus — 'Methotrexate is not a treatment for
+    hyperthyroidism' must yield a not-qualified hyperthyroidism mention."""
+    from sparkmedkg import fixtures, webkg
+
+    rows = [
+        (i, r[3], r[4])  # (doc_id, text, lang)
+        for i, r in enumerate(fixtures.gen_doc_rows(300))
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    lex = (
+        "hyperthyroidism", "phenylketonuria", "epilepsy", "aspirin",
+        "phenylalanine",
+    )
+    got = {
+        (r["mention"], r["qualifier"]): r["n_occ"]
+        for r in webkg.q_mention_qualifiers(
+            spark,
+            str(tmp_path),
+            triggers=("no", "not", "without", "never"),
+            window=4,
+            lexicon=lex,
+        ).collect()
+    }
+    # 'does not respond to dietary phenylalanine restriction': the cue
+    # sits exactly window tokens before the mention
+    assert got.get(("phenylalanine", "not"), 0) > 0
+    # plain mentions of every disease term exist unqualified
+    for term in ("hyperthyroidism", "phenylketonuria", "epilepsy",
+                 "aspirin"):
+        assert got.get((term, ""), 0) > 0
+    # tokenization is punctuation-naive by design: 'epilepsy.' != 'epilepsy'
+    # (the corpus-wide split-on-spaces convention) — sanity: counts positive
+    assert sum(got.values()) > 0
