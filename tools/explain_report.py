@@ -22,6 +22,52 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 SF = "/root/testdata/sf0.01"
 
+#: static PLANS.md section preserved across regenerations
+AUDIT_SECTION = """## Cross-engine parity-hazard audit (round 4)
+
+Two hazard classes were swept across all ~390 oracle-gated queries:
+
+**1. Filter-on-rounded-value (the mirror_hosts class).** Every site that
+rounds a similarity/score column for output was checked for whether the
+THRESHOLD compares the raw expression (safe) or the rounded column
+(hazard).  Sites audited: dedup.embedding_near_dups + _allpairs +
+sql twin, dedup.jaccard_pairs_blocking / jaccard_pairs_prefix,
+er.tfidf_pairs, graphalgo.q_neighbor_jaccard, simsearch.range_search,
+corpusops.semantic_decontaminate, webclean.quality_filter.  **All
+filter on the raw expression and round only the emitted column** —
+zero fixes needed.  simsearch.semdedup thresholds in exact int64
+(1e6*dot >= tau_micro*QK^2), which is stronger still.
+
+**2. Interpolated-percentile cuts feeding filters/buckets (the
+events_zonemap_prune class, round-3 advice).** Spark `percentile` and
+DuckDB `quantile_cont` share the (n-1)*p definition but fold
+`lo + frac*(hi-lo)` in engine-specific order; a last-ulp difference can
+flip a boundary row's bucket.  Every remaining `percentile` /
+`quantile_cont` call site was classified:
+
+| site | cut feeds | resolution |
+|---|---|---|
+| events_zonemap_prune | zone assignment | rank-based integer cuts (r4) |
+| corpus_quality_filter | release membership | micro-unit rank cut (r4) |
+| text_quality_deciles | decile buckets | exactq, den=10 (r4) |
+| events_pareto_curve | decile buckets | exactq, den=10 reverse (r4) |
+| events_rfm_segments | quartile grid | exactq ×3, den=4 (r4) |
+| metric_probe_calibration | decile buckets | exactq, den=10 (r4) |
+| events_percentiles | output only | exactq closed form, exact division (r4) |
+| events_robust_zscore | anomaly flags | exactq half/quarter-cent lane (r4) |
+| events_winsorize | cap flags + clamp sum | exactq cent lane, den=100 (r4) |
+| emb_norm_profile | output only | exactq median (half-ints exact) (r4) |
+
+`sparkmedkg/exactq.py` computes the same interpolated cut entirely in
+bigints (cut_scaled = den*x[k] + rem*(x[k+1]-x[k]); order statistics
+from a value-histogram cumulative window, bounded by the value domain —
+counts, cents, micro-unit scores — never a corpus sort), so bucket
+membership is `den*v > cut_scaled` — an integer comparison identical in
+both engines by construction.  No interpolated-percentile cut feeds a
+filter or bucket anywhere in the contract anymore.
+"""
+
+
 
 def plan_of(df) -> str:
     buf = io.StringIO()
@@ -715,10 +761,11 @@ def main() -> None:
             ["HashAggregate", "!CartesianProduct"],
         ),
         "events_rfm_segments": (
-            # one user-keyed shuffle + 1-row quartile broadcast; no ntile
-            # global sort anywhere
+            # one user-keyed shuffle + 1-row exactq quartile broadcast; the
+            # only Window is the cumulative sum over the VALUE HISTOGRAM
+            # (bounded by the measure domain), never an ntile over users
             lambda: relops.events_rfm_segments(spark, SF),
-            ["HashAggregate", "!Window"],
+            ["HashAggregate", "Window", "!SortMergeJoin"],
         ),
         "er_tfidf_pairs": (
             # rare-token blocking + weighted-dot equi-joins: hash joins
@@ -1012,10 +1059,24 @@ def main() -> None:
              "!BroadcastNestedLoop"],
         ),
         "events_zonemap_prune": (
-            # percentile boundaries broadcast back as a 1-row table —
-            # NO global-sort window anywhere in the plan
+            # rank-based integer cut boundaries broadcast back as a 1-row
+            # table; the only Window is the cumulative sum over the cents
+            # HISTOGRAM (price-domain bounded), never a corpus sort
             lambda: relops.events_zonemap_prune(spark, SF),
-            ["HashAggregate", "BroadcastNestedLoop", "!Window"],
+            ["HashAggregate", "BroadcastNestedLoop", "Window"],
+        ),
+        "kg_kge_scorecard": (
+            # four map-only scoring lanes unioned under a literal tag; the
+            # eval aggregate is partial-agg combinable (4 output rows)
+            lambda: kgembed.q_kge_scorecard(spark, SF),
+            ["Union", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_mention_qualifiers": (
+            # one token posexplode feeds both mention and cue filters; the
+            # proximity join is doc-keyed (position band as residual) —
+            # never a cross join
+            lambda: webkg.q_mention_qualifiers(spark, SF),
+            ["Generate", "HashAggregate", "!CartesianProduct"],
         ),
     }
 
@@ -1025,6 +1086,7 @@ def main() -> None:
         "sf0.01).\nAsserted properties: filter pushdown to the parquet scan, "
         "column-pruned\nReadSchema, BroadcastHashJoin for lookup joins, "
         "WholeStageCodegen spans.\n",
+        AUDIT_SECTION,
     ]
     failed = []
     for name, (factory, fragments) in checks.items():
