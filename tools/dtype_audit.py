@@ -48,7 +48,23 @@ def col_kinds(df) -> dict[str, str]:
 def audit(spark, con, name, fn, sql, sf_dir):
     """Return list of problem strings for one query."""
     try:
-        spdf = fn(spark, sf_dir).toPandas()
+        sdf = fn(spark, sf_dir)
+        # Non-scalar result columns are invisible to the dtype-kind check
+        # below (lists land as object in BOTH engines) but crash pandas
+        # sorting in the driver's canonicalizer — flag them at the schema
+        # level (see also tests/test_contract_guards.py).
+        from pyspark.sql import types as T
+
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType)
+            )
+        ]
+        if complex_cols:
+            return [f"non-scalar result columns: {complex_cols}"]
+        spdf = sdf.toPandas()
     except Exception as e:  # pragma: no cover - surfaced to caller
         return [f"spark error: {e}"]
     try:
