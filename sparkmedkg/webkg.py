@@ -1015,3 +1015,127 @@ SELECT mention, COALESCE(q, '') AS qualifier,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM per_occ GROUP BY mention, COALESCE(q, '')
 """
+
+
+#: qualifiers that SUPPRESS an occurrence from the asserted edge build —
+#: the NegEx cue subset in the medical deployment ("no evidence of X"
+#: must not write an X edge); the corpus's own qualifier vocabulary
+#: stands in here.
+NEG_QUALIFIERS = ("slow", "small")
+
+
+def q_asserted_cooccurrence(
+    spark: SparkSession,
+    sf_dir: str,
+    min_docs: int = 2,
+    triggers: tuple = QUAL_TRIGGERS,
+    neg: tuple = NEG_QUALIFIERS,
+    window: int = QUAL_WINDOW,
+    lexicon: tuple | None = None,
+) -> DataFrame:
+    """(e1, e2, n_docs): co-occurrence edges built ONLY from asserted
+    mention occurrences — each occurrence's nearest window-before trigger
+    is resolved (q_mention_qualifiers' rule) and occurrences whose
+    qualifier is in ``neg`` are suppressed before the pair count.  This
+    is assertion-aware KG construction end-to-end: a document saying
+    "no evidence of X" must not contribute an X edge, so the qualifier
+    pass gates the edge build rather than annotating it after the fact.
+
+    Plan: identical to the qualifier table through per-occurrence
+    resolution; the kept stream collapses to per-doc DISTINCT mentions
+    (bounded by lexicon size) before the doc-keyed pair self-join, so
+    pair fan-out is lexicon^2 per doc max — same shape as
+    q_cooccurrence, never corpus x corpus."""
+    single = (
+        sorted(lexicon)
+        if lexicon is not None
+        else sorted({a for a, _ in alias_label_pairs() if " " not in a})
+    )
+    toks = (
+        docs_df(spark, sf_dir)
+        .where(F.col("lang") == "en")
+        .select(
+            "url",
+            F.posexplode(F.split(F.lower(F.col("text")), " +")).alias(
+                "pos", "tok"
+            ),
+        )
+    )
+    m = toks.where(F.col("tok").isin(single)).select(
+        "url", F.col("pos").alias("mpos"), F.col("tok").alias("mention")
+    )
+    t = toks.where(F.col("tok").isin(list(triggers))).select(
+        "url", F.col("pos").alias("tpos"), F.col("tok").alias("trig")
+    )
+    per_occ = (
+        m.join(
+            t,
+            (m["url"] == t["url"])
+            & (t["tpos"] >= m["mpos"] - window)
+            & (t["tpos"] < m["mpos"]),
+            "left",
+        )
+        .groupBy(m["url"], "mpos", "mention")
+        .agg(F.max_by("trig", "tpos").alias("q"))
+    )
+    kept = (
+        per_occ.where(
+            F.coalesce("q", F.lit("")).isin(list(neg)) == False  # noqa: E712
+        )
+        .select("url", "mention")
+        .distinct()
+    )
+    a = kept.select("url", F.col("mention").alias("e1"))
+    b = kept.select("url", F.col("mention").alias("e2"))
+    return (
+        a.join(b, "url")
+        .where(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_asserted_cooccurrence(
+    min_docs: int = 2,
+    triggers: tuple = QUAL_TRIGGERS,
+    neg: tuple = NEG_QUALIFIERS,
+    window: int = QUAL_WINDOW,
+) -> str:
+    single = sorted(
+        {a for a, _ in alias_label_pairs() if " " not in a}
+    )
+    lex = ", ".join(f"'{a}'" for a in single)
+    cues = ", ".join(f"'{t}'" for t in triggers)
+    negs = ", ".join(f"'{t}'" for t in neg)
+    return f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS url, u.pos, u.tok
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'tok': t[i]}}
+                   for i in generate_series(1, len(t))]) AS u
+    FROM (SELECT doc_id, regexp_split_to_array(lower(text), ' +') AS t
+          FROM documents WHERE lang = 'en')
+  )
+),
+m AS (SELECT url, pos AS mpos, tok AS mention FROM toks
+      WHERE tok IN ({lex})),
+trg AS (SELECT url, pos AS tpos, tok AS trig FROM toks
+        WHERE tok IN ({cues})),
+per_occ AS (
+  SELECT m.url, m.mpos, m.mention, max_by(t.trig, t.tpos) AS q
+  FROM m LEFT JOIN trg t
+    ON t.url = m.url AND t.tpos >= m.mpos - {window} AND t.tpos < m.mpos
+  GROUP BY m.url, m.mpos, m.mention
+),
+kept AS (
+  SELECT DISTINCT url, mention FROM per_occ
+  WHERE COALESCE(q, '') NOT IN ({negs})
+)
+SELECT a.mention AS e1, b.mention AS e2,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM kept a JOIN kept b ON a.url = b.url AND a.mention < b.mention
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_docs}
+"""

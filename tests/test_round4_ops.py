@@ -205,3 +205,57 @@ def test_mention_qualifiers_negex_on_medical_corpus(spark, tmp_path):
     # tokenization is punctuation-naive by design: 'epilepsy.' != 'epilepsy'
     # (the corpus-wide split-on-spaces convention) — sanity: counts positive
     assert sum(got.values()) > 0
+
+
+def test_asserted_cooccurrence_suppresses_negated(spark):
+    """Bruteforce the assertion-gated edge build, and pin the semantics:
+    the asserted edge set differs from the raw qualifier-blind one only
+    by pairs whose support relied on suppressed occurrences."""
+    import duckdb as _dd
+    from collections import Counter
+
+    from sparkmedkg import webkg
+
+    con = _dd.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE lang = 'en'"
+    ).fetchall()
+    con.close()
+    single = {a for a, _ in webkg.alias_label_pairs() if " " not in a}
+    trigs = set(webkg.QUAL_TRIGGERS)
+    negs = set(webkg.NEG_QUALIFIERS)
+    per_doc: dict = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.lower().split(" ") if t != ""]
+        kept = set()
+        for p, tok in enumerate(toks):
+            if tok not in single:
+                continue
+            q = ""
+            for j in range(max(0, p - webkg.QUAL_WINDOW), p):
+                if toks[j] in trigs:
+                    q = toks[j]
+            if q not in negs:
+                kept.add(tok)
+        per_doc[doc_id] = kept
+    want: Counter = Counter()
+    for kept in per_doc.values():
+        ks = sorted(kept)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                want[(ks[i], ks[j])] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    got = {
+        (r["e1"], r["e2"]): r["n_docs"]
+        for r in webkg.q_asserted_cooccurrence(spark, SF).collect()
+    }
+    assert got == want
+    # suppression is real on this corpus: some doc keeps fewer mentions
+    # under the gate than it has raw lexicon occurrences
+    raw_any = any(
+        len(per_doc[d]) < len({t for t in txt.lower().split(" ")
+                               if t in single})
+        for d, txt in docs
+    )
+    assert raw_any
