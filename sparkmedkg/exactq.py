@@ -20,8 +20,14 @@ decided by integer comparison in both engines.
 
 Order statistics x[k] come from the VALUE HISTOGRAM (groupBy(col).count +
 one cumulative window over the distinct values), never a global sort of
-the corpus — safe whenever the value domain is bounded (counts, cents,
-micro-unit scores), which is every call site in this repo.
+the corpus.  The window is |distinct values|-sized: genuinely bounded for
+counts / cents / micro-unit scores, but value-count-sized for
+high-cardinality measures (per-user monetary sums, probe scores) — the
+SAME driver-side bound Spark's exact ``percentile`` aggregate already
+imposes via its sorted buffer, so no call site regresses; at unbounded
+cardinality quantize the column to a coarser tick first or swap to
+``approx_percentile`` (t-digest), accepting its approximation in both
+engines.
 
 The Spark helper returns a one-row DataFrame ``(cuts_scaled array<bigint>,
 den bigint, n bigint)`` ordered by probability; ``sql_cuts_cte`` emits the
