@@ -961,17 +961,19 @@ def q_mention_qualifiers(
         "url", F.col("pos").alias("mpos"), F.col("tok").alias("mention")
     )
     t = toks.where(F.col("tok").isin(list(triggers))).select(
-        "url", F.col("pos").alias("tpos"), F.col("tok").alias("trig")
+        F.col("url").alias("t_url"),
+        F.col("pos").alias("tpos"),
+        F.col("tok").alias("trig"),
     )
     per_occ = (
         m.join(
             t,
-            (m["url"] == t["url"])
-            & (t["tpos"] >= m["mpos"] - window)
-            & (t["tpos"] < m["mpos"]),
+            (F.col("url") == F.col("t_url"))
+            & (F.col("tpos") >= F.col("mpos") - window)
+            & (F.col("tpos") < F.col("mpos")),
             "left",
         )
-        .groupBy(m["url"], "mpos", "mention")
+        .groupBy("url", "mpos", "mention")
         .agg(F.max_by("trig", "tpos").alias("q"))
     )
     return (
@@ -1065,17 +1067,19 @@ def q_asserted_cooccurrence(
         "url", F.col("pos").alias("mpos"), F.col("tok").alias("mention")
     )
     t = toks.where(F.col("tok").isin(list(triggers))).select(
-        "url", F.col("pos").alias("tpos"), F.col("tok").alias("trig")
+        F.col("url").alias("t_url"),
+        F.col("pos").alias("tpos"),
+        F.col("tok").alias("trig"),
     )
     per_occ = (
         m.join(
             t,
-            (m["url"] == t["url"])
-            & (t["tpos"] >= m["mpos"] - window)
-            & (t["tpos"] < m["mpos"]),
+            (F.col("url") == F.col("t_url"))
+            & (F.col("tpos") >= F.col("mpos") - window)
+            & (F.col("tpos") < F.col("mpos")),
             "left",
         )
-        .groupBy(m["url"], "mpos", "mention")
+        .groupBy("url", "mpos", "mention")
         .agg(F.max_by("trig", "tpos").alias("q"))
     )
     kept = (
