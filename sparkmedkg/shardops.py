@@ -216,3 +216,154 @@ SELECT 'hrw' AS strategy, n_keys, hrw_m AS n_moved,
        CAST((1000000 * hrw_m) // n_keys AS BIGINT) AS moved_ppm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring placement (virtual nodes) — the third placement
+# strategy next to rendezvous and mod-N.
+# ---------------------------------------------------------------------------
+
+RING_VNODES = 16  # virtual nodes per shard
+
+
+def _ring(n: int = SHARDS, vnodes: int = RING_VNODES) -> list[tuple[int, int]]:
+    """Sorted (hash, shard) ring positions — pure constants (60-bit md5 of
+    'ring|shard|vnode'), identical in both engines by construction."""
+    import hashlib
+
+    pts = []
+    for s in range(1, n + 1):
+        for v in range(vnodes):
+            h = int(
+                hashlib.md5(f"ring|{s}|{v}".encode()).hexdigest()[:15], 16
+            )
+            pts.append((h, s))
+    return sorted(pts)
+
+
+def _ring_arcs(n: int = SHARDS, vnodes: int = RING_VNODES) -> dict[int, int]:
+    """Exact ring arc owned per shard (sum of gaps to the previous point,
+    wrapping) in 2^60 space — the EXPECTED load share of each shard."""
+    ring = _ring(n, vnodes)
+    space = 1 << 60
+    arcs: dict[int, int] = {s: 0 for s in range(1, n + 1)}
+    prev = ring[-1][0] - space  # wrap: first arc reaches back past 0
+    for h, s in ring:
+        arcs[s] += h - prev
+        prev = h
+    assert sum(arcs.values()) == space
+    return arcs
+
+
+def ring_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = SHARDS,
+    vnodes: int = RING_VNODES,
+) -> DataFrame:
+    """(shard, n_vnodes, arc_ppm, n_docs, load_ppm, skew_vs_arc_ppm): the
+    consistent-hash-ring assignment of the corpus over ``n`` shards with
+    ``vnodes`` virtual nodes each — each key goes to the first ring point
+    clockwise from its hash — audited against the EXACT expected share
+    (the shard's owned ring arc): realized load_ppm minus arc_ppm is the
+    sampling error, which vnodes exist to shrink.  Rendezvous
+    (rendezvous_plan) needs no ring state but hashes keys n times;
+    the ring hashes once and binary-searches constants — this pair is
+    the placement trade every distributed store picks between.
+
+    Determinism: ring points are md5 constants; assignment is an exact
+    integer comparison against a literal sorted array (zero shuffle —
+    folds into the scan projection); arcs are exact 2^60-space integers
+    computed driver-side.
+
+    Plan: one scan projection + one n-row groupBy; the corpus total
+    rides a window over the n-row aggregate."""
+    ring = _ring(n, vnodes)
+    arcs = _ring_arcs(n, vnodes)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(h).cast("bigint").alias("h"),
+                F.lit(s).cast("bigint").alias("s"),
+            )
+            for h, s in ring
+        ]
+    )
+    kh = _h60(F.col("doc_id").cast("string"))
+    # try_element_at: the filtered array is EMPTY for keys hashing past
+    # the last ring point (the wrap case) — element_at would throw
+    nxt = F.try_element_at(F.filter(arr, lambda e: e["h"] >= kh), F.lit(1))
+    shard = F.coalesce(nxt["s"], F.lit(ring[0][1]).cast("bigint"))
+    loads = (
+        _docs(spark, sf_dir)
+        .select(shard.alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    arc_rows = spark.createDataFrame(
+        [
+            (s, vnodes, (arcs[s] * 1_000_000) >> 60)
+            for s in range(1, n + 1)
+        ],
+        "shard bigint, n_vnodes bigint, arc_ppm bigint",
+    )
+    return (
+        arc_rows.join(loads, "shard", "left")
+        .select(
+            "shard",
+            "n_vnodes",
+            "arc_ppm",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .withColumn(
+            "load_ppm",
+            F.expr("div(1000000 * n_docs, sum(n_docs) over ())").cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "skew_vs_arc_ppm", F.col("load_ppm") - F.col("arc_ppm")
+        )
+    )
+
+
+def sql_ring_plan(n: int = SHARDS, vnodes: int = RING_VNODES) -> str:
+    ring = _ring(n, vnodes)
+    arcs = _ring_arcs(n, vnodes)
+    ring_lit = ", ".join(f"{{'h': {h}, 's': {s}}}" for h, s in ring)
+    arc_rows = ", ".join(
+        f"({s}, {vnodes}, {(arcs[s] * 1_000_000) >> 60})"
+        for s in range(1, n + 1)
+    )
+    kh = (
+        "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)"
+        " AS BIGINT)"
+    )
+    return f"""
+WITH assigned AS (
+  SELECT COALESCE(
+           list_filter([{ring_lit}], e -> e.h >= {kh})[1].s,
+           {ring[0][1]}) AS shard
+  FROM documents
+),
+loads AS (
+  SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM assigned GROUP BY shard
+),
+arcs(shard, n_vnodes, arc_ppm) AS (VALUES {arc_rows})
+SELECT CAST(a.shard AS BIGINT) AS shard,
+       CAST(a.n_vnodes AS BIGINT) AS n_vnodes,
+       CAST(a.arc_ppm AS BIGINT) AS arc_ppm,
+       CAST(COALESCE(l.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST((1000000 * COALESCE(l.n_docs, 0))
+            // SUM(COALESCE(l.n_docs, 0)) OVER () AS BIGINT) AS load_ppm,
+       CAST((1000000 * COALESCE(l.n_docs, 0))
+            // SUM(COALESCE(l.n_docs, 0)) OVER () AS BIGINT)
+         - CAST(a.arc_ppm AS BIGINT) AS skew_vs_arc_ppm
+FROM arcs a LEFT JOIN loads l ON l.shard = a.shard
+"""

@@ -259,3 +259,49 @@ def test_asserted_cooccurrence_suppresses_negated(spark):
         for d, txt in docs
     )
     assert raw_any
+
+
+def test_ring_plan_bruteforce(spark):
+    """Recompute the ring assignment in pure Python and pin the arc
+    accounting: arcs partition the 2^60 space exactly, every doc lands on
+    the shard owning its clockwise-next vnode, and load_ppm sums to ~1e6."""
+    import duckdb as _dd
+    import hashlib
+
+    from sparkmedkg import shardops
+
+    ring = shardops._ring()
+    arcs = shardops._ring_arcs()
+    assert sum(arcs.values()) == 1 << 60
+    con = _dd.connect()
+    ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    con.close()
+    from collections import Counter
+
+    want: Counter = Counter()
+    hs = [h for h, _ in ring]
+    import bisect
+
+    for d in ids:
+        kh = int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16)
+        i = bisect.bisect_left(hs, kh)
+        s = ring[i][1] if i < len(ring) else ring[0][1]
+        want[s] += 1
+    got = {
+        r["shard"]: r for r in shardops.ring_plan(spark, SF).collect()
+    }
+    assert set(got) == set(range(1, shardops.SHARDS + 1))
+    total = sum(want.values())
+    for s, row in got.items():
+        assert row["n_docs"] == want.get(s, 0)
+        assert row["n_vnodes"] == shardops.RING_VNODES
+        assert row["arc_ppm"] == (arcs[s] * 1_000_000) >> 60
+        assert row["load_ppm"] == 1_000_000 * want.get(s, 0) // total
+        assert row["skew_vs_arc_ppm"] == row["load_ppm"] - row["arc_ppm"]
+    s_ppm = sum(r["load_ppm"] for r in got.values())
+    assert 1_000_000 - shardops.SHARDS <= s_ppm <= 1_000_000
