@@ -1078,6 +1078,13 @@ def main() -> None:
             lambda: webkg.q_mention_qualifiers(spark, SF),
             ["Generate", "HashAggregate", "!CartesianProduct"],
         ),
+        "shard_ring_plan": (
+            # assignment is a literal-array expression on the scan (zero
+            # shuffle before the 8-row groupBy); no join against a ring
+            # table, no window over the corpus
+            lambda: shardops.ring_plan(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+        ),
     }
 
     lines = [
