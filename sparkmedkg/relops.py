@@ -4279,12 +4279,20 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-exact quartile cuts per measure (exactq, den=4) — all three
     # measures are bigint, so bucket membership is decided by exact
     # 4*v-vs-cut_scaled comparison in both engines
-    def _cuts(col: str, alias: str):
-        return F.broadcast(
-            exactq.quantile_cuts_scaled(users, col, [1, 2, 3], 4).select(
-                F.col("cuts_scaled").alias(alias)
-            )
+    # ONE melted histogram pass computes all three measures' quartile
+    # cuts (grouped_quantile_cuts_scaled keyed by measure name) instead of
+    # three separate cut jobs, then pivots to a 1-row broadcast
+    melted = users.selectExpr(
+        "stack(3, 'rec', rec, 'freq', freq, 'mon', mon) AS (m, v)"
+    )
+    cuts3 = exactq.grouped_quantile_cuts_scaled(melted, "m", "v", [1, 2, 3], 4)
+    one = F.broadcast(
+        cuts3.groupBy().agg(
+            F.max(F.when(F.col("m") == "rec", F.col("cuts_scaled"))).alias("rc"),
+            F.max(F.when(F.col("m") == "freq", F.col("cuts_scaled"))).alias("fc"),
+            F.max(F.when(F.col("m") == "mon", F.col("cuts_scaled"))).alias("mc"),
         )
+    )
 
     def bucket(v, c):
         return (
@@ -4300,9 +4308,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int")
 
     return (
-        users.crossJoin(_cuts("rec", "rc"))
-        .crossJoin(_cuts("freq", "fc"))
-        .crossJoin(_cuts("mon", "mc"))
+        users.crossJoin(one)
         .select(
             bucket("rec", "rc").alias("r_q"),
             bucket("freq", "fc").alias("f_q"),
