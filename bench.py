@@ -148,6 +148,7 @@ BENCH_QUERIES = {
     "kg_mention_qualifiers": webkg.q_mention_qualifiers,
     "kg_asserted_cooccurrence": webkg.q_asserted_cooccurrence,
     "shard_ring_plan": shardops.ring_plan,
+    "stream_sliding_replay": streaming.q_stream_sliding_replay,
     "emb_matryoshka_recall": simsearch.matryoshka_recall,
     # round-3 sixth-eighth batch: Katz/MIS/SimRank centrality + similarity,
     # Q9/Q16/Q20 shapes, web->KG anchor bridge, gram-matrix linear algebra

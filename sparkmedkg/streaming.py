@@ -569,3 +569,83 @@ SELECT 'u' || CAST(user_id AS VARCHAR) || '/' || event_type AS url,
 FROM events
 GROUP BY 1
 """
+
+
+SLIDE_WIN_MIN = 60   # sliding window length (minutes)
+SLIDE_HOP_MIN = 15   # hop / slide (minutes)
+
+
+def q_stream_sliding_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_start_us, event_type, n_events, sum_value): the watermarked
+    SLIDING (hopping) window aggregation — ``F.window(ts, '60 minutes',
+    '15 minutes')``, the built-in overlapping-window operator tumbling
+    cannot express (each event lands in win/hop = 4 live windows) —
+    replayed availableNow over the events table, complete-mode memory
+    sink.  Spark aligns hop starts to the epoch, so the oracle assigns
+    each event its 4 window starts by exact integer arithmetic:
+    floor(us/hop)*hop - k*hop for k in 0..3 (every one satisfies
+    start <= ts < start+win by construction).  In production the
+    watermark bounds live-window state to win/hop overlapping panes;
+    operator and plan are identical."""
+    import uuid
+
+    in_dir, _ = _replay_dirs()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+    )
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(in_dir)
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(
+            F.window(
+                "ts", f"{SLIDE_WIN_MIN} minutes", f"{SLIDE_HOP_MIN} minutes"
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"slide_replay_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)
+
+
+def sql_stream_sliding_replay() -> str:
+    hop_us = SLIDE_HOP_MIN * 60 * 1_000_000
+    n_k = SLIDE_WIN_MIN // SLIDE_HOP_MIN
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us, value FROM events
+),
+assigned AS (
+  SELECT event_type, value,
+         (us // {hop_us}) * {hop_us} - g.k * {hop_us} AS window_start_us
+  FROM ev
+  CROSS JOIN LATERAL UNNEST(generate_series(0, {n_k - 1})) AS g(k)
+)
+SELECT window_start_us, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""

@@ -319,3 +319,50 @@ def test_stream_sessionize_matches_bruteforce(tmp_path_factory, spark):
                 n = 1
         want.add((u, start, last + gap_us, n))
     assert got == want
+
+
+def test_sliding_replay_matches_batch_window(spark):
+    """The availableNow sliding replay must equal the BATCH F.window
+    aggregation with the same win/hop (complete replay, generous
+    watermark) — and each event must appear in exactly win/hop windows."""
+    from pyspark.sql import functions as F
+
+    from sparkmedkg import streaming as st
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["window_start_us"], r["event_type"]): (
+            r["n_events"], round(r["sum_value"], 6)
+        )
+        for r in st.q_stream_sliding_replay(spark, sf).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy(
+            F.window(
+                F.col("ts").cast("timestamp"),
+                f"{st.SLIDE_WIN_MIN} minutes",
+                f"{st.SLIDE_HOP_MIN} minutes",
+            ).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws"), "event_type",
+            "n", "s",
+        )
+        .collect()
+    )
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in batch
+    }
+    assert got == want
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    fanout = st.SLIDE_WIN_MIN // st.SLIDE_HOP_MIN
+    assert sum(n for n, _ in got.values()) == n_events * fanout
