@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import annplus, dedup, er, fixtures, multimodal, pipeline, relops, shardops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, statops, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, statops, streaming, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
