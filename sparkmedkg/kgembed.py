@@ -87,6 +87,23 @@ def q_transe_rank(
     k: int = NEG_K,
     max_gap: int = MAX_GAP,
 ) -> DataFrame:
+    """Session-memoized via relations._KG_CACHE: the per-lane ranking
+    table is triple-set-sized (post-aggregation), and the scorecard plus
+    the standalone lane query both consume it — caching retires the 4x
+    plan re-compilation of the md5-embedding expressions (VERDICT r4
+    task 3; cold cost stays visible in BENCH.md's cold-lane table)."""
+    return relations._kg_cached(
+        spark, "kge_transe", (sf_dir, k, max_gap),
+        lambda: _build_transe_rank(spark, sf_dir, k, max_gap),
+    )
+
+
+def _build_transe_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
     """(subj_cui, pred, obj_cui, pos_score2, n_neg, pos_rank): each
     positive triple's exact squared TransE score and its optimistic rank
     (1 + #negatives scoring strictly lower) among its k filtered
@@ -292,6 +309,23 @@ def q_distmult_rank(
     k: int = NEG_K,
     max_gap: int = MAX_GAP,
 ) -> DataFrame:
+    """Session-memoized via relations._KG_CACHE: the per-lane ranking
+    table is triple-set-sized (post-aggregation), and the scorecard plus
+    the standalone lane query both consume it — caching retires the 4x
+    plan re-compilation of the md5-embedding expressions (VERDICT r4
+    task 3; cold cost stays visible in BENCH.md's cold-lane table)."""
+    return relations._kg_cached(
+        spark, "kge_distmult", (sf_dir, k, max_gap),
+        lambda: _build_distmult_rank(spark, sf_dir, k, max_gap),
+    )
+
+
+def _build_distmult_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
     """(subj_cui, pred, obj_cui, pos_score, n_neg, pos_rank): DistMult
     twin of q_transe_rank — each positive triple's exact bilinear score
     and its optimistic rank (1 + #negatives scoring strictly HIGHER;
@@ -378,6 +412,23 @@ def _complex_score(subj: str, pred: str, obj: str) -> Column:
 
 
 def q_complex_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """Session-memoized via relations._KG_CACHE: the per-lane ranking
+    table is triple-set-sized (post-aggregation), and the scorecard plus
+    the standalone lane query both consume it — caching retires the 4x
+    plan re-compilation of the md5-embedding expressions (VERDICT r4
+    task 3; cold cost stays visible in BENCH.md's cold-lane table)."""
+    return relations._kg_cached(
+        spark, "kge_complex", (sf_dir, k, max_gap),
+        lambda: _build_complex_rank(spark, sf_dir, k, max_gap),
+    )
+
+
+def _build_complex_rank(
     spark: SparkSession,
     sf_dir: str,
     k: int = NEG_K,
@@ -473,6 +524,23 @@ def _rotate_score(subj: str, pred: str, obj: str) -> Column:
 
 
 def q_rotate_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NEG_K,
+    max_gap: int = MAX_GAP,
+) -> DataFrame:
+    """Session-memoized via relations._KG_CACHE: the per-lane ranking
+    table is triple-set-sized (post-aggregation), and the scorecard plus
+    the standalone lane query both consume it — caching retires the 4x
+    plan re-compilation of the md5-embedding expressions (VERDICT r4
+    task 3; cold cost stays visible in BENCH.md's cold-lane table)."""
+    return relations._kg_cached(
+        spark, "kge_rotate", (sf_dir, k, max_gap),
+        lambda: _build_rotate_rank(spark, sf_dir, k, max_gap),
+    )
+
+
+def _build_rotate_rank(
     spark: SparkSession,
     sf_dir: str,
     k: int = NEG_K,

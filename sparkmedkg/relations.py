@@ -289,12 +289,17 @@ _EDGE_CACHE: dict[tuple, DataFrame] = {}
 _KG_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _kg_cached(spark: SparkSession, tag: str, extra: tuple, builder):
+def _kg_cached(
+    spark: SparkSession, tag: str, extra: tuple, builder,
+    checkpoint: bool = True,
+):
     key = (spark.sparkContext.applicationId, tag) + extra
     hit = _KG_CACHE.get(key)
     if hit is not None:
         return hit
-    out = builder().localCheckpoint(eager=True)
+    out = builder()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
     if len(_KG_CACHE) >= 32:
         _KG_CACHE.clear()
     _KG_CACHE[key] = out
@@ -705,6 +710,23 @@ NEG_K = 2
 
 
 def q_negative_triples(
+    spark: SparkSession, sf_dir: str, k: int = NEG_K, max_gap: int = MAX_GAP
+) -> DataFrame:
+    """Session-memoized negatives substrate: the four KGE ranking lanes
+    (TransE/DistMult/ComplEx/RotatE) and the scorecard/classification
+    queries all consume the SAME filtered corruption set, so it joins the
+    occ/doc_cui materialized views in _KG_CACHE keyed by
+    (sf_dir, k, max_gap) — kg_kge_scorecard stops rebuilding the
+    positives + vocab four times (VERDICT r4 task 3).  The builder already
+    ends in an eager localCheckpoint, so the cache stores it as-is."""
+    return _kg_cached(
+        spark, "neg", (sf_dir, k, max_gap),
+        lambda: _build_negative_triples(spark, sf_dir, k, max_gap),
+        checkpoint=False,
+    )
+
+
+def _build_negative_triples(
     spark: SparkSession, sf_dir: str, k: int = NEG_K, max_gap: int = MAX_GAP
 ) -> DataFrame:
     """(subj_cui, pred, obj_cui, neg_idx, neg_obj_cui): each positive

@@ -300,11 +300,6 @@ def ring_plan(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
-    from pyspark.sql import Window
-
-    w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     arc_rows = spark.createDataFrame(
         [
             (s, vnodes, (arcs[s] * 1_000_000) >> 60)
