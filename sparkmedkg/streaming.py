@@ -365,6 +365,28 @@ def stream_sessionize(
 
 SESS_GAP_MIN = 30
 
+#: Statically-declared result schemas of the driver-visible replay
+#: queries.  The replay builders are NOT lazy (each one writes a parquet
+#: copy of events and runs a full availableNow query before returning),
+#: so schema-only sweeps (tests/test_contract_guards.py) read these
+#: instead of invoking the builders; test_streaming pins each declared
+#: schema against the real replay output so they cannot drift.
+REPLAY_RESULT_SCHEMAS: dict[str, str] = {
+    "stream_tumbling_replay":
+        "window_start_us bigint, event_type string, n_events bigint, "
+        "sum_value double",
+    "stream_sliding_replay":
+        "window_start_us bigint, event_type string, n_events bigint, "
+        "sum_value double",
+    "stream_first_seen_replay": "url string, first_seen_us bigint",
+    "stream_sessionize_replay":
+        "user_id bigint, session_start_us bigint, session_end_us bigint, "
+        "n_events bigint",
+    "stream_error_click_replay":
+        "user_id bigint, error_id bigint, error_ts_us bigint, "
+        "click_id bigint, click_ts_us bigint, gap_us bigint",
+}
+
 
 def _replay_dirs() -> tuple[str, str]:
     import tempfile

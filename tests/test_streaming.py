@@ -366,3 +366,23 @@ def test_sliding_replay_matches_batch_window(spark):
     n_events = spark.read.parquet(f"{sf}/events.parquet").count()
     fanout = st.SLIDE_WIN_MIN // st.SLIDE_HOP_MIN
     assert sum(n for n, _ in got.values()) == n_events * fanout
+
+
+def test_replay_declared_schemas_match_actual(spark):
+    """REPLAY_RESULT_SCHEMAS (the static schemas the cheap guard sweep
+    reads instead of executing the replay builders) must equal the REAL
+    replay output schemas — one execution per entry, here, where running
+    streaming jobs is this file's whole point."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import types as T
+
+    sf = "/root/testdata/sf0.001"
+    qs = entrymod.queries()
+    for name, ddl in streaming.REPLAY_RESULT_SCHEMAS.items():
+        got = qs[name](spark, sf).schema
+        want = T._parse_datatype_string(ddl)
+        # nullability is an execution artifact (aggregates come back
+        # non-nullable); the sweep only needs names + types
+        assert [(f.name, f.dataType) for f in got.fields] == [
+            (f.name, f.dataType) for f in want.fields
+        ], (name, got.simpleString(), want.simpleString())
