@@ -35,6 +35,8 @@ round(x, 6) / exact longs so the driver hash is engine-stable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkmedkg import exactq
 from pyspark.sql import functions as F
 
 DECON_K = 5            # shingle width (words) for eval-overlap matching
@@ -157,15 +159,15 @@ def pack_sequences_df(docs_in: DataFrame, block: int = PACK_BLOCK) -> DataFrame:
         (F.col("doc_id") / F.lit(PACK_BUCKET)).cast("long").alias("rng"),
     )
     rng_tot = docs.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
-    rng_off = rng_tot.select(
+    # range-bucket offsets via exactq's two-phase partial cumsum (the
+    # bucket table scales with corpus/PACK_BUCKET); exclusive prefix =
+    # inclusive cum minus own count
+    rng_cum = exactq.cumsum_by_value(rng_tot, "rng", "rng_tokens")
+    rng_off = rng_cum.select(
         "rng",
         (
             F.coalesce(
-                F.sum("rng_tokens").over(
-                    Window.orderBy("rng").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
+                F.col("cum") - F.col("rng_tokens"),
                 F.lit(0),
             )
         ).alias("rng_off"),
@@ -830,16 +832,17 @@ def hybrid_rrf(
     1/(k+rank) is exact double arithmetic."""
     from sparkmedkg import simsearch
 
+    # bounded: both inputs are top-k retriever outputs (<= k rows each)
     bm = bm25_topk(spark, sf_dir).select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .over(exactq.bounded_window("doc_id", F.desc("score"), F.asc("doc_id")))
         .alias("bm25_rank"),
     )
     ann = simsearch.cosine_topk(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
-        .over(Window.orderBy(F.desc("cos"), F.asc("vec_id")))
+        .over(exactq.bounded_window("vec_id", F.desc("cos"), F.asc("vec_id")))
         .alias("ann_rank"),
     )
     contrib = lambda r: F.coalesce(  # noqa: E731

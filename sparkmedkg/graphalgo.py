@@ -33,6 +33,8 @@ Scale notes (10^9-node graph on 1000 executors):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from sparkmedkg import exactq
 from pyspark.sql import functions as F
 
 from sparkmedkg import relations, webkg
@@ -924,12 +926,13 @@ def q_closeness(
     not the closure — against the persisted edge set, with eager
     localCheckpoints keeping lineage O(1) deep."""
     edges = _edges(spark, sf_dir, min_docs)
-    w = Window.orderBy("src")
+    # distributed top-n (sort+limit = TakeOrderedAndProject), no
+    # single-task ranking window over the node table
     landmarks = (
         edges.select("src")
         .distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n_landmarks)
+        .orderBy("src")
+        .limit(n_landmarks)
         .select(F.col("src").alias("lm"))
     )
     visited = landmarks.select(
@@ -1479,12 +1482,13 @@ def q_betweenness(
     (lm, node) equi-join + grouped sum over level-(k+1) rows only.
     Landmarks are a constant, so total cost is O(hops) bounded joins."""
     edges = _edges(spark, sf_dir, min_docs)
-    w = Window.orderBy("src")
+    # distributed top-n (sort+limit = TakeOrderedAndProject), no
+    # single-task ranking window over the node table
     landmarks = (
         edges.select("src")
         .distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n_landmarks)
+        .orderBy("src")
+        .limit(n_landmarks)
         .select(F.col("src").alias("lm"))
     )
     lvl = {
@@ -2681,12 +2685,13 @@ def q_harmonic(
     lcm_w = _lcm_weights(max_hops)
     lcm = lcm_w[1]
     edges = _edges(spark, sf_dir, min_docs)
-    w = Window.orderBy("src")
+    # distributed top-n (sort+limit = TakeOrderedAndProject), no
+    # single-task ranking window over the node table
     landmarks = (
         edges.select("src")
         .distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n_landmarks)
+        .orderBy("src")
+        .limit(n_landmarks)
         .select(F.col("src").alias("lm"))
     )
     visited = landmarks.select(
@@ -2993,12 +2998,13 @@ def q_eccentricity(
     (per-round cost independent of landmark count); the rollup is a
     MAX — order-independent, no float at all."""
     edges = _edges(spark, sf_dir, min_docs)
-    w = Window.orderBy("src")
+    # distributed top-n (sort+limit = TakeOrderedAndProject), no
+    # single-task ranking window over the node table
     landmarks = (
         edges.select("src")
         .distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= n_landmarks)
+        .orderBy("src")
+        .limit(n_landmarks)
         .select(F.col("src").alias("lm"))
     )
     visited = landmarks.select(
@@ -3693,7 +3699,8 @@ def q_skew_report(
         .limit(SKEW_TOP)
         .crossJoin(F.broadcast(tot))
     )
-    w = Window.orderBy(F.desc("deg"), F.asc("src"))
+    # bounded: <= SKEW_TOP rows survive the limit above
+    w = exactq.bounded_window("src", F.desc("deg"), F.asc("src"))
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         F.col("src").alias("CUI"),
@@ -3990,8 +3997,11 @@ def q_ppr_sweep_cut(
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
     scored = ppr.join(deg.withColumnRenamed("src", "CUI"), "CUI")
-    w = Window.orderBy(
-        F.desc(F.col("ppr") / F.col("deg").cast("double")), F.asc("CUI")
+    # bounded: node table (UMLS CUI universe, ~4M ceiling — never scales
+    # with the corpus)
+    w = exactq.bounded_window(
+        "CUI", F.desc(F.col("ppr") / F.col("deg").cast("double")),
+        F.asc("CUI")
     )
     ranked = scored.select(
         "CUI", "deg", F.row_number().over(w).cast("bigint").alias("rank")
@@ -4018,7 +4028,10 @@ def q_ppr_sweep_cut(
         .groupBy("k")
         .agg(F.sum("d").cast("bigint").alias("delta"))
     )
-    wk = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: node table (see ranked above)
+    wk = exactq.bounded_window("rank", "rank").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     total_vol = ranked.agg(F.sum("deg").cast("bigint").alias("tv"))
     pref = (
         ranked.join(deltas, ranked["rank"] == deltas["k"], "left")
@@ -4322,12 +4335,15 @@ def q_rank_fusion(
         .na.fill({"katz_num": 0, "n_triangles": 0})
     )
     n1 = F.broadcast(base.agg(F.count(F.lit(1)).alias("n")))
-    r_deg = F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("CUI")))
+    # bounded: node table (UMLS CUI universe — ontology-capped)
+    r_deg = F.row_number().over(
+        exactq.bounded_window("CUI", F.desc("deg"), F.asc("CUI"))
+    )
     r_katz = F.row_number().over(
-        Window.orderBy(F.desc("katz_num"), F.asc("CUI"))
+        exactq.bounded_window("CUI", F.desc("katz_num"), F.asc("CUI"))
     )
     r_tri = F.row_number().over(
-        Window.orderBy(F.desc("n_triangles"), F.asc("CUI"))
+        exactq.bounded_window("CUI", F.desc("n_triangles"), F.asc("CUI"))
     )
     ranked = base.crossJoin(n1).select(
         "CUI",
@@ -4344,7 +4360,7 @@ def q_rank_fusion(
         "r_tri",
         borda.cast("bigint").alias("borda"),
         F.row_number()
-        .over(Window.orderBy(F.desc(borda), F.asc("CUI")))
+        .over(exactq.bounded_window("CUI", F.desc(borda), F.asc("CUI")))
         .cast("bigint")
         .alias("consensus_rank"),
     )

@@ -736,9 +736,10 @@ def ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sf").alias("z"))
         .select("j", (F.col("z") * F.col("z")).alias("est"))
     )
-    from pyspark.sql import Window
+    from sparkmedkg import exactq
 
-    w = Window.orderBy("est", "j")
+    # bounded: AMS_K estimator rows
+    w = exactq.bounded_window("j", "est", "j")
     med = (
         est.select("est", F.row_number().over(w).alias("rn"))
         .agg(
@@ -1042,9 +1043,7 @@ def retrieval_ndcg(
     Plan: ranking is a TakeOrdered over k rows; relevance is a map-only
     array-filter on the scan; the ideal ranking is a second TakeOrdered —
     nothing here touches more than the corpus scan plus two k-row sets."""
-    from pyspark.sql import Window as W
-
-    from sparkmedkg import corpusops
+    from sparkmedkg import corpusops, exactq
 
     terms = terms or corpusops.BM25_TERMS
     k = k or corpusops.BM25_TOPK
@@ -1074,7 +1073,8 @@ def retrieval_ndcg(
         )
         return F.floor(g * 1e9 + F.lit(0.5)).cast("bigint")
 
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    # bounded: bm25_topk emits <= k rows
+    w = exactq.bounded_window("doc_id", F.desc("score"), F.asc("doc_id"))
     ranked = (
         corpusops.bm25_topk(spark, sf_dir, terms, k)
         .withColumn("r", F.row_number().over(w))
@@ -1087,7 +1087,15 @@ def retrieval_ndcg(
         rel_df.where(F.col("rel") > 0)
         .orderBy(F.desc("rel"), F.asc("doc_id"))
         .limit(k)
-        .withColumn("r", F.row_number().over(W.orderBy(F.desc("rel"), F.asc("doc_id"))))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                # bounded: the limit(k) above caps the ideal list
+                exactq.bounded_window(
+                    "doc_id", F.desc("rel"), F.asc("doc_id")
+                )
+            ),
+        )
     )
     idcg = ideal.agg(
         F.sum(gain_nano(F.col("rel"), F.col("r"))).alias("idcg_nano")

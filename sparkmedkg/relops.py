@@ -746,18 +746,25 @@ def events_key_skew(
 
     One partial-aggregated count shuffle; the global total and median are
     1-row broadcasts over the (small) per-key count table; the top-k is a
-    TakeOrdered-style ranked window over that same table."""
+    real TakeOrderedAndProject (sort+limit, distributed partial top-k per
+    partition) so the USERS-sized count table never funnels through one
+    window task — only the <= topk surviving rows get ranked (bounded
+    window: topk rows)."""
     ev = _t(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     stats = per_key.agg(
         F.sum("n_events").alias("total"),
         F.median("n_events").alias("med"),
     )
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id"))
+    top = per_key.orderBy(F.col("n_events").desc(), F.col("user_id")).limit(
+        topk
+    )
+    w = exactq.bounded_window(
+        "user_id", F.col("n_events").desc(), F.col("user_id")
+    )
     return (
-        per_key.crossJoin(F.broadcast(stats))
+        top.crossJoin(F.broadcast(stats))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
         .select(
             "rank",
             "user_id",
@@ -3675,11 +3682,15 @@ def events_lateness_audit(
         F.expr(f"(sec + delay) div {win_s}").alias("w"),
     )
     wmax = arr.groupBy("w").agg(F.max("sec").alias("mx"))
+    # bounded: one row per time window (wall-clock horizon / win_s),
+    # never corpus-sized
     cum = wmax.select(
         "w",
         F.max("mx")
         .over(
-            Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+            exactq.bounded_window("w", "w").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
         )
         .alias("wm"),
     )
@@ -4057,16 +4068,16 @@ def events_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     over counts sorted ascending: every term is BIGINT (ties don't
     matter — equal values commute in the rank sum); two double divisions
     at the end, rounded at 6.  Plan: per-user counts are one partial-agg
-    shuffle; the rank is a window over the USERS-sized count table (at
-    10^9 users, swap for the histogram-sketch rank — the same
-    bucket-cumulative idiom as the quantile sketch)."""
+    shuffle; the rank is exactq.global_row_number — range-partitioned
+    two-phase numbering, so the USERS-sized count table stays
+    partition-parallel at 10^9 users."""
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    ranked = counts.select(
-        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
-    )
+    ranked = exactq.global_row_number(
+        counts, ["x", "user_id"], out="i"
+    ).select("x", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
@@ -4171,7 +4182,11 @@ def events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_risk"))
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: one row per distinct event DAY (observation horizon),
+    # never user- or corpus-sized
+    w = exactq.bounded_window("day", "day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     term = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
         "n_risk"
     ).cast("double")
@@ -4396,12 +4411,13 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("delta").alias("net"),
         F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
     )
+    # bounded: one row per distinct DAY (wall-clock horizon)
     day_off = per_day.select(
         "day",
         "n_boundaries",
         F.coalesce(
             F.sum("net").over(
-                Window.orderBy("day").rowsBetween(
+                exactq.bounded_window("day", "day").rowsBetween(
                     Window.unboundedPreceding, -1
                 )
             ),
@@ -4668,7 +4684,10 @@ def events_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = per_dec.agg(F.sum("n_events").cast("bigint").alias("all_events"))
-    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: 10 decile rows
+    w = exactq.bounded_window("decile", "decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     return (
         per_dec.crossJoin(F.broadcast(tot))
         .select(
@@ -4905,20 +4924,18 @@ def events_t_closeness(
         .orderBy("sens")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wg = Window.orderBy("sens").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: one row per distinct sensitive value (attribute domain)
+    wg = exactq.bounded_window("sens", "sens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = exactq.bounded_window("sens").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     gcum = gg.select(
         "sens",
         F.sum("g").over(wg).alias("cum_g"),
-        F.sum("g").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("m_vals"),
+        F.sum("g").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).alias("m_vals"),
     )
     scored = (
         joined.withColumn("cum_c", F.sum("c").over(wc))
@@ -5638,13 +5655,11 @@ def events_zonemap_prune(
     # is a float seam — a last-ulp difference between engines can flip a
     # boundary row's zone; discrete cuts are decided by exact bigint
     # comparison in both.  The cumulative window runs over the VALUE
-    # HISTOGRAM (|distinct cents| rows, bounded by the price domain),
-    # never the corpus, so the single-partition window is safe at scale.
+    # HISTOGRAM (|distinct cents| rows), never the corpus; the running
+    # count is exactq's two-phase partial cumsum, so even a very wide
+    # price domain stays partition-parallel.
     hist = ev.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    cum = exactq.cumsum_by_value(hist, "cents", "cnt")
     tot = hist.agg(F.sum("cnt").alias("n"))
     cutrows = (
         cum.crossJoin(F.broadcast(tot))

@@ -86,10 +86,12 @@ def rendezvous_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_bytes",
         F.expr(
-            "div(1000000 * n_docs, sum(n_docs) over ())"
+            "div(1000000 * n_docs, sum(n_docs)"
+            " over (partition by pmod(xxhash64(shard), 1)))"
         ).alias("load_ppm"),
         (
-            F.expr("div(1000000 * n_docs, sum(n_docs) over ())")
+            F.expr("div(1000000 * n_docs, sum(n_docs)"
+            " over (partition by pmod(xxhash64(shard), 1)))")
             - F.lit(1_000_000 // SHARDS)
         ).alias("skew_ppm"),
     ).orderBy("shard")
@@ -317,7 +319,8 @@ def ring_plan(
         )
         .withColumn(
             "load_ppm",
-            F.expr("div(1000000 * n_docs, sum(n_docs) over ())").cast(
+            F.expr("div(1000000 * n_docs, sum(n_docs)"
+            " over (partition by pmod(xxhash64(shard), 1)))").cast(
                 "bigint"
             ),
         )

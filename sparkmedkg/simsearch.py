@@ -19,6 +19,8 @@ from __future__ import annotations
 import random
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from sparkmedkg import exactq
 from pyspark.sql import functions as F
 
 N_PLANES = 4
@@ -211,7 +213,8 @@ def ivf_shortlist(
 
     q = emb.where(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
     qsim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
-    w = Window.orderBy(F.desc("qsim"), F.asc("cid"))  # quantizer-sized
+    # bounded: quantizer-sized (one row per IVF centroid)
+    w = exactq.bounded_window("cid", F.desc("qsim"), F.asc("cid"))
     probe = (
         cents.crossJoin(F.broadcast(q))
         .withColumn("qsim", qsim)

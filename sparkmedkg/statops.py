@@ -17,6 +17,8 @@ final display ratios derived from exact integers < 2^53 and rounded.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkmedkg import exactq
 from pyspark.sql import functions as F
 
 V_SCALE = 1_000          # event values integerized to millis
@@ -778,7 +780,8 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, rounded).
 
     Plan: values collapse to per-(type, v) counts in one shuffle; the
-    distinct-value spine and both cumulative sums are windows over that
+    distinct-value spine cumulates via exactq's two-phase partial cumsum
+    and the per-type sums ride type-partitioned windows over that
     AGGREGATE (vocab-of-values-sized, not row-sized); the per-type ECDF
     grid is |types| x |spine| — types is the small fixed dimension."""
     ev = _ev(spark, sf_dir).select(
@@ -800,16 +803,14 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = joined.withColumn("cum_t", F.sum("c").over(wcum))
-    spine = allv.select(
-        "v",
-        F.sum("c_all").over(wall).alias("cum_all"),
-        F.sum("c_all").over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n_all"),
+    # the pooled ECDF spine cumulates by two-phase partial cumsum (value
+    # domain can be wide); the grand total is a 1-row broadcast
+    spine = (
+        exactq.cumsum_by_value(allv, "v", "c_all")
+        .withColumnRenamed("cum", "cum_all")
+        .crossJoin(F.broadcast(allv.agg(F.sum("c_all").alias("n_all"))))
+        .select("v", "cum_all", "n_all")
     )
     scored = cum.join(spine, "v").select(
         "event_type",

@@ -496,9 +496,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(rank) over the corpus token-frequency table — the classic corpus
     health check (natural text sits near -1; boilerplate-heavy or
     templated crawls drift shallow).  One corpus pass builds the
-    vocab-sized count table; ranking sorts ONLY that table (single
-    partition is fine for a vocabulary, and deterministic: count desc,
-    token asc); the five OLS moments reduce in one agg.  The ln() sums
+    vocab-sized count table; ranking sorts ONLY that table via the
+    two-phase range-partitioned numbering (exactq.global_row_number,
+    deterministic: count desc, token asc) so even a web-scale vocabulary
+    never funnels through one task; the five OLS moments reduce in one
+    agg.  The ln() sums
     are double accumulations over vocab-sized input — the one float
     reduction here — rounded to 6, far above double associativity noise
     at any realistic vocabulary size."""
@@ -508,8 +510,9 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
-    ranked = counts.withColumn("rk", F.row_number().over(w)).select(
+    ranked = exactq.global_row_number(
+        counts, [F.col("n").desc(), F.col("tok")], out="rk"
+    ).select(
         F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
         F.col("n"),
@@ -1091,10 +1094,11 @@ def len_quantile_sketch(
         .groupBy("bucket", "lo", "width", "n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    # bounded: <= b histogram buckets
     cum = hist.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bucket").rowsBetween(
+            exactq.bounded_window("bucket", "bucket").rowsBetween(
                 Window.unboundedPreceding, 0
             )
         ),
@@ -1123,14 +1127,22 @@ def len_quantile_sketch(
             "need",
         )
     )
-    ranked = docs.select("n_chars").withColumn(
-        "rn", F.row_number().over(Window.orderBy("n_chars"))
+    # exact rank lookup WITHOUT a corpus-wide single-task sort: the
+    # value at sorted rank `need` is the unique n_chars whose cumulative
+    # count block contains `need` (cum - cnt < need <= cum) over the
+    # value histogram, cumulated by the two-phase partial cumsum
+    vhist = (
+        docs.groupBy(F.col("n_chars").cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).alias("vcnt"))
     )
+    vcum = exactq.cumsum_by_value(vhist, "v", "vcnt")
     exact = est.join(
-        ranked, ranked["rn"] == est["need"]
+        F.broadcast(vcum),
+        (F.col("cum") >= F.col("need"))
+        & (F.col("cum") - F.col("vcnt") < F.col("need")),
     ).select(
         "q_pct",
-        F.col("n_chars").cast("bigint").alias("exact_val"),
+        F.col("v").cast("bigint").alias("exact_val"),
         "sketch_est",
     )
     return exact.select(

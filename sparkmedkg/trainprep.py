@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sparkmedkg import dedup, textstats
+from sparkmedkg import dedup, exactq, textstats
 
 QUALITY_MIN = 0.2
 SAMPLE_MOD = 10_000
@@ -745,13 +745,18 @@ def priority_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("h"),
     )
-    w_rank = Window.orderBy(
-        F.desc(F.col("w").cast("double") / F.col("h").cast("double")),
-        F.asc("doc_id"),
+    pri = F.desc(F.col("w").cast("double") / F.col("h").cast("double"))
+    # real TakeOrderedAndProject: sort+limit keeps the top-(k+1) per
+    # partition then k-merges; only those k+1 rows get ranked (bounded)
+    w_rank = exactq.bounded_window("doc_id", pri, F.asc("doc_id"))
+    ranked = (
+        docs.orderBy(pri, F.asc("doc_id"))
+        .limit(PS_K + 1)
+        .select("doc_id", "w", "h")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .select("w", "h", "rn")
+        .localCheckpoint(eager=True)
     )
-    ranked = docs.select(
-        "w", "h", F.row_number().over(w_rank).alias("rn")
-    ).where(F.col("rn") <= PS_K + 1).localCheckpoint(eager=True)
     tot = docs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("w").cast("bigint").alias("total_w"),
@@ -898,13 +903,20 @@ def doc_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = d.groupBy(F.expr("x div 64").alias("b")).agg(
         F.max("y").alias("by")
     )
-    wb = Window.orderBy("b").rangeBetween(1, Window.unboundedFollowing)
+    # bounded: one row per 64-token-wide length bucket (max-doc-len/64)
+    wb = exactq.bounded_window("b", "b").rangeBetween(
+        1, Window.unboundedFollowing
+    )
     suffix = buckets.select("b", F.max("by").over(wb).alias("hi_b"))
     survivors = d.join(
         F.broadcast(suffix), F.expr("x div 64") == F.col("b")
     ).where(F.col("hi_b").isNull() | (F.col("hi_b") < F.col("y")))
-    w_gt = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
-    w_eq = Window.orderBy("x").rangeBetween(0, 0)
+    # bounded: the bucket-pruned skyline candidate set (dominated docs
+    # are already gone, so this is the near-frontier, not the corpus)
+    w_gt = exactq.bounded_window("x", "x").rangeBetween(
+        1, Window.unboundedFollowing
+    )
+    w_eq = exactq.bounded_window("x", "x").rangeBetween(0, 0)
     out = (
         survivors.withColumn("hi_gt", F.max("y").over(w_gt))
         .withColumn("hi_eq", F.max("y").over(w_eq))

@@ -20,6 +20,8 @@ operator has a DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from sparkmedkg import exactq
 from pyspark.sql import functions as F
 
 CHUNK_W = 3
@@ -325,10 +327,7 @@ def quality_filter(
         .alias("s_micro"),
     )
     hist = q.groupBy("s_micro").agg(F.count(F.lit(1)).alias("cnt"))
-    w_cum = Window.orderBy("s_micro").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    cum = exactq.cumsum_by_value(hist, "s_micro", "cnt")
     pnum = round(pct * 1_000_000)
     cut = (
         cum.crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
@@ -510,11 +509,17 @@ def corpus_drift(
         F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
         + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
     )
-    w = Window.orderBy(F.abs(F.col("p") - F.col("q")).desc(), F.col("term"))
+    gap = F.abs(F.col("p") - F.col("q"))
+    # distributed top-k (TakeOrderedAndProject) over the vocab-sized term
+    # table; only the <= topk survivors get ranked (bounded window)
+    w = exactq.bounded_window(
+        "term", F.abs(F.col("p") - F.col("q")).desc(), F.col("term")
+    )
     return (
         joined.withColumn("jsd_contrib", contrib)
+        .orderBy(gap.desc(), F.col("term"))
+        .limit(topk)
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
         .select(
             "term",
             F.round("p", 6).alias("p_old"),
@@ -778,10 +783,10 @@ def crawl_frontier(
     respects per-host rate limits without starving small hosts.
 
     Scale: the per-URL work is one window per host key (cap keeps output
-    small); host enumeration (dense index) is a window over the DISTINCT
-    host table only — dimension-sized, never over the URL fact table.  At
-    web scale hosts number ~10^8: still a single-column sort orders of
-    magnitude below the fact table."""
+    small); host enumeration (dense index) runs over the DISTINCT host
+    table only — never the URL fact table — and uses the two-phase
+    range-partitioned numbering (exactq.global_row_number), so the ~10^8
+    hosts of a web-scale frontier stay partition-parallel."""
     d = _docs(spark, sf_dir).select(
         F.col("source").alias("host"), "doc_id", "n_chars"
     )
@@ -792,8 +797,9 @@ def crawl_frontier(
         F.col("wave") <= per_host
     )
     hosts = d.select("host").distinct()
-    hw = Window.orderBy("host")  # dimension-sized table only
-    hidx = hosts.withColumn("host_idx", F.row_number().over(hw).cast("bigint"))
+    # two-phase global numbering: hosts number ~1e8 at web scale, so the
+    # lexical index is range-partitioned, never one window task
+    hidx = exactq.global_row_number(hosts, ["host"], out="host_idx")
     n_hosts = hidx.groupBy().agg(F.max("host_idx").alias("n_hosts"))
     return (
         ranked.join(F.broadcast(hidx), "host")
