@@ -276,8 +276,12 @@ def lca_pairs(spark: SparkSession, sf_dir: str = "") -> DataFrame:
     )
     anc = closure.unionByName(selfrows)
     leaves = _edges_df(spark).select("cui").distinct()
+    # explicit broadcast: the theta-only (a < b) pair join must plan as
+    # BroadcastNestedLoopJoin over the ontology-sized leaf set, never a
+    # CartesianProduct (tools/plan_sweep.py gates this)
     pairs = leaves.select(F.col("cui").alias("a")).join(
-        leaves.select(F.col("cui").alias("b")), F.col("a") < F.col("b")
+        F.broadcast(leaves.select(F.col("cui").alias("b"))),
+        F.col("a") < F.col("b"),
     )
     j = pairs.join(
         anc.select(F.col("cui").alias("a"), "ancestor",

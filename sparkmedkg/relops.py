@@ -502,7 +502,16 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are one division of identical bigints in both engines — no
     engine-side float-fold seam).  The per-type value histogram is
     group-count x price-domain sized; at unbounded cardinality switch to
-    ``approx_percentile`` (t-digest, mergeable)."""
+    ``approx_percentile`` (t-digest, mergeable).
+
+    CENT-DOMAIN CONTRACT (shared with events_winsorize and
+    events_robust_zscore): ``round(value * 100)`` is LOSSLESS only while
+    ``events.value`` carries at most 2 decimal places — true for the
+    driver fixtures and guarded by
+    tests/test_dtype_parity.py::test_events_value_is_cent_aligned.  A
+    source with sub-cent precision must scale the quantization factor
+    (den) accordingly or accept cent rounding; the result would silently
+    change otherwise."""
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),

@@ -63,3 +63,19 @@ def test_dtype_parity_all_queries(spark, duck):
         "driver-hash dtype hazards (pandas dtype kind differs between "
         f"Spark and DuckDB): {flagged}"
     )
+
+
+def test_events_value_is_cent_aligned(spark):
+    """Guard for the cent-domain contract (events_percentiles /
+    winsorize / robust_zscore quantize via round(value*100)): every
+    events.value must be exactly representable in cents, else those
+    operators silently change results (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01"):
+        ev = spark.read.parquet(f"/root/testdata/{sf}/events.parquet")
+        off = ev.where(
+            F.abs(F.col("value") * 100 - F.round(F.col("value") * 100))
+            > 1e-9
+        ).count()
+        assert off == 0, f"{sf}: {off} non-cent-aligned values"

@@ -190,6 +190,11 @@ def check_plan(name: str, plan: str) -> list[str]:
             fdetail = details.get(fid, "") if fid else ""
             if not re.search(r"lang#?\d*\s*=", fdetail):
                 continue
+            # a lang equality INSIDE a CASE WHEN (per-language sampling
+            # rates, mixture weights) is a row-local computation, not a
+            # pushable selectivity predicate — only flag bare conjuncts
+            if "CASE WHEN" in fdetail:
+                continue
             for sn in node.walk():
                 if not _is_fact_scan(sn, details):
                     continue
