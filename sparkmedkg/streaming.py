@@ -385,6 +385,9 @@ REPLAY_RESULT_SCHEMAS: dict[str, str] = {
     "stream_error_click_replay":
         "user_id bigint, error_id bigint, error_ts_us bigint, "
         "click_id bigint, click_ts_us bigint, gap_us bigint",
+    # implemented in sparkmedkg.kgdelta (the KG mention-extraction lane)
+    "stream_kg_mentions_replay":
+        "window_start_us bigint, mention string, n_docs bigint",
 }
 
 
