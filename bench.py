@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from sparkmedkg import annplus, dedup, er, fixtures, multimodal, pipeline, relops, shardops, simsearch, textstats  # noqa: E402
-from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgembed, metrics, relations, statops, streaming, trainprep, webclean, webgraph, webkg  # noqa: E402
+from sparkmedkg import corpusops, curate, emblinalg, graphalgo, hierarchy, kgdelta, kgembed, metrics, relations, statops, streaming, trainprep, webclean, webgraph, webkg  # noqa: E402
 from sparkmedkg.session import get_spark  # noqa: E402
 
 N_MED_DOCS = 100_000
@@ -173,6 +173,12 @@ BENCH_QUERIES = {
     "kg_asserted_cooccurrence": webkg.q_asserted_cooccurrence,
     "shard_ring_plan": shardops.ring_plan,
     "stream_sliding_replay": streaming.q_stream_sliding_replay,
+    # round-5: incremental/temporal KG maintenance + streaming mention lane
+    "kg_incremental_update": kgdelta.incremental_update,
+    "kg_temporal_edges": kgdelta.temporal_edges,
+    "kg_nil_clusters": kgdelta.nil_clusters,
+    "kg_salt_plan": kgdelta.salt_plan,
+    "stream_kg_mentions_replay": kgdelta.q_stream_kg_mentions_replay,
     "emb_matryoshka_recall": simsearch.matryoshka_recall,
     # round-3 sixth-eighth batch: Katz/MIS/SimRank centrality + similarity,
     # Q9/Q16/Q20 shapes, web->KG anchor bridge, gram-matrix linear algebra
