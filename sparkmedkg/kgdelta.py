@@ -257,6 +257,55 @@ def salt_plan(
     )
 
 
+def entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level trend detection: per (CUI, crawl week), the linked-doc
+    count, the previous week's count, the week-over-week ratio in exact
+    ppm, and a trend label (new / rising / falling / flat).
+
+    The CUI-level twin of ``textstats.term_burstiness`` (term-level): what
+    a standing web-scale KG monitors to catch emerging entities — a new
+    drug name spiking across crawl snapshots — before curation.  All
+    arithmetic is BIGINT (ratio = cnt * 1e6 DIV prev), so the table is
+    bit-identical cross-engine.  Scale shape: one grouped count of the
+    incidence table keyed (CUI, week) — lexicon x weeks sized — then a
+    lag window PARTITIONED by CUI over the bounded per-CUI week series;
+    the corpus is touched once via the shared doc_cui substrate."""
+    from pyspark.sql import Window
+
+    wk = relations.doc_cui_cached(spark, sf_dir).withColumn(
+        "week",
+        F.expr(f"(CAST(url AS BIGINT) % {CRAWL_DAYS}) DIV 7"),
+    )
+    per = wk.groupBy("CUI", "week").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("CUI").orderBy("week")
+    prev = F.lag("n_docs").over(w)
+    prev_week = F.lag("week").over(w)
+    # a gap week (no docs at all) breaks the streak: prev counts only a
+    # directly-preceding week
+    adjacent = prev_week == F.col("week") - 1
+    prev_adj = F.when(adjacent, prev)
+    lagged = per.select(
+        "CUI", "week", "n_docs", prev_adj.alias("prev_docs")
+    )
+    return lagged.select(
+        "CUI",
+        "week",
+        "n_docs",
+        "prev_docs",
+        # BIGINT DIV: exact cross-engine, no float seam
+        F.expr("(n_docs * CAST(1000000 AS BIGINT)) DIV prev_docs").alias(
+            "ratio_ppm"
+        ),
+        F.when(F.col("prev_docs").isNull(), F.lit("new"))
+        .when(F.col("n_docs") > F.col("prev_docs"), F.lit("rising"))
+        .when(F.col("n_docs") < F.col("prev_docs"), F.lit("falling"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
 def q_stream_kg_mentions_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -434,6 +483,33 @@ SELECT per.cui AS CUI, per.n_docs,
        (per.n_docs + {target - 1}) // {target} AS salt_factor,
        (per.n_docs * CAST(1000000 AS BIGINT)) // tot.total AS share_ppm
 FROM per, tot
+"""
+
+
+def sql_entity_trend() -> str:
+    return f"""
+WITH {_doc_cui_ctes()},
+wk AS (
+  SELECT cui, (doc_id % {CRAWL_DAYS}) // 7 AS week
+  FROM doc_cui
+),
+per AS (
+  SELECT cui, week, COUNT(*) AS n_docs FROM wk GROUP BY cui, week
+),
+lagged AS (
+  SELECT cui, week, n_docs,
+         CASE WHEN lag(week) OVER w = week - 1
+              THEN lag(n_docs) OVER w END AS prev_docs
+  FROM per
+  WINDOW w AS (PARTITION BY cui ORDER BY week)
+)
+SELECT cui AS CUI, week, n_docs, prev_docs,
+       (n_docs * CAST(1000000 AS BIGINT)) // prev_docs AS ratio_ppm,
+       CASE WHEN prev_docs IS NULL THEN 'new'
+            WHEN n_docs > prev_docs THEN 'rising'
+            WHEN n_docs < prev_docs THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM lagged
 """
 
 

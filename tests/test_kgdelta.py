@@ -107,6 +107,30 @@ def test_salt_plan_arithmetic(spark):
     assert sum(r["share_ppm"] for r in rows) <= 1_000_000
 
 
+def test_entity_trend_invariants(spark):
+    rows = kgdelta.entity_trend(spark, SF).collect()
+    assert rows
+    by_cui = {}
+    for r in rows:
+        by_cui.setdefault(r["CUI"], []).append(r)
+    for cui, rs in by_cui.items():
+        rs.sort(key=lambda r: r["week"])
+        prev = {r["week"]: r["n_docs"] for r in rs}
+        for r in rs:
+            if r["week"] - 1 in prev:
+                assert r["prev_docs"] == prev[r["week"] - 1]
+                assert r["ratio_ppm"] == r["n_docs"] * 1_000_000 // r["prev_docs"]
+                expected = (
+                    "rising" if r["n_docs"] > r["prev_docs"]
+                    else "falling" if r["n_docs"] < r["prev_docs"]
+                    else "flat"
+                )
+                assert r["trend"] == expected
+            else:
+                assert r["prev_docs"] is None and r["trend"] == "new"
+                assert r["ratio_ppm"] is None
+
+
 def test_stream_kg_mentions_equals_batch(spark):
     got = {
         (r["window_start_us"], r["mention"]): r["n_docs"]
