@@ -78,7 +78,7 @@ def plan_of(df) -> str:
 
 def main() -> None:
     from sparkmedkg import corpusops, dedup, graphalgo, hierarchy, kgembed, relations, relops, simsearch, textstats
-    from sparkmedkg import curate, emblinalg, er, metrics, multimodal, shardops, statops, trainprep, webclean, webgraph, webkg
+    from sparkmedkg import curate, emblinalg, er, kgdelta, metrics, multimodal, shardops, statops, trainprep, webclean, webgraph, webkg
     from sparkmedkg.session import get_spark
     from pyspark.sql import functions as F
 
@@ -1084,6 +1084,38 @@ def main() -> None:
             # table, no window over the corpus
             lambda: shardops.ring_plan(spark, SF),
             ["HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+        ),
+        "kg_incremental_update": (
+            # delta lane: snapshot filter evaluated in the codegen'd Filter
+            # directly on the scan, BELOW the MapInPandas NER stage (at
+            # deployment: Iceberg partition pruning); merge is one
+            # full-outer join of two pre-aggregated pair tables
+            lambda: kgdelta.incremental_update(spark, SF),
+            ["MapInPandas", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_temporal_edges": (
+            # derived crawl_day rides the shared doc_cui substrate; one
+            # grouped (min, max, count-distinct) shuffle on the pair key
+            lambda: kgdelta.temporal_edges(spark, SF),
+            ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoop"],
+        ),
+        "kg_salt_plan": (
+            # lexicon-sized per-CUI count; the total attaches as the
+            # labeled 1-row broadcast (BroadcastNestedLoopJoin)
+            lambda: kgdelta.salt_plan(spark, SF),
+            ["HashAggregate", "BroadcastNestedLoop", "!CartesianProduct"],
+        ),
+        "kg_entity_trend": (
+            # lag window PARTITIONED by CUI over the bounded week series —
+            # never a single-partition corpus window
+            lambda: kgdelta.entity_trend(spark, SF),
+            ["Window", "HashAggregate", "!CartesianProduct"],
+        ),
+        "kg_nil_clusters": (
+            # vocab-sized surface aggregate left-joined to the per-surface
+            # best score; mention scan feeds it once
+            lambda: kgdelta.nil_clusters(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
         ),
     }
 
