@@ -358,8 +358,11 @@ def main() -> None:
         ),
         "kg_transe_rank": (
             # map-only integer-hash scoring over the checkpointed negative
-            # set, one groupBy on the triple key — no extra joins
-            lambda: kgembed.q_transe_rank(spark, SF),
+            # set, one groupBy on the triple key — no extra joins.
+            # _build_*: audit the full declarative plan (q_transe_rank is
+            # session-memoized since r5 and serves a checkpoint scan,
+            # same convention as kg_relations' use_cache=False)
+            lambda: kgembed._build_transe_rank(spark, SF),
             ["HashAggregate", "!SortMergeJoin", "!CartesianProduct"],
         ),
         "kg_pred_signature": (
