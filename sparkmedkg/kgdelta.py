@@ -165,15 +165,25 @@ def temporal_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("subj_cui") < F.col("obj_cui"))
         .groupBy("subj_cui", "obj_cui")
         .agg(
-            F.min("crawl_day").alias("first_seen"),
-            F.max("crawl_day").alias("last_seen"),
+            F.min("crawl_day").alias("_first"),
+            F.max("crawl_day").alias("_last"),
             F.countDistinct("crawl_day").alias("n_days"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .withColumn(
-            "span_days",
-            (F.datediff(F.col("last_seen"), F.col("first_seen")) + F.lit(1))
-            .cast("bigint"),
+        .select(
+            "subj_cui",
+            "obj_cui",
+            # ISO strings, not DATE: Spark dates reach pandas as object
+            # (datetime.date) while DuckDB dates arrive as datetime64, so
+            # the driver's dtype-sensitive hash would split on the type
+            # even with identical values (tools/dtype_audit.py class)
+            F.col("_first").cast("string").alias("first_seen"),
+            F.col("_last").cast("string").alias("last_seen"),
+            "n_days",
+            "n_docs",
+            (F.datediff(F.col("_last"), F.col("_first")) + F.lit(1))
+            .cast("bigint")
+            .alias("span_days"),
         )
     )
 
@@ -438,8 +448,8 @@ dcd AS (
   FROM doc_cui
 )
 SELECT a.cui AS subj_cui, b.cui AS obj_cui,
-       MIN(a.crawl_day) AS first_seen,
-       MAX(a.crawl_day) AS last_seen,
+       CAST(MIN(a.crawl_day) AS VARCHAR) AS first_seen,
+       CAST(MAX(a.crawl_day) AS VARCHAR) AS last_seen,
        COUNT(DISTINCT a.crawl_day) AS n_days,
        COUNT(*) AS n_docs,
        CAST(MAX(a.crawl_day) - MIN(a.crawl_day) + 1 AS BIGINT) AS span_days
@@ -478,7 +488,9 @@ def sql_salt_plan(target: int = SALT_TARGET) -> str:
     return f"""
 WITH {_doc_cui_ctes()},
 per AS (SELECT cui, COUNT(*) AS n_docs FROM doc_cui GROUP BY cui),
-tot AS (SELECT SUM(n_docs) AS total FROM per)
+-- SUM(BIGINT) is HUGEINT in DuckDB -> pandas float; cast back so the
+-- DIV result stays int64 like Spark's (dtype_audit class)
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
 SELECT per.cui AS CUI, per.n_docs,
        (per.n_docs + {target - 1}) // {target} AS salt_factor,
        (per.n_docs * CAST(1000000 AS BIGINT)) // tot.total AS share_ppm

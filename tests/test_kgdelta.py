@@ -56,11 +56,15 @@ def test_incremental_status_partition(incremental):
 
 
 def test_temporal_bounds(spark):
+    from datetime import date
+
     rows = kgdelta.temporal_edges(spark, SF).collect()
     assert rows
     for r in rows:
-        assert r["first_seen"] <= r["last_seen"]
-        assert r["span_days"] == (r["last_seen"] - r["first_seen"]).days + 1
+        first = date.fromisoformat(r["first_seen"])
+        last = date.fromisoformat(r["last_seen"])
+        assert first <= last
+        assert r["span_days"] == (last - first).days + 1
         assert 1 <= r["n_days"] <= min(r["span_days"], r["n_docs"])
 
 
