@@ -76,7 +76,9 @@ def _pair_counts(doc_cui: DataFrame, count_alias: str) -> DataFrame:
     )
 
 
-def incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+def incremental_update(
+    spark: SparkSession, sf_dir: str, base_edges: DataFrame | None = None
+) -> DataFrame:
     """Incremental KG maintenance: merge the new crawl snapshot's triples
     into the stored co-occurrence edge set, classifying every edge as
     new / updated / unchanged.
@@ -96,8 +98,18 @@ def incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
       full-outer join on the edge key with additive support counts — the
       exact shape of an Iceberg `MERGE INTO ... WHEN MATCHED UPDATE /
       WHEN NOT MATCHED INSERT` over the edge table.
+
+    ``base_edges`` (subj_cui, obj_cui, n_base) lets a deployment pass the
+    STORED edge table directly — the corpus is then never rescanned for
+    the base side (tests/test_kgdelta.py proves the two forms identical).
     """
-    base_dc = relations.doc_cui_cached(spark, sf_dir).where(~_delta_pred())
+    if base_edges is not None:
+        base_pairs = base_edges.select("subj_cui", "obj_cui", "n_base")
+    else:
+        base_pairs = _pair_counts(
+            relations.doc_cui_cached(spark, sf_dir).where(~_delta_pred()),
+            "n_base",
+        )
     d = webkg.docs_df(spark, sf_dir).where(
         (F.col("lang") == "en") & _delta_pred()
     )
@@ -113,7 +125,7 @@ def incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "CUI")
         .distinct()
     )
-    merged = _pair_counts(base_dc, "n_base").join(
+    merged = base_pairs.join(
         _pair_counts(delta_dc, "n_delta"),
         ["subj_cui", "obj_cui"],
         "full_outer",

@@ -40,6 +40,29 @@ def test_incremental_merge_equals_monolithic_rebuild(spark, incremental):
     assert merged == full
 
 
+def test_incremental_with_stored_base_edges(spark, incremental):
+    """Passing a materialized base edge table (the deployment form — the
+    stored graph, no corpus rescan) must give exactly the derived-base
+    result."""
+    base = kgdelta._pair_counts(
+        relations.doc_cui_cached(spark, SF).where(~kgdelta._delta_pred()),
+        "n_base",
+    ).localCheckpoint(eager=True)
+    got = {
+        (r["subj_cui"], r["obj_cui"]): (
+            r["n_base"], r["n_delta"], r["n_total"], r["status"]
+        )
+        for r in kgdelta.incremental_update(spark, SF, base_edges=base).collect()
+    }
+    want = {
+        (r["subj_cui"], r["obj_cui"]): (
+            r["n_base"], r["n_delta"], r["n_total"], r["status"]
+        )
+        for r in incremental
+    }
+    assert got == want
+
+
 def test_incremental_status_partition(incremental):
     for r in incremental:
         assert r["n_total"] == r["n_base"] + r["n_delta"] > 0
