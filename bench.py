@@ -179,6 +179,7 @@ BENCH_QUERIES = {
     "kg_nil_clusters": kgdelta.nil_clusters,
     "kg_salt_plan": kgdelta.salt_plan,
     "kg_entity_trend": kgdelta.entity_trend,
+    "kg_alias_candidates": kgdelta.alias_candidates,
     "stream_kg_mentions_replay": kgdelta.q_stream_kg_mentions_replay,
     "emb_matryoshka_recall": simsearch.matryoshka_recall,
     # round-3 sixth-eighth batch: Katz/MIS/SimRank centrality + similarity,

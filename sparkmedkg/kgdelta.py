@@ -248,6 +248,89 @@ def nil_clusters(
     )
 
 
+#: alias-candidate gates: a NIL surface must co-occur with a CUI in at
+#: least MIN_CO docs and in at least ALIAS_TAU_PPM of its own docs.
+ALIAS_MIN_CO = 2
+ALIAS_TAU_PPM = 500_000
+
+
+def alias_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth: mine new alias candidates for existing concepts
+    from co-mention evidence — the curation loop that closes
+    ``nil_clusters``.
+
+    A NIL surface (below-threshold or candidate-less, same definition as
+    nil_clusters) becomes an alias CANDIDATE for concept c when it
+    appears in >= {ALIAS_MIN_CO} docs that link to c, and those docs are
+    >= {ALIAS_TAU_PPM} ppm of all docs containing the surface — i.e. the
+    surface's document contexts are dominated by c.  The reference has no
+    such loop (its lexicon is the fixed scispaCy KB); at web scale this
+    is how "new drug name spiking in crawls" (entity_trend) turns into a
+    lexicon row instead of a permanent NIL.
+
+    Integer-exact: confidence is BIGINT ppm (n_co * 1e6 DIV n_s).  Scale
+    shape: the NIL surface set is vocab-sized; its (url, surface)
+    incidence equi-joins doc_cui on the doc key with fan-out bounded by
+    per-doc distinct CUIs (lexicon-bounded), then one grouped count —
+    never corpus x corpus."""
+    d = webkg.docs_df(spark, sf_dir).where(F.col("lang") == "en")
+    mentions = webkg._track(
+        ner.detect_mentions(d, webkg.alias_bc(spark), mode="all")
+    )
+    links = link.link_mentions(
+        mentions, webkg.aliases_df(spark), webkg.concepts_df(spark)
+    )
+    best = links.groupBy(F.col("source").alias("mention")).agg(
+        F.max("kb_score").alias("best_score")
+    )
+    nil_surf = (
+        mentions.select("mention")
+        .distinct()
+        .join(best, "mention", "left")
+        .where(
+            F.col("best_score").isNull()
+            | (F.col("best_score") < NIL_THRESHOLD)
+        )
+        .select("mention")
+    )
+    surf_docs = mentions.join(F.broadcast(nil_surf), "mention").select(
+        "url", "mention"
+    ).distinct()
+    n_s = surf_docs.groupBy("mention").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    doc_cui = (
+        mentions.select("url", "mention")
+        .join(links.select(F.col("source").alias("mention"), "CUI"), "mention")
+        .select("url", "CUI")
+        .distinct()
+    )
+    co = (
+        surf_docs.join(doc_cui, "url")
+        .groupBy("mention", "CUI")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return (
+        co.join(n_s, "mention")
+        .select(
+            F.col("mention").alias("surface"),
+            "CUI",
+            "n_co",
+            "n_s",
+            F.expr("(n_co * CAST(1000000 AS BIGINT)) DIV n_s").alias(
+                "conf_ppm"
+            ),
+        )
+        .where(
+            (F.col("n_co") >= ALIAS_MIN_CO)
+            & (
+                F.expr("(n_co * CAST(1000000 AS BIGINT)) DIV n_s")
+                >= ALIAS_TAU_PPM
+            )
+        )
+    )
+
+
 def salt_plan(
     spark: SparkSession, sf_dir: str, target: int = SALT_TARGET
 ) -> DataFrame:
@@ -493,6 +576,46 @@ SELECT 'NIL_' || substr(md5(s.mention), 1, 8) AS nil_id,
             ELSE 'low_confidence' END AS reason
 FROM surf s LEFT JOIN best b USING (mention)
 WHERE b.best_score IS NULL OR b.best_score < {threshold}
+"""
+
+
+def sql_alias_candidates() -> str:
+    from sparkmedkg.webkg import _links_cte, sql_aliases_cte
+
+    return f"""
+WITH {sql_aliases_cte()},
+read_docs AS (SELECT * FROM documents WHERE lang = 'en'),
+{_links_cte().lstrip()},
+best AS (
+  SELECT mention, MAX(kb_score) AS best_score FROM links GROUP BY mention
+),
+nil_surf AS (
+  SELECT m.mention FROM (SELECT DISTINCT mention FROM mentions) m
+  LEFT JOIN best b USING (mention)
+  WHERE b.best_score IS NULL OR b.best_score < {NIL_THRESHOLD}
+),
+surf_docs AS (
+  SELECT DISTINCT m.doc_id, m.mention
+  FROM mentions m JOIN nil_surf USING (mention)
+),
+n_s AS (SELECT mention, COUNT(*) AS n_s FROM surf_docs GROUP BY mention),
+doc_cui AS (
+  SELECT DISTINCT m.doc_id, l.cui
+  FROM mentions m JOIN links l ON l.mention = m.mention
+),
+co AS (
+  SELECT s.mention, d.cui, COUNT(*) AS n_co
+  FROM surf_docs s JOIN doc_cui d USING (doc_id)
+  GROUP BY s.mention, d.cui
+)
+SELECT co.mention AS surface, co.cui AS CUI, co.n_co,
+       CAST(n_s.n_s AS BIGINT) AS n_s,
+       (co.n_co * CAST(1000000 AS BIGINT)) // CAST(n_s.n_s AS BIGINT)
+         AS conf_ppm
+FROM co JOIN n_s USING (mention)
+WHERE co.n_co >= {ALIAS_MIN_CO}
+  AND (co.n_co * CAST(1000000 AS BIGINT)) // CAST(n_s.n_s AS BIGINT)
+        >= {ALIAS_TAU_PPM}
 """
 
 

@@ -123,6 +123,22 @@ def test_nil_disjoint_and_deterministic(spark):
     assert confident.isdisjoint({r["surface"] for r in nil})
 
 
+def test_alias_candidates_are_nil_and_confident(spark):
+    """Every candidate surface is a NIL surface; every (surface, CUI)
+    passes both gates; conf_ppm is the exact integer ratio."""
+    cands = kgdelta.alias_candidates(spark, SF).collect()
+    assert cands
+    nil_surfaces = {
+        r["surface"] for r in kgdelta.nil_clusters(spark, SF).collect()
+    }
+    for r in cands:
+        assert r["surface"] in nil_surfaces
+        assert r["n_co"] >= kgdelta.ALIAS_MIN_CO
+        assert 0 < r["n_co"] <= r["n_s"]
+        assert r["conf_ppm"] == r["n_co"] * 1_000_000 // r["n_s"]
+        assert r["conf_ppm"] >= kgdelta.ALIAS_TAU_PPM
+
+
 def test_salt_plan_arithmetic(spark):
     rows = kgdelta.salt_plan(spark, SF).collect()
     total = sum(r["n_docs"] for r in rows)
