@@ -1120,6 +1120,13 @@ def main() -> None:
             lambda: kgdelta.nil_clusters(spark, SF),
             ["HashAggregate", "!CartesianProduct"],
         ),
+        "kg_alias_candidates": (
+            # NIL surface set broadcast onto the mention incidence; the
+            # co-mention join is doc-keyed with per-doc-CUI-bounded
+            # fan-out — no cartesian, no sort-merge against the corpus
+            lambda: kgdelta.alias_candidates(spark, SF),
+            ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+        ),
     }
 
     lines = [
