@@ -180,6 +180,7 @@ BENCH_QUERIES = {
     "kg_salt_plan": kgdelta.salt_plan,
     "kg_entity_trend": kgdelta.entity_trend,
     "kg_alias_candidates": kgdelta.alias_candidates,
+    "kg_source_diversity": kgdelta.source_diversity,
     "stream_kg_mentions_replay": kgdelta.q_stream_kg_mentions_replay,
     "emb_matryoshka_recall": simsearch.matryoshka_recall,
     # round-3 sixth-eighth batch: Katz/MIS/SimRank centrality + similarity,

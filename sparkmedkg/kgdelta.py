@@ -411,6 +411,54 @@ def entity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge provenance diversity: for each co-occurrence edge, the
+    doc support, the number of distinct source domains behind it, and
+    the Herfindahl concentration of that support in exact ppm
+    (sum over sources of cnt^2, scaled by 1e6 DIV n_docs^2 — 1e6 means
+    every supporting doc came from ONE domain).
+
+    Web-scale KGs must distrust single-domain edges: a Common-Crawl
+    mirror farm repeating one page inflates raw support while adding no
+    evidence (the reason BENCH's dedup family exists).  This surfaces
+    the signal as an audit column instead of burying it in a float
+    heuristic; all arithmetic is BIGINT so the table is bit-identical
+    cross-engine.  Scale shape: the pair fan-out is the same bounded
+    per-doc self-join as the edge builder, with source riding along;
+    two grouped aggregations keyed (pair, source) then (pair)."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"), "source"
+    )
+    dcs = relations.doc_cui_cached(spark, sf_dir).join(src, "url")
+    a = dcs.select(
+        F.col("url").alias("u"), "source", F.col("CUI").alias("subj_cui")
+    )
+    b = dcs.select(F.col("url").alias("u"), F.col("CUI").alias("obj_cui"))
+    per_src = (
+        a.join(b, "u")
+        .where(F.col("subj_cui") < F.col("obj_cui"))
+        .groupBy("subj_cui", "obj_cui", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_src.groupBy("subj_cui", "obj_cui")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("_sq"),
+        )
+        .select(
+            "subj_cui",
+            "obj_cui",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_sources",
+            F.expr(
+                "(_sq * CAST(1000000 AS BIGINT)) DIV (n_docs * n_docs)"
+            ).alias("hhi_ppm"),
+        )
+    )
+
+
 def q_stream_kg_mentions_replay(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -657,6 +705,29 @@ SELECT cui AS CUI, week, n_docs, prev_docs,
             WHEN n_docs < prev_docs THEN 'falling'
             ELSE 'flat' END AS trend
 FROM lagged
+"""
+
+
+def sql_source_diversity() -> str:
+    return f"""
+WITH {_doc_cui_ctes()},
+dcs AS (
+  SELECT dc.doc_id, dc.cui, d.source
+  FROM doc_cui dc JOIN read_docs d USING (doc_id)
+),
+per_src AS (
+  SELECT a.cui AS subj_cui, b.cui AS obj_cui, a.source, COUNT(*) AS cnt
+  FROM dcs a JOIN dcs b ON a.doc_id = b.doc_id AND a.cui < b.cui
+  GROUP BY 1, 2, 3
+)
+SELECT subj_cui, obj_cui,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources,
+       (CAST(SUM(cnt * cnt) AS BIGINT) * CAST(1000000 AS BIGINT))
+         // (CAST(SUM(cnt) AS BIGINT) * CAST(SUM(cnt) AS BIGINT))
+         AS hhi_ppm
+FROM per_src
+GROUP BY 1, 2
 """
 
 

@@ -139,6 +139,28 @@ def test_alias_candidates_are_nil_and_confident(spark):
         assert r["conf_ppm"] >= kgdelta.ALIAS_TAU_PPM
 
 
+def test_source_diversity_invariants(spark):
+    """hhi is exact, bounded, and 1e6 exactly when one source carries
+    the whole edge; n_sources consistent with the support."""
+    rows = kgdelta.source_diversity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_sources"] <= r["n_docs"]
+        # HHI bounds: 1e6/n_sources <= hhi <= 1e6 (floor-div slack of 1)
+        assert r["hhi_ppm"] <= 1_000_000
+        assert r["hhi_ppm"] >= 1_000_000 // r["n_sources"] - 1
+        if r["n_sources"] == 1:
+            assert r["hhi_ppm"] == 1_000_000
+    # edge set and support must match the plain co-occurrence counts
+    base = {
+        (r["subj_cui"], r["obj_cui"]): r["n_full"]
+        for r in kgdelta._pair_counts(
+            relations.doc_cui_cached(spark, SF), "n_full"
+        ).collect()
+    }
+    assert {(r["subj_cui"], r["obj_cui"]): r["n_docs"] for r in rows} == base
+
+
 def test_salt_plan_arithmetic(spark):
     rows = kgdelta.salt_plan(spark, SF).collect()
     total = sum(r["n_docs"] for r in rows)
