@@ -1127,6 +1127,12 @@ def main() -> None:
             lambda: kgdelta.alias_candidates(spark, SF),
             ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
         ),
+        "kg_source_diversity": (
+            # source column rides the doc-keyed pair join; two stacked
+            # grouped aggregations, HHI folded as integer expressions
+            lambda: kgdelta.source_diversity(spark, SF),
+            ["HashAggregate", "!CartesianProduct"],
+        ),
     }
 
     lines = [
